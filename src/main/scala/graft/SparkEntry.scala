@@ -1,13 +1,341 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Relational, Similarity, TimeSeries}
+import graft.functions.TextFns
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the operator
+  * inventory each key maps to.
+  *
+  * Oracle parity rules (SURVEY §6): identical output column names both
+  * sides; sums/avgs of non-integral doubles computed in DECIMAL(18,4)
+  * then cast to double in BOTH dialects (exact → order-independent →
+  * bit-identical); timestamps cast to µs TIMESTAMP in the DuckDB SQL
+  * (Spark truncates parquet ns to µs on read); deterministic tie-breaks
+  * on every window / top-k.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.starJoin(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // core relational / reference ETL semantics
+    "q1_pricing_agg"      -> (Relational.pricingAgg _),
+    "q2_dedup_insert"     -> (Relational.dedupInsert _),
+    "q3_join_agg"         -> (Relational.joinAgg _),
+    "q4_conditional_agg"  -> (Relational.conditionalAgg _),
+    "q5_star_join"        -> (Relational.starJoin _),
+    "q6_filter_agg"       -> (Relational.filterAgg _),
+    "q7_topk"             -> (Relational.topK _),
+    "q8_rolling_avg"      -> (TimeSeries.rollingAvg _),
+    "q9_outlier_filter"   -> (TimeSeries.outlierFilter _),
+    "q10_self_join_offset" -> (TimeSeries.selfJoinOffset _),
+    "q11_latest_per_key"  -> (TimeSeries.latestPerKey _),
+    "q12_locf_gapfill"    -> (TimeSeries.locfGapfill _),
+    "q13_upsert_merge"    -> (Relational.upsertMerge _),
+    "q14_pivot"           -> (Relational.pivotTypes _),
+    "q15_sessionize"      -> (TimeSeries.sessionize _),
+    "q16_asof_join"       -> (TimeSeries.asofJoin _),
+    "q17_ohlc_bars"       -> (TimeSeries.ohlcBars _),
+    "q18_json_extract"    -> (TextFns.jsonExtract _),
+    "q19_string_parse"    -> (TextFns.stringParse _),
+    "q20_session_filter"  -> (TimeSeries.sessionFilter _),
+    "q21_window_agg_time" -> (TimeSeries.windowAggTime _),
+    "q22_clamp_bounds"    -> (TimeSeries.clampBounds _),
+    "q23_anti_semi"       -> (Relational.antiSemi _),
+    "q24_dedup_all_cols"  -> (Relational.dedupAllCols _),
+    "q25_flatten_nested"  -> (Relational.flattenNested _),
+    // LLM-training-data pipeline operators
+    "d1_exact_dedup"      -> (Dedup.exactDedup _),
+    "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
+    "d3_simhash"          -> (Dedup.simhash _),
+    "d4_ngram_jaccard"    -> (Dedup.ngramJaccard _),
+    "d5_embed_topk"       -> (Similarity.embedTopK _),
+    "d6_ivf_ann"          -> (Similarity.ivfAnn _),
+    "d7_lang_id"          -> (TextFns.langId _),
+    "d8_quality_score"    -> (TextFns.qualityScore _),
+    "d9_token_count"      -> (TextFns.tokenCount _),
+    "d10_fingerprint"     -> (TextFns.fingerprint _),
+    "d11_near_dup_cosine" -> (Similarity.nearDupCosine _),
+  )
+
+  // Shared SQL fragments for the DuckDB oracle.
+  private val DEC = "DECIMAL(18,4)"
+  private def dsum(c: String) = s"CAST(SUM(CAST($c AS $DEC)) AS DOUBLE)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS $DEC) * (CAST(1 AS $DEC) - CAST(l_discount AS $DEC))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  ${dsum("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  ${dsum("l_discount")} / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_dedup_insert" ->
+      """SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events s
+        |WHERE ts >= TIMESTAMP '2024-01-25'
+        |  AND NOT EXISTS (SELECT 1 FROM events h
+        |                  WHERE h.ts < TIMESTAMP '2024-01-04'
+        |                    AND h.user_id = s.user_id AND h.event_type = s.event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q3_join_agg" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${dsum("o_totalprice")} AS total_price,
+         |  ${dsum("o_totalprice")} / COUNT(*) AS avg_price
+         |FROM orders JOIN customer ON c_custkey = o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q4_conditional_agg" ->
+      s"""SELECT user_id,
+         |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN -value ELSE value END AS $DEC)) AS DOUBLE) AS net_value,
+         |  CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN -value ELSE value END AS $DEC)) AS DOUBLE) / COUNT(*) AS avg_signed,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_buys,
+         |  COUNT(*) AS n_events
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q5_star_join" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS $DEC) * (CAST(1 AS $DEC) - CAST(l_discount AS $DEC))) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN nation ON n_nationkey = s_nationkey
+         |  JOIN region ON r_regionkey = n_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q6_filter_agg" ->
+      s"""SELECT
+         |  CAST(SUM(CAST(l_extendedprice AS $DEC) * CAST(l_discount AS $DEC)) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q7_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q8_rolling_avg" ->
+      s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |  CAST(SUM(CAST(value AS $DEC)) OVER w AS DOUBLE) / COUNT(*) OVER w AS roll_avg
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
+    "q9_outlier_filter" ->
+      s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, avg_pre, avg_fol,
+         |  CASE WHEN ((avg_pre - value > 50.0 AND avg_fol - value > 50.0)
+         |          OR (value - avg_pre > 50.0 AND value - avg_fol > 50.0)) THEN 1 ELSE 0 END AS is_outlier
+         |FROM (
+         |  SELECT event_id, user_id, ts, value,
+         |    CAST(SUM(CAST(value AS $DEC)) OVER wp AS DOUBLE) / COUNT(*) OVER wp AS avg_pre,
+         |    CAST(SUM(CAST(value AS $DEC)) OVER wf AS DOUBLE) / COUNT(*) OVER wf AS avg_fol
+         |  FROM events
+         |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+         |         wf AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING)
+         |) ORDER BY event_id""".stripMargin,
+
+    "q10_self_join_offset" ->
+      """SELECT s.l_orderkey, s.l_linenumber AS s_line, l.l_linenumber AS l_line,
+        |  s.l_extendedprice AS s_price, l.l_extendedprice AS l_price,
+        |  s.l_extendedprice - l.l_extendedprice AS net
+        |FROM lineitem s JOIN lineitem l
+        |  ON s.l_orderkey = l.l_orderkey AND s.l_linenumber = l.l_linenumber + 1
+        |ORDER BY s.l_orderkey, s_line""".stripMargin,
+
+    "q11_latest_per_key" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q12_locf_gapfill" ->
+      """WITH bounds AS (SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+        |days AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+        |daily AS (
+        |  SELECT user_id, day, value AS close_v FROM (
+        |    SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |grid AS (SELECT u.user_id, d.day FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN days d)
+        |SELECT g.user_id, g.day, dd.close_v,
+        |  last_value(dd.close_v IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_close
+        |FROM grid g LEFT JOIN daily dd ON dd.user_id = g.user_id AND dd.day = g.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
+
+    "q13_upsert_merge" ->
+      s"""WITH t AS (
+         |  SELECT user_id, event_type, COUNT(*) AS cnt, ${dsum("value")} AS total, 'T' AS src
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id, event_type),
+         |s AS (
+         |  SELECT user_id, event_type, COUNT(*) AS cnt, ${dsum("value")} AS total, 'S' AS src
+         |  FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id, event_type)
+         |SELECT * FROM t
+         |UNION ALL
+         |SELECT * FROM s WHERE NOT EXISTS (
+         |  SELECT 1 FROM t WHERE t.user_id = s.user_id AND t.event_type = s.event_type)
+         |ORDER BY user_id, event_type""".stripMargin,
+
+    "q14_pivot" ->
+      s"""SELECT user_id,
+         |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS $DEC) END) AS DOUBLE) AS click_total,
+         |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS $DEC) END) AS DOUBLE) AS view_total,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS $DEC) END) AS DOUBLE) AS purchase_total,
+         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS $DEC) END) AS DOUBLE) AS signup_total,
+         |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS $DEC) END) AS DOUBLE) AS error_total
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q15_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)),
+         |sess AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+         |  CAST(MIN(ts) AS TIMESTAMP) AS t_start, CAST(MAX(ts) AS TIMESTAMP) AS t_end,
+         |  ${dsum("value")} AS session_value
+         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q16_asof_join" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, last_view_value FROM (
+        |  SELECT *, last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
+        |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q17_ohlc_bars" ->
+      s"""SELECT user_id, CAST(bar AS TIMESTAMP) AS bar,
+         |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+         |  MAX(value) AS high_v, MIN(value) AS low_v,
+         |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+         |  COUNT(*) AS n_ticks, ${dsum("value")} AS volume
+         |FROM (
+         |  SELECT *, date_trunc('hour', ts) AS bar,
+         |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn_d
+         |  FROM events)
+         |GROUP BY user_id, bar ORDER BY user_id, bar""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q19_string_parse" ->
+      """SELECT p_partkey, p_brand,
+        |  CAST(split_part(p_brand, '#', 2) AS INTEGER) AS brand_num,
+        |  split_part(p_name, ' ', 1) AS name_head,
+        |  upper(p_type) AS type_u, p_size
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q20_session_filter" ->
+      s"""SELECT event_type, COUNT(*) AS n_events, ${dsum("value")} AS total_value
+         |FROM events
+         |WHERE EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts) BETWEEN 390 AND 780
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q21_window_agg_time" ->
+      s"""SELECT TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (CAST(FLOOR(epoch_us(ts) / 21600000000.0) AS BIGINT) * 21600) AS ws,
+         |  event_type, COUNT(*) AS n_events, ${dsum("value")} AS total_value
+         |FROM events GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "q22_clamp_bounds" ->
+      """SELECT event_id, user_id, value,
+        |  LEAST(GREATEST(value - 100.0, 0.0), 10.0) AS clamped
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q23_anti_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q24_dedup_all_cols" ->
+      """SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY l_suppkey, l_returnflag, l_linestatus""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, lang, source, UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, lang, source, w FROM tok0 WHERE w <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "d7_lang_id" -> {
+      def cnt(tok: String) = s"CAST((length(t) - length(replace(t, '$tok', ''))) / ${tok.length} AS BIGINT)"
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    ${cnt(" the ")} + ${cnt(" and ")} AS s_en,
+         |    ${cnt(" el ")} + ${cnt(" los ")} AS s_es,
+         |    ${cnt(" le ")} + ${cnt(" les ")} AS s_fr,
+         |    ${cnt(" der ")} + ${cnt(" und ")} AS s_de,
+         |    ${cnt(" de ")} AS s_zh
+         |  FROM (SELECT lang, lower(text) AS t FROM documents))
+         |SELECT lang,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+         |       WHEN s_de >= s_zh THEN 'de' ELSE 'zh' END AS pred_lang,
+         |  COUNT(*) AS n_docs
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin
+    },
+
+    "d8_quality_score" -> {
+      def c(tok: String) = s"CAST((length(text) - length(replace(text, '$tok', ''))) / ${tok.length} AS BIGINT)"
+      def cl(tok: String) = s"CAST((length(lower(text)) - length(replace(lower(text), '$tok', ''))) / ${tok.length} AS BIGINT)"
+      s"""SELECT doc_id, lang,
+         |  CAST(length(text) AS DOUBLE) AS n_chars_m,
+         |  CAST(length(text) AS DOUBLE) / CAST(${c(" ")} + 1 AS DOUBLE) AS avg_word_len,
+         |  (CAST(${c(".")} AS DOUBLE) + CAST(${c(",")} AS DOUBLE)) / CAST(${c(" ")} + 1 AS DOUBLE) AS punct_ratio,
+         |  (CAST(${cl(" the ")} + ${cl(" a ")} + ${cl(" of ")} AS DOUBLE)) / CAST(${c(" ")} + 1 AS DOUBLE) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "d9_token_count" -> {
+      def c(tok: String) = s"CAST((length(text) - length(replace(text, '$tok', ''))) / ${tok.length} AS BIGINT)"
+      s"""SELECT doc_id,
+         |  ${c(" ")} + 1 AS n_words,
+         |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_tokens_est,
+         |  ${c(" data ")} + ${c(" table ")} AS n_domain_terms
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "d10_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  md5(text) AS fp_raw
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

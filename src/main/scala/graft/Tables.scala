@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Schema'd readers for the driver-generated parquet tables.
+  *
+  * All operators read through here so that column pruning / predicate
+  * pushdown land on the parquet scan (verify with
+  * `.explain("formatted")` → `ReadSchema` / `PushedFilters`). At cluster
+  * scale these would be external tables (partitioned by date); in this
+  * harness each table is a single parquet file under the sf dir.
+  *
+  * Reference analog: the collection services land data in staging tables
+  * (/root/reference/sql/opt.sql — PYTHON.DAY, PYTHON.MINUTE,
+  * SCHWAB.JSON_TRANSACTIONS); here the parquet tables play that role.
+  */
+object Tables {
+  private def rd(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = rd(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = rd(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = rd(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = rd(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = rd(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = rd(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = rd(s, d, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
+    * a µs TimestampType — the same truncation DuckDB applies when
+    * casting TIMESTAMP_NS → TIMESTAMP, keeping the oracle bit-identical.
+    * Integer `div` (not `/`) : epoch-nanos exceed 2^53, double math
+    * would lose precision.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rd(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+  def documents(s: SparkSession, d: String): DataFrame = rd(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = rd(s, d, "embeddings")
+}

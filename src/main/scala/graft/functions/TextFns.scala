@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Column-level text/string/JSON functions, all composed from
+  * `org.apache.spark.sql.functions._` so they stay inside whole-stage
+  * codegen (no UDFs on the hot path).
+  */
+object TextFns {
+
+  /** Occurrences of `token` in `c` via length arithmetic — portable to
+    * the DuckDB oracle (replace/length exist everywhere) and codegen'd.
+    */
+  def countToken(c: Column, token: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(token), "")))
+      / token.length).cast("long")
+
+  private def countPlain(c: Column, token: String): Column =
+    ((length(c) - length(replace(c, lit(token), lit("")))) / token.length).cast("long")
+
+  /** Whitespace word count. */
+  def wordCount(c: Column): Column = size(split(c, "\\s+"))
+
+  /** q18: JSON field extraction from a raw payload column.
+    * Reference analog: SCHWAB.JSON_TRANSACTIONS stores whole order JSON
+    * (tools/db.py insert_raw_json); downstream SQL pulls typed fields.
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** q19: structured string parsing into typed columns.
+    * Reference analog: dbo.ParseSPXSymbol_ITVF — option symbol →
+    * (CP, Expiry, Strike) (docs/sql_server.md). Here: 'Brand#17' →
+    * brand number, plus p_type token split.
+    */
+  def stringParse(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_brand"),
+        split_part(col("p_brand"), lit("#"), lit(2)).cast("int").as("brand_num"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("name_head"),
+        upper(col("p_type")).as("type_u"),
+        col("p_size"))
+      .orderBy("p_partkey")
+  }
+
+  /** d7: heuristic language ID via per-language marker-token votes.
+    * Counts are exact integers (replace-arithmetic) so the winner is
+    * deterministic; ties broken by fixed language order.
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val t = lower(col("text"))
+    val en = countPlain(t, " the ") + countPlain(t, " and ")
+    val es = countPlain(t, " el ") + countPlain(t, " los ")
+    val fr = countPlain(t, " le ") + countPlain(t, " les ")
+    val de = countPlain(t, " der ") + countPlain(t, " und ")
+    val zh = countPlain(t, " de ")
+    Tables.documents(s, d)
+      .withColumn("pred_lang",
+        when(en >= es && en >= fr && en >= de && en >= zh, "en")
+          .when(es >= fr && es >= de && es >= zh, "es")
+          .when(fr >= de && fr >= zh, "fr")
+          .when(de >= zh, "de")
+          .otherwise("zh"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** d8: document quality scoring — length / punctuation / stopword /
+    * whitespace ratios (the usual pre-training heuristics). One
+    * projection, no shuffle; ratios are fixed-shape double expressions
+    * so both engines produce identical IEEE results.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("double")
+    val nWords = (countPlain(t, " ") + 1L).cast("double")
+    val nPeriods = countPlain(t, ".").cast("double")
+    val nCommas = countPlain(t, ",").cast("double")
+    val stop = (countPlain(lower(t), " the ") + countPlain(lower(t), " a ") +
+      countPlain(lower(t), " of ")).cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        nChars.as("n_chars_m"),
+        (nChars / nWords).as("avg_word_len"),
+        ((nPeriods + nCommas) / nWords).as("punct_ratio"),
+        (stop / nWords).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** d9: token counting — whitespace tokens plus a BPE-ish estimate
+    * (ceil(chars/4), the common ~4-chars-per-token heuristic). */
+  def tokenCount(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val words = countPlain(t, " ") + 1L
+    val bpeEst = ceil(length(t) / lit(4.0)).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), words.as("n_words"), bpeEst.as("n_tokens_est"),
+        (countPlain(t, " data ") + countPlain(t, " table ")).as("n_domain_terms"))
+      .orderBy("doc_id")
+  }
+
+  /** d10: normalized content fingerprint: lowercase, collapse runs of
+    * whitespace, md5. Reference analog: scripts/scwhab_hash.py (account
+    * hashing) + dedup keys in the silver layer.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+        md5(col("text")).as("fp_raw"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operators mirroring the reference's batch ETL SQL.
+  *
+  * Oracle-determinism rule used throughout graft: any SUM/AVG over
+  * non-integral doubles is computed in DECIMAL (exact, order-independent
+  * under any partitioning / AQE re-plan) and cast to double only at the
+  * final projection. Single binary double ops (a-b, a*b) are IEEE-exact
+  * per-row and stay double. This keeps results bit-identical across
+  * Spark partition orders AND across engines (DuckDB oracle), while the
+  * hot path stays inside whole-stage codegen.
+  */
+object Relational {
+
+  /** Money-safe sum: exact decimal accumulation, double at the edge. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  /** q1: grouped aggregation with derived measures (TPC-H Q1 shape).
+    * Reference analog: chains snapshot rollups over SPX_CHAIN
+    * (/root/reference/sql/chains.sql) — per (CP, Expiry) aggregates of
+    * price/volume. Scale: map-side partial agg → 6-group exchange; no
+    * join; pushdown of the shipdate filter to parquet.
+    */
+  def pricingAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+          .cast("double").as("sum_disc_price"),
+        (sum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast(DecimalType(18, 4))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q2: staging→historic dedup-insert (distinct + left-anti join).
+    * Reference analog: PYTHON.SP_PY_PROCESS_OHLC
+    * (/root/reference/sql/opt.sql:320-391): GROUP BY all columns on the
+    * staging table, then LEFT JOIN target ... WHERE target.key IS NULL.
+    * Scale: anti-join shuffles both sides on the key; at 100 TB the
+    * historic side would be bucketed on (user_id, event_type) so the
+    * staging probe co-locates without a full historic reshuffle.
+    */
+  def dedupInsert(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val staging = ev.filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp")).dropDuplicates()
+    val historic = ev.filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+      .select("user_id", "event_type")
+    staging.join(historic, Seq("user_id", "event_type"), "left_anti")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .orderBy("event_id")
+  }
+
+  /** q3: fact⋈dim join + rollup (transactions per-account rollup analog,
+    * OPT.PYTHON.ORDERS join in SP_PY_PARSE_TRANSACTIONS). customer is a
+    * dimension → explicit broadcast; no shuffle of the orders fact.
+    */
+  def joinAgg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"),
+        (dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q4: signed conditional aggregation.
+    * Reference analog: SP_PY_PARSE_TRANSACTIONS
+    * (/root/reference/sql/opt.sql:260-270):
+    * `AVG(IIF(LEFT(instruction,3)='BUY', -price, price))` — purchases
+    * count negative, everything else positive, rolled up per order.
+    */
+  def conditionalAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signed = when(col("event_type") === "purchase", -col("value")).otherwise(col("value"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        dsum(signed).as("net_value"),
+        (dsum(signed) / count(lit(1))).as("avg_signed"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_buys"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q5: star join with broadcast dimensions (TPC-H Q5 shape).
+    * Reference analog: chains × contract-dimension × account joins.
+    * supplier/nation/region are dims → broadcast, so the lineitem fact
+    * streams through without a shuffle; only the final 25-group agg
+    * exchanges.
+    */
+  def starJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice", "l_discount")
+    val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val na = Tables.nation(s, d).select("n_nationkey", "n_regionkey", "n_name")
+    val re = Tables.region(s, d).select("r_regionkey", "r_name")
+    li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+      .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q6: tight-range filter + scalar agg (TPC-H Q6 shape). All three
+    * predicates reach the parquet scan as PushedFilters; single partial →
+    * final agg, no join, no wide shuffle.
+    */
+  def filterAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+            col("l_discount").cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q7: top-k by measure with deterministic tie-break (largest fills).
+    * Scale: Spark plans orderBy+limit as TakeOrderedAndProject — per
+    * partition top-k then a k-row merge on the driver; no global sort.
+    */
+  def topK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** q13: MERGE upsert, target-wins (WHEN NOT MATCHED THEN INSERT).
+    * Reference analog: OPTM MERGE in SP_IMPORT_PARQUET_OPT_DATA
+    * (/root/reference/docs/sql_server.md): existing (OPT_ID,T) rows kept,
+    * only unmatched source rows inserted. Expressed as target ∪
+    * (staging left-anti target) — both sides aggregate first so the
+    * anti-join moves only group-level rows.
+    */
+  def upsertMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+    def rollup(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+        .withColumn("src", lit(tag))
+    val target = rollup(ev.filter(col("ts") < cut), "T")
+    val stage  = rollup(ev.filter(col("ts") >= cut), "S")
+    val newRows = stage.join(target.select("user_id", "event_type"),
+      Seq("user_id", "event_type"), "left_anti")
+    target.unionByName(newRows).orderBy("user_id", "event_type")
+  }
+
+  /** q14: pivot a categorical into measure columns.
+    * Reference analog: CALL/PUT sides (CP=±1) widened into columns for
+    * vertical construction. Fixed pivot values → single shuffle, no
+    * distinct-values pre-pass (which would be a second job at scale).
+    */
+  def pivotTypes(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def m(t: String): Column = dsum(when(col("event_type") === t, col("value"))).as(s"${t}_total")
+    ev.groupBy(col("user_id"))
+      .agg(m("click"), m("view"), m("purchase"), m("signup"), m("error"))
+      .orderBy("user_id")
+  }
+
+  /** q23: semi + anti join existence checks.
+    * Reference analog: the `LEFT JOIN ... WHERE x IS NULL` insert guards
+    * throughout opt.sql. Customers that have orders (semi) but no
+    * urgent-priority order (anti). Both probes broadcast the reduced
+    * orders projection when small; at scale they shuffle on custkey once.
+    */
+  def antiSemi(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
+    val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
+    c.join(o.select("o_custkey").distinct(), c("c_custkey") === col("o_custkey"), "left_semi")
+      .join(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey").distinct(),
+        c("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  /** q24: full-row distinct on a projection (staging GROUP BY all cols,
+    * SP_PY_PROCESS_OHLC). Map-side partial dedup keeps the exchange
+    * small. */
+  def dedupAllCols(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_suppkey", "l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_suppkey", "l_returnflag", "l_linestatus")
+
+  /** q25: flatten-nested round trip: build the nested form the reference
+    * ingests (chains JSON: expiry → strikes → contract list,
+    * services/schwab_chains_service.py process_options), then flatten it
+    * back with explode + struct field projection. rows-only oracle.
+    */
+  def flattenNested(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val nested = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_type"), col("value")))).as("entries"))
+    nested
+      .select(col("user_id"), explode(col("entries")).as("e"))
+      .select(col("user_id"), col("e.ts").as("ts"),
+        col("e.event_type").as("event_type"), col("e.value").as("value"))
+      .orderBy("user_id", "ts")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (Array[Float], 64-dim in the testdata).
+  *
+  * Scale design: the query side is small → broadcast; the corpus
+  * streams. Top-k reduces per partition before the final k-row merge
+  * (TakeOrdered via window + filter per query key). The IVF variant
+  * prunes the corpus to the probed centroid bucket — the 100 TB path:
+  * bucket assignment is a write-time partitioning key, so a query scans
+  * only its probed buckets.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns via zip_with + aggregate —
+    * codegen'd higher-order functions, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** d5: brute-force cosine top-k: first 10 vectors are the query set,
+    * broadcast against the corpus; per-query top-5 via rank window.
+    * The baseline every ANN variant is measured against.
+    */
+  def embedTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** d6: IVF-bucketed ANN. Coarse quantizer = every 50th vector
+    * (deterministic; k-means centroids in a real deployment — seeded
+    * sample is the same plumbing). Each corpus vector is assigned to its
+    * nearest centroid (broadcast argmin, computed with a max_by over the
+    * exploded centroid array); queries probe only their own bucket.
+    */
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // assign: argmax cosine over centroids (small, broadcast)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("c_id").as("bucket"))
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"), col("cos"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** d11: embedding-cosine near-duplicate pairs, blocked by label
+    * (cheap cluster id in the testdata; at scale an LSH/IVF bucket) so
+    * pairwise comparison happens only within blocks.
+    */
+  def nearDupCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= 0.30)
+      .select("label", "id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+}

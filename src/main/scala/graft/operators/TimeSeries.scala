@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Time-series operators mirroring the reference's gold-layer SQL
+  * (SP_PROCESS_VERTS / SP_OPTION_TIMESERIES_BACKFILL / stream→bars).
+  *
+  * All windows partition by user_id (high cardinality at scale) so state
+  * is bounded per key and the sort is a per-partition sort after one
+  * hash exchange — never a global sort. Rolling means use exact decimal
+  * sums (order-independent) divided by window counts, keeping results
+  * identical across engines and partition layouts.
+  */
+object TimeSeries {
+
+  private val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** q8: N-row trailing rolling mean per key.
+    * Reference analog: VERT_TS AVG_R — `AVG(O) OVER (PARTITION BY VID
+    * ORDER BY T ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)`
+    * (/root/reference/docs/sql_server.md SP_PROCESS_VERTS step 2f).
+    */
+  def rollingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = byUser.rowsBetween(-10, 0)
+    Tables.events(s, d)
+      .withColumn("roll_avg",
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .select("event_id", "user_id", "ts", "value", "roll_avg")
+      .orderBy("event_id")
+  }
+
+  /** q9: outlier flag from preceding/following window means.
+    * Reference analog: SP_PROCESS_VERTS step 2c — AVG over ROWS BETWEEN
+    * 5 PRECEDING AND 1 PRECEDING vs 1 FOLLOWING AND 5 FOLLOWING, outlier
+    * iff the point is >0.5 away from both on the same side.
+    */
+  def outlierFilter(s: SparkSession, d: String): DataFrame = {
+    val pre = byUser.rowsBetween(-5, -1)
+    val fol = byUser.rowsBetween(1, 5)
+    def wavg(w: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double") /
+        count(lit(1)).over(w)
+    val thresh = lit(50.0)
+    Tables.events(s, d)
+      .withColumn("avg_pre", wavg(pre))
+      .withColumn("avg_fol", wavg(fol))
+      .withColumn("is_outlier",
+        when(((col("avg_pre") - col("value") > thresh) && (col("avg_fol") - col("value") > thresh)) ||
+             ((col("value") - col("avg_pre") > thresh) && (col("value") - col("avg_fol") > thresh)), 1)
+          .otherwise(0))
+      .select("event_id", "user_id", "ts", "value", "avg_pre", "avg_fol", "is_outlier")
+      .orderBy("event_id")
+  }
+
+  /** q10: self-join on an offset key — vertical-spread pairing.
+    * Reference analog: SP_PROCESS_VERTS step 2b — short leg S joined to
+    * long leg L at S.SS = L.SS ± W, same T and CP; net price SO − LO.
+    * Here: consecutive lineitems of the same order (linenumber offset 1).
+    * Scale: equi-join on the shared parent key (l_orderkey) — one
+    * shuffle, colocated pairing, no range explosion.
+    */
+  def selfJoinOffset(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val short = li.select(col("l_orderkey"), col("l_linenumber").as("s_line"),
+      col("l_extendedprice").as("s_price"))
+    val long = li.select(col("l_orderkey").as("lo_key"), col("l_linenumber").as("l_line"),
+      col("l_extendedprice").as("l_price"))
+    short.join(long,
+        col("l_orderkey") === col("lo_key") && col("s_line") === col("l_line") + 1)
+      .select(col("l_orderkey"), col("s_line"), col("l_line"),
+        col("s_price"), col("l_price"),
+        (col("s_price") - col("l_price")).as("net"))
+      .orderBy("l_orderkey", "s_line")
+  }
+
+  /** q11: latest row per key.
+    * Reference analog: the Redis latest-quote cache
+    * (services/schwab_stream.py set_latest_quote) — last tick per
+    * symbol. row_number over (ts DESC, event_id DESC) → deterministic.
+    */
+  def latestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** q12: daily grid + last-observation-carried-forward.
+    * Reference analog: SP_OPTION_TIMESERIES_BACKFILL — builds a dense
+    * time grid and fills gaps between sparse marks so multi-leg pricing
+    * aligns. Grid = users × days (generated distributively via
+    * sequence+explode, no driver loop); fill = last(ignoreNulls) window.
+    */
+  def locfGapfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val dayW = Window.partitionBy("user_id", "day").orderBy(col("ts").desc, col("event_id").desc)
+    val daily = ev
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(dayW))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value").as("close_v"))
+    val bounds = ev.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+    val days = bounds.select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val grid = ev.select("user_id").distinct().crossJoin(broadcast(days))
+    val fillW = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_close", last(col("close_v"), ignoreNulls = true).over(fillW))
+      .select("user_id", "day", "close_v", "filled_close")
+      .orderBy("user_id", "day")
+  }
+
+  /** q15: gap-based sessionization (30-minute inactivity boundary).
+    * Reference analog: market-session awareness across services
+    * (get_next_session, session padding). lag + cumulative-sum-of-flags
+    * assigns session ids in one pass per key.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val gapMin = 30L
+    val lagTs = lag(col("ts"), 1).over(byUser)
+    val newSess = when(lagTs.isNull ||
+      (unix_micros(col("ts")) - unix_micros(lagTs)) > gapMin * 60L * 1000000L, 1L).otherwise(0L)
+    Tables.events(s, d)
+      .withColumn("new_sess", newSess)
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"), max(col("ts")).as("t_end"),
+        Relational.dsum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** q16: as-of join — for each 'purchase' event, the latest 'view'
+    * value of the same user at or before it.
+    * Reference analog: aligning sparse option marks to the underlying
+    * tick stream (UL vs OPTM in SP_PROCESS_VERTS). Implemented as
+    * union + last(ignoreNulls) window: ONE shuffle on the key, linear
+    * state, no per-row probe or range join — the scalable as-of pattern.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("event_type").isin("view", "purchase"))
+    val tagged = ev
+      .withColumn("quote_v", when(col("event_type") === "view", col("value")))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_view_value", last(col("quote_v"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value", "last_view_value")
+      .orderBy("event_id")
+  }
+
+  /** q17: tick→OHLC bar construction.
+    * Reference analog: HISTORIC.MINUTE bars fed by the tick stream
+    * (sql/opt.sql PYTHON.MINUTE → HISTORIC.MINUTE). open/close selected
+    * by deterministic row_number (ts, event_id tie-break), not first()/
+    * last() which are partition-order-sensitive.
+    */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("bar", date_trunc("hour", col("ts")))
+    val wAsc = Window.partitionBy("user_id", "bar").orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy("user_id", "bar").orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("user_id"), col("bar"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max(when(col("rn_d") === 1, col("value"))).as("close_v"),
+        count(lit(1)).as("n_ticks"),
+        Relational.dsum(col("value")).as("volume"))
+      .orderBy("user_id", "bar")
+  }
+
+  /** q20: time-of-day session filter + rollup.
+    * Reference analog: market-hours gate 06:30–13:00 in
+    * SP_IMPORT_PARQUET_OPT_DATA (`CAST(T AS TIME(0)) BETWEEN '06:30'
+    * AND '13:00'`) and the service-side session padding checks.
+    */
+  def sessionFilter(s: SparkSession, d: String): DataFrame = {
+    val minuteOfDay = hour(col("ts")) * 60 + minute(col("ts"))
+    Tables.events(s, d)
+      .filter(minuteOfDay >= 390 && minuteOfDay <= 780)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  /** q21: tumbling time-window aggregation (epoch-aligned 6h windows) —
+    * batch twin of the Structured Streaming windowed agg in
+    * graft.streaming.EventStream. Window start computed arithmetically
+    * so the DuckDB oracle reproduces it exactly.
+    */
+  def windowAggTime(s: SparkSession, d: String): DataFrame = {
+    val winSec = 6L * 3600L
+    val ws = timestamp_seconds(floor(unix_micros(col("ts")) / (winSec * 1000000L)) * winSec)
+    Tables.events(s, d)
+      .withColumn("ws", ws)
+      .groupBy(col("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("total_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** q22: bounded clamp.
+    * Reference analog: SP_PROCESS_VERTS step 2e — vertical price floored
+    * at 0 and capped at the spread width W. Pure projection: stays in
+    * one codegen stage, no shuffle.
+    */
+  def clampBounds(s: SparkSession, d: String): DataFrame = {
+    val w = lit(10.0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        least(greatest(col("value") - 100.0, lit(0.0)), w).as("clamped"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Tick
+
+/** Streaming twins: windowed agg parity with the batch q21, and
+  * stateful latest-per-key parity with batch q11. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowedAgg over a bounded stream matches the batch q21 on the same data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val batch = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(batch)
+    val streamDf = input.toDF().withColumn("props", lit("{}"))
+    EventStream.runToMemory(EventStream.windowedAgg(streamDf), "win_out", OutputMode.Complete)
+    val got = spark.table("win_out")
+      .withColumnRenamed("n_events", "s_n").withColumnRenamed("total_value", "s_tv")
+    val want = SparkEntry.queries("q21_window_agg_time")(spark, sf)
+    val joined = got.join(want, Seq("ws", "event_type"), "full_outer")
+    assert(joined.filter(col("s_n").isNull || col("n_events").isNull).count() == 0,
+      "stream and batch window sets differ")
+    // counts must agree exactly; sums agree to double tolerance
+    assert(joined.filter(col("s_n") =!= col("n_events")).count() == 0)
+    assert(joined.filter(abs(col("s_tv") - col("total_value")) > 1e-6).count() == 0)
+  }
+
+  test("latestPerKey state matches batch latest-per-key") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val batch = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(batch)
+    EventStream.runToMemory(
+      EventStream.latestPerKey(input.toDS()).toDF(), "latest_out", OutputMode.Update)
+    val got = spark.table("latest_out")
+      .groupBy("user_id").agg(max(struct(col("ts"), col("value"))).as("s"))
+      .select(col("user_id"), col("s.ts").as("ts"), col("s.value").as("value"))
+    val want = SparkEntry.queries("q11_latest_per_key")(spark, sf)
+      .select(col("user_id"), col("ts"), col("value").as("w_value"))
+    val j = got.join(want, Seq("user_id", "ts"), "full_outer")
+    assert(j.filter(col("value").isNull || col("w_value").isNull).count() == 0)
+    assert(j.filter(col("value") =!= col("w_value")).count() == 0)
+  }
+}

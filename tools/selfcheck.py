@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL
+in DuckDB over the sf parquet tables and compare (exactly) against the
+parquet Verify dumped for the same query. Columns sorted by name, rows
+sorted by all columns, values compared exactly (floats bit-exact)."""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT_DIR}/oracle_sql.json"))
+fails, passes, skips = [], [], []
+for name in sorted(os.listdir(OUT_DIR)):
+    p = os.path.join(OUT_DIR, name)
+    if not os.path.isdir(p):
+        continue
+    got = duckdb.sql(f"SELECT * FROM '{p}/*.parquet'").df()
+    if name not in oracle:
+        skips.append((name, len(got)))
+        continue
+    try:
+        exp = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        fails.append((name, f"columns differ: got {gc} vs oracle {ec}"))
+        continue
+    g = got[gc].sort_values(gc, ignore_index=True)
+    e = exp[gc].sort_values(gc, ignore_index=True)
+    if len(g) != len(e):
+        fails.append((name, f"row count: got {len(g)} vs oracle {len(e)}"))
+        continue
+    try:
+        pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+        passes.append((name, len(g)))
+    except AssertionError as ex:
+        fails.append((name, str(ex).split("\n")[0] + " | " +
+                      "\n".join(str(ex).split("\n")[1:4])))
+
+for n, r in passes:
+    print(f"PASS {n} ({r} rows)")
+for n, r in skips:
+    print(f"SKIP (rows-only) {n} ({r} rows)")
+for n, msg in fails:
+    print(f"FAIL {n}: {msg}")
+print(f"\n{len(passes)} pass, {len(skips)} rows-only, {len(fails)} fail")
+sys.exit(1 if fails else 0)
