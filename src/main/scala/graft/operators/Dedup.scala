@@ -23,42 +23,29 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .orderBy("h")
 
-  /** Distinct word-k-shingles per doc as an array column (no explode on
-    * the driver; the shingling is a codegen'd projection). */
-  private def shingled(s: SparkSession, d: String, k: Int): DataFrame = {
+  /** Word arrays per doc; shingling happens inside the fused
+    * MinHashShingleSig expression (no shingle strings materialized). */
+  private def wordArrays(s: SparkSession, d: String, k: Int): DataFrame = {
     val words = split(regexp_replace(lower(col("text")), "\\s+", " "), " ")
-    // k-shingles via transform over word positions
-    val sh = expr(
-      s"""array_distinct(transform(sequence(0, greatest(size(ws) - $k, 0) - 1),
-         |  i -> concat_ws(' ', slice(ws, i + 1, $k))))""".stripMargin)
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), words.as("ws"))
       .filter(size(col("ws")) >= k)
-      .select(col("doc_id"), col("lang"), col("source"), sh.as("shingles"))
   }
-
-  /** MinHash signature: for each of `perms` permutations i, the min of
-    * xxhash64(shingle, i) over the doc's shingle set. Computed with
-    * higher-order functions (transform + aggregate) — one projection,
-    * no explode, no UDF.
-    */
-  private def minhashSig(shingles: Column, perms: Int): Column =
-    expr(
-      s"""transform(sequence(0, ${perms - 1}), p ->
-         |  aggregate(${shingles.toString}, cast(9223372036854775807 as bigint),
-         |    (acc, sh) -> least(acc, xxhash64(sh, p))))""".stripMargin)
 
   /** d2: MinHash + LSH banding near-duplicate candidate pairs.
     * 16 permutations, 4 bands × 4 rows: docs sharing any band bucket
     * become candidates; candidates are verified with the MinHash
-    * jaccard estimate (signature agreement). rows-only oracle.
+    * jaccard estimate (signature agreement). Signature computed by the
+    * custom MinHashSig Catalyst expression — one tight
+    * O(shingles × perms) loop per row (the HOF formulation ran
+    * interpreted and dominated the whole benchmark). rows-only oracle.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val perms = 16
     val bands = 4
     val rows = perms / bands
-    val docs = shingled(s, d, 3)
-      .withColumn("sig", minhashSig(col("shingles"), perms))
+    val docs = wordArrays(s, d, 3)
+      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, perms))
       .select("doc_id", "sig")
     val banded = docs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
@@ -85,16 +72,12 @@ object Dedup {
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val words = array_distinct(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
-    // For each bit b: +1 if xxhash64(word) has bit b set else -1; sum over
-    // words; fingerprint bit = (sum > 0).
-    val fp = expr(
-      """aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
-        |  acc + if(aggregate(ws, cast(0 as bigint),
-        |    (a, w) -> a + if(((xxhash64(w) >> b) & 1) = 1, 1, -1)) > 0,
-        |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+    // Custom SimHash64 Catalyst expression: per-word xxhash64, ±1 bit
+    // votes, sign → fingerprint — one tight loop instead of a 64×words
+    // interpreted HOF cascade.
     Tables.documents(s, d)
       .select(col("doc_id"), words.as("ws"))
-      .select(col("doc_id"), fp.as("simhash"))
+      .select(col("doc_id"), graft.functions.VectorExprs.simhash64(col("ws")).as("simhash"))
       .withColumn("bucket", shiftright(col("simhash"), 48))
       .orderBy("doc_id")
   }
@@ -108,22 +91,23 @@ object Dedup {
     * integer set sizes → deterministic; DuckDB-verifiable.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    // One distinct-token ARRAY per doc (sorted for determinism), pair
+    // docs within the (lang, source) block, intersect arrays in-pair.
+    // vs the explode+word-equi-join+count formulation: no 250×-row
+    // explode shuffle, no giant per-word pair blowup — the join moves
+    // one row per doc and intersection stays a codegen'd array op.
+    val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("w"))
-      .filter(col("w") =!= "")
-    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = tok.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("w"))
-    val b = tok.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("w"))
-    val inter = a.join(b, Seq("lang", "source", "w"))
+        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
+    val a = toks.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("ws").as("ws_a"))
+    val b = toks.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("ws").as("ws_b"))
+    a.join(b, Seq("lang", "source"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("n_inter",
+        graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b")))
+      .filter(col("n_inter") > 0)
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
+        col("n_inter").cast("double") / (size(col("ws_a")) + size(col("ws_b")) - col("n_inter")))
       .filter(col("jaccard") >= 0.8)
       .select("id_a", "id_b", "n_inter", "jaccard")
       .orderBy("id_a", "id_b")

@@ -189,9 +189,14 @@ object Relational {
   def antiSemi(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_mktsegment")
     val o = Tables.orders(s, d).select("o_custkey", "o_orderpriority")
-    c.join(o.select("o_custkey").distinct(), c("c_custkey") === col("o_custkey"), "left_semi")
-      .join(o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey").distinct(),
-        c("c_custkey") === col("o_custkey"), "left_anti")
+    // semi (has orders) + anti (none urgent) folded into ONE per-key
+    // aggregate + ONE join: the orders fact aggregates map-side to a
+    // boolean flag per custkey, instead of two distinct+join passes.
+    val flags = o.groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("has_urgent"))
+    c.join(flags, c("c_custkey") === flags("o_custkey"))
+      .filter(col("has_urgent") === 0)
+      .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
   }
 

