@@ -48,6 +48,7 @@ object SparkEntry {
     "q23_anti_semi"       -> (Relational.antiSemi _),
     "q24_dedup_all_cols"  -> (Relational.dedupAllCols _),
     "q25_flatten_nested"  -> (Relational.flattenNested _),
+    "q26_asof_custom"     -> (TimeSeries.asofJoinCustom _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -218,6 +219,18 @@ object SparkEntry {
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_value
         |  FROM events WHERE event_type IN ('view', 'purchase'))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q26_asof_custom" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, q_value,
+        |  CAST(q_ts AS TIMESTAMP) AS q_ts
+        |FROM (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER w AS q_value,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER w AS q_ts
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "q17_ohlc_bars" ->

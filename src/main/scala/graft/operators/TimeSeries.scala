@@ -160,6 +160,25 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** q26: as-of join via the custom AsOfJoin plan node
+    * (graft.plans.AsOfJoin: LogicalPlan + SparkStrategy + sort-merge
+    * BinaryExecNode). Same semantics as q16 but executed as a single
+    * linear merge per key-partition instead of a window over the
+    * unioned stream — the shape that scales when the quote side is
+    * 1000× the trade side (no union materialization).
+    */
+  def asofJoinCustom(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val trades = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val quotes = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("user_id_r"), col("ts").as("q_ts"),
+        col("value").as("q_value"))
+    graft.plans.AsOf.join(trades, quotes, "user_id", "ts", "q_ts")
+      .select("event_id", "user_id", "ts", "value", "q_value", "q_ts")
+      .orderBy("event_id")
+  }
+
   /** q17: tick→OHLC bar construction.
     * Reference analog: HISTORIC.MINUTE bars fed by the tick stream
     * (sql/opt.sql PYTHON.MINUTE → HISTORIC.MINUTE). open/close selected

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftshim
+
+/** As-of join as a first-class operator: for each left row, the most
+  * recent right row of the same key with rightTime <= leftTime.
+  *
+  * Reference analog: aligning sparse option marks to the underlying
+  * tick stream (SPX_OPT.SPX.UL vs OPTM in SP_PROCESS_VERTS /
+  * SP_OPTION_TIMESERIES_BACKFILL, /root/reference/docs/sql_server.md).
+  *
+  * This is the (c) rung of the extension ladder (SURVEY §4): a logical
+  * node + planner strategy + physical sort-merge exec, because neither
+  * a join condition (`r.ts <= l.ts` equi+range explodes to all prior
+  * rows then needs a re-aggregate) nor a plain window can express
+  * "latest right per left row" as ONE pass.
+  *
+  * Scale shape: both sides hash-partition on the key (declared via
+  * requiredChildDistribution) and sort (key, time) within partitions
+  * (requiredChildOrdering) — Catalyst inserts exactly one exchange per
+  * side, then the merge is a linear zipPartitions scan with O(1) state
+  * per key: no buffered window, no range-join blowup, AQE-compatible.
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
+    copy(left = l, right = r)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTime: Expression,
+    rightKey: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lkB = BindReferences.bindReference(leftKey, lOut)
+    val ltB = BindReferences.bindReference(leftTime, lOut)
+    val rkB = BindReferences.bindReference(rightKey, rOut)
+    val rtB = BindReferences.bindReference(rightTime, rOut)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val toUnsafe = UnsafeProjection.create(outAttrs, outAttrs)
+      var pending: InternalRow = null  // next right row, not yet consumed
+      var lastMatch: InternalRow = null
+      var lastMatchKey: Any = null
+
+      lIter.map { lRow =>
+        val lk = lkB.eval(lRow)
+        val lt = ltB.eval(lRow)
+        if (lastMatch != null && keyOrd.asInstanceOf[Ordering[Any]].compare(lastMatchKey, lk) != 0) {
+          lastMatch = null; lastMatchKey = null
+        }
+        var done = false
+        while (!done) {
+          if (pending == null && rIter.hasNext) pending = rIter.next()
+          if (pending == null) done = true
+          else {
+            val rk = rkB.eval(pending)
+            val cmp = keyOrd.asInstanceOf[Ordering[Any]].compare(rk, lk)
+            if (cmp < 0) pending = null // right key behind: discard
+            else if (cmp == 0 &&
+                timeOrd.asInstanceOf[Ordering[Any]].compare(rtB.eval(pending), lt) <= 0) {
+              lastMatch = pending.copy() // newest right row at/before lt
+              lastMatchKey = rkB.eval(lastMatch)
+              pending = null
+            } else done = true // right ahead of this left row
+          }
+        }
+        joined(lRow, if (lastMatch != null) lastMatch else nullRight)
+        toUnsafe(joined)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinExec =
+    copy(left = l, right = r)
+}
+
+/** User-facing API: resolves key/time columns against the analyzed
+  * children and registers the strategy on first use. Right-side column
+  * names must not collide with left's (rename upstream).
+  */
+object AsOf {
+  def join(leftDf: DataFrame, rightDf: DataFrame,
+      key: String, leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    val lp = graftshim.analyzed(leftDf)
+    val rp = graftshim.analyzed(rightDf)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    graftshim.ofRows(spark,
+      AsOfJoin(lp, rp,
+        attr(lp, key), attr(lp, leftTimeCol),
+        attr(rp, key + "_r"), attr(rp, rightTimeCol)))
+  }
+}

@@ -12,4 +12,8 @@ import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, Expression
 package object graftshim {
   def toCol(e: Expression): Column = new Column(ExpressionColumnNode(e))
   def toExpr(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+  def analyzed(df: Dataset[Row]): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+  def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
