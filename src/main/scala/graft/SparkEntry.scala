@@ -61,6 +61,7 @@ object SparkEntry {
     "d9_token_count"      -> (TextFns.tokenCount _),
     "d10_fingerprint"     -> (TextFns.fingerprint _),
     "d11_near_dup_cosine" -> (Similarity.nearDupCosine _),
+    "d12_text_clean"      -> (TextFns.textClean _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -344,6 +345,14 @@ object SparkEntry {
          |  ${c(" data ")} + ${c(" table ")} AS n_domain_terms
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "d12_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    'https?://[^ ]+', ' ', 'g'), '[^ ]+@[^ ]+', ' ', 'g'), '\s+', ' ', 'g')) AS clean_text,
+        |  CAST(length(text) AS BIGINT) - length(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    'https?://[^ ]+', ' ', 'g'), '[^ ]+@[^ ]+', ' ', 'g'), '\s+', ' ', 'g'))) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d10_fingerprint" ->
       """SELECT doc_id,

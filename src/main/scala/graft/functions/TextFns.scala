@@ -112,6 +112,22 @@ object TextFns {
       .orderBy("doc_id")
   }
 
+  /** d12: text cleaning / scrubbing for training data — strip URLs and
+    * email-shaped tokens, collapse whitespace, trim. The usual
+    * pre-tokenization scrub pass; pure projection, no shuffle.
+    */
+  def textClean(s: SparkSession, d: String): DataFrame = {
+    val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
+      lower(col("text")),
+      "https?://[^ ]+", " "),
+      "[^ ]+@[^ ]+", " "),
+      "\\s+", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), cleaned.as("clean_text"),
+        (length(col("text")).cast("long") - length(cleaned)).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** d10: normalized content fingerprint: lowercase, collapse runs of
     * whitespace, md5. Reference analog: scripts/scwhab_hash.py (account
     * hashing) + dedup keys in the silver layer.

