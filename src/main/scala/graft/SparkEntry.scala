@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Similarity, TimeSeries}
+import graft.operators.{Dedup, Relational, Similarity, Sketches, TimeSeries}
 import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -49,6 +49,8 @@ object SparkEntry {
     "q24_dedup_all_cols"  -> (Relational.dedupAllCols _),
     "q25_flatten_nested"  -> (Relational.flattenNested _),
     "q26_asof_custom"     -> (TimeSeries.asofJoinCustom _),
+    "q27_transactions_rollup" -> (Relational.transactionsRollup _),
+    "q28_verticals_pipeline"  -> (TimeSeries.verticalsPipeline _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -62,6 +64,7 @@ object SparkEntry {
     "d10_fingerprint"     -> (TextFns.fingerprint _),
     "d11_near_dup_cosine" -> (Similarity.nearDupCosine _),
     "d12_text_clean"      -> (TextFns.textClean _),
+    "d13_sketch_profile"  -> (Sketches.sketchProfile _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -233,6 +236,44 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q27_transactions_rollup" ->
+      s"""SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+         |  total_qty, avg_signed_price, n_legs
+         |FROM orders o LEFT JOIN (
+         |  SELECT l_orderkey,
+         |    CAST(SUM(l_quantity) AS DOUBLE) AS total_qty,
+         |    CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice
+         |                       ELSE l_extendedprice END AS $DEC)) AS DOUBLE) / COUNT(*) AS avg_signed_price,
+         |    COUNT(*) AS n_legs
+         |  FROM lineitem GROUP BY l_orderkey) s ON s.l_orderkey = o.o_orderkey
+         |WHERE o_orderstatus IN ('F', 'O')
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q28_verticals_pipeline" ->
+      s"""WITH paired AS (
+         |  SELECT event_id, user_id, ts, value - prev_value AS net FROM (
+         |    SELECT event_id, user_id, ts, value,
+         |      lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+         |    FROM events)
+         |  WHERE prev_value IS NOT NULL),
+         |flagged AS (
+         |  SELECT * FROM (
+         |    SELECT *,
+         |      CAST(SUM(CAST(net AS $DEC)) OVER wp AS DOUBLE) / COUNT(*) OVER wp AS avg_pre,
+         |      CAST(SUM(CAST(net AS $DEC)) OVER wf AS DOUBLE) / COUNT(*) OVER wf AS avg_fol
+         |    FROM paired
+         |    WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+         |           wf AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING))
+         |  WHERE NOT COALESCE(((avg_pre - net > 50.0 AND avg_fol - net > 50.0)
+         |                   OR (net - avg_pre > 50.0 AND net - avg_fol > 50.0)), FALSE)),
+         |clamped AS (
+         |  SELECT event_id, user_id, ts, net, LEAST(GREATEST(net, 0.0), 10.0) AS o FROM flagged)
+         |SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, net, o,
+         |  CAST(SUM(CAST(o AS $DEC)) OVER wr AS DOUBLE) / COUNT(*) OVER wr AS avg_r
+         |FROM clamped
+         |WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
 
     "q17_ohlc_bars" ->
       s"""SELECT user_id, CAST(bar AS TIMESTAMP) AS bar,

@@ -209,6 +209,33 @@ object Relational {
       .distinct()
       .orderBy("l_suppkey", "l_returnflag", "l_linestatus")
 
+  /** q27: the full SP_PY_PARSE_TRANSACTIONS shape end-to-end
+    * (/root/reference/sql/opt.sql:252-310): orders joined to their
+    * execution legs (lineitem), per-order signed-price rollup
+    * (BUY→negative via returnflag), leg-count and avg, then status
+    * filter and join back to order attributes. One shuffle on the
+    * shared orderkey; order dims broadcast-merged at the end.
+    */
+  def transactionsRollup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+      .filter(col("o_orderstatus").isin("F", "O"))
+    val legs = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+    val signed = when(col("l_returnflag") === "R", -col("l_extendedprice"))
+      .otherwise(col("l_extendedprice"))
+    val sub = legs.groupBy(col("l_orderkey"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("total_qty"),
+        (dsum(signed) / count(lit(1))).as("avg_signed_price"),
+        count(lit(1)).as("n_legs"))
+    o.join(sub, o("o_orderkey") === sub("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"), col("total_qty"), col("avg_signed_price"), col("n_legs"))
+      .orderBy("o_orderkey")
+  }
+
   /** q25: flatten-nested round trip: build the nested form the reference
     * ingests (chains JSON: expiry → strikes → contract list,
     * services/schwab_chains_service.py process_options), then flatten it

@@ -202,6 +202,46 @@ object TimeSeries {
       .orderBy("user_id", "bar")
   }
 
+  /** q28: the verticals gold pipeline end-to-end (SP_PROCESS_VERTS,
+    * /root/reference/docs/sql_server.md steps 2b–2f): pair consecutive
+    * per-user events (spread construction), net price, outlier filter
+    * via preceding/following means, clamp to [0, W], then the 10-row
+    * rolling average over the surviving series. Windows share ONE
+    * partitioning (user_id) so Catalyst reuses a single exchange+sort.
+    */
+  def verticalsPipeline(s: SparkSession, d: String): DataFrame = {
+    val w = lit(10.0)
+    val lagW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val paired = Tables.events(s, d)
+      .withColumn("prev_value", lag(col("value"), 1).over(lagW))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(lagW))
+      .filter(col("prev_value").isNotNull)
+      .withColumn("net", col("value") - col("prev_value"))
+    val pre = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-5, -1)
+    val fol = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(1, 5)
+    def wavg(ws: org.apache.spark.sql.expressions.WindowSpec) =
+      sum(col("net").cast(DecimalType(18, 4))).over(ws).cast("double") /
+        count(lit(1)).over(ws)
+    val thresh = lit(50.0)
+    val flagged = paired
+      .withColumn("avg_pre", wavg(pre))
+      .withColumn("avg_fol", wavg(fol))
+      // coalesce(false): window-edge rows (null pre/fol mean) are kept,
+      // matching the reference's CASE...ELSE 0 outlier indicator
+      .filter(!coalesce(
+        ((col("avg_pre") - col("net") > thresh) && (col("avg_fol") - col("net") > thresh)) ||
+        ((col("net") - col("avg_pre") > thresh) && (col("net") - col("avg_fol") > thresh)),
+        lit(false)))
+      .withColumn("o", least(greatest(col("net"), lit(0.0)), w))
+    val roll = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, 0)
+    flagged
+      .withColumn("avg_r",
+        sum(col("o").cast(DecimalType(18, 4))).over(roll).cast("double") /
+          count(lit(1)).over(roll))
+      .select("event_id", "user_id", "ts", "net", "o", "avg_r")
+      .orderBy("event_id")
+  }
+
   /** q20: time-of-day session filter + rollup.
     * Reference analog: market-hours gate 06:30–13:00 in
     * SP_IMPORT_PARQUET_OPT_DATA (`CAST(T AS TIME(0)) BETWEEN '06:30'
