@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Cast, Size}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+
+import graft.functions.IntersectCount
+import graft.plans.AsOfStrategy
+
+/** Optimizer rule: `size(array_intersect(a, b))` on string arrays →
+  * the single-pass IntersectCount expression. The built-in pair
+  * materializes the intersection array only to take its length — and
+  * the optimizer happily duplicates that pair into join conditions
+  * (observed 3× evaluation in pushed-down predicates). The rewrite is
+  * purely an expression-level strength reduction, safe anywhere the
+  * pattern appears.
+  */
+object RewriteIntersectCount extends Rule[LogicalPlan] {
+  private def isStringArray(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Size(ArrayIntersect(l, r), legacy @ false)
+        if isStringArray(l) && isStringArray(r) =>
+      Cast(IntersectCount(l, r), IntegerType)
+  }
+}
+
+/** Deploy-time wiring: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * registers the as-of join strategy and graft optimizer rules on every
+  * session of the cluster. [[Graft.install]] is the runtime equivalent
+  * for an already-built session (what the specs and Verify/Bench use).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => AsOfStrategy)
+    e.injectOptimizerRule(_ => RewriteIntersectCount)
+  }
+}
+
+object Graft {
+  /** Install graft's strategy, optimizer rule, and SQL functions into a
+    * live session. Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    if (!spark.experimental.extraOptimizations.contains(RewriteIntersectCount))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteIntersectCount
+    graft.functions.VectorExprs.register(spark)
+  }
+}
