@@ -51,6 +51,8 @@ object SparkEntry {
     "q26_asof_custom"     -> (TimeSeries.asofJoinCustom _),
     "q27_transactions_rollup" -> (Relational.transactionsRollup _),
     "q28_verticals_pipeline"  -> (TimeSeries.verticalsPipeline _),
+    "q29_grouped_topk"    -> (Relational.groupedTopK _),
+    "q30_rollup"          -> (Relational.rollupAgg _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -274,6 +276,20 @@ object SparkEntry {
          |FROM clamped
          |WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
          |ORDER BY event_id""".stripMargin,
+
+    "q29_grouped_topk" ->
+      """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders JOIN customer ON c_custkey = o_custkey)
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "q30_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q17_ohlc_bars" ->
       s"""SELECT user_id, CAST(bar AS TIMESTAMP) AS bar,

@@ -99,15 +99,21 @@ object Dedup {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
-    val a = toks.select(col("lang"), col("source"), col("doc_id").as("id_a"), col("ws").as("ws_a"))
-    val b = toks.select(col("lang"), col("source"), col("doc_id").as("id_b"), col("ws").as("ws_b"))
+      .withColumn("sz", size(col("ws")).cast("long"))
+    val a = toks.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+      col("ws").as("ws_a"), col("sz").as("sz_a"))
+    val b = toks.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+      col("ws").as("ws_b"), col("sz").as("sz_b"))
     a.join(b, Seq("lang", "source"))
-      .filter(col("id_a") < col("id_b"))
+      // size-ratio prune: jaccard >= 0.8 requires 5*min >= 4*max, so a
+      // cheap integer test prunes pairs BEFORE any set intersection
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a") * 5 >= col("sz_b") * 4 && col("sz_b") * 5 >= col("sz_a") * 4)
       .withColumn("n_inter",
         graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b")))
       .filter(col("n_inter") > 0)
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (size(col("ws_a")) + size(col("ws_b")) - col("n_inter")))
+        col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.8)
       .select("id_a", "id_b", "n_inter", "jaccard")
       .orderBy("id_a", "id_b")

@@ -209,6 +209,37 @@ object Relational {
       .distinct()
       .orderBy("l_suppkey", "l_returnflag", "l_linestatus")
 
+  /** q29: grouped top-k — top 3 orders per market segment, rank window
+    * with full tie-break. Reference analog: "largest fills per account"
+    * style reports. Scale: rank window partitions on the segment after
+    * a broadcast dim join; no global sort.
+    */
+  def groupedTopK(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  /** q30: hierarchical rollup (subtotals + grand total) — the reference
+    * reports daily→symbol→total aggregates. ROLLUP computes all levels
+    * in one pass with grouping-set expansion; map-side partials still
+    * apply.
+    */
+  def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   /** q27: the full SP_PY_PARSE_TRANSACTIONS shape end-to-end
     * (/root/reference/sql/opt.sql:252-310): orders joined to their
     * execution legs (lineitem), per-order signed-price rollup

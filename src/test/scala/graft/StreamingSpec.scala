@@ -34,6 +34,19 @@ class StreamingSpec extends SparkSpec {
     assert(joined.filter(abs(col("s_tv") - col("total_value")) > 1e-6).count() == 0)
   }
 
+  test("file-source streaming: readStream over a parquet dir drains through windowedAgg") {
+    // stage events as a parquet "landing zone" the stream tails
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStream.schema)
+      .parquet(dir)
+    EventStream.runToMemory(EventStream.windowedAgg(stream), "file_win_out", OutputMode.Complete)
+    val got = spark.table("file_win_out")
+    val wantRows = SparkEntry.queries("q21_window_agg_time")(spark, sf).count()
+    assert(got.count() == wantRows)
+  }
+
   test("latestPerKey state matches batch latest-per-key") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
