@@ -78,7 +78,7 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
          |  ${dsum("l_extendedprice")} AS sum_base_price,
-         |  CAST(SUM(CAST(l_extendedprice AS $DEC) * (CAST(1 AS $DEC) - CAST(l_discount AS $DEC))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS $DEC) * (CAST(1 AS $DEC) - CAST(l_discount AS $DEC))) AS $DEC) AS DOUBLE) AS sum_disc_price,
          |  CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS avg_qty,
          |  ${dsum("l_extendedprice")} / COUNT(*) AS avg_price,
          |  ${dsum("l_discount")} / COUNT(*) AS avg_disc,
@@ -114,7 +114,7 @@ object SparkEntry {
 
     "q5_star_join" ->
       s"""SELECT r_name, n_name,
-         |  CAST(SUM(CAST(l_extendedprice AS $DEC) * (CAST(1 AS $DEC) - CAST(l_discount AS $DEC))) AS DOUBLE) AS revenue,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS $DEC) * (CAST(1 AS $DEC) - CAST(l_discount AS $DEC))) AS $DEC) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_items
          |FROM lineitem
          |  JOIN supplier ON s_suppkey = l_suppkey
@@ -124,7 +124,7 @@ object SparkEntry {
 
     "q6_filter_agg" ->
       s"""SELECT
-         |  CAST(SUM(CAST(l_extendedprice AS $DEC) * CAST(l_discount AS $DEC)) AS DOUBLE) AS revenue,
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS $DEC) * CAST(l_discount AS $DEC)) AS $DEC) AS DOUBLE) AS revenue,
          |  COUNT(*) AS n_rows
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'

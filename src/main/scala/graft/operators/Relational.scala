@@ -34,9 +34,12 @@ object Relational {
       .agg(
         sum(col("l_quantity")).cast("double").as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
+        // scale-8 decimal sums must pass through DECIMAL(18,4) (exact:
+        // products have <=4 decimals) before double — DuckDB's wide-
+        // decimal→double cast double-rounds above 2^53 unscaled
         sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
-          .cast("double").as("sum_disc_price"),
+          .cast(DecimalType(18, 4)).cast("double").as("sum_disc_price"),
         (sum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double") / count(lit(1))).as("avg_price"),
         (sum(col("l_discount").cast(DecimalType(18, 4))).cast("double") / count(lit(1))).as("avg_disc"),
@@ -114,7 +117,7 @@ object Relational {
       .agg(
         sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
             (lit(1).cast(DecimalType(18, 4)) - col("l_discount").cast(DecimalType(18, 4))))
-          .cast("double").as("revenue"),
+          .cast(DecimalType(18, 4)).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -132,7 +135,8 @@ object Relational {
         col("l_quantity") < 24)
       .agg(
         sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
-            col("l_discount").cast(DecimalType(18, 4))).cast("double").as("revenue"),
+            col("l_discount").cast(DecimalType(18, 4)))
+          .cast(DecimalType(18, 4)).cast("double").as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 

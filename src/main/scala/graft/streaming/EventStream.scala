@@ -66,6 +66,28 @@ object EventStream {
         })
   }
 
+  /** Stream-stream interval join: each trade (purchase) joins quotes
+    * (views) of the same user within [trade.ts - lookback, trade.ts].
+    * Reference analog: the live trader consuming option ticks joined to
+    * the underlying SPX tick stream (schwab_stream.py feeds both).
+    * Watermarks on BOTH sides bound the join state; the time-range
+    * predicate lets Spark drop quote state older than the lookback.
+    */
+  def tradesWithRecentQuotes(trades: DataFrame, quotes: DataFrame,
+      lookback: String = "30 minutes"): DataFrame = {
+    val t = trades.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("t_id"), col("user_id"),
+        col("ts").as("t_ts"), col("value").as("t_value"))
+    val q = quotes.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("q_user"), col("ts").as("q_ts"),
+        col("value").as("q_value"))
+    t.join(q,
+      col("user_id") === col("q_user") &&
+      col("q_ts") <= col("t_ts") &&
+      col("q_ts") >= col("t_ts") - expr(s"interval $lookback"))
+      .drop("q_user")
+  }
+
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, closed: Boolean)
   case class SessState(start: Long, end: Long, n: Long)

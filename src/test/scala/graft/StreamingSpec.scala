@@ -47,6 +47,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == wantRows)
   }
 
+  test("stream-stream interval join matches the batch range join on the same data") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val ticks = ev.as[Tick].collect().toSeq
+    val tIn = MemoryStream[Tick]; tIn.addData(ticks.filter(_.event_type == "purchase"))
+    val qIn = MemoryStream[Tick]; qIn.addData(ticks.filter(_.event_type == "view"))
+    val joined = EventStream.tradesWithRecentQuotes(tIn.toDF(), qIn.toDF())
+    EventStream.runToMemory(joined, "ss_join_out", OutputMode.Append)
+    val got = spark.table("ss_join_out")
+    // batch equivalent
+    val t = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("t_id"), $"user_id", $"ts".as("t_ts"))
+    val q = ev.filter($"event_type" === "view")
+      .select($"user_id".as("q_user"), $"ts".as("q_ts"))
+    val want = t.join(q, $"user_id" === $"q_user" &&
+      $"q_ts" <= $"t_ts" && $"q_ts" >= $"t_ts" - expr("interval 30 minutes")).count()
+    assert(got.count() == want && want > 0)
+  }
+
   test("latestPerKey state matches batch latest-per-key") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
