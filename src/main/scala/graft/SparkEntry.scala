@@ -53,6 +53,7 @@ object SparkEntry {
     "q28_verticals_pipeline"  -> (TimeSeries.verticalsPipeline _),
     "q29_grouped_topk"    -> (Relational.groupedTopK _),
     "q30_rollup"          -> (Relational.rollupAgg _),
+    "q31_session_calendar" -> (TimeSeries.sessionCalendar _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -276,6 +277,18 @@ object SparkEntry {
          |FROM clamped
          |WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
          |ORDER BY event_id""".stripMargin,
+
+    "q31_session_calendar" ->
+      s"""SELECT CAST(ts AS DATE) AS day,
+         |  CAST(isodow(ts) <= 5 AS INTEGER) AS is_open,
+         |  COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(isodow(ts) <= 5 AND
+         |        (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 390 AND 780
+         |        AS INTEGER)) AS BIGINT) AS n_in_session,
+         |  CAST(SUM(CASE WHEN isodow(ts) <= 5 AND
+         |        (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 390 AND 780
+         |        THEN CAST(value AS $DEC) END) AS DOUBLE) AS session_value
+         |FROM events GROUP BY day, is_open ORDER BY day""".stripMargin,
 
     "q29_grouped_topk" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

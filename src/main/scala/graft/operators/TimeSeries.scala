@@ -273,6 +273,27 @@ object TimeSeries {
       .orderBy("ws", "event_type")
   }
 
+  /** q31: market-calendar classification — weekday/weekend session
+    * gating per day, in-session vs out-of-session activity.
+    * Reference analog: the market-hours service
+    * (services/schwab_market_service.py) writing SCHWAB.MARKET_HOURS
+    * (is_open, session times) and every collector gating on it.
+    * weekday(ts)+1 here == DuckDB isodow (1=Mon..7=Sun) for the oracle.
+    */
+  def sessionCalendar(s: SparkSession, d: String): DataFrame = {
+    val dow = weekday(col("ts")) + 1
+    val inSession = (hour(col("ts")) * 60 + minute(col("ts"))).between(390, 780)
+    Tables.events(s, d)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("is_open", (dow <= 5).cast("int"))
+      .withColumn("in_session", ((dow <= 5) && inSession).cast("int"))
+      .groupBy(col("day"), col("is_open"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("in_session")).as("n_in_session"),
+        Relational.dsum(when(col("in_session") === 1, col("value"))).as("session_value"))
+      .orderBy("day")
+  }
+
   /** q22: bounded clamp.
     * Reference analog: SP_PROCESS_VERTS step 2e — vertical price floored
     * at 0 and capped at the spread width W. Pure projection: stays in
