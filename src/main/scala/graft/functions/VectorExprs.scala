@@ -176,11 +176,27 @@ case class MinHashShingleSig(child: Expression, shingleK: Int, numPerms: Int)
   * optimizer happily duplicates into join conditions.
   */
 case class IntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    var x = a.asInstanceOf[ArrayData]
-    var y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.intersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // Real codegen (static-forwarder call) rather than CodegenFallback:
+  // a fallback expression inside a join predicate de-codegens the whole
+  // predicate and defeats common-subexpression elimination, so the
+  // intersection would run 2-3x per candidate pair.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ExprHelpers.intersectCount($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
+    copy(left = l, right = r)
+}
+
+/** Static-forwarder targets for generated code (Scala object methods
+  * compile to static methods on the companion class). */
+object ExprHelpers {
+  def intersectCount(a: ArrayData, b: ArrayData): Long = {
+    var x = a
+    var y = b
     if (x.numElements() > y.numElements()) { val t = x; x = y; y = t }
     val set = new java.util.HashSet[UTF8String](x.numElements() * 2)
     var i = 0
@@ -193,8 +209,6 @@ case class IntersectCount(left: Expression, right: Expression)
     }
     cnt
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
-    copy(left = l, right = r)
 }
 
 object VectorExprs {
