@@ -31,6 +31,21 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == ev.count())
   }
 
+  test("partitioned dataset + dim filter triggers dynamic partition pruning") {
+    val dir = Files.createTempDirectory("graft_dpp").toString + "/facts"
+    val ev = Tables.events(spark, sf)
+    Sinks.writeDaily(ev, "ts", dir)
+    val facts = spark.read.parquet(dir)
+    // small dim of "interesting days" with a selective predicate (DPP
+    // requires a filter on the dim side, not a limit)
+    val dim = ev.select(to_date(col("ts")).as("day")).distinct()
+      .filter(dayofmonth(col("day")) <= 3)
+    val joined = facts.join(dim, Seq("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no dynamic partition pruning in:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("csv and jsonl round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graft_io").toString
     val df = Tables.nation(spark, sf)
