@@ -54,6 +54,10 @@ object SparkEntry {
     "q29_grouped_topk"    -> (Relational.groupedTopK _),
     "q30_rollup"          -> (Relational.rollupAgg _),
     "q31_session_calendar" -> (TimeSeries.sessionCalendar _),
+    "q32_map_explode"     -> (Relational.mapExplode _),
+    "q33_distribution"    -> (Relational.distribution _),
+    "q34_above_cust_avg"  -> (Relational.aboveCustomerAvg _),
+    "q35_set_ops"         -> (Relational.setOps _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -289,6 +293,34 @@ object SparkEntry {
          |        (EXTRACT(hour FROM ts) * 60 + EXTRACT(minute FROM ts)) BETWEEN 390 AND 780
          |        THEN CAST(value AS $DEC) END) AS DOUBLE) AS session_value
          |FROM events GROUP BY day, is_open ORDER BY day""".stripMargin,
+
+    "q32_map_explode" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q33_distribution" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank
+        |FROM orders JOIN customer ON c_custkey = o_custkey
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY c_mktsegment, o_orderkey""".stripMargin,
+
+    "q34_above_cust_avg" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice, cust_avg FROM orders
+         |JOIN (SELECT o_custkey AS k, ${dsum("o_totalprice")} / COUNT(*) AS cust_avg
+         |      FROM orders GROUP BY o_custkey) a ON a.k = o_custkey
+         |WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
+
+    "q35_set_ops" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |GROUP BY user_id HAVING COUNT(*) > 15
+        |ORDER BY user_id""".stripMargin,
 
     "q29_grouped_topk" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

@@ -271,6 +271,64 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** q32: map-column build + explode round trip: per-user map of
+    * event_type → count built distributively, then exploded back.
+    * Reference analog: the chains exp-date map (expiry → strikes →
+    * contracts) flattened by process_options
+    * (services/schwab_chains_service.py). Oracle is the equivalent
+    * flat GROUP BY — the map is an internal representation.
+    */
+  def mapExplode(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("cnt")))))
+        .as("type_counts"))
+      .select(col("user_id"), explode(col("type_counts")).as(Seq("event_type", "n")))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** q33: distribution windows — quartile bucket (ntile) and
+    * percent_rank of order value within each segment (reference: fill
+    * size distribution per account tier). */
+  def distribution(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_mktsegment").orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"))
+      .orderBy("c_mktsegment", "o_orderkey")
+  }
+
+  /** q34: orders above their customer's own average (the correlated-
+    * scalar-subquery pattern, decorrelated into an agg + join — the
+    * form that scales). */
+  def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val avgs = o.groupBy(col("o_custkey").as("k"))
+      .agg((dsum(col("o_totalprice")) / count(lit(1))).as("cust_avg"))
+    o.join(avgs, o("o_custkey") === avgs("k"))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+      .orderBy("o_orderkey")
+  }
+
+  /** q35: set operations — users who clicked INTERSECT purchased,
+    * minus users who errored (distinct-set semantics both engines). */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def users(t: String) = ev.filter(col("event_type") === t).select("user_id").distinct()
+    val heavyErrorUsers = ev.filter(col("event_type") === "error")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 15).select("user_id")
+    users("click").intersect(users("purchase")).except(heavyErrorUsers)
+      .orderBy("user_id")
+  }
+
   /** q25: flatten-nested round trip: build the nested form the reference
     * ingests (chains JSON: expiry → strikes → contract list,
     * services/schwab_chains_service.py process_options), then flatten it

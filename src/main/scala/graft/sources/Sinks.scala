@@ -46,6 +46,13 @@ object Sinks {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC round-trip (columnar alternative landing format). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def readJsonl(spark: SparkSession, schemaDdl: String, path: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
 }

@@ -55,5 +55,7 @@ class SinksSpec extends SparkSpec {
     Sinks.writeJsonl(df, s"$dir/json")
     val js = Sinks.readJsonl(spark, "n_nationkey INT, n_name STRING, n_regionkey INT", s"$dir/json")
     assert(js.exceptAll(df).count() == 0)
+    Sinks.writeOrc(df, s"$dir/orc")
+    assert(Sinks.readOrc(spark, s"$dir/orc").exceptAll(df).count() == 0)
   }
 }
