@@ -128,6 +128,21 @@ object EventStream {
         })
   }
 
+  /** Stream→parquet landing: the reference's core flow (ticks piped
+    * directly into daily parquet files, tools/parquet_writer.py +
+    * schwab_stream.py). foreachBatch reuses the batch daily sink, so
+    * the landing layout (hive day partitions) is identical for batch
+    * backfill and live streaming — one reader downstream.
+    */
+  def landToDailyParquet(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.writeDaily(batch.toDF(), "ts", path)
+      }
+      .start()
+
   /** Convenience: run a streaming query over a bounded source into a
     * memory sink and block until drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

@@ -68,6 +68,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() == want && want > 0)
   }
 
+  test("stream lands into daily-partitioned parquet identical to batch landing") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ticks = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(ticks)
+    val base = java.nio.file.Files.createTempDirectory("graft_land").toString
+    val q = EventStream.landToDailyParquet(input.toDF(), s"$base/data", s"$base/ckpt")
+    q.processAllAvailable(); q.stop()
+    val landed = spark.read.parquet(s"$base/data")
+    assert(landed.count() == ticks.size)
+    // day partition column exists and matches ts
+    assert(landed.filter(to_date(col("ts")) =!= col("day")).count() == 0)
+  }
+
   test("latestPerKey state matches batch latest-per-key") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
