@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale smoke: runs the core operator shapes on 10M+ DSv2-generated
+  * rows (100× the sf0.1 events table) — evidence that the plans hold
+  * beyond the test parquet, including under heavy key skew.
+  * Run: sbt "runMain graft.ScaleSmoke [rows]"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 10000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def gen(hot: Double) = spark.read.format("graft-ticks")
+      .option("rows", rows.toString).option("partitions", "64")
+      .option("hotfraction", hot.toString).load()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.1f s rows=$r")
+    }
+    val uniform = gen(0.0)
+    time(s"gen+count ${rows / 1000000}M") { uniform.count() }
+    time("ohlc bars (group+2 windows)") {
+      val w1 = Window.partitionBy(col("user_id"), col("bar")).orderBy("ts", "event_id")
+      uniform.withColumn("bar", date_trunc("hour", col("ts")))
+        .withColumn("rn", row_number().over(w1))
+        .groupBy("user_id", "bar")
+        .agg(max(when(col("rn") === 1, col("value"))).as("open_v"),
+          max("value").as("high_v"), min("value").as("low_v"), count(lit(1)).as("n"))
+        .count()
+    }
+    time("rolling avg window") {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-10, 0)
+      uniform.withColumn("r", avg("value").over(w)).filter(col("r") > 0).count()
+    }
+    time("asof custom join 2Mx8M") {
+      val trades = uniform.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val quotes = uniform.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("user_id_r"), col("ts").as("q_ts"), col("value").as("q_value"))
+      plans.AsOf.join(trades, quotes, "user_id", "ts", "q_ts").count()
+    }
+    val skewed = gen(0.5) // 50% of rows on one key
+    time("skewed agg (AQE)") {
+      skewed.groupBy("user_id").agg(sum("value"), count(lit(1))).count()
+    }
+    time("skewed agg (salted)") {
+      operators.SkewOps.saltedSumCount(skewed, "user_id", "value", 64).count()
+    }
+    time("exact dedup 10M") {
+      uniform.select(col("user_id"), col("event_type"),
+        floor(col("value")).as("v")).distinct().count()
+    }
+    spark.stop()
+  }
+}

@@ -85,6 +85,46 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Duplicate-cluster formation: connected components over a pair list
+    * (id_a, id_b) by iterative min-label propagation — each node adopts
+    * the smallest label among itself and its neighbors until fixpoint.
+    * This is how near-dup PAIRS (MinHash/SimHash output) become dedup
+    * GROUPS (keep one doc per component) in a training-data pipeline.
+    *
+    * Scale shape: each iteration is one shuffle on node id (join +
+    * min-agg); iterations ≈ graph diameter (near-dup clusters are
+    * shallow, so 3-6 rounds). Label frontier is checkpointed every
+    * round to cut the lineage — the standard large-graph loop on Spark
+    * without GraphX's partition-pinning machinery.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("node", "dst_n"), col("dst") === col("dst_n"))
+        .select(col("src").as("node"), col("label"))
+      val next = labels.select("node", "label").union(neighborLabels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(eager = true) // cut lineage each round
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next.cache()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** d4: word-1-gram Jaccard over blocked candidate pairs.
     * Blocking key = (lang, source): pairwise work bounded per block (the
     * reference's per-(CP,Expiry) pairing has the same shape). Exact

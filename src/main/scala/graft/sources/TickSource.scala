@@ -32,7 +32,8 @@ class TickSourceProvider extends TableProvider with DataSourceRegister {
     new TickTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "4").toInt,
-      properties.getOrDefault("seed", "42").toLong)
+      properties.getOrDefault("seed", "42").toLong,
+      properties.getOrDefault("hotfraction", "0.0").toDouble)
 }
 
 object TickSource {
@@ -54,29 +55,31 @@ object TickSource {
   }
 }
 
-class TickTable(rows: Long, partitions: Int, seed: Long)
+class TickTable(rows: Long, partitions: Int, seed: Long, hotFraction: Double)
     extends Table with SupportsRead {
   override def name(): String = s"graft-ticks($rows)"
   override def schema(): StructType = TickSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new TickScan(rows, partitions, seed)
+    () => new TickScan(rows, partitions, seed, hotFraction)
 }
 
-class TickScan(rows: Long, partitions: Int, seed: Long) extends Scan with Batch {
+class TickScan(rows: Long, partitions: Int, seed: Long, hotFraction: Double)
+    extends Scan with Batch {
   override def readSchema(): StructType = TickSource.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val per = (rows + partitions - 1) / partitions
     (0 until partitions).map { p =>
-      TickRange(p * per, math.min((p + 1) * per, rows), seed): InputPartition
+      TickRange(p * per, math.min((p + 1) * per, rows), seed, hotFraction): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new TickReaderFactory
 }
 
-case class TickRange(start: Long, end: Long, seed: Long) extends InputPartition
+case class TickRange(start: Long, end: Long, seed: Long,
+    hotFraction: Double) extends InputPartition
 
 class TickReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -90,7 +93,11 @@ class TickReaderFactory extends PartitionReaderFactory {
         row.update(0, i)
         // µs timestamps starting 2024-01-01, one tick per ~250ms
         row.update(1, 1704067200000000L + i * 250000L)
-        row.update(2, java.lang.Math.floorMod(h, 150L))
+        // hotFraction of rows hammer key 0 (skew-testing knob)
+        row.update(2,
+          if (r.hotFraction > 0 &&
+              java.lang.Math.floorMod(h >>> 32, 1000L) < (r.hotFraction * 1000).toLong) 0L
+          else java.lang.Math.floorMod(h, 150L))
         row.update(3, TickSource.types(java.lang.Math.floorMod(h >>> 8, 5L).toInt))
         row.update(4, java.lang.Math.floorMod(h >>> 16, 50000L) / 100.0)
         row

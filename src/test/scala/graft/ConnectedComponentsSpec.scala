@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  test("known graph: two chains and a triangle form three components") {
+    import spark.implicits._
+    // 1-2-3-4 chain, 10-11 pair, 20-21-22 triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(cc).distinct == Seq(1L))
+    assert(Seq(10L, 11L).map(cc).distinct == Seq(10L))
+    assert(Seq(20L, 21L, 22L).map(cc).distinct == Seq(20L))
+  }
+
+  test("near-dup pairs from minhash collapse into dedup groups") {
+    val pairs = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+      .select("id_a", "id_b")
+    val n = pairs.count()
+    if (n > 0) {
+      val cc = Dedup.connectedComponents(pairs).cache()
+      // every node in a pair got a cluster, cluster_id is the min member
+      val nodes = pairs.select(col("id_a").as("n")).union(pairs.select(col("id_b").as("n")))
+        .distinct().count()
+      assert(cc.count() == nodes)
+      assert(cc.filter(col("cluster_id") > col("node")).count() == 0)
+      // keep-one-per-cluster = distinct cluster ids
+      val kept = cc.select("cluster_id").distinct().count()
+      assert(kept < nodes, "no dedup achieved")
+      cc.unpersist()
+    }
+  }
+}
