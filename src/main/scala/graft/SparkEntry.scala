@@ -282,6 +282,10 @@ object SparkEntry {
          |WINDOW wr AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
          |ORDER BY event_id""".stripMargin,
 
+    "q25_flatten_nested" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM events ORDER BY user_id, ts""".stripMargin,
+
     "q31_session_calendar" ->
       s"""SELECT CAST(ts AS DATE) AS day,
          |  CAST(isodow(ts) <= 5 AS INTEGER) AS is_open,

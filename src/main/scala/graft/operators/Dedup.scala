@@ -57,7 +57,8 @@ object Dedup {
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        expr("size(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, null)))").as("n_agree"))
+        // NB size() counts nulls too — count agreements via filter
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))").as("n_agree"))
       .groupBy("id_a", "id_b")
       .agg(max(col("n_agree")).as("n_agree"))
       .withColumn("est_jaccard", col("n_agree") / lit(16.0))

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorExprs
+import graft.operators.Dedup
+
+/** Property-based invariants for the custom expressions and graph
+  * clustering — randomized inputs, exact reference implementations. */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sampler: draw n samples from a Gen with fixed seeds. */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val word = Gen.oneOf("the", "a", "data", "table", "join", "spark",
+    "row", "fast", "slow", "window", "batch", "merge", "scan", "key")
+  private val wordArray = Gen.listOfN(30, word).map(_.toArray)
+
+  test("IntersectCount equals reference set-intersection size on random inputs") {
+    import spark.implicits._
+    samples(Gen.listOfN(20, Gen.zip(wordArray, wordArray)), 5).foreach { pairs =>
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("a", "b")
+        val got = df.select(
+          VectorExprs.intersectCount(array_distinct(col("a")), array_distinct(col("b"))).as("n"))
+          .collect().map(_.getLong(0)).toSeq
+        val want = pairs.map { case (a, b) => a.toSet.intersect(b.toSet).size.toLong }
+        assert(got == want)
+      }
+    }
+  }
+
+  test("connected components match brute-force union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
+      .map(_.filter(e => e._1 != e._2))
+    samples(edgeGen, 5).foreach { edges =>
+      if (edges.nonEmpty) {
+        val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // brute-force union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // same partition structure: two nodes share a spark cluster iff
+        // they share a union-find root
+        for (x <- nodes; y <- nodes) {
+          assert((cc(x) == cc(y)) == (find(x) == find(y)),
+            s"nodes $x,$y disagree: cc=${cc(x)},${cc(y)} uf=${find(x)},${find(y)}")
+        }
+      }
+    }
+  }
+
+  test("minhash signature agreement is monotone-ish in true jaccard (sanity)") {
+    // identical docs agree on all perms; disjoint docs agree on ~none
+    import spark.implicits._
+    val a = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val df = Seq((a, a), (a, Array("x1", "x2", "x3", "x4", "x5", "x6", "x7", "x8")))
+      .toDF("wa", "wb")
+      .select(
+        VectorExprs.minhashShingleSig(col("wa"), 3, 16).as("sa"),
+        VectorExprs.minhashShingleSig(col("wb"), 3, 16).as("sb"))
+      .select(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), z -> z))").as("agree"))
+      .collect().map(_.getInt(0))
+    assert(df(0) == 16, "identical docs must agree on every permutation")
+    assert(df(1) <= 2, s"disjoint docs agreed on ${df(1)}/16 permutations")
+  }
+}
