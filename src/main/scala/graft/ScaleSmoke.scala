@@ -58,6 +58,21 @@ object ScaleSmoke {
       uniform.select(col("user_id"), col("event_type"),
         floor(col("value")).as("v")).distinct().count()
     }
+    // LLM-pipeline path at 1M synthetic docs: 30-word salads over a
+    // 40-word vocab (duplicates guaranteed by the pigeonhole at this
+    // density), minhash → LSH bands → candidate pairs → clusters.
+    val docs1m = spark.range(1000000).select(col("id").as("doc_id"),
+      expr("""transform(sequence(0, 29),
+             |  i -> concat('w', cast(pmod(xxhash64(id * 31 + i), 40) as string)))""".stripMargin)
+        .as("ws"))
+    var pairs: org.apache.spark.sql.DataFrame = null
+    time("minhash+lsh 1M docs") {
+      pairs = operators.Dedup.minhashLshPairs(docs1m).cache()
+      pairs.count()
+    }
+    time("dup clusters from pairs") {
+      operators.Dedup.connectedComponents(pairs.select("id_a", "id_b")).count()
+    }
     spark.stop()
   }
 }

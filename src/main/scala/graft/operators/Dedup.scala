@@ -40,11 +40,16 @@ object Dedup {
     * O(shingles × perms) loop per row (the HOF formulation ran
     * interpreted and dominated the whole benchmark). rows-only oracle.
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshPairs(wordArrays(s, d, 3))
+
+  /** Core MinHash+LSH pipeline over any (doc_id, ws: array<string>)
+    * frame — shared by the query entry and large-scale callers. */
+  def minhashLshPairs(words: DataFrame): DataFrame = {
     val perms = 16
     val bands = 4
     val rows = perms / bands
-    val docs = wordArrays(s, d, 3)
+    val docs = words
       .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, perms))
       .select("doc_id", "sig")
     val banded = docs.select(col("doc_id"), col("sig"),
