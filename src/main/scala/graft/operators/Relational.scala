@@ -225,7 +225,7 @@ object Relational {
       .partitionBy("c_mktsegment")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long")) // BIGINT like the oracle
       .filter(col("rk") <= 3)
       .select("c_mktsegment", "rk", "o_orderkey", "o_totalprice")
       .orderBy("c_mktsegment", "rk")
@@ -299,7 +299,7 @@ object Relational {
       .partitionBy("c_mktsegment").orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
     o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast("long").as("quartile"), // BIGINT like the oracle
         percent_rank().over(w).as("pct_rank"))
       .orderBy("c_mktsegment", "o_orderkey")
   }

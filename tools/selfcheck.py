@@ -34,6 +34,11 @@ for name in sorted(os.listdir(OUT_DIR)):
     if gc != ec:
         fails.append((name, f"columns differ: got {gc} vs oracle {ec}"))
         continue
+    dt = [c for c in gc if str(got[c].dtype) != str(exp[c].dtype)]
+    if dt:
+        fails.append((name, "dtype mismatch: " + ", ".join(
+            f"{c} spark={got[c].dtype} duckdb={exp[c].dtype}" for c in dt)))
+        continue
     g = got[gc].sort_values(gc, ignore_index=True)
     e = exp[gc].sort_values(gc, ignore_index=True)
     if len(g) != len(e):
