@@ -58,6 +58,9 @@ object SparkEntry {
     "q33_distribution"    -> (Relational.distribution _),
     "q34_above_cust_avg"  -> (Relational.aboveCustomerAvg _),
     "q35_set_ops"         -> (Relational.setOps _),
+    "q36_vwap"            -> (TimeSeries.vwap _),
+    "q37_bar_resample"    -> (TimeSeries.barResample _),
+    "q38_drawdown"        -> (TimeSeries.drawdown _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -325,6 +328,51 @@ object SparkEntry {
         |SELECT user_id FROM events WHERE event_type = 'error'
         |GROUP BY user_id HAVING COUNT(*) > 15
         |ORDER BY user_id""".stripMargin,
+
+    "q36_vwap" ->
+      s"""SELECT user_id, CAST(ts AS DATE) AS day,
+         |  CAST(CAST(SUM(CAST(value AS $DEC) * CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS DECIMAL(28,4)) AS DOUBLE)
+         |    / CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS DOUBLE) AS vwap,
+         |  CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS total_vol,
+         |  COUNT(*) AS n_ticks
+         |FROM events GROUP BY user_id, day
+         |HAVING SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) > 0
+         |ORDER BY user_id, day""".stripMargin,
+
+    "q37_bar_resample" ->
+      s"""WITH hourly AS (
+         |  SELECT user_id, bar,
+         |    MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+         |    MAX(value) AS high_v, MIN(value) AS low_v,
+         |    MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+         |    COUNT(*) AS n_ticks, ${dsum("value")} AS volume
+         |  FROM (
+         |    SELECT *, date_trunc('hour', ts) AS bar,
+         |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_a,
+         |      row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC) AS rn_d
+         |    FROM events)
+         |  GROUP BY user_id, bar),
+         |ranked AS (
+         |  SELECT *, CAST(bar AS DATE) AS day,
+         |    row_number() OVER (PARTITION BY user_id, CAST(bar AS DATE) ORDER BY bar ASC) AS rn_a2,
+         |    row_number() OVER (PARTITION BY user_id, CAST(bar AS DATE) ORDER BY bar DESC) AS rn_d2
+         |  FROM hourly)
+         |SELECT user_id, day,
+         |  MAX(CASE WHEN rn_a2 = 1 THEN open_v END) AS open_v,
+         |  MAX(high_v) AS high_v, MIN(low_v) AS low_v,
+         |  MAX(CASE WHEN rn_d2 = 1 THEN close_v END) AS close_v,
+         |  CAST(SUM(n_ticks) AS BIGINT) AS n_ticks,
+         |  ${dsum("volume")} AS volume
+         |FROM ranked GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
+
+    "q38_drawdown" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |  MAX(value) OVER w AS run_max,
+        |  MAX(value) OVER w - value AS drawdown
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q29_grouped_topk" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

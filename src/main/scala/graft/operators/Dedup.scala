@@ -131,6 +131,18 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** End-to-end dedup: near-dup pairs → components → keep the smallest
+    * doc_id per cluster → the deduplicated corpus (non-clustered docs
+    * pass through). The complete keep-policy a training-data pipeline
+    * ships.
+    */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs.select("id_a", "id_b"))
+    val drop = cc.filter(col("node") =!= col("cluster_id"))
+      .select(col("node").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** d4: word-1-gram Jaccard over blocked candidate pairs.
     * Blocking key = (lang, source): pairwise work bounded per block (the
     * reference's per-(CP,Expiry) pairing has the same shape). Exact

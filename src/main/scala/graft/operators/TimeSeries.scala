@@ -294,6 +294,65 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** q36: VWAP — value-weighted average price per user per day (the
+    * canonical finance rollup; weights = tick counts stand in for
+    * volume via props k). Decimal-exact numerator/denominator, double
+    * division at the edge.
+    */
+  def vwap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("vol", get_json_object(col("props"), "$.k").cast("long"))
+    ev.withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        sum(col("value").cast(DecimalType(18, 4)) * col("vol"))
+          .cast(DecimalType(28, 4)).cast("double").as("num"),
+        sum(col("vol")).as("total_vol"),
+        count(lit(1)).as("n_ticks"))
+      .filter(col("total_vol") > 0) // zero-volume groups have no VWAP
+      .withColumn("vwap", col("num") / col("total_vol").cast("double"))
+      .select("user_id", "day", "vwap", "total_vol", "n_ticks")
+      .orderBy("user_id", "day")
+  }
+
+  /** q37: bar resampling — hourly bars reaggregated into daily bars
+    * (open = first hour's open, close = last hour's close, hi/lo/vol
+    * merge). Reference analog: PYTHON.MINUTE → HISTORIC.DAY
+    * (sql/opt.sql SP_PY_PROCESS_OHLC). Two window+agg levels sharing
+    * the user partitioning.
+    */
+  def barResample(s: SparkSession, d: String): DataFrame = {
+    val hourly = ohlcBars(s, d) // user_id, bar, open_v..close_v, n_ticks, volume
+      .withColumn("day", to_date(col("bar")))
+    val wAsc = Window.partitionBy("user_id", "day").orderBy(col("bar").asc)
+    val wDesc = Window.partitionBy("user_id", "day").orderBy(col("bar").desc)
+    hourly
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        max(when(col("rn_a") === 1, col("open_v"))).as("open_v"),
+        max(col("high_v")).as("high_v"),
+        min(col("low_v")).as("low_v"),
+        max(when(col("rn_d") === 1, col("close_v"))).as("close_v"),
+        sum(col("n_ticks")).as("n_ticks"),
+        sum(col("volume").cast(DecimalType(18, 4))).cast("double").as("volume"))
+      .orderBy("user_id", "day")
+  }
+
+  /** q38: running maximum + drawdown per key (peak-to-trough tracking
+    * over the value stream — the risk metric every trading pipeline
+    * computes). Single cumulative window, single binary ops only.
+    */
+  def drawdown(s: SparkSession, d: String): DataFrame = {
+    val w = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .withColumn("run_max", max(col("value")).over(w))
+      .withColumn("drawdown", col("run_max") - col("value"))
+      .select("event_id", "user_id", "ts", "value", "run_max", "drawdown")
+      .orderBy("event_id")
+  }
+
   /** q22: bounded clamp.
     * Reference analog: SP_PROCESS_VERTS step 2e — vertical price floored
     * at 0 and capped at the spread width W. Pure projection: stays in

@@ -18,6 +18,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).map(cc).distinct == Seq(20L))
   }
 
+  test("dedupedCorpus keeps exactly one doc per cluster plus all unpaired docs") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = SparkEntry.queries("d2_minhash_lsh")(spark, sf).select("id_a", "id_b")
+    val deduped = Dedup.dedupedCorpus(docs, pairs)
+    val nodes = pairs.select(col("id_a").as("n")).union(pairs.select(col("id_b").as("n")))
+      .distinct().count()
+    val clusters = Dedup.connectedComponents(pairs)
+      .select("cluster_id").distinct().count()
+    assert(deduped.count() == docs.count() - nodes + clusters)
+  }
+
   test("near-dup pairs from minhash collapse into dedup groups") {
     val pairs = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
       .select("id_a", "id_b")
