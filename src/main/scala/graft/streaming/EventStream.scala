@@ -128,6 +128,15 @@ object EventStream {
         })
   }
 
+  /** Streaming exact dedup: drop re-delivered events by id within the
+    * watermark horizon (at-least-once source → effectively-once sink).
+    * State = seen ids inside the watermark window, evicted as event
+    * time advances — bounded regardless of stream length.
+    */
+  def dedupStream(stream: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stream→parquet landing: the reference's core flow (ticks piped
     * directly into daily parquet files, tools/parquet_writer.py +
     * schwab_stream.py). foreachBatch reuses the batch daily sink, so

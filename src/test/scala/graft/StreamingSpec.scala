@@ -85,6 +85,20 @@ class StreamingSpec extends SparkSpec {
     assert(landed.filter(to_date(col("ts")) =!= col("day")).count() == 0)
   }
 
+  test("streaming dedup drops duplicate deliveries within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ticks = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(ticks ++ ticks.take(500)) // re-deliver 500 events
+    EventStream.runToMemory(
+      EventStream.dedupStream(input.toDF().withColumn("props", lit("{}"))),
+      "dedup_out", OutputMode.Append)
+    assert(spark.table("dedup_out").count() == ticks.size)
+  }
+
   test("latestPerKey state matches batch latest-per-key") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
