@@ -75,6 +75,7 @@ object SparkEntry {
     "d11_near_dup_cosine" -> (Similarity.nearDupCosine _),
     "d12_text_clean"      -> (TextFns.textClean _),
     "d13_sketch_profile"  -> (Sketches.sketchProfile _),
+    "d14_tfidf_rank"      -> (TextFns.tfidfRank _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -507,6 +508,21 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) - length(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
         |    'https?://[^ ]+', ' ', 'g'), '[^ ]+@[^ ]+', ' ', 'g'), '\s+', ' ', 'g'))) AS n_removed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d14_tfidf_rank" ->
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |terms AS (SELECT doc_id, w, COUNT(*) AS tc FROM tok WHERE w <> '' GROUP BY doc_id, w),
+        |dfreq AS (SELECT w AS w2, COUNT(*) AS df FROM terms GROUP BY w),
+        |weighted AS (
+        |  SELECT doc_id, w, tc * ((SELECT COUNT(*) FROM documents) - df) AS weight
+        |  FROM terms JOIN dfreq ON w = w2),
+        |agg AS (SELECT doc_id, CAST(SUM(weight) AS BIGINT) AS score, COUNT(*) AS n_terms
+        |        FROM weighted GROUP BY doc_id),
+        |top AS (SELECT doc_id, w AS top_term FROM (
+        |  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, w DESC) AS rn
+        |  FROM weighted) WHERE rn = 1)
+        |SELECT a.doc_id, a.score, t.top_term, a.n_terms
+        |FROM agg a JOIN top t ON t.doc_id = a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     "d10_fingerprint" ->
       """SELECT doc_id,

@@ -128,6 +128,30 @@ object TextFns {
       .orderBy("doc_id")
   }
 
+  /** d14: TF-IDF-shaped relevance scoring with exact integer
+    * arithmetic (linear idf: N - df), so the DuckDB oracle matches
+    * bit-for-bit: per doc, score = Σ_term tc(term, doc) · (N − df(term)),
+    * plus the doc's top term by that weight. The float-log variant is a
+    * one-line swap in production; integer weights keep the correctness
+    * gate exact. Two shuffles: term stats, then per-doc rollup.
+    */
+  def tfidfRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // dimension-table-sized count, computed once
+    val terms = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tc"))
+    val df_ = terms.groupBy("w").agg(count(lit(1)).as("df"))
+    terms.join(df_, "w")
+      .withColumn("weight", col("tc") * (lit(nDocs) - col("df")))
+      .groupBy("doc_id")
+      .agg(sum(col("weight")).as("score"),
+        max(struct(col("weight"), col("w"))).getField("w").as("top_term"),
+        count(lit(1)).as("n_terms"))
+      .orderBy("doc_id")
+  }
+
   /** d10: normalized content fingerprint: lowercase, collapse runs of
     * whitespace, md5. Reference analog: scripts/scwhab_hash.py (account
     * hashing) + dedup keys in the silver layer.

@@ -73,6 +73,56 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Distributed Lloyd's k-means over the embedding column — the real
+    * coarse quantizer behind IVF (d6 uses a seeded sample for oracle
+    * stability; production builds centroids here). Deterministic init
+    * (first k vectors by id). Each iteration: broadcast centroids,
+    * argmin-assign (one pass), per-cluster mean (one shuffle).
+    */
+  def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    var cents = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
+    import spark.implicits._
+    for (_ <- 1 to iters) {
+      val cdf = cents.toSeq.toDF("c_id", "c_vec")
+      val assigned = emb.crossJoin(broadcast(cdf))
+        .withColumn("d2", dot(col("embedding"), col("embedding")) -
+          lit(2.0) * dot(col("embedding"), col("c_vec")) +
+          dot(col("c_vec"), col("c_vec")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)))
+        .filter(col("rk") === 1)
+      // per-cluster mean: explode dims once, average per (cluster, dim)
+      val means = assigned
+        .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("c_id", "dim").agg(avg("v").as("m"))
+        .groupBy("c_id")
+        .agg(map_from_entries(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .collect()
+        .map { r =>
+          val m = r.getMap[Int, Double](1)
+          (r.getInt(0), Array.tabulate(m.size)(i => m(i).toFloat))
+        }
+      if (means.nonEmpty) cents = means
+    }
+    cents.toSeq.toDF("c_id", "c_vec")
+  }
+
+  /** Assignment of every vector to its nearest centroid (squared-L2). */
+  def assign(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("d2", dot(col("embedding"), col("embedding")) -
+        lit(2.0) * dot(col("embedding"), col("c_vec")) +
+        dot(col("c_vec"), col("c_vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_id").as("bucket"), col("d2"))
+
   /** d11: embedding-cosine near-duplicate pairs, blocked by label
     * (cheap cluster id in the testdata; at scale an LSH/IVF bucket) so
     * pairwise comparison happens only within blocks.
