@@ -61,6 +61,7 @@ object SparkEntry {
     "q36_vwap"            -> (TimeSeries.vwap _),
     "q37_bar_resample"    -> (TimeSeries.barResample _),
     "q38_drawdown"        -> (TimeSeries.drawdown _),
+    "q39_tz_session"      -> (TimeSeries.tzSession _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -374,6 +375,18 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q39_tz_session" ->
+      s"""WITH pacified AS (
+         |  SELECT value,
+         |    timezone('America/Los_Angeles', make_timestamptz(epoch_us(ts))) AS pac
+         |  FROM events)
+         |SELECT CAST(pac AS DATE) AS pac_day, COUNT(*) AS n_events,
+         |  CAST(SUM(CASE WHEN EXTRACT(hour FROM pac) * 60 + EXTRACT(minute FROM pac)
+         |                     BETWEEN 390 AND 780 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_session,
+         |  CAST(SUM(CASE WHEN EXTRACT(hour FROM pac) * 60 + EXTRACT(minute FROM pac)
+         |                     BETWEEN 390 AND 780 THEN CAST(value AS $DEC) END) AS DOUBLE) AS session_value
+         |FROM pacified GROUP BY pac_day ORDER BY pac_day""".stripMargin,
 
     "q29_grouped_topk" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

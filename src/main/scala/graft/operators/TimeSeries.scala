@@ -294,6 +294,27 @@ object TimeSeries {
       .orderBy("day")
   }
 
+  /** q39: timezone-aware session rollup — the reference's market-hours
+    * gate is PACIFIC wall clock (06:30–13:00 PST/PDT:
+    * `CAST(T AS TIME(0)) BETWEEN '06:30' AND '13:00'` after
+    * EpochMsToPST_ITVF, docs/sql_server.md; convert_epoch_to_pacific in
+    * tools/utils.py). Convert UTC instants to America/Los_Angeles wall
+    * time (DST-correct), then classify and roll up per Pacific day.
+    */
+  def tzSession(s: SparkSession, d: String): DataFrame = {
+    val pac = from_utc_timestamp(col("ts"), "America/Los_Angeles")
+    val minuteOfDay = hour(pac) * 60 + minute(pac)
+    Tables.events(s, d)
+      .withColumn("pac_day", to_date(pac))
+      .withColumn("in_session",
+        (minuteOfDay >= 390 && minuteOfDay <= 780).cast("int"))
+      .groupBy(col("pac_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("in_session").cast("long")).as("n_in_session"),
+        Relational.dsum(when(col("in_session") === 1, col("value"))).as("session_value"))
+      .orderBy("pac_day")
+  }
+
   /** q36: VWAP — value-weighted average price per user per day (the
     * canonical finance rollup; weights = tick counts stand in for
     * volume via props k). Decimal-exact numerator/denominator, double
