@@ -20,11 +20,17 @@ object Sinks {
     * keeps re-runs idempotent per day (the reference re-imports a day
     * by dropping its staging table). */
   def writeDaily(df: DataFrame, tsCol: String, path: String,
-      overwriteDays: Boolean = false): Unit = {
+      overwriteDays: Boolean = false, filesPerDay: Int = 8): Unit = {
     val mode = if (overwriteDays) SaveMode.Overwrite else SaveMode.Append
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Repartition on (day, salt), not day alone: hashing only the day
+    // would funnel an entire day — at 100 TB, terabytes — through ONE
+    // writer task. The salt fans each day out to `filesPerDay` writers
+    // (and output files), bounding both task size and file count.
     df.withColumn("day", to_date(col(tsCol)))
-      .repartition(col("day")) // one writer wave per day-partition
+      .withColumn("_w", pmod(hash(col(tsCol)), lit(filesPerDay)))
+      .repartition(col("day"), col("_w"))
+      .drop("_w")
       .write.mode(mode)
       .partitionBy("day")
       .option("compression", "snappy")

@@ -27,7 +27,7 @@ object EventStream {
 
   case class Tick(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  case class Latest(user_id: Long, ts: java.sql.Timestamp, value: Double, n_seen: Long)
+  case class Latest(user_id: Long, ts: java.sql.Timestamp, value: Double, n_seen: Long, last_event_id: Long)
 
   /** Watermarked tumbling-window aggregate over a streaming DataFrame.
     * At scale: state is bounded by the 10-minute watermark; each window
@@ -56,9 +56,9 @@ object EventStream {
           var seen = prev.map(_.n_seen).getOrElse(0L)
           ticks.foreach { t =>
             seen += 1
-            if (best.isEmpty || t.ts.compareTo(best.get.ts) > 0 ||
-                (t.ts.equals(best.get.ts) && t.event_id > 0))
-              best = Some(Latest(user, t.ts, t.value, seen))
+            val cmp = if (best.isEmpty) 1 else t.ts.compareTo(best.get.ts)
+            if (cmp > 0 || (cmp == 0 && t.event_id > best.get.last_event_id))
+              best = Some(Latest(user, t.ts, t.value, seen, t.event_id))
           }
           val out = best.get.copy(n_seen = seen)
           state.update(out)
