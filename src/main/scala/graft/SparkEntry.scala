@@ -62,6 +62,7 @@ object SparkEntry {
     "q37_bar_resample"    -> (TimeSeries.barResample _),
     "q38_drawdown"        -> (TimeSeries.drawdown _),
     "q39_tz_session"      -> (TimeSeries.tzSession _),
+    "q40_winsorize"       -> (Relational.winsorize _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -387,6 +388,17 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN EXTRACT(hour FROM pac) * 60 + EXTRACT(minute FROM pac)
          |                     BETWEEN 390 AND 780 THEN CAST(value AS $DEC) END) AS DOUBLE) AS session_value
          |FROM pacified GROUP BY pac_day ORDER BY pac_day""".stripMargin,
+
+    "q40_winsorize" ->
+      s"""WITH bounds AS (
+         |  SELECT event_type AS et, quantile_cont(value, 0.05) AS p05,
+         |         quantile_cont(value, 0.95) AS p95
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95) AS $DEC)) AS DOUBLE) AS clipped_sum,
+         |  CAST(SUM(CASE WHEN value < p05 OR value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+         |FROM events JOIN bounds ON et = event_type
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q29_grouped_topk" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

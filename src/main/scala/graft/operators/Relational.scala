@@ -244,6 +244,27 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** q40: winsorization — clip values to exact per-group [p05, p95]
+    * percentiles (outlier capping, the data-cleaning sibling of the
+    * reference's moving-average outlier filter). Exact interpolated
+    * percentiles (both engines use the (n-1)·p linear rule); clipped
+    * sums via decimal.
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val bounds = ev.groupBy(col("event_type").as("et"))
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(bounds), ev("event_type") === col("et"))
+      .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("clipped")).as("clipped_sum"),
+        sum(when(col("value") < col("p05") || col("value") > col("p95"), 1L)
+          .otherwise(0L)).as("n_clipped"))
+      .orderBy("event_type")
+  }
+
   /** q27: the full SP_PY_PARSE_TRANSACTIONS shape end-to-end
     * (/root/reference/sql/opt.sql:252-310): orders joined to their
     * execution legs (lineitem), per-order signed-price rollup
