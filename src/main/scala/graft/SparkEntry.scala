@@ -78,6 +78,7 @@ object SparkEntry {
     "d12_text_clean"      -> (TextFns.textClean _),
     "d13_sketch_profile"  -> (Sketches.sketchProfile _),
     "d14_tfidf_rank"      -> (TextFns.tfidfRank _),
+    "d15_heavy_hitters"   -> (TextFns.heavyTokens _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -548,6 +549,11 @@ object SparkEntry {
         |  FROM weighted) WHERE rn = 1)
         |SELECT a.doc_id, a.score, t.top_term, a.n_terms
         |FROM agg a JOIN top t ON t.doc_id = a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    "d15_heavy_hitters" ->
+      """SELECT lang, w, COUNT(*) AS n FROM (
+        |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY lang, w ORDER BY lang, w""".stripMargin,
 
     "d10_fingerprint" ->
       """SELECT doc_id,

@@ -152,6 +152,23 @@ object TextFns {
       .orderBy("doc_id")
   }
 
+  /** d15: per-language frequent tokens via the SpaceSaving
+    * heavy-hitters aggregate (graft.functions.HeavyHittersAgg, a custom
+    * TypedImperativeAggregate). Capacity exceeds the vocabulary here so
+    * the sketch is exact — the DuckDB oracle is the plain GROUP BY the
+    * sketch replaces at scale.
+    */
+  def heavyTokens(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    tok.groupBy(col("lang"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("w"), 64).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("h"))
+      .select(col("lang"), col("h.item").as("w"), col("h.est_count").as("n"))
+      .orderBy("lang", "w")
+  }
+
   /** d10: normalized content fingerprint: lowercase, collapse runs of
     * whitespace, md5. Reference analog: scripts/scwhab_hash.py (account
     * hashing) + dedup keys in the silver layer.
