@@ -23,6 +23,48 @@ class AsOfJoinSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("randomized parity: custom exec vs window formulation on generated ticks") {
+    // 3 shapes: uniform keys, heavy skew, tiny right side
+    for ((hot, rows, seed) <- Seq((0.0, 50000, 1), (0.6, 50000, 2), (0.0, 5000, 3))) {
+      val gen = spark.read.format("graft-ticks")
+        .option("rows", rows.toString).option("partitions", "8")
+        .option("hotfraction", hot.toString).option("seed", seed.toString).load()
+      val trades = gen.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val quotes = gen.filter(col("event_type") === "view")
+        .select(col("user_id").as("user_id_r"), col("ts").as("q_ts"),
+          col("value").as("q_value"))
+      val custom = graft.plans.AsOf.join(trades, quotes, "user_id", "ts", "q_ts")
+        .select(col("event_id"), col("q_value"))
+      // window formulation over the union
+      val tagged = gen.filter(col("event_type").isin("view", "purchase"))
+        .withColumn("qv", when(col("event_type") === "view", col("value")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val window = tagged
+        .withColumn("lv", last(col("qv"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("lv").as("q_value"))
+      assert(custom.count() == trades.count(), s"row count off (hot=$hot rows=$rows)")
+      assert(custom.exceptAll(window).count() == 0 &&
+             window.exceptAll(custom).count() == 0,
+        s"custom vs window mismatch (hot=$hot rows=$rows seed=$seed)")
+    }
+  }
+
+  test("as-of join with an empty right side yields all-null matches") {
+    val gen = spark.read.format("graft-ticks").option("rows", "1000").load()
+    val trades = gen.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val quotes = gen.filter(col("event_type") === "never_matches")
+      .select(col("user_id").as("user_id_r"), col("ts").as("q_ts"),
+        col("value").as("q_value"))
+    val j = graft.plans.AsOf.join(trades, quotes, "user_id", "ts", "q_ts")
+    assert(j.count() == trades.count())
+    assert(j.filter(col("q_value").isNotNull).count() == 0)
+  }
+
   test("physical plan is the custom exec with one exchange per side") {
     val df = SparkEntry.queries("q26_asof_custom")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
