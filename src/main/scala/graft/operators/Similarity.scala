@@ -55,13 +55,17 @@ object Similarity {
     val cents = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
     // assign: argmax cosine over centroids (small, broadcast)
-    val assigned = emb.crossJoin(broadcast(cents))
+    def assignTo(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("label"), col("c_id").as("bucket"))
-    val queries = assigned.filter(col("vec_id") < 10)
+    val assigned = assignTo(emb)
+    // query side: filter FIRST, assign only the 10 query vectors — the
+    // corpus-wide assignment must not be recomputed inside the
+    // broadcast branch
+    val queries = assignTo(emb.filter(col("vec_id") < 10))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     assigned.join(broadcast(queries), Seq("bucket"))
