@@ -79,6 +79,8 @@ object SparkEntry {
     "d13_sketch_profile"  -> (Sketches.sketchProfile _),
     "d14_tfidf_rank"      -> (TextFns.tfidfRank _),
     "d15_heavy_hitters"   -> (TextFns.heavyTokens _),
+    "d16_quantized_ann"   -> (Similarity.quantizedTopK _),
+    "d17_hamming_ann"     -> (Similarity.hammingTopK _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.

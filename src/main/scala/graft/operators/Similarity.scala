@@ -77,6 +77,60 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** d16: scalar int8 quantization of the embedding column (per-vector
+    * symmetric scale = 127/max|x|) and top-k search over the quantized
+    * vectors — 4× smaller vectors, the memory/IO story of a 100 TB ANN
+    * corpus. Recall vs full precision is spec-checked.
+    */
+  def quantize8(v: Column): Column = {
+    val scale = aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+    struct(
+      transform(v, x => round(x / scale * 127.0).cast("tinyint")).as("q"),
+      scale.as("scale"))
+  }
+
+  def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("qv", quantize8(col("embedding")))
+      .select(col("vec_id"), col("qv.q").as("q"), col("qv.scale").as("qscale"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("qscale").as("q_scale"))
+    // int dot product, rescaled: approx cosine numerator
+    val qdot = aggregate(zip_with(col("q"), col("q_q"),
+      (a, b) => a.cast("int") * b.cast("int")), lit(0), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("score", qdot.cast("double") * col("qscale") * col("q_scale") / (127.0 * 127.0))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** d17: binary (sign-bit) embeddings + Hamming-distance search:
+    * 64-dim float vector → one packed long (64× compression); distance
+    * = bit_count(xor). The coarsest, fastest ANN tier.
+    */
+  def packSigns(colName: String): Column =
+    expr(s"""aggregate(zip_with($colName, sequence(0, 63),
+            |  (x, i) -> if(x > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+            |  cast(0 as bigint), (acc, b) -> acc | b)""".stripMargin)
+
+  def hammingTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bits", packSigns("embedding"))
+      .select("vec_id", "bits")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
+    val w = Window.partitionBy("q_id").orderBy(col("hd").asc, col("vec_id").asc)
+    emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("hd", bit_count(col("bits").bitwiseXOR(col("q_bits"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("hd"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Distributed Lloyd's k-means over the embedding column — the real
     * coarse quantizer behind IVF (d6 uses a seeded sample for oracle
     * stability; production builds centroids here). Deterministic init
