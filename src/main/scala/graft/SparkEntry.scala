@@ -63,6 +63,8 @@ object SparkEntry {
     "q38_drawdown"        -> (TimeSeries.drawdown _),
     "q39_tz_session"      -> (TimeSeries.tzSession _),
     "q40_winsorize"       -> (Relational.winsorize _),
+    "q41_sliding_window"  -> (TimeSeries.slidingWindowAgg _),
+    "q42_funnel"          -> (TimeSeries.funnel _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -402,6 +404,27 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN value < p05 OR value > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
          |FROM events JOIN bounds ON et = event_type
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q41_sliding_window" ->
+      s"""SELECT ws, event_type, COUNT(*) AS n_events, ${dsum("value")} AS total_value
+         |FROM (
+         |  SELECT e.*, TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *
+         |    ((CAST(FLOOR(epoch_us(ts) / 7200000000.0) AS BIGINT) - k.k) * 7200) AS ws
+         |  FROM events e CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) k)
+         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+
+    "q42_funnel" ->
+      """WITH c AS (SELECT user_id, MIN(ts) AS tc FROM events
+        |           WHERE event_type = 'click' GROUP BY user_id),
+        |v AS (SELECT e.user_id, MIN(e.ts) AS tv FROM events e
+        |      JOIN c ON c.user_id = e.user_id AND e.ts > c.tc
+        |      WHERE e.event_type = 'view' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e
+        |      JOIN v ON v.user_id = e.user_id AND e.ts > v.tv
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM c) AS n_step1,
+        |       (SELECT COUNT(*) FROM v) AS n_step2,
+        |       (SELECT COUNT(*) FROM p) AS n_step3""".stripMargin,
 
     "q29_grouped_topk" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

@@ -51,6 +51,20 @@ object Multimodal {
     }
   }
 
+  /** Per-frame feature pipeline: explode sampled frames, fingerprint
+    * each (stub for a per-frame embedding), aggregate back per doc —
+    * the full video-processing shape (sample → per-frame model →
+    * per-asset rollup) with the model stubbed.
+    */
+  def frameFeatures(framed: DataFrame): DataFrame =
+    framed
+      .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .withColumn("frame_fp", xxhash64(col("frame"))) // STUB: per-frame model
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("frame_fp")).as("n_distinct_frames"),
+        min(col("frame_fp")).as("min_fp"))
+
   /** Frame-sample stub: pick every k-th byte-block as a "frame" — the
     * partitioning/batch shape of video frame sampling. */
   def frameSample(media: DataFrame, k: Int): DataFrame =

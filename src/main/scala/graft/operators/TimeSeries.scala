@@ -374,6 +374,41 @@ object TimeSeries {
       .orderBy("event_id")
   }
 
+  /** q41: SLIDING (overlapping) time windows — 6h windows every 2h,
+    * epoch-aligned: each event lands in exactly 3 panes (the streaming
+    * `window(ts, "6 hours", "2 hours")` semantics, batch-computed).
+    */
+  def slidingWindowAgg(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    ev.withColumn("win", window(col("ts"), "6 hours", "2 hours"))
+      .select(col("win.start").as("ws"), col("event_type"), col("value"))
+      .groupBy(col("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Relational.dsum(col("value")).as("total_value"))
+      .orderBy("ws", "event_type")
+  }
+
+  /** q42: ordered funnel — users progressing click → view (after the
+    * first click) → purchase (after that view). The event-analytics
+    * staple; each step is a broadcastable per-user min-timestamp join.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val c = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val v = ev.filter(col("event_type") === "view")
+      .join(c, "user_id").filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    c.select(lit(1).as("k"), col("user_id"))
+      .groupBy("k").agg(count(lit(1)).as("n_step1"))
+      .join(v.select(lit(1).as("k")).groupBy("k").agg(count(lit(1)).as("n_step2")), "k")
+      .join(p.select(lit(1).as("k")).groupBy("k").agg(count(lit(1)).as("n_step3")), "k")
+      .drop("k")
+  }
+
   /** q22: bounded clamp.
     * Reference analog: SP_PROCESS_VERTS step 2e — vertical price floored
     * at 0 and capped at the spread width W. Pure projection: stays in

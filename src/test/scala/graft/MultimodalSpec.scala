@@ -32,6 +32,15 @@ class MultimodalSpec extends SparkSpec {
     feats.unpersist()
   }
 
+  test("per-frame features aggregate back to one row per doc") {
+    val media = Multimodal.asMediaTable(spark, sf)
+    val framed = Multimodal.frameSample(media, 64).filter(col("n_frames") > 0)
+    val feats = Multimodal.frameFeatures(framed)
+    assert(feats.count() == framed.count())
+    assert(feats.filter(col("n_distinct_frames") > col("n_frames")).count() == 0)
+    assert(feats.filter(col("n_frames") <= 0).count() == 0)
+  }
+
   test("frame sampling produces ceil(len/k) frames") {
     val media = Multimodal.asMediaTable(spark, sf)
     val framed = Multimodal.frameSample(media, 64)
