@@ -65,6 +65,9 @@ object SparkEntry {
     "q40_winsorize"       -> (Relational.winsorize _),
     "q41_sliding_window"  -> (TimeSeries.slidingWindowAgg _),
     "q42_funnel"          -> (TimeSeries.funnel _),
+    "q43_unpivot"         -> (Relational.unpivot _),
+    "q44_since_purchase"  -> (Relational.sinceLastPurchase _),
+    "q45_fuzzy_match"     -> (Relational.fuzzyMatch _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -425,6 +428,43 @@ object SparkEntry {
         |SELECT (SELECT COUNT(*) FROM c) AS n_step1,
         |       (SELECT COUNT(*) FROM v) AS n_step2,
         |       (SELECT COUNT(*) FROM p) AS n_step3""".stripMargin,
+
+    "q43_unpivot" ->
+      s"""WITH wide AS (
+         |  SELECT user_id,
+         |    CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS $DEC) END) AS DOUBLE) AS click_total,
+         |    CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS $DEC) END) AS DOUBLE) AS view_total,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS $DEC) END) AS DOUBLE) AS purchase_total,
+         |    CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS $DEC) END) AS DOUBLE) AS signup_total,
+         |    CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS $DEC) END) AS DOUBLE) AS error_total
+         |  FROM events GROUP BY user_id)
+         |SELECT user_id, event_type, total FROM (
+         |  SELECT user_id, 'click' AS event_type, click_total AS total FROM wide
+         |  UNION ALL SELECT user_id, 'view', view_total FROM wide
+         |  UNION ALL SELECT user_id, 'purchase', purchase_total FROM wide
+         |  UNION ALL SELECT user_id, 'signup', signup_total FROM wide
+         |  UNION ALL SELECT user_id, 'error', error_total FROM wide)
+         |WHERE total IS NOT NULL ORDER BY user_id, event_type""".stripMargin,
+
+    "q44_since_purchase" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |  CAST(purchase_grp AS BIGINT) AS purchase_grp,
+        |  CAST(row_number() OVER (PARTITION BY user_id, purchase_grp ORDER BY ts, event_id) - 1 AS BIGINT) AS since_purchase
+        |FROM (
+        |  SELECT *, SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_grp
+        |  FROM events)
+        |WHERE purchase_grp > 0 ORDER BY event_id""".stripMargin,
+
+    "q45_fuzzy_match" ->
+      """SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q29_grouped_topk" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

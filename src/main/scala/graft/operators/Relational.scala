@@ -350,6 +350,54 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q43: unpivot (wide→long), the inverse of q14: per-user pivoted
+    * totals stacked back into (user_id, event_type, total) rows. */
+  def unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = pivotTypes(s, d) // user_id, click_total .. error_total
+    wide.select(col("user_id"),
+        expr("""stack(5,
+               |  'click', click_total, 'view', view_total,
+               |  'purchase', purchase_total, 'signup', signup_total,
+               |  'error', error_total)""".stripMargin).as(Seq("event_type", "total")))
+      .filter(col("total").isNotNull)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** q44: events since the last purchase per user — conditional
+    * cumulative window (group id = running count of purchases, offset
+    * within the group). The "bars since signal" analytics shape.
+    */
+  def sinceLastPurchase(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "purchase_grp").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("purchase_grp",
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w))
+      .withColumn("since_purchase", row_number().over(wg).cast("long") - 1L)
+      .filter(col("purchase_grp") > 0) // rows before any purchase: undefined
+      .select("event_id", "user_id", "ts", "event_type", "purchase_grp", "since_purchase")
+      .orderBy("event_id")
+  }
+
+  /** q45: fuzzy matching via Levenshtein edit distance — near-duplicate
+    * detection for short strings (names/symbols), blocked by brand so
+    * pairwise work stays bounded (same blocking discipline as d4).
+    */
+  def fuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_name")
+    val a = p.select(col("p_brand"), col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 4)
+      .select("p_brand", "id_a", "id_b", "name_a", "name_b", "dist")
+      .orderBy("id_a", "id_b")
+  }
+
   /** q25: flatten-nested round trip: build the nested form the reference
     * ingests (chains JSON: expiry → strikes → contract list,
     * services/schwab_chains_service.py process_options), then flatten it
