@@ -86,6 +86,7 @@ object SparkEntry {
     "d15_heavy_hitters"   -> (TextFns.heavyTokens _),
     "d16_quantized_ann"   -> (Similarity.quantizedTopK _),
     "d17_hamming_ann"     -> (Similarity.hammingTopK _),
+    "d18_chunking"        -> (TextFns.chunkDocs _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -619,6 +620,14 @@ object SparkEntry {
       """SELECT lang, w, COUNT(*) AS n FROM (
         |  SELECT lang, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
         |WHERE w <> '' GROUP BY lang, w ORDER BY lang, w""".stripMargin,
+
+    "d18_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+        |SELECT doc_id, k AS chunk_idx,
+        |  array_to_string(list_slice(ws, k * 10 + 1, k * 10 + 20), ' ') AS chunk_text,
+        |  CAST(len(string_split(array_to_string(list_slice(ws, k * 10 + 1, k * 10 + 20), ' '), ' ')) AS BIGINT) AS n_chunk_words
+        |FROM w, UNNEST(range(CAST(floor((len(ws) - 1) / 10) AS BIGINT) + 1)) AS t(k)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "d10_fingerprint" ->
       """SELECT doc_id,

@@ -169,6 +169,27 @@ object TextFns {
       .orderBy("lang", "w")
   }
 
+  /** d18: document chunking — overlapping word windows (size 20,
+    * stride 10), the unit-of-training-example splitter every LLM data
+    * pipeline runs. Chunk generation is a codegen'd transform over
+    * word offsets + one explode; no UDF, no driver loop.
+    */
+  def chunkDocs(s: SparkSession, d: String): DataFrame = {
+    val chunkSize = 20
+    val stride = 10
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(floor((size(ws) - 1) / $stride) as int)),
+             |  k -> concat_ws(' ', slice(ws, k * $stride + 1, $chunkSize)))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("n_chunk_words",
+        size(split(col("chunk_text"), " ")).cast("long"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** d10: normalized content fingerprint: lowercase, collapse runs of
     * whitespace, md5. Reference analog: scripts/scwhab_hash.py (account
     * hashing) + dedup keys in the silver layer.
