@@ -68,6 +68,8 @@ object SparkEntry {
     "q43_unpivot"         -> (Relational.unpivot _),
     "q44_since_purchase"  -> (Relational.sinceLastPurchase _),
     "q45_fuzzy_match"     -> (Relational.fuzzyMatch _),
+    "q46_revenue_share"   -> (Relational.revenueShare _),
+    "q47_monthly_revenue" -> (Relational.monthlyRevenue _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -466,6 +468,25 @@ object SparkEntry {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_revenue_share" ->
+      s"""WITH base AS (
+         |  SELECT r_name, n_name,
+         |    CAST(CAST(SUM(CAST(l_extendedprice AS $DEC) * (CAST(1 AS $DEC) - CAST(l_discount AS $DEC))) AS $DEC) AS DOUBLE) AS revenue
+         |  FROM lineitem
+         |    JOIN supplier ON s_suppkey = l_suppkey
+         |    JOIN nation ON n_nationkey = s_nationkey
+         |    JOIN region ON r_regionkey = n_regionkey
+         |  GROUP BY r_name, n_name)
+         |SELECT r_name, n_name, revenue,
+         |  CAST(CAST(SUM(CAST(revenue AS $DEC)) OVER (PARTITION BY r_name) AS $DEC) AS DOUBLE) AS region_revenue,
+         |  revenue / CAST(CAST(SUM(CAST(revenue AS $DEC)) OVER (PARTITION BY r_name) AS $DEC) AS DOUBLE) AS share
+         |FROM base ORDER BY r_name, n_name""".stripMargin,
+
+    "q47_monthly_revenue" ->
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         |  COUNT(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
+         |FROM orders GROUP BY month ORDER BY month""".stripMargin,
 
     "q29_grouped_topk" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

@@ -398,6 +398,26 @@ object Relational {
       .orderBy("id_a", "id_b")
   }
 
+  /** q46: share-of-total window — each nation's revenue share within
+    * its region (partition-sum ratio, the ratio_to_report analytic). */
+  def revenueShare(s: SparkSession, d: String): DataFrame = {
+    val base = starJoin(s, d) // r_name, n_name, revenue, n_items
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+    base.withColumn("region_revenue", sum(col("revenue").cast(DecimalType(18, 4))).over(w)
+        .cast(DecimalType(18, 4)).cast("double"))
+      .withColumn("share", col("revenue") / col("region_revenue"))
+      .select("r_name", "n_name", "revenue", "region_revenue", "share")
+      .orderBy("r_name", "n_name")
+  }
+
+  /** q47: calendar-month rollup — monthly order revenue (the DAY→month
+    * reporting rollup on HISTORIC tables). */
+  def monthlyRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("month")
+
   /** q25: flatten-nested round trip: build the nested form the reference
     * ingests (chains JSON: expiry → strikes → contract list,
     * services/schwab_chains_service.py process_options), then flatten it
