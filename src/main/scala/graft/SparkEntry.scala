@@ -70,6 +70,7 @@ object SparkEntry {
     "q45_fuzzy_match"     -> (Relational.fuzzyMatch _),
     "q46_revenue_share"   -> (Relational.revenueShare _),
     "q47_monthly_revenue" -> (Relational.monthlyRevenue _),
+    "q48_bollinger"       -> (TimeSeries.bollinger _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -487,6 +488,20 @@ object SparkEntry {
       s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
          |  COUNT(*) AS n_orders, ${dsum("o_totalprice")} AS revenue
          |FROM orders GROUP BY month ORDER BY month""".stripMargin,
+
+    "q48_bollinger" ->
+      s"""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         |  s1 / n AS mid,
+         |  s1 / n + 2.0 * sqrt(GREATEST(CASE WHEN n > 1 THEN (s2 - (s1 * s1) / n) / (n - 1.0) ELSE 0.0 END, 0.0)) AS upper,
+         |  s1 / n - 2.0 * sqrt(GREATEST(CASE WHEN n > 1 THEN (s2 - (s1 * s1) / n) / (n - 1.0) ELSE 0.0 END, 0.0)) AS lower
+         |FROM (
+         |  SELECT event_id, user_id, ts, value,
+         |    CAST(SUM(CAST(value AS $DEC)) OVER w AS DOUBLE) AS s1,
+         |    CAST(SUM(CAST(CAST(value AS $DEC) * CAST(value AS $DEC) AS DECIMAL(28,8))) OVER w AS DOUBLE) AS s2,
+         |    CAST(COUNT(*) OVER w AS DOUBLE) AS n
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |ORDER BY event_id""".stripMargin,
 
     "q29_grouped_topk" ->
       """SELECT c_mktsegment, rk, o_orderkey, o_totalprice FROM (

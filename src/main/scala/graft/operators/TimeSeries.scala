@@ -409,6 +409,28 @@ object TimeSeries {
       .drop("k")
   }
 
+  /** q48: Bollinger bands — 20-row rolling mean ± 2σ per key. The
+    * variance comes from exact decimal window sums of x and x²
+    * ((Σx² − (Σx)²/n)/(n−1)), NOT stddev_samp: engines disagree on
+    * streaming-variance rounding, exact moments they can't.
+    */
+  def bollinger(s: SparkSession, d: String): DataFrame = {
+    val w = byUser.rowsBetween(-19, 0)
+    val s1 = sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double")
+    val s2 = sum((col("value").cast(DecimalType(18, 4)) *
+      col("value").cast(DecimalType(18, 4))).cast(DecimalType(28, 8))).over(w)
+      .cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    Tables.events(s, d)
+      .withColumn("mid", s1 / n)
+      .withColumn("variance",
+        when(n > 1, (s2 - (s1 * s1) / n) / (n - 1.0)).otherwise(lit(0.0)))
+      .withColumn("upper", col("mid") + lit(2.0) * sqrt(greatest(col("variance"), lit(0.0))))
+      .withColumn("lower", col("mid") - lit(2.0) * sqrt(greatest(col("variance"), lit(0.0))))
+      .select("event_id", "user_id", "ts", "value", "mid", "upper", "lower")
+      .orderBy("event_id")
+  }
+
   /** q22: bounded clamp.
     * Reference analog: SP_PROCESS_VERTS step 2e — vertical price floored
     * at 0 and capped at the spread width W. Pure projection: stays in
