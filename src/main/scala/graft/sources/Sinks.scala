@@ -52,6 +52,22 @@ object Sinks {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Permissive JSONL read: malformed lines land in a corrupt-record
+    * column instead of failing the job (the API-payload audit-trail
+    * discipline of SCHWAB.JSON_TRANSACTIONS: keep the raw bad record,
+    * don't drop it). */
+  def readJsonlPermissive(spark: SparkSession, schemaDdl: String, path: String): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schemaDdl + ", _corrupt STRING")
+      .json(path)
+
+  /** Schema-evolution read: union the schemas of parquet written at
+    * different times (new columns appear as nulls on old data). */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** ORC round-trip (columnar alternative landing format). */
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)

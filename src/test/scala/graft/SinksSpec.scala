@@ -46,6 +46,38 @@ class SinksSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("permissive jsonl read quarantines corrupt lines instead of failing") {
+    val dir = Files.createTempDirectory("graft_badrec").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.jsonl"),
+      """{"id": 1, "v": 10.5}
+        |{"id": 2, "v": }
+        |not json at all
+        |{"id": 4, "v": 7.25}
+        |""".stripMargin.getBytes)
+    val df = Sinks.readJsonlPermissive(spark, "id BIGINT, v DOUBLE", s"$dir")
+      .cache()
+    assert(df.count() == 4)
+    assert(df.filter(col("_corrupt").isNotNull).count() == 2)
+    assert(df.filter(col("_corrupt").isNull && col("id").isNotNull).count() == 2)
+    df.unpersist()
+  }
+
+  test("mergeSchema read unions schemas written at different times") {
+    val dir = Files.createTempDirectory("graft_evolve").toString + "/t"
+    Tables.nation(spark, sf).select("n_nationkey", "n_name")
+      .write.mode("append").parquet(dir)
+    Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"), lit("v2").as("writer_version"))
+      .write.mode("append").parquet(dir)
+    val merged = Sinks.readMerged(spark, dir)
+    assert(merged.columns.toSet ==
+      Set("n_nationkey", "n_name", "n_regionkey", "writer_version"))
+    assert(merged.count() == Tables.nation(spark, sf).count() * 2)
+    // old files surface the new columns as nulls
+    assert(merged.filter(col("writer_version").isNull).count() ==
+      Tables.nation(spark, sf).count())
+  }
+
   test("csv and jsonl round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graft_io").toString
     val df = Tables.nation(spark, sf)
