@@ -36,16 +36,19 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf).toMap
+    val results = Await.result(Future.sequence(futures), Duration.Inf)
     val wall = (System.nanoTime() - wall0) / 1e9
     pool.shutdown()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A failed query reports -1, never a wall-clock that looks like a pass.
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

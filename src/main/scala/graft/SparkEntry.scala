@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Similarity, Sketches, TimeSeries}
+import graft.operators.{Chains, Dedup, Relational, Similarity, Sketches, TimeSeries}
 import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -71,6 +71,9 @@ object SparkEntry {
     "q46_revenue_share"   -> (Relational.revenueShare _),
     "q47_monthly_revenue" -> (Relational.monthlyRevenue _),
     "q48_bollinger"       -> (TimeSeries.bollinger _),
+    "q49_chain_flatten"   -> (Chains.chainFlatten _),
+    "q50_symbol_parse"    -> (Chains.parseSymbols _),
+    "q51_strike_backfill" -> (Chains.strikeGridBackfill _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -569,6 +572,65 @@ object SparkEntry {
     "q24_dedup_all_cols" ->
       """SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus
         |FROM lineitem ORDER BY l_suppkey, l_returnflag, l_linestatus""".stripMargin,
+
+    "q49_chain_flatten" ->
+      """SELECT event_id AS contract_id, user_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END AS cp,
+        |  CAST(ts AS DATE) + CAST(event_id % 21 AS INTEGER) AS expiry,
+        |  CAST(event_id % 21 AS INTEGER) AS dte,
+        |  CAST(CAST(FLOOR(value) AS BIGINT) * 5 AS INTEGER) AS strike,
+        |  value - 0.05 AS bid,
+        |  value + 0.05 AS ask,
+        |  CAST(event_id % 1000 AS INTEGER) AS volume,
+        |  make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 1000) * 1000) AS dtime,
+        |  CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS weekly
+        |FROM events ORDER BY contract_id""".stripMargin,
+
+    "q50_symbol_parse" ->
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'SPXW' ELSE 'SPX' END AS root0,
+        |    DATE '2024-01-01' + CAST(p_partkey % 365 AS INTEGER) AS expiry0,
+        |    CASE WHEN p_size % 2 = 0 THEN 'C' ELSE 'P' END AS cp_c,
+        |    CAST(FLOOR(p_retailprice) AS BIGINT) * 1000 AS strike1000
+        |  FROM part),
+        |sym AS (
+        |  SELECT p_partkey,
+        |    rpad(root0, 6, ' ') || strftime(expiry0, '%y%m%d') || cp_c ||
+        |      lpad(CAST(strike1000 AS VARCHAR), 8, '0') AS symbol
+        |  FROM base)
+        |SELECT p_partkey, symbol,
+        |  trim(substring(symbol, 1, 6)) AS root,
+        |  CASE WHEN substring(symbol, 13, 1) = 'C' THEN 1 ELSE -1 END AS cp,
+        |  CAST(strptime(substring(symbol, 7, 6), '%y%m%d') AS DATE) AS expiry,
+        |  CAST(substring(symbol, 14, 8) AS BIGINT) / 1000.0 AS strike,
+        |  CASE WHEN trim(substring(symbol, 1, 6)) = 'SPXW' THEN 1 ELSE 0 END AS weekly
+        |FROM sym ORDER BY p_partkey""".stripMargin,
+
+    "q51_strike_backfill" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hr, value
+        |  FROM events),
+        |bounds AS (
+        |  SELECT day,
+        |    CAST(FLOOR(MIN(value) / 5) * 5 AS INTEGER) AS lo,
+        |    CAST(CEIL(MAX(value) / 5) * 5 AS INTEGER) AS hi
+        |  FROM ev WHERE hr >= 9 AND hr < 11 GROUP BY day),
+        |obs AS (
+        |  SELECT day, CAST(FLOOR(value / 5) * 5 AS INTEGER) AS strike, hr,
+        |    MAX(value) AS mark
+        |  FROM ev WHERE hr BETWEEN 9 AND 13 GROUP BY day, strike, hr),
+        |grid AS (
+        |  SELECT day, CAST(UNNEST(generate_series(lo, hi, 5)) AS INTEGER) AS strike, hr
+        |  FROM bounds CROSS JOIN (SELECT CAST(UNNEST(generate_series(9, 13)) AS INTEGER) AS hr) AS hrs)
+        |SELECT g.day, g.strike, g.hr, o.mark,
+        |  last_value(o.mark IGNORE NULLS) OVER (
+        |    PARTITION BY g.day, g.strike ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_mark
+        |FROM grid g LEFT JOIN obs o
+        |  ON o.day = g.day AND o.strike = g.strike AND o.hr = g.hr
+        |ORDER BY g.day, g.strike, g.hr""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt

@@ -58,11 +58,27 @@ case class HeavyHittersAgg(
     buf
   }
 
+  /** Mergeable-summaries SpaceSaving merge (Agarwal et al.): an item
+    * absent from one side may still have true count up to that side's
+    * minimum estimate (only possible when that side is at capacity, i.e.
+    * has evicted), so it contributes that minimum to BOTH count and err.
+    * Truncating the combined sketch to top-capacity then preserves the
+    * overcount bound; errors add across merges, so guarantees degrade to
+    * εA+εB, never silently undercount. In the exact regime (neither side
+    * ever evicted) the mins are 0 and the merge is exact.
+    */
   override def merge(a: Buf, b: Buf): Buf = {
+    val minA = if (a.size < capacity) 0L else a.valuesIterator.map(_._1).min
+    val minB = if (b.size < capacity) 0L else b.valuesIterator.map(_._1).min
     b.foreach { case (item, (c, e)) =>
       a.get(item) match {
         case Some((c0, e0)) => a.update(item, (c0 + c, e0 + e))
-        case None => a.update(item, (c, e))
+        case None => a.update(item, (c + minA, e + minA))
+      }
+    }
+    if (minB > 0) {
+      a.mapValuesInPlace { case (item, (c, e)) =>
+        if (b.contains(item)) (c, e) else (c + minB, e + minB)
       }
     }
     if (a.size > capacity) {

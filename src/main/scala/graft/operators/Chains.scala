@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The reference's option-chain ingestion semantics, re-expressed
+  * Spark-first:
+  *
+  *  - q49 chain flatten: a triple-nested chains payload
+  *    (expiry → strike → contract list, JSON) flattened into the wide
+  *    SPX_CHAIN schema with derived DTE and Weekly flag
+  *    (/root/reference/services/schwab_chains_service.py process_options,
+  *    /root/reference/sql/chains.sql:13-30).
+  *  - q50 option-symbol parse: fixed-width OCC-style symbol
+  *    ("SPXW  240523C05900000") decoded to (root, CP, Expiry,
+  *    Strike/1000) — the dbo.ParseSPXSymbol_ITVF analog
+  *    (/root/reference/docs/sql_server.md:203,250).
+  *  - q51 strike-grid backfill: LOCF over a (day × strike-grid × time)
+  *    lattice whose strike range comes from ANOTHER table's windowed
+  *    min/max — the SP_OPTION_TIMESERIES_BACKFILL shape
+  *    (/root/reference/docs/sql_server.md:363,449).
+  */
+object Chains {
+
+  /** Contract-level schema inside the chains JSON payload (the subset of
+    * Schwab contract fields SPX_CHAIN keeps). */
+  private val contractSchema = ArrayType(StructType(Seq(
+    StructField("contract_id", LongType),
+    StructField("bid", DoubleType),
+    StructField("ask", DoubleType),
+    StructField("totalVolume", IntegerType),
+    StructField("optionRoot", StringType),
+    StructField("daysToExpiration", IntegerType),
+    StructField("quoteTimeInLong", LongType))))
+
+  private val chainSchema = MapType(StringType, MapType(StringType, contractSchema))
+
+  /** q49: chain flatten. Builds a chains-shaped nested JSON payload per
+    * (user, side) — expiry-key map ("yyyy-MM-dd:DTE") → strike-key map
+    * ("5900.0") → contract array, the exact shape the chains service
+    * ingests — then parses it back with from_json and flattens explode ×
+    * 3 into the SPX_CHAIN wide schema: CP ±1, Expiry/DTE split from the
+    * map key, Strike via int(float(key)), Weekly from optionRoot,
+    * DTime from quoteTimeInLong epoch-ms.
+    *
+    * Scale shape: the three build groupBys share the user_id-prefixed
+    * key (one logical partitioning); parse+flatten is embarrassingly
+    * parallel per payload row. At 100 TB the payloads arrive FROM the
+    * source (no build phase) and only the parse side runs.
+    */
+  def chainFlatten(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "ts", "user_id", "value")
+      .withColumn("cp", when(col("event_id") % 2 === 0, 1).otherwise(-1))
+      .withColumn("dte", (col("event_id") % 21).cast("int"))
+      .withColumn("expiry0", date_add(to_date(col("ts")), col("dte")))
+      .withColumn("exp_key",
+        concat(date_format(col("expiry0"), "yyyy-MM-dd"), lit(":"), col("dte")))
+      .withColumn("strike_key",
+        ((floor(col("value")).cast("long") * 5L).cast("double")).cast("string"))
+      .withColumn("contract", struct(
+        col("event_id").as("contract_id"),
+        (col("value") - 0.05).as("bid"),
+        (col("value") + 0.05).as("ask"),
+        (col("event_id") % 1000).cast("int").as("totalVolume"),
+        when(col("event_id") % 3 === 0, "SPXW").otherwise("SPX").as("optionRoot"),
+        col("dte").as("daysToExpiration"),
+        expr("unix_micros(ts) div 1000").as("quoteTimeInLong")))
+    // build: contracts per strike → strike map per expiry → expiry map per side
+    val byStrike = ev.groupBy("user_id", "cp", "exp_key", "strike_key")
+      .agg(sort_array(collect_list(col("contract"))).as("contracts"))
+    // map entry order is collect_list arrival order (nondeterministic) —
+    // harmless: the payload is parsed back and the flat result gets a
+    // total orderBy; map KEYS are unique per group by construction
+    val byExpiry = byStrike.groupBy("user_id", "cp", "exp_key")
+      .agg(map_from_entries(collect_list(
+        struct(col("strike_key"), col("contracts")))).as("strikes"))
+    val payloads = byExpiry.groupBy("user_id", "cp")
+      .agg(to_json(map_from_entries(collect_list(
+        struct(col("exp_key"), col("strikes"))))).as("payload"))
+    // parse + flatten: the process_options loop as a declarative plan
+    payloads
+      .select(col("user_id"), col("cp"), from_json(col("payload"), chainSchema).as("m"))
+      .select(col("user_id"), col("cp"), explode(col("m")).as(Seq("exp_key", "strikes")))
+      .select(col("user_id"), col("cp"), col("exp_key"),
+        explode(col("strikes")).as(Seq("strike_key", "contracts")))
+      .select(col("user_id"), col("cp"), col("exp_key"), col("strike_key"),
+        explode(col("contracts")).as("c"))
+      .select(
+        col("c.contract_id").as("contract_id"),
+        col("user_id"),
+        col("cp"),
+        to_date(split(col("exp_key"), ":").getItem(0)).as("expiry"),
+        col("c.daysToExpiration").as("dte"),
+        col("strike_key").cast("double").cast("int").as("strike"),
+        col("c.bid").as("bid"),
+        col("c.ask").as("ask"),
+        col("c.totalVolume").as("volume"),
+        timestamp_millis(col("c.quoteTimeInLong")).as("dtime"),
+        when(col("c.optionRoot") === "SPXW", 1).otherwise(0).as("weekly"))
+      .orderBy("contract_id")
+  }
+
+  /** q50: option-symbol parse. Builds OCC-style fixed-width symbols from
+    * the part table (root 6-char padded + yyMMdd + C/P + 8-digit
+    * strike×1000), then decodes them back — trim/substring/fixed-scale
+    * division, the ParseSPXSymbol_ITVF fixed-format decode. The
+    * round-trip proves the parse, and the parse is the operator.
+    */
+  def parseSymbols(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.part(s, d).select("p_partkey", "p_size", "p_retailprice")
+      .withColumn("root0", when(col("p_partkey") % 3 === 0, "SPXW").otherwise("SPX"))
+      .withColumn("expiry0",
+        date_add(to_date(lit("2024-01-01")), (col("p_partkey") % 365).cast("int")))
+      .withColumn("cp_c", when(col("p_size") % 2 === 0, "C").otherwise("P"))
+      .withColumn("strike1000", floor(col("p_retailprice")).cast("long") * 1000L)
+      .withColumn("symbol", concat(
+        rpad(col("root0"), 6, " "),
+        date_format(col("expiry0"), "yyMMdd"),
+        col("cp_c"),
+        lpad(col("strike1000").cast("string"), 8, "0")))
+    base.select(col("p_partkey"), col("symbol"))
+      .withColumn("root", trim(substring(col("symbol"), 1, 6)))
+      .withColumn("expiry", to_date(substring(col("symbol"), 7, 6), "yyMMdd"))
+      .withColumn("cp", when(substring(col("symbol"), 13, 1) === "C", 1).otherwise(-1))
+      .withColumn("strike", substring(col("symbol"), 14, 8).cast("long") / 1000.0)
+      .withColumn("weekly", when(col("root") === "SPXW", 1).otherwise(0))
+      .select("p_partkey", "symbol", "root", "cp", "expiry", "strike", "weekly")
+      .orderBy("p_partkey")
+  }
+
+  /** q51: strike-grid backfill. Per day: (1) bound the strike range by
+    * the 09:00–11:00 min/max of the underlying value snapped to the $5
+    * grid (the @SPX_Min/@SPX_Max window agg); (2) lattice = bounded
+    * strike grid × session hours 09–13; (3) left-join sparse
+    * observations (max mark per cell) and LOCF forward over time within
+    * each (day, strike) series. Days with no bounds rows drop out —
+    * the procedure's IF @SPX_Min IS NOT NULL guard.
+    *
+    * Scale shape: bounds is a tiny per-day agg (broadcast); the lattice
+    * explode is bounded by (range/5 × 5 hours) per day — constant per
+    * day, not data-sized; the LOCF window partitions on (day, strike),
+    * high cardinality.
+    */
+  def strikeGridBackfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"), col("value"))
+    val bounds = ev.filter(col("hr") >= 9 && col("hr") < 11)
+      .groupBy("day")
+      .agg((floor(min(col("value")) / 5) * 5).cast("int").as("lo"),
+        (ceil(max(col("value")) / 5) * 5).cast("int").as("hi"))
+    val obs = ev.filter(col("hr") >= 9 && col("hr") <= 13)
+      .withColumn("strike", (floor(col("value") / 5) * 5).cast("int"))
+      .groupBy("day", "strike", "hr")
+      .agg(max(col("value")).as("mark"))
+    val grid = broadcast(bounds)
+      .withColumn("strike", explode(sequence(col("lo"), col("hi"), lit(5))))
+      .withColumn("hr", explode(sequence(lit(9), lit(13))))
+      .select("day", "strike", "hr")
+    val w = Window.partitionBy("day", "strike").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("day", "strike", "hr"), "left")
+      .withColumn("filled_mark", last(col("mark"), ignoreNulls = true).over(w))
+      .select("day", "strike", "hr", "mark", "filled_mark")
+      .orderBy("day", "strike", "hr")
+  }
+}

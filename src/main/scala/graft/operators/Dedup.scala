@@ -71,21 +71,51 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** d3: 64-bit SimHash fingerprint per doc + same-bucket pairing on a
-    * 16-bit prefix (banding for hamming-distance candidates).
-    * Bit-majority computed with transform/aggregate over the word set —
-    * single projection, no explode of 64×words rows. rows-only oracle.
+  /** Per-doc 64-bit SimHash fingerprints over the distinct word set.
+    * Custom SimHash64 Catalyst expression: per-word xxhash64, ±1 bit
+    * votes, sign → fingerprint — one tight loop instead of a 64×words
+    * interpreted HOF cascade.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
     val words = array_distinct(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
-    // Custom SimHash64 Catalyst expression: per-word xxhash64, ±1 bit
-    // votes, sign → fingerprint — one tight loop instead of a 64×words
-    // interpreted HOF cascade.
     Tables.documents(s, d)
       .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"), graft.functions.VectorExprs.simhash64(col("ws")).as("simhash"))
-      .withColumn("bucket", shiftright(col("simhash"), 48))
-      .orderBy("doc_id")
+  }
+
+  /** d3: SimHash near-dup PAIRS. 4 × 16-bit band buckets: two
+    * fingerprints within Hamming distance ≤ 3 differ in at most 3 of the
+    * 4 bands, so by pigeonhole they COLLIDE in at least one band —
+    * banding is recall-lossless for the ≤ 3 threshold. Candidates from
+    * the per-band equi-join are verified with the exact popcount
+    * Hamming distance; pairs found in several bands dedupe via groupBy.
+    * Output feeds [[connectedComponents]] → [[dedupedCorpus]].
+    * rows-only oracle (spec proves pair parity vs brute-force Hamming).
+    */
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashPairs(simhashFingerprints(s, d))
+
+  /** Core band-join pipeline over any (doc_id, simhash) frame — shared
+    * by the query entry and large-scale callers. Scale shape: one
+    * shuffle on (band, bucket); within-bucket pair counts stay small
+    * because a 16-bit band splits the corpus into 65k buckets per band
+    * (and real near-dup corpora cluster tightly). */
+  def simhashPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = fps.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("h_a"), col("h_b")).as("hd"))
+      .filter(col("hd") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(min(col("hd")).as("hd"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Hamming distance between two 64-bit fingerprints. */
@@ -103,8 +133,18 @@ object Dedup {
     * round to cut the lineage — the standard large-graph loop on Spark
     * without GraphX's partition-pinning machinery.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** @param checkpointDir when set, per-round frontiers use RELIABLE
+    *   `checkpoint()` into this directory (survives executor loss — the
+    *   100 TB-cluster-safe choice; `localCheckpoint` is executor-memory-
+    *   backed and dies with a lost executor). Unset → localCheckpoint,
+    *   fine for tests/single-JVM. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
@@ -118,13 +158,18 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("node", "dst_n"), col("dst") === col("dst_n"))
         .select(col("src").as("node"), col("label"))
-      val next = labels.select("node", "label").union(neighborLabels)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(eager = true) // cut lineage each round
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      // carry the previous label through the min-agg so convergence is
+      // decided on the SAME materialized frame — one count over the
+      // checkpointed result, no extra join-and-compare job
+      val idType = pairs.schema("id_a").dataType
+      val next = cut(
+        labels.select(col("node"), col("label"), col("label").as("old"))
+          .union(neighborLabels.withColumn("old", lit(null).cast(idType)))
+          .groupBy("node")
+          .agg(min("label").as("label"), max("old").as("old")))
+      changed = next.filter(col("label") =!= col("old")).count()
       labels.unpersist()
-      labels = next.cache()
+      labels = next.select("node", "label").cache()
       iter += 1
     }
     edges.unpersist()
@@ -175,5 +220,54 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
       .select("id_a", "id_b", "n_inter", "jaccard")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Scale-safe n-gram Jaccard: candidate pairs from MinHash-LSH banding
+    * (bounded by construction — pair count grows with TRUE near-dup
+    * density, not corpus size), verified with the exact word-set
+    * jaccard. This is how [[ngramJaccard]]'s semantics survive 100 TB:
+    * the (lang, source) blocking there bounds per-pair cost but not pair
+    * COUNT (O(10) blocks ⇒ quadratic block population); composing d2's
+    * LSH candidates with d4's exact verify bounds both. Recall is the
+    * LSH capture probability 1-(1-j⁴)⁴ (≈ 0.98 at j = 0.9, ≈ 0.88 at
+    * j = 0.8) — the standard trade documented for near-dup mining.
+    *
+    * @return (id_a, id_b, n_inter, jaccard) exactly like ngramJaccard,
+    *         restricted to LSH-captured candidates.
+    */
+  def ngramJaccardViaLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
+      .withColumn("sz", size(col("ws")).cast("long"))
+    val words = docs
+      .select(col("doc_id"), split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    // LSH candidates WITHOUT the signature-agreement filter: banding is
+    // the recall gate, the exact jaccard below is the precision gate.
+    val perms = 16
+    val bands = 4
+    val rows = perms / bands
+    val sigs = words
+      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, perms))
+      .select("doc_id", "sig")
+    val banded = sigs.select(col("doc_id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "band_hash")))
+    val cands = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("id_b")),
+        Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cands
+      .join(toks.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("n_inter",
+        graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_inter", "jaccard")
   }
 }

@@ -44,28 +44,33 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** d6: IVF-bucketed ANN. Coarse quantizer = every 50th vector
-    * (deterministic; k-means centroids in a real deployment — seeded
-    * sample is the same plumbing). Each corpus vector is assigned to its
-    * nearest centroid (broadcast argmin, computed with a max_by over the
-    * exploded centroid array); queries probe only their own bucket.
+  /** d6: IVF-bucketed ANN with a FIXED-k coarse quantizer from
+    * distributed k-means ([[kmeans]]): centroid count is independent of
+    * corpus size, so the centroid broadcast stays constant and
+    * assignment is O(n·k) — the shape that survives 100 TB (the earlier
+    * every-50th-vector quantizer grew the centroid set with the corpus:
+    * O(n²/50) assignment). Queries probe their `nprobe` nearest buckets
+    * (nprobe = 2 here; more probes = more recall, linearly more scan) —
+    * corpus vectors live in exactly one bucket, so probing several
+    * buckets cannot duplicate candidates. At write time `bucket` becomes
+    * a partition key, so a probe scans only its bucket's files.
     */
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    // assign: argmax cosine over centroids (small, broadcast)
-    def assignTo(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
+    val k = 16
+    val nprobe = 2
+    val cents = kmeans(emb, k, iters = 2)
+    def assignTo(df: DataFrame, probes: Int): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
-      .withColumn("rk", row_number().over(
+      .withColumn("crk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("label"), col("c_id").as("bucket"))
-    val assigned = assignTo(emb)
+      .filter(col("crk") <= probes)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
+    val assigned = assignTo(emb, probes = 1)
     // query side: filter FIRST, assign only the 10 query vectors — the
     // corpus-wide assignment must not be recomputed inside the
     // broadcast branch
-    val queries = assignTo(emb.filter(col("vec_id") < 10))
+    val queries = assignTo(emb.filter(col("vec_id") < 10), probes = nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     assigned.join(broadcast(queries), Seq("bucket"))
@@ -73,7 +78,7 @@ object Similarity {
       .withColumn("cos", cosine(col("q_vec"), col("embedding")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"), col("cos"), col("rk"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
       .orderBy("q_id", "rk")
   }
 
@@ -83,7 +88,11 @@ object Similarity {
     * corpus. Recall vs full precision is spec-checked.
     */
   def quantize8(v: Column): Column = {
-    val scale = aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+    // Guard the degenerate all-zero vector: scale would be 0 and
+    // 0/0 = NaN, which ANSI round→tinyint casts reject at runtime.
+    val scale = greatest(
+      aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x))),
+      lit(java.lang.Double.MIN_VALUE))
     struct(
       transform(v, x => round(x / scale * 127.0).cast("tinyint")).as("q"),
       scale.as("scale"))
@@ -181,25 +190,31 @@ object Similarity {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("c_id").as("bucket"), col("d2"))
 
-  /** d11: embedding-cosine near-duplicate pairs, blocked by label
-    * (cheap cluster id in the testdata; at scale an LSH/IVF bucket) so
-    * pairwise comparison happens only within blocks.
+  /** d11: embedding-cosine near-duplicate pairs, blocked by the
+    * operator's OWN IVF buckets (fixed-k k-means, the d6 quantizer) —
+    * self-contained: no reliance on a pre-existing cluster column.
+    * Pairwise comparison happens only within buckets; recall misses
+    * cross-bucket pairs, the standard ANN-blocking trade (raise k and
+    * multi-assign for tighter recall; k scales ~√n at 100 TB so bucket
+    * population stays bounded).
     */
   def nearDupCosine(s: SparkSession, d: String): DataFrame = {
     // Pre-compute each vector's norm ONCE before the pairwise join —
     // inside the join it would be recomputed per pair (O(pairs·dim)
     // extra work).
-    val emb = Tables.embeddings(s, d).select("vec_id", "embedding", "label")
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       .withColumn("nrm", norm(col("embedding")))
-    val a = emb.select(col("label"), col("vec_id").as("id_a"),
+    val buckets = assign(emb, kmeans(emb, 8, iters = 2)).select("vec_id", "bucket")
+    val blocked = emb.join(buckets, "vec_id")
+    val a = blocked.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("v_a"), col("nrm").as("n_a"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"),
+    val b = blocked.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cos") >= 0.30)
-      .select("label", "id_a", "id_b", "cos")
+      .select("bucket", "id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")
   }
 }

@@ -16,7 +16,9 @@ import graft.Tables
 object Sketches {
 
   /** d13: per-event-type profile: exact count, HLL distinct users
-    * (rsd 1%), p50/p90/p99 of value. */
+    * (rsd 1%), p50/p90/p99 of value. Quantiles projected to scalar
+    * columns (not an array) so downstream row-comparison tooling can
+    * sort on them. */
   def sketchProfile(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
@@ -24,6 +26,10 @@ object Sketches {
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
-          lit(10000)).as("value_quantiles"))
+          lit(10000)).as("vq"))
+      .select(col("event_type"), col("n_events"), col("approx_users"),
+        col("vq").getItem(0).as("p50"),
+        col("vq").getItem(1).as("p90"),
+        col("vq").getItem(2).as("p99"))
       .orderBy("event_type")
 }

@@ -173,8 +173,12 @@ object TimeSeries {
       .select("event_id", "user_id", "ts", "value")
     val quotes = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("user_id_r"), col("ts").as("q_ts"),
-        col("value").as("q_value"))
-    graft.plans.AsOf.join(trades, quotes, "user_id", "ts", "q_ts")
+        col("value").as("q_value"), col("event_id").as("q_event_id"))
+    // seq columns make ts ties deterministic: a view at the exact same
+    // timestamp as the purchase counts only if its event_id is smaller —
+    // identical to the q16/oracle (ORDER BY ts, event_id) window order.
+    graft.plans.AsOf.join(trades, quotes, "user_id", "ts", "q_ts",
+        leftSeqCol = Some("event_id"), rightSeqCol = Some("q_event_id"))
       .select("event_id", "user_id", "ts", "value", "q_value", "q_ts")
       .orderBy("event_id")
   }

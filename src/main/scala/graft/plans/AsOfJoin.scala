@@ -32,7 +32,9 @@ import org.apache.spark.sql.graftshim
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression) extends BinaryNode {
+    rightKey: Expression, rightTime: Expression,
+    leftSeq: Option[Expression] = None, rightSeq: Option[Expression] = None)
+  extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
@@ -41,16 +43,25 @@ case class AsOfJoin(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, ls, rs) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, ls, rs) :: Nil
     case _ => Nil
   }
 }
 
+/** Tie semantics are EXPLICIT: with seq expressions, a right row matches
+  * iff (rightTime, rightSeq) <= (leftTime, leftSeq) lexicographically —
+  * the same order a `ORDER BY time, seq ROWS UNBOUNDED PRECEDING` window
+  * sees, so equal-timestamp rows resolve deterministically. Without seq,
+  * ANY right row at exactly leftTime is included (inclusive-time as-of),
+  * which is nondeterministic among equal-time right rows — pass a seq
+  * column whenever timestamps can tie (they do, in real tick data).
+  */
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTime: Expression,
-    rightKey: Expression, rightTime: Expression) extends BinaryExecNode {
+    rightKey: Expression, rightTime: Expression,
+    leftSeq: Option[Expression], rightSeq: Option[Expression]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -59,8 +70,10 @@ case class AsOfJoinExec(
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)) ++
+      leftSeq.map(SortOrder(_, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+      rightSeq.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
@@ -72,8 +85,11 @@ case class AsOfJoinExec(
     val ltB = BindReferences.bindReference(leftTime, lOut)
     val rkB = BindReferences.bindReference(rightKey, rOut)
     val rtB = BindReferences.bindReference(rightTime, rOut)
+    val lsB = leftSeq.map(BindReferences.bindReference(_, lOut))
+    val rsB = rightSeq.map(BindReferences.bindReference(_, rOut))
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val seqOrd = leftSeq.map(e => TypeUtils.getInterpretedOrdering(e.dataType))
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -84,9 +100,21 @@ case class AsOfJoinExec(
       var lastMatch: InternalRow = null
       var lastMatchKey: Any = null
 
+      // (rightTime[, rightSeq]) <= (leftTime[, leftSeq]) lexicographically
+      def atOrBefore(rRow: InternalRow, lt: Any, ls: Any): Boolean = {
+        val tc = timeOrd.asInstanceOf[Ordering[Any]].compare(rtB.eval(rRow), lt)
+        if (tc != 0) tc < 0
+        else seqOrd match {
+          case Some(ord) =>
+            ord.asInstanceOf[Ordering[Any]].compare(rsB.get.eval(rRow), ls) <= 0
+          case None => true // no seq: inclusive at equal time
+        }
+      }
+
       lIter.map { lRow =>
         val lk = lkB.eval(lRow)
         val lt = ltB.eval(lRow)
+        val ls = lsB.map(_.eval(lRow)).orNull
         if (lastMatch != null && keyOrd.asInstanceOf[Ordering[Any]].compare(lastMatchKey, lk) != 0) {
           lastMatch = null; lastMatchKey = null
         }
@@ -98,9 +126,8 @@ case class AsOfJoinExec(
             val rk = rkB.eval(pending)
             val cmp = keyOrd.asInstanceOf[Ordering[Any]].compare(rk, lk)
             if (cmp < 0) pending = null // right key behind: discard
-            else if (cmp == 0 &&
-                timeOrd.asInstanceOf[Ordering[Any]].compare(rtB.eval(pending), lt) <= 0) {
-              lastMatch = pending.copy() // newest right row at/before lt
+            else if (cmp == 0 && atOrBefore(pending, lt, ls)) {
+              lastMatch = pending.copy() // newest right row at/before (lt, ls)
               lastMatchKey = rkB.eval(lastMatch)
               pending = null
             } else done = true // right ahead of this left row
@@ -122,7 +149,8 @@ case class AsOfJoinExec(
   */
 object AsOf {
   def join(leftDf: DataFrame, rightDf: DataFrame,
-      key: String, leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      key: String, leftTimeCol: String, rightTimeCol: String,
+      leftSeqCol: Option[String] = None, rightSeqCol: Option[String] = None): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
@@ -135,6 +163,7 @@ object AsOf {
     graftshim.ofRows(spark,
       AsOfJoin(lp, rp,
         attr(lp, key), attr(lp, leftTimeCol),
-        attr(rp, key + "_r"), attr(rp, rightTimeCol)))
+        attr(rp, key + "_r"), attr(rp, rightTimeCol),
+        leftSeqCol.map(attr(lp, _)), rightSeqCol.map(attr(rp, _))))
   }
 }

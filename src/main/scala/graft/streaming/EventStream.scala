@@ -42,27 +42,43 @@ object EventStream {
         col("n_events"), col("total_value"))
 
   /** Stateful latest-value-per-key (Redis latest-quote analog) via
-    * mapGroupsWithState. State per user is O(1); timeout eviction keeps
-    * the store bounded on idle keys.
+    * mapGroupsWithState. State per user is O(1) but lives FOREVER unless
+    * `idleTimeout` is set: pass Some(duration) on churning key
+    * populations to evict idle keys via processing-time timeout (the
+    * final quote is re-emitted on eviction; a fresh tick re-creates the
+    * state). Default None keeps the store unbounded — fine for a fixed
+    * key universe (one state per instrument), and required by bounded
+    * smoke runs: a pending processing-time timeout schedules recurring
+    * no-data micro-batches, so `processAllAvailable` never settles.
     */
-  def latestPerKey(stream: Dataset[Tick]): Dataset[Latest] = {
+  def latestPerKey(stream: Dataset[Tick],
+      idleTimeout: Option[String] = None): Dataset[Latest] = {
     import stream.sparkSession.implicits._
+    val conf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+               else GroupStateTimeout.NoTimeout
     stream
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(conf)(
         (user: Long, ticks: Iterator[Tick], state: GroupState[Latest]) => {
-          val prev = state.getOption
-          var best = prev
-          var seen = prev.map(_.n_seen).getOrElse(0L)
-          ticks.foreach { t =>
-            seen += 1
-            val cmp = if (best.isEmpty) 1 else t.ts.compareTo(best.get.ts)
-            if (cmp > 0 || (cmp == 0 && t.event_id > best.get.last_event_id))
-              best = Some(Latest(user, t.ts, t.value, seen, t.event_id))
+          if (state.hasTimedOut) {
+            val out = state.get // idle key: emit final value, evict
+            state.remove()
+            out
+          } else {
+            val prev = state.getOption
+            var best = prev
+            var seen = prev.map(_.n_seen).getOrElse(0L)
+            ticks.foreach { t =>
+              seen += 1
+              val cmp = if (best.isEmpty) 1 else t.ts.compareTo(best.get.ts)
+              if (cmp > 0 || (cmp == 0 && t.event_id > best.get.last_event_id))
+                best = Some(Latest(user, t.ts, t.value, seen, t.event_id))
+            }
+            val out = best.get.copy(n_seen = seen)
+            state.update(out)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out
           }
-          val out = best.get.copy(n_seen = seen)
-          state.update(out)
-          out
         })
   }
 
@@ -90,41 +106,67 @@ object EventStream {
 
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, closed: Boolean)
-  case class SessState(start: Long, end: Long, n: Long)
+  case class SessState(start: Long, end: Long, n: Long) // start/end in epoch µs
+
+  /** µs-exact Timestamp conversions — getTime() alone is ms and silently
+    * truncates the sub-ms part real tick data carries. */
+  private def tsToUs(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+  private def usToTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming gap-based sessionization (the stateful twin of batch
-    * q15): events accumulate into a per-user session; a 30-minute event
-    * -time gap (or state timeout) closes it. flatMapGroupsWithState
-    * keeps O(1) state per key; timeout eviction bounds the store.
+    * q15): events accumulate into a per-user session; a 30-minute
+    * event-time gap closes it. An EVENT-TIME timeout at session_end +
+    * gap closes and evicts idle sessions once the watermark passes, so
+    * state is bounded: every session either closes on the next event's
+    * gap or on watermark advance — never parked forever.
     */
-  def sessionize(stream: Dataset[Tick], gapMinutes: Int = 30): Dataset[SessionOut] = {
+  def sessionize(stream: Dataset[Tick], gapMinutes: Int = 30,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import stream.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
+    val gapMs = gapMinutes * 60L * 1000L
     stream
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: Long, ticks: Iterator[Tick], state: GroupState[SessState]) => {
-          val sorted = ticks.toSeq.sortBy(t => (t.ts.getTime, t.event_id))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { t =>
-            val us = t.ts.getTime * 1000L
-            cur match {
-              case Some(ss) if us - ss.end <= gapUs =>
-                cur = Some(ss.copy(end = us, n = ss.n + 1))
-              case Some(ss) =>
-                out += SessionOut(user, new java.sql.Timestamp(ss.start / 1000L),
-                  new java.sql.Timestamp(ss.end / 1000L), ss.n, closed = true)
-                cur = Some(SessState(us, us, 1))
-              case None =>
-                cur = Some(SessState(us, us, 1))
+          def emit(ss: SessState) = SessionOut(user,
+            usToTs(ss.start), usToTs(ss.end), ss.n, closed = true)
+          if (state.hasTimedOut) {
+            // watermark passed session_end + gap: the gap elapsed in
+            // event time with no new tick — close and evict
+            val ss = state.get
+            state.remove()
+            Iterator.single(emit(ss))
+          } else {
+            val sorted = ticks.toSeq.sortBy(t => (tsToUs(t.ts), t.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              val us = tsToUs(t.ts)
+              cur match {
+                case Some(ss) if us - ss.end <= gapUs =>
+                  cur = Some(ss.copy(end = us, n = ss.n + 1))
+                case Some(ss) =>
+                  out += emit(ss)
+                  cur = Some(SessState(us, us, 1))
+                case None =>
+                  cur = Some(SessState(us, us, 1))
+              }
             }
+            cur.foreach { ss =>
+              state.update(ss)
+              // must be strictly ahead of the current watermark
+              state.setTimeoutTimestamp(
+                math.max(ss.end / 1000L + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
           }
-          cur match {
-            case Some(ss) => state.update(ss)
-            case None => ()
-          }
-          out.iterator
         })
   }
 

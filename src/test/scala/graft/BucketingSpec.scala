@@ -47,8 +47,7 @@ class BucketingSpec extends SparkSpec {
       abs(col("approx_users") - col("exact_users")) > col("exact_users") * 0.05).count()
     assert(bad == 0, "HLL estimate off by more than 5%")
     val unordered = prof.filter(
-      col("value_quantiles")(0) > col("value_quantiles")(1) ||
-      col("value_quantiles")(1) > col("value_quantiles")(2)).count()
+      col("p50") > col("p90") || col("p90") > col("p99")).count()
     assert(unordered == 0)
     prof.unpersist()
   }

@@ -45,11 +45,23 @@ class SkewAndSessionSpec extends SparkSpec {
     EventStream.runToMemory(
       EventStream.sessionize(input.toDS()).toDF(), "sess_out", OutputMode.Append)
     val closed = spark.table("sess_out")
-    // batch sessionizer counts all sessions; streaming emits closed ones
-    // (the final open session per user stays in state) => closed = total - open
+    // batch sessionizer counts all sessions; streaming closes a session
+    // on the next event's gap OR on event-time timeout once the final
+    // watermark passes session_end + gap. So: at least every non-final
+    // session per user closes, at most all of them do (a user's last
+    // session also closes if it ended > gap+delay before the stream max).
     val batchSessions = SparkEntry.queries("q15_sessionize")(spark, sf)
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
-    assert(closed.count() == batchSessions.count() - users)
+    assert(closed.count() >= batchSessions.count() - users)
+    assert(closed.count() <= batchSessions.count())
+    // every closed streaming session is exactly a batch session:
+    // same (user, start, end, n_events)
+    val match_ = closed.join(batchSessions,
+      closed("user_id") === batchSessions("user_id") &&
+      closed("session_start") === batchSessions("t_start") &&
+      closed("session_end") === batchSessions("t_end") &&
+      closed("n_events") === batchSessions("n_events"))
+    assert(match_.count() == closed.count())
     // session boundaries respect the gap: no two closed sessions of a
     // user overlap
     val a = closed.select(col("user_id"), col("session_start").as("sa"),
