@@ -73,6 +73,31 @@ object ScaleSmoke {
     time("dup clusters from pairs") {
       operators.Dedup.connectedComponents(pairs.select("id_a", "id_b")).count()
     }
+    // simhash band pairing at 1M docs: fingerprints from the same word
+    // salads, 4×16-bit bands → verified hamming ≤ 3 pairs.
+    time("simhash pairs 1M docs") {
+      val fps = docs1m.select(col("doc_id"),
+        graft.functions.VectorExprs.simhash64(col("ws")).as("simhash"))
+      operators.Dedup.simhashPairs(fps).count()
+    }
+    // LSH-candidate jaccard at 1M docs — the scale-safe d4 composition.
+    // Realistic 10k-word vocab: LSH banding's boundedness rests on the
+    // similarity distribution of real corpora (random doc pairs share
+    // ~0 word-set jaccard); the 40-word salad above is a deliberately
+    // degenerate corpus where EVERY pair is ~0.35 similar and any
+    // set-similarity candidate generator must emit ~all pairs.
+    // 1% of docs are exact duplicates (id pairs (i, i+1) with i%200=0),
+    // so the expected near-dup pair count is known: ~5000.
+    time("jaccard-via-lsh 1M docs") {
+      val docsBig = spark.range(1000000)
+        .select(col("id").as("doc_id"),
+          expr("if(id % 200 < 2, (id div 2) * 2, id)").as("seed"))
+        .select(col("doc_id"),
+          expr("""concat_ws(' ', transform(sequence(0, 29),
+                 |  i -> concat('w', cast(pmod(xxhash64(seed * 1000000 + i), 10000) as string))))""".stripMargin)
+            .as("text"))
+      operators.Dedup.ngramJaccardViaLsh(docsBig).count()
+    }
     spark.stop()
   }
 }

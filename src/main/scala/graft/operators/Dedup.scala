@@ -240,16 +240,17 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
       .withColumn("sz", size(col("ws")).cast("long"))
-    val words = docs
-      .select(col("doc_id"), split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
     // LSH candidates WITHOUT the signature-agreement filter: banding is
     // the recall gate, the exact jaccard below is the precision gate.
+    // Shingle size 1: the signature minhashes the WORD SET — the same
+    // similarity measure the exact verify computes (3-shingle signatures
+    // would estimate a different, much lower jaccard for reordered
+    // near-dups and gut recall).
     val perms = 16
     val bands = 4
     val rows = perms / bands
-    val sigs = words
-      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, perms))
+    val sigs = toks.filter(size(col("ws")) >= 1)
+      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 1, perms))
       .select("doc_id", "sig")
     val banded = sigs.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
