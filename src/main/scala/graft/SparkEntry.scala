@@ -74,6 +74,7 @@ object SparkEntry {
     "q49_chain_flatten"   -> (Chains.chainFlatten _),
     "q50_symbol_parse"    -> (Chains.parseSymbols _),
     "q51_strike_backfill" -> (Chains.strikeGridBackfill _),
+    "q52_quality_merge"   -> (Relational.qualityMerge _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -631,6 +632,20 @@ object SparkEntry {
         |FROM grid g LEFT JOIN obs o
         |  ON o.day = g.day AND o.strike = g.strike AND o.hr = g.hr
         |ORDER BY g.day, g.strike, g.hr""".stripMargin,
+
+    "q52_quality_merge" ->
+      """SELECT user_id, day, best_source, q_rank, best_value, ts FROM (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type AS best_source,
+        |    CASE event_type WHEN 'purchase' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'view' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS q_rank,
+        |    value AS best_value, CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY CASE event_type WHEN 'purchase' THEN 1 WHEN 'click' THEN 2
+        |               WHEN 'view' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END ASC,
+        |               ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, day""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt

@@ -171,6 +171,37 @@ object Relational {
     target.unionByName(newRows).orderBy("user_id", "event_type")
   }
 
+  /** q52: multi-source quality-precedence merge — the OPTM MERGE's real
+    * motivation: "several brokerages, with varying quality assignments"
+    * (/root/reference/docs/sql_server.md:178). Per (key, day), rows
+    * arrive from multiple sources; the survivor is the row from the
+    * HIGHEST-quality source present, tie-broken by recency then id —
+    * a source-priority upsert, not q13's new-wins coalesce.
+    *
+    * Scale shape: ONE window over (user_id, day) — single shuffle; the
+    * quality rank is a compile-time map folded into the sort key, so no
+    * dimension join is needed for a fixed source roster.
+    */
+  def qualityMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // event_type stands in for the feed source; lower rank = better feed
+    val quality = when(col("event_type") === "purchase", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "view", 3)
+      .when(col("event_type") === "signup", 4)
+      .otherwise(5)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "day")
+      .orderBy(col("q_rank").asc, col("ts").desc, col("event_id").desc)
+    ev.withColumn("day", to_date(col("ts")))
+      .withColumn("q_rank", quality)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("event_type").as("best_source"),
+        col("q_rank"), col("value").as("best_value"), col("ts"))
+      .orderBy("user_id", "day")
+  }
+
   /** q14: pivot a categorical into measure columns.
     * Reference analog: CALL/PUT sides (CP=±1) widened into columns for
     * vertical construction. Fixed pivot values → single shuffle, no
