@@ -170,6 +170,27 @@ object EventStream {
         })
   }
 
+  /** Streaming OHLC bar construction — the reference's core stream
+    * consumer (ticks → HISTORIC.MINUTE bars; here hourly to mirror the
+    * batch q17). min_by/max_by on (ts, event_id) give deterministic
+    * open/close under any arrival order; the watermark closes a bar
+    * one delay after its hour passes, bounding state to the open bars.
+    * Batch twin: TimeSeries.ohlcBars (parity-tested).
+    */
+  def ohlcBars(stream: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("seq", struct(col("ts"), col("event_id")))
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(
+        min_by(col("value"), col("seq")).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max_by(col("value"), col("seq")).as("close_v"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("user_id"), col("window.start").as("bar"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"), col("n_ticks"))
+
   /** Streaming exact dedup: drop re-delivered events by id within the
     * watermark horizon (at-least-once source → effectively-once sink).
     * State = seen ids inside the watermark window, evicted as event

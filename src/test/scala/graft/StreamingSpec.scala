@@ -99,6 +99,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == ticks.size)
   }
 
+  test("streaming OHLC bars match batch q17 on the same ticks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ticks = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Tick].collect().toSeq
+    val input = MemoryStream[Tick]
+    input.addData(ticks)
+    // Complete mode so bars still inside the watermark horizon are
+    // visible too — Append would rightly hold them open
+    EventStream.runToMemory(
+      EventStream.ohlcBars(input.toDF()), "ohlc_out", OutputMode.Complete)
+    val got = spark.table("ohlc_out")
+      .withColumnRenamed("open_v", "s_o").withColumnRenamed("high_v", "s_h")
+      .withColumnRenamed("low_v", "s_l").withColumnRenamed("close_v", "s_c")
+      .withColumnRenamed("n_ticks", "s_n")
+    val want = SparkEntry.queries("q17_ohlc_bars")(spark, sf)
+    val j = got.join(want, Seq("user_id", "bar"), "full_outer")
+    assert(j.filter(col("s_n").isNull || col("n_ticks").isNull).count() == 0,
+      "stream and batch bar sets differ")
+    assert(j.filter(col("s_o") =!= col("open_v") || col("s_h") =!= col("high_v") ||
+      col("s_l") =!= col("low_v") || col("s_c") =!= col("close_v") ||
+      col("s_n") =!= col("n_ticks")).count() == 0)
+  }
+
   test("latestPerKey state matches batch latest-per-key") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
