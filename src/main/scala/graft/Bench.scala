@@ -8,13 +8,15 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query at the target scale
   * factor and prints one JSON line.
   *
-  * Queries run with modest concurrency (4 in flight): Spark's
-  * scheduler is built for concurrent jobs, and the suite wall-clock is
-  * the honest single-node throughput number — serial execution mostly
-  * measures 53× per-query planning/codegen latency, not engine
-  * throughput. `value` = wall-clock seconds for the whole suite;
-  * per-query numbers are individual latencies as observed under that
-  * concurrency.
+  * Queries run with modest concurrency (8 in flight, override with
+  * SPARK_GRAFT_BENCH_CONC): Spark's scheduler is built for concurrent
+  * jobs, and the suite wall-clock is the honest single-node throughput
+  * number — serial execution mostly measures 71× per-query
+  * planning/codegen latency, not engine throughput. `value` =
+  * wall-clock seconds for the whole suite; per-query numbers are
+  * individual latencies as observed under that concurrency (they
+  * inflate with queueing — compare plan shapes, not these, across
+  * concurrency settings).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,7 +32,7 @@ object Bench {
     // footer reads — so init cost isn't billed to the first query.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    val pool = Executors.newFixedThreadPool(4)
+    val pool = Executors.newFixedThreadPool(sys.env.getOrElse("SPARK_GRAFT_BENCH_CONC", "8").toInt)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val wall0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>

@@ -75,6 +75,7 @@ object SparkEntry {
     "q50_symbol_parse"    -> (Chains.parseSymbols _),
     "q51_strike_backfill" -> (Chains.strikeGridBackfill _),
     "q52_quality_merge"   -> (Relational.qualityMerge _),
+    "q53_order_legs"      -> (Chains.orderLegsNormalize _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -646,6 +647,20 @@ object SparkEntry {
         |               ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, day""".stripMargin,
+
+    "q53_order_legs" ->
+      """SELECT l_orderkey AS order_id,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_returnflag)
+        |    AS INTEGER) AS leg_id,
+        |  1 AS activity_id,
+        |  CASE WHEN l_returnflag = 'R' THEN 'SELL' ELSE 'BUY' END AS instruction,
+        |  'SYM' || CAST(l_partkey % 100 AS VARCHAR) AS symbol,
+        |  l_quantity AS exec_qty,
+        |  l_extendedprice AS exec_price,
+        |  CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+        |       ELSE -l_extendedprice END AS signed_price
+        |FROM lineitem ORDER BY order_id, leg_id""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt

@@ -132,6 +132,83 @@ object Chains {
       .orderBy("p_partkey")
   }
 
+  /** Order-payload schema for q53: the transactions JSON shape the
+    * reference normalizes (order → orderLegCollection[] +
+    * orderActivityCollection[].executionLegs[],
+    * /root/reference/tools/db.py:1049-1075). */
+  private val orderSchema = StructType(Seq(
+    StructField("orderId", LongType),
+    StructField("orderLegCollection", ArrayType(StructType(Seq(
+      StructField("legId", IntegerType),
+      StructField("instruction", StringType),
+      StructField("symbol", StringType))))),
+    StructField("orderActivityCollection", ArrayType(StructType(Seq(
+      StructField("activityId", IntegerType),
+      StructField("executionLegs", ArrayType(StructType(Seq(
+        StructField("legId", IntegerType),
+        StructField("quantity", DoubleType),
+        StructField("price", DoubleType)))))))))))
+
+  /** q53: transactions normalization — nested order JSON flattened to
+    * EXECUTION-LEG grain with leg attributes joined back by legId
+    * (SP_PY_PARSE_TRANSACTIONS + tools/db.py process_order: orders /
+    * legs / activities / executions referential structure). This is the
+    * double-nested-ARRAY twin of q49's map flatten, plus the
+    * intra-payload legId join and the BUY/SELL signed price the
+    * reference's #Subs rollup applies.
+    *
+    * Scale shape: payload parse + two explodes are per-row; the
+    * legs⋈executions join keys on (order_id, leg_id) — high
+    * cardinality, single shuffle each side.
+    */
+  def orderLegsNormalize(s: SparkSession, d: String): DataFrame = {
+    // legId must be UNIQUE within the order for the executions⋈legs join
+    // (l_linenumber repeats in this testdata) — assign it once per row
+    // so leg and exec structs share it; ties among fully-identical rows
+    // are harmless (identical outputs either way)
+    val w = Window.partitionBy("l_orderkey").orderBy(
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+    val li = Tables.lineitem(s, d).select(
+      "l_orderkey", "l_linenumber", "l_returnflag", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice")
+      .withColumn("leg_id", row_number().over(w))
+    val legs = li.select(col("l_orderkey").as("order_id"),
+      struct(
+        col("leg_id").as("legId"),
+        when(col("l_returnflag") === "R", "SELL").otherwise("BUY").as("instruction"),
+        concat(lit("SYM"), (col("l_partkey") % 100).cast("string")).as("symbol")).as("leg"),
+      struct(
+        col("leg_id").as("legId"),
+        col("l_quantity").as("quantity"),
+        col("l_extendedprice").as("price")).as("exec"))
+    val payloads = legs.groupBy("order_id")
+      .agg(to_json(struct(
+        col("order_id").as("orderId"),
+        sort_array(collect_list(col("leg"))).as("orderLegCollection"),
+        array(struct(lit(1).as("activityId"),
+          sort_array(collect_list(col("exec"))).as("executionLegs")))
+          .as("orderActivityCollection"))).as("payload"))
+    val parsed = payloads.select(from_json(col("payload"), orderSchema).as("o"))
+    val legsF = parsed
+      .select(col("o.orderId").as("order_id"), explode(col("o.orderLegCollection")).as("leg"))
+      .select(col("order_id"), col("leg.legId").as("leg_id"),
+        col("leg.instruction").as("instruction"), col("leg.symbol").as("symbol"))
+    val execsF = parsed
+      .select(col("o.orderId").as("order_id"),
+        explode(col("o.orderActivityCollection")).as("act"))
+      .select(col("order_id"), col("act.activityId").as("activity_id"),
+        explode(col("act.executionLegs")).as("ex"))
+      .select(col("order_id"), col("activity_id"), col("ex.legId").as("leg_id"),
+        col("ex.quantity").as("exec_qty"), col("ex.price").as("exec_price"))
+    execsF.join(legsF, Seq("order_id", "leg_id"))
+      .withColumn("signed_price",
+        when(col("instruction") === "BUY", -col("exec_price")).otherwise(col("exec_price")))
+      .select("order_id", "leg_id", "activity_id", "instruction", "symbol",
+        "exec_qty", "exec_price", "signed_price")
+      .orderBy("order_id", "leg_id")
+  }
+
   /** q51: strike-grid backfill. Per day: (1) bound the strike range by
     * the 09:00–11:00 min/max of the underlying value snapped to the $5
     * grid (the @SPX_Min/@SPX_Max window agg); (2) lattice = bounded
