@@ -66,6 +66,21 @@ class ChainsAndDedupSpec extends SparkSpec {
     bf.unpersist()
   }
 
+  test("q53 order-legs normalization preserves referential integrity") {
+    val flat = Chains.orderLegsNormalize(spark, sf).cache()
+    val li = Tables.lineitem(spark, sf)
+    // execution grain: one output row per lineitem (1:1 legId join, no fanout)
+    assert(flat.count() == li.count())
+    // legId unique within each order
+    assert(flat.groupBy("order_id", "leg_id").count().filter(col("count") > 1).count() == 0)
+    // signed price: BUY negative, SELL positive (for positive prices)
+    assert(flat.filter(col("instruction") === "BUY" &&
+      col("exec_price") > 0 && col("signed_price") >= 0).count() == 0)
+    assert(flat.filter(col("instruction") === "SELL" &&
+      col("signed_price") =!= col("exec_price")).count() == 0)
+    flat.unpersist()
+  }
+
   test("d3 simhash banding is recall-lossless for hamming <= 3 (matches brute force)") {
     val fps = Dedup.simhashFingerprints(spark, sf).cache()
     val banded = Dedup.simhashPairs(fps).select("id_a", "id_b", "hd")
