@@ -82,8 +82,23 @@ object Chains {
       .agg(to_json(map_from_entries(collect_list(
         struct(col("exp_key"), col("strikes"))))).as("payload"))
     // parse + flatten: the process_options loop as a declarative plan
-    payloads
-      .select(col("user_id"), col("cp"), from_json(col("payload"), chainSchema).as("m"))
+    parseChainPayloads(payloads)._1.orderBy("contract_id")
+  }
+
+  /** Production chains entry: parse raw payload JSON strings — one row
+    * per (user_id, cp, payload) — and flatten to the wide chain schema.
+    * Malformed payloads (from_json → null) go to the second returned
+    * frame instead of failing the batch: the per-contract try/except
+    * resilience of the reference's ingestion loop, as a declarative
+    * quarantine split.
+    */
+  def parseChainPayloads(payloads: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = payloads
+      .select(col("user_id"), col("cp"), col("payload"),
+        from_json(col("payload"), chainSchema).as("m"))
+    val quarantined = parsed.filter(col("m").isNull)
+      .select("user_id", "cp", "payload")
+    val flat = parsed.filter(col("m").isNotNull)
       .select(col("user_id"), col("cp"), explode(col("m")).as(Seq("exp_key", "strikes")))
       .select(col("user_id"), col("cp"), col("exp_key"),
         explode(col("strikes")).as(Seq("strike_key", "contracts")))
@@ -93,15 +108,17 @@ object Chains {
         col("c.contract_id").as("contract_id"),
         col("user_id"),
         col("cp"),
-        to_date(split(col("exp_key"), ":").getItem(0)).as("expiry"),
+        // try_cast: a malformed KEY inside an otherwise-valid payload
+        // yields null fields, not an ANSI runtime crash of the batch
+        expr("try_cast(split(exp_key, ':')[0] as date)").as("expiry"),
         col("c.daysToExpiration").as("dte"),
-        col("strike_key").cast("double").cast("int").as("strike"),
+        expr("try_cast(try_cast(strike_key as double) as int)").as("strike"),
         col("c.bid").as("bid"),
         col("c.ask").as("ask"),
         col("c.totalVolume").as("volume"),
         timestamp_millis(col("c.quoteTimeInLong")).as("dtime"),
         when(col("c.optionRoot") === "SPXW", 1).otherwise(0).as("weekly"))
-      .orderBy("contract_id")
+    (flat, quarantined)
   }
 
   /** q50: option-symbol parse. Builds OCC-style fixed-width symbols from

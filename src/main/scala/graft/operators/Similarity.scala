@@ -190,6 +190,43 @@ object Similarity {
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("c_id").as("bucket"), col("d2"))
 
+  /** Persist an IVF ANN index: every vector assigned to its nearest
+    * fixed-k centroid bucket, written as parquet PARTITIONED BY bucket.
+    * At 100 TB this is the write-time layout that turns an ANN probe
+    * into a partition-pruned scan of nprobe buckets instead of a full
+    * corpus pass. Returns the centroid table (persist it alongside).
+    */
+  def buildIvfIndex(emb: DataFrame, k: Int, iters: Int, path: String): DataFrame = {
+    val cents = kmeans(emb, k, iters)
+    emb.join(assign(emb, cents).select("vec_id", "bucket"), "vec_id")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    cents
+  }
+
+  /** Probe a persisted IVF index: queries are assigned to their nprobe
+    * nearest centroids (broadcast), and the bucket equi-join against
+    * the partitioned index lets dynamic partition pruning skip every
+    * unprobed bucket's files — the scan cost is nprobe/k of the corpus.
+    */
+  def probeIvfIndex(s: SparkSession, path: String, cents: DataFrame,
+      queries: DataFrame, topK: Int = 5, nprobe: Int = 2): DataFrame = {
+    val idx = s.read.parquet(path)
+    val q = queries.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("crk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("c_id").as("bucket"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
+    idx.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
+  }
+
   /** d11: embedding-cosine near-duplicate pairs, blocked by the
     * operator's OWN IVF buckets (fixed-k k-means, the d6 quantizer) —
     * self-contained: no reliance on a pre-existing cluster column.

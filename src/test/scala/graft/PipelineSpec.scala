@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chains, CorpusPipeline, Similarity}
+
+/** End-to-end composition specs: the training-corpus pipeline, the
+  * persisted IVF index with partition-pruned probes, and the chains
+  * payload quarantine split. */
+class PipelineSpec extends SparkSpec {
+
+  test("corpus pipeline: stages shrink monotonically, output is chunked and deduped") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val (chunks, stats) = CorpusPipeline.buildTrainingCorpus(docs, minWords = 3)
+    val byName = stats.toMap
+    assert(stats.map(_._1) ==
+      Seq("scrubbed", "quality_gate", "exact_dedup", "near_dedup", "chunks"))
+    assert(byName("scrubbed") <= docs.count())
+    assert(byName("quality_gate") <= byName("scrubbed"))
+    assert(byName("exact_dedup") <= byName("quality_gate"))
+    assert(byName("near_dedup") <= byName("exact_dedup"))
+    assert(byName("near_dedup") > 0)
+    // chunk output covers every surviving doc
+    assert(chunks.select("doc_id").distinct().count() == byName("near_dedup"))
+    // no surviving exact duplicates: fingerprints unique post-pipeline
+    val survivors = chunks.select("doc_id").distinct()
+      .join(docs, "doc_id")
+    val dupFp = survivors
+      .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      .groupBy("fp").count().filter(col("count") > 1).count()
+    assert(dupFp == 0, "exact duplicates survived the pipeline")
+  }
+
+  test("IVF index: partitioned write, probe prunes partitions, results match in-memory IVF") {
+    val dir = Files.createTempDirectory("graft_ivf").toString + "/index"
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cents = Similarity.buildIvfIndex(emb, k = 8, iters = 2, dir)
+    // bucket=... hive dirs exist
+    val buckets = new java.io.File(dir).listFiles().filter(_.getName.startsWith("bucket="))
+    assert(buckets.nonEmpty, "index must be partitioned by bucket")
+    val queries = emb.filter(col("vec_id") < 10)
+    val res = Similarity.probeIvfIndex(spark, dir, cents, queries, topK = 5, nprobe = 2)
+    // dynamic partition pruning reaches the scan via the bucket join
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no partition pruning in probe plan:\n${plan.take(2000)}")
+    val got = res.cache()
+    assert(got.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0,
+      "every query must get exactly topK results")
+    // probing nprobe=8 (all buckets) must equal brute force top-1
+    val all = Similarity.probeIvfIndex(spark, dir, cents, queries, topK = 1, nprobe = 8)
+      .select(col("q_id"), col("neighbor_id").as("ivf_n"))
+    val bf = Similarity.embedTopK(spark, sf)
+      .filter(col("rk") === 1).select(col("q_id"), col("neighbor_id").as("bf_n"))
+    assert(bf.join(all, "q_id").filter(col("bf_n") =!= col("ivf_n")).count() == 0,
+      "full-probe IVF must equal brute force")
+    got.unpersist()
+  }
+
+  test("chains payload parse quarantines malformed JSON instead of failing") {
+    import spark.implicits._
+    val good = """{"2024-01-15:5":{"525.0":[{"contract_id":1,"bid":1.0,"ask":1.1,""" +
+      """"totalVolume":10,"optionRoot":"SPXW","daysToExpiration":5,"quoteTimeInLong":1705276800000}]}}"""
+    val rows = Seq(
+      (1L, 1, good),
+      (2L, -1, """{"not valid json"""),
+      (3L, 1, "garbage")).toDF("user_id", "cp", "payload")
+    val (flat, bad) = Chains.parseChainPayloads(rows)
+    assert(bad.count() == 2, "malformed payloads must be quarantined")
+    val r = flat.collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Int]("strike") == 525 && row.getAs[Int]("weekly") == 1 &&
+      row.getAs[Int]("dte") == 5)
+    // malformed KEYS inside valid JSON null out, not crash (ANSI-safe)
+    val badKey = Seq((4L, 1,
+      """{"oops:x":{"abc":[{"contract_id":2,"bid":1.0,"ask":1.1,"totalVolume":1,""" +
+        """"optionRoot":"SPX","daysToExpiration":0,"quoteTimeInLong":1705276800000}]}}"""))
+      .toDF("user_id", "cp", "payload")
+    val (flat2, bad2) = Chains.parseChainPayloads(badKey)
+    assert(bad2.count() == 0)
+    val r2 = flat2.collect()
+    assert(r2.length == 1 && r2.head.isNullAt(r2.head.fieldIndex("expiry")) &&
+      r2.head.isNullAt(r2.head.fieldIndex("strike")))
+  }
+}
