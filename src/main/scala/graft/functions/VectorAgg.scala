@@ -1,0 +1,104 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.{toCol, toExpr}
+import org.apache.spark.sql.types._
+
+/** Element-wise sum of float/double vectors as a
+  * TypedImperativeAggregate — the centroid/mean primitive of every
+  * embedding pipeline (k-means update step, cluster centroids, mean
+  * pooling). O(dim) state per group, map-side partial aggregation, so
+  * the shuffle moves one vector per (partition, group) instead of one
+  * row per (vector, dimension) — replaces the posexplode +
+  * per-dimension groupBy formulation (2 shuffles + dim× row blowup)
+  * with a single agg.
+  *
+  * Null vectors are ignored; mismatched lengths throw (corrupt input
+  * should fail loudly, not mis-sum).
+  */
+case class VectorSumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  // lazy: the first construction wraps an UNRESOLVED column; by the
+  // time update() runs we are the resolved/bound copy
+  private lazy val elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(
+      s"vector_sum expects array<float|double>, got $other")
+  }
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def createAggregationBuffer(): Array[Double] = Array.empty[Double]
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val acc = if (buf.isEmpty) new Array[Double](n) else buf
+    if (acc.length != n)
+      throw new IllegalStateException(
+        s"vector_sum: mismatched vector lengths ${acc.length} vs $n")
+    var i = 0
+    elemType match {
+      case FloatType => while (i < n) { acc(i) += arr.getFloat(i); i += 1 }
+      case DoubleType => while (i < n) { acc(i) += arr.getDouble(i); i += 1 }
+      case other => throw new IllegalStateException(s"vector_sum: unsupported element $other")
+    }
+    acc
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    if (a.length != b.length)
+      throw new IllegalStateException(
+        s"vector_sum: mismatched vector lengths ${a.length} vs ${b.length}")
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Double]): Any =
+    if (buf.isEmpty) null else new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach(out.writeDouble)
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    Array.fill(n)(in.readDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): VectorSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): VectorSumAgg =
+    copy(child = cs.head)
+}
+
+object VectorAgg {
+  /** `vector_sum(vec)` → array<double>: element-wise sum per group. */
+  def vectorSum(c: Column): Column =
+    toCol(VectorSumAgg(toExpr(c)).toAggregateExpression())
+}

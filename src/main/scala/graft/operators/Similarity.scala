@@ -141,10 +141,13 @@ object Similarity {
   }
 
   /** Distributed Lloyd's k-means over the embedding column — the real
-    * coarse quantizer behind IVF (d6 uses a seeded sample for oracle
-    * stability; production builds centroids here). Deterministic init
-    * (first k vectors by id). Each iteration: broadcast centroids,
-    * argmin-assign (one pass), per-cluster mean (one shuffle).
+    * coarse quantizer behind IVF. Deterministic init (first k vectors
+    * by id). Each iteration: broadcast centroids, argmin-assign (one
+    * pass), per-cluster mean via the custom `vector_sum`
+    * TypedImperativeAggregate (graft.functions.VectorSumAgg) — ONE
+    * map-side-combined shuffle moving one k×dim-bounded vector per
+    * partition, instead of the posexplode + per-dimension groupBy
+    * formulation (dim× row blowup + two shuffles).
     */
   def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = emb.sparkSession
@@ -163,16 +166,15 @@ object Similarity {
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)))
         .filter(col("rk") === 1)
-      // per-cluster mean: explode dims once, average per (cluster, dim)
       val means = assigned
-        .select(col("c_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("c_id", "dim").agg(avg("v").as("m"))
         .groupBy("c_id")
-        .agg(map_from_entries(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .agg(graft.functions.VectorAgg.vectorSum(col("embedding")).as("vsum"),
+          count(lit(1)).as("n"))
         .collect()
         .map { r =>
-          val m = r.getMap[Int, Double](1)
-          (r.getInt(0), Array.tabulate(m.size)(i => m(i).toFloat))
+          val s = r.getSeq[Double](1)
+          val n = r.getLong(2).toDouble
+          (r.getInt(0), s.map(x => (x / n).toFloat).toArray)
         }
       if (means.nonEmpty) cents = means
     }
