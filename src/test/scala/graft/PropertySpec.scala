@@ -62,6 +62,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("option-symbol codec round-trips arbitrary (root, date, cp, strike)") {
+    import spark.implicits._
+    val symGen = for {
+      root <- Gen.oneOf("SPX", "SPXW", "NDX", "RUT", "XSP")
+      days <- Gen.choose(0, 365 * 40) // 2024-01-01 .. ~2063 (two-digit-year safe)
+      cp <- Gen.oneOf("C", "P")
+      strike1000 <- Gen.choose(1L, 99999999L)
+    } yield (root, days, cp, strike1000)
+    val cases = samples(Gen.listOfN(50, symGen), 4).flatten
+    val df = cases.toDF("root0", "days", "cp_c", "strike1000")
+      .withColumn("expiry0",
+        date_add(to_date(lit("2024-01-01")), col("days").cast("int")))
+      .withColumn("symbol", concat(
+        rpad(col("root0"), 6, " "),
+        date_format(col("expiry0"), "yyMMdd"),
+        col("cp_c"),
+        lpad(col("strike1000").cast("string"), 8, "0")))
+      // decode exactly as Chains.parseSymbols does
+      .withColumn("root", trim(substring(col("symbol"), 1, 6)))
+      .withColumn("expiry", to_date(substring(col("symbol"), 7, 6), "yyMMdd"))
+      .withColumn("cp", when(substring(col("symbol"), 13, 1) === "C", 1).otherwise(-1))
+      .withColumn("strike", substring(col("symbol"), 14, 8).cast("long"))
+    assert(df.filter(col("root") =!= col("root0")).count() == 0)
+    assert(df.filter(col("expiry") =!= col("expiry0")).count() == 0)
+    assert(df.filter(col("strike") =!= col("strike1000")).count() == 0)
+    assert(df.filter((col("cp") === 1) =!= (col("cp_c") === "C")).count() == 0)
+  }
+
   test("minhash signature agreement is monotone-ish in true jaccard (sanity)") {
     // identical docs agree on all perms; disjoint docs agree on ~none
     import spark.implicits._
