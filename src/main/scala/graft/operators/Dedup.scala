@@ -199,17 +199,30 @@ object Dedup {
     // vs the explode+word-equi-join+count formulation: no 250×-row
     // explode shuffle, no giant per-word pair blowup — the join moves
     // one row per doc and intersection stays a codegen'd array op.
+    //
+    // A log-size band is part of the JOIN key: jaccard ≥ 0.8 forces
+    // |set| ratio ≥ 4/5, i.e. |ln sz_a − ln sz_b| ≤ ln 1.25, so the two
+    // docs' floor(ln sz / ln 1.25) bands differ by at most 1. The a-side
+    // explodes to {band−1, band, band+1} (constant 3×) and every
+    // qualifying pair lands in exactly one band (the b-side's own) —
+    // pre-join pruning that keeps block populations bounded by the size
+    // distribution instead of the (lang, source) roster.
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
       .withColumn("sz", size(col("ws")).cast("long"))
+      // greatest(sz, 1): empty docs would hit log(0) = -Inf (ANSI cast
+      // crash); they produce no intersections anyway
+      .withColumn("band",
+        floor(log(greatest(col("sz"), lit(1L)).cast("double")) / math.log(1.25)))
     val a = toks.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-      col("ws").as("ws_a"), col("sz").as("sz_a"))
-    val b = toks.select(col("lang"), col("source"), col("doc_id").as("id_b"),
-      col("ws").as("ws_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("lang", "source"))
-      // size-ratio prune: jaccard >= 0.8 requires 5*min >= 4*max, so a
-      // cheap integer test prunes pairs BEFORE any set intersection
+      col("ws").as("ws_a"), col("sz").as("sz_a"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    val b = toks.select(col("lang"), col("source"), col("band"),
+      col("doc_id").as("id_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("lang", "source", "band"))
+      // exact size-ratio prune: jaccard >= 0.8 requires 5*min >= 4*max
+      // (bands are coarse; this is the precise integer test)
       .filter(col("id_a") < col("id_b") &&
         col("sz_a") * 5 >= col("sz_b") * 4 && col("sz_b") * 5 >= col("sz_a") * 4)
       .withColumn("n_inter",

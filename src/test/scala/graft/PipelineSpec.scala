@@ -58,6 +58,24 @@ class PipelineSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("chains payloads parse in a STREAM: flatten + quarantine both flow") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val good = """{"2024-01-15:5":{"525.0":[{"contract_id":1,"bid":1.0,"ask":1.1,""" +
+      """"totalVolume":10,"optionRoot":"SPXW","daysToExpiration":5,"quoteTimeInLong":1705276800000}]}}"""
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, String)]
+    input.addData(Seq((1L, 1, good), (2L, -1, "garbage"), (3L, 1, good)))
+    val (flat, bad) = Chains.parseChainPayloads(
+      input.toDF().toDF("user_id", "cp", "payload"))
+    graft.streaming.EventStream.runToMemory(flat, "chains_flat",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    graft.streaming.EventStream.runToMemory(bad, "chains_bad",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+    assert(spark.table("chains_flat").count() == 2)
+    assert(spark.table("chains_bad").count() == 1)
+    assert(spark.table("chains_flat").filter(col("strike") === 525).count() == 2)
+  }
+
   test("chains payload parse quarantines malformed JSON instead of failing") {
     import spark.implicits._
     val good = """{"2024-01-15:5":{"525.0":[{"contract_id":1,"bid":1.0,"ask":1.1,""" +
