@@ -80,7 +80,6 @@ object ScaleSmoke {
         graft.functions.VectorExprs.simhash64(col("ws")).as("simhash"))
       operators.Dedup.simhashPairs(fps).count()
     }
-    // LSH-candidate jaccard at 1M docs — the scale-safe d4 composition.
     // Realistic 10k-word vocab: LSH banding's boundedness rests on the
     // similarity distribution of real corpora (random doc pairs share
     // ~0 word-set jaccard); the 40-word salad above is a deliberately
@@ -88,15 +87,23 @@ object ScaleSmoke {
     // set-similarity candidate generator must emit ~all pairs.
     // 1% of docs are exact duplicates (id pairs (i, i+1) with i%200=0),
     // so the expected near-dup pair count is known: ~5000.
+    val docsBig = spark.range(1000000)
+      .select(col("id").as("doc_id"),
+        expr("if(id % 200 < 2, (id div 2) * 2, id)").as("seed"))
+      .select(col("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(0, 29),
+               |  i -> concat('w', cast(pmod(xxhash64(seed * 1000000 + i), 10000) as string))))""".stripMargin)
+          .as("text"))
+    // LSH-candidate jaccard at 1M docs — the scale-safe d4 composition.
     time("jaccard-via-lsh 1M docs") {
-      val docsBig = spark.range(1000000)
-        .select(col("id").as("doc_id"),
-          expr("if(id % 200 < 2, (id div 2) * 2, id)").as("seed"))
-        .select(col("doc_id"),
-          expr("""concat_ws(' ', transform(sequence(0, 29),
-                 |  i -> concat('w', cast(pmod(xxhash64(seed * 1000000 + i), 10000) as string))))""".stripMargin)
-            .as("text"))
       operators.Dedup.ngramJaccardViaLsh(docsBig).count()
+    }
+    // the full composed corpus build at 1M docs: scrub → gate → exact
+    // dedup (drops the planted pairs) → LSH near-dup → chunks
+    time("corpus pipeline 1M docs") {
+      val (chunks, stats) = operators.CorpusPipeline.buildTrainingCorpus(docsBig)
+      println("[scale]   stages: " + stats.map { case (n, c) => s"$n=$c" }.mkString(" "))
+      chunks.count()
     }
     spark.stop()
   }
