@@ -69,8 +69,13 @@ object Chains {
         when(col("event_id") % 3 === 0, "SPXW").otherwise("SPX").as("optionRoot"),
         col("dte").as("daysToExpiration"),
         expr("unix_micros(ts) div 1000").as("quoteTimeInLong")))
-    // build: contracts per strike → strike map per expiry → expiry map per side
-    val byStrike = ev.groupBy("user_id", "cp", "exp_key", "strike_key")
+    // build: contracts per strike → strike map per expiry → expiry map
+    // per side. ONE explicit repartition on (user_id, cp): hash
+    // partitioning on a subset of every later grouping key satisfies
+    // all three aggregations' ClusteredDistribution, so the whole
+    // hierarchy builds with a single exchange instead of three.
+    val byStrike = ev.repartition(col("user_id"), col("cp"))
+      .groupBy("user_id", "cp", "exp_key", "strike_key")
       .agg(sort_array(collect_list(col("contract"))).as("contracts"))
     // map entry order is collect_list arrival order (nondeterministic) —
     // harmless: the payload is parsed back and the flat result gets a
