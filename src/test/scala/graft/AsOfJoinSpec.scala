@@ -53,6 +53,47 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("equal-timestamp ties resolve by seq: only smaller-seq quotes match") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:00:00")
+    // user 1: quote BEFORE the trade in (ts, id) order at the SAME ts →
+    // matches; a quote AFTER the trade at the same ts must NOT.
+    // user 2: only a later-seq quote at the tied ts → no match at t0.
+    val trades = Seq((10L, 1L, t0, 1.0), (20L, 2L, t0, 2.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val quotes = Seq(
+      (5L, 1L, t0, 100.0),  // same ts, smaller id → visible to trade 10
+      (15L, 1L, t0, 200.0), // same ts, LARGER id → not visible
+      (25L, 2L, t0, 300.0), // same ts, larger id than trade 20 → not visible
+      (30L, 2L, t1, 400.0)) // later ts → never visible at t0
+      .toDF("q_event_id", "user_id_r", "q_ts", "q_value")
+      .select(col("user_id_r"), col("q_ts"), col("q_value"), col("q_event_id"))
+    val got = graft.plans.AsOf.join(trades, quotes, "user_id", "ts", "q_ts",
+        leftSeqCol = Some("event_id"), rightSeqCol = Some("q_event_id"))
+      .select("event_id", "q_value", "q_event_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getLong(2))))).toMap
+    assert(got(10L).contains((100.0, 5L)),
+      s"trade 10 must see the smaller-seq tied quote, got ${got(10L)}")
+    assert(got(20L).isEmpty,
+      s"trade 20 must see NO quote (only larger-seq tie / later ts), got ${got(20L)}")
+    // and the window/oracle formulation agrees on the same data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("t", "i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val union = trades.select(col("event_id").as("i"), col("user_id").as("u"),
+        col("ts").as("t"), lit(null).cast("double").as("qv"), lit(true).as("isTrade"))
+      .unionByName(quotes.select(col("q_event_id").as("i"), col("user_id_r").as("u"),
+        col("q_ts").as("t"), col("q_value").as("qv"), lit(false).as("isTrade")))
+    val oracle = union.withColumn("lv", last(col("qv"), ignoreNulls = true).over(w))
+      .filter(col("isTrade"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    assert(oracle(10L) == got(10L).map(_._1) || (oracle(10L).isEmpty && got(10L).isEmpty))
+    assert(oracle(20L) == got(20L).map(_._1) || (oracle(20L).isEmpty && got(20L).isEmpty))
+  }
+
   test("as-of join with an empty right side yields all-null matches") {
     val gen = spark.read.format("graft-ticks").option("rows", "1000").load()
     val trades = gen.filter(col("event_type") === "purchase")
