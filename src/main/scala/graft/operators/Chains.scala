@@ -211,7 +211,25 @@ object Chains {
         array(struct(lit(1).as("activityId"),
           sort_array(collect_list(col("exec"))).as("executionLegs")))
           .as("orderActivityCollection"))).as("payload"))
-    val parsed = payloads.select(from_json(col("payload"), orderSchema).as("o"))
+    parseOrderPayloads(payloads)._1.orderBy("order_id", "leg_id")
+  }
+
+  /** Production transactions entry: parse raw order-payload JSON
+    * strings and normalize to execution-leg grain. Malformed payloads
+    * go to the second returned frame (same quarantine discipline as
+    * [[parseChainPayloads]]) instead of failing the batch.
+    */
+  def parseOrderPayloads(payloads: DataFrame): (DataFrame, DataFrame) = {
+    // from_json with a STRUCT root returns an all-null struct for
+    // malformed input (unlike the MAP root in parseChainPayloads, which
+    // returns null) — detect corruption as "no field survived"
+    val parsed0 = payloads
+      .select(col("payload"), from_json(col("payload"), orderSchema).as("o"))
+    val corrupt = col("o").isNull ||
+      (col("o.orderId").isNull && col("o.orderLegCollection").isNull &&
+        col("o.orderActivityCollection").isNull)
+    val quarantined = parsed0.filter(corrupt).select("payload")
+    val parsed = parsed0.filter(!corrupt)
     val legsF = parsed
       .select(col("o.orderId").as("order_id"), explode(col("o.orderLegCollection")).as("leg"))
       .select(col("order_id"), col("leg.legId").as("leg_id"),
@@ -223,12 +241,12 @@ object Chains {
         explode(col("act.executionLegs")).as("ex"))
       .select(col("order_id"), col("activity_id"), col("ex.legId").as("leg_id"),
         col("ex.quantity").as("exec_qty"), col("ex.price").as("exec_price"))
-    execsF.join(legsF, Seq("order_id", "leg_id"))
+    val flat = execsF.join(legsF, Seq("order_id", "leg_id"))
       .withColumn("signed_price",
         when(col("instruction") === "BUY", -col("exec_price")).otherwise(col("exec_price")))
       .select("order_id", "leg_id", "activity_id", "instruction", "symbol",
         "exec_qty", "exec_price", "signed_price")
-      .orderBy("order_id", "leg_id")
+    (flat, quarantined)
   }
 
   /** q51: strike-grid backfill. Per day: (1) bound the strike range by

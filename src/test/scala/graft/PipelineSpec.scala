@@ -76,6 +76,19 @@ class PipelineSpec extends SparkSpec {
     assert(spark.table("chains_flat").filter(col("strike") === 525).count() == 2)
   }
 
+  test("order payload parse quarantines malformed JSON; valid orders normalize") {
+    import spark.implicits._
+    val good = """{"orderId":7,"orderLegCollection":[{"legId":1,"instruction":"BUY","symbol":"SYM1"}],""" +
+      """"orderActivityCollection":[{"activityId":1,"executionLegs":[{"legId":1,"quantity":2.0,"price":5.5}]}]}"""
+    val rows = Seq(good, "not json", """{"orderId": """).toDF("payload")
+    val (flat, bad) = Chains.parseOrderPayloads(rows)
+    assert(bad.count() == 2)
+    val r = flat.collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("order_id") == 7L &&
+      r.head.getAs[Double]("signed_price") == -5.5)
+  }
+
   test("chains payload parse quarantines malformed JSON instead of failing") {
     import spark.implicits._
     val good = """{"2024-01-15:5":{"525.0":[{"contract_id":1,"bid":1.0,"ask":1.1,""" +
