@@ -50,7 +50,9 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // The wall is repeated as the LAST field: the driver captures the tail
+    // of long lines, and the headline number must survive truncation.
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","wall":$wall}""")
     spark.stop()
   }
 }

@@ -95,6 +95,8 @@ object SparkEntry {
     "d16_quantized_ann"   -> (Similarity.quantizedTopK _),
     "d17_hamming_ann"     -> (Similarity.hammingTopK _),
     "d18_chunking"        -> (TextFns.chunkDocs _),
+    "d19_jaccard_lsh"     -> ((s, d) =>
+      Dedup.ngramJaccardViaLsh(Tables.documents(s, d)).orderBy("id_a", "id_b")),
   )
 
   // Shared SQL fragments for the DuckDB oracle.

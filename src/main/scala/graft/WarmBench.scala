@@ -21,10 +21,14 @@ object WarmBench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // A crashing query must not masquerade as a fast warm pass: report
+      // -1 (like Bench's errors contract) and print the failure.
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable => println(s"[warm] $name FAILED: ${e.getMessage}"); false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val cold = once()
       val warm = once()
@@ -32,7 +36,9 @@ object WarmBench {
       name -> warm
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"warm_serial_sum","value":${results.map(_._2).sum},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val okSum = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    println(s"""{"metric":"warm_serial_sum","value":$okSum,"unit":"sec","queries":$qs,"errors":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,11 @@ import org.apache.spark.sql.types._
   * with a single agg.
   *
   * Null vectors are ignored; mismatched lengths throw (corrupt input
-  * should fail loudly, not mis-sum).
+  * should fail loudly, not mis-sum). A null buffer is the
+  * "uninitialized" sentinel, so a zero-length input vector is a REAL
+  * dimension: a group of only empty vectors sums to an empty array, and
+  * an empty vector mixed with d-dimensional ones throws the mismatch
+  * error regardless of arrival order.
   */
 case class VectorSumAgg(
     child: Expression,
@@ -40,14 +44,14 @@ case class VectorSumAgg(
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType)
 
-  override def createAggregationBuffer(): Array[Double] = Array.empty[Double]
+  override def createAggregationBuffer(): Array[Double] = null
 
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val acc = if (buf.isEmpty) new Array[Double](n) else buf
+    val acc = if (buf == null) new Array[Double](n) else buf
     if (acc.length != n)
       throw new IllegalStateException(
         s"vector_sum: mismatched vector lengths ${acc.length} vs $n")
@@ -61,8 +65,8 @@ case class VectorSumAgg(
   }
 
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-    if (a.isEmpty) return b
-    if (b.isEmpty) return a
+    if (a == null) return b
+    if (b == null) return a
     if (a.length != b.length)
       throw new IllegalStateException(
         s"vector_sum: mismatched vector lengths ${a.length} vs ${b.length}")
@@ -72,13 +76,14 @@ case class VectorSumAgg(
   }
 
   override def eval(buf: Array[Double]): Any =
-    if (buf.isEmpty) null else new GenericArrayData(buf)
+    if (buf == null) null else new GenericArrayData(buf)
 
   override def serialize(buf: Array[Double]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.length)
-    buf.foreach(out.writeDouble)
+    // -1 length = the uninitialized (null-buffer) sentinel
+    if (buf == null) out.writeInt(-1)
+    else { out.writeInt(buf.length); buf.foreach(out.writeDouble) }
     out.flush()
     bos.toByteArray
   }
@@ -86,7 +91,7 @@ case class VectorSumAgg(
   override def deserialize(bytes: Array[Byte]): Array[Double] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    Array.fill(n)(in.readDouble())
+    if (n < 0) null else Array.fill(n)(in.readDouble())
   }
 
   override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =

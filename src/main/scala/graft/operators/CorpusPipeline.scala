@@ -22,15 +22,22 @@ object CorpusPipeline {
     * @param checkpointDir reliable checkpointing for the component loop
     *   (pass on a real cluster; None → localCheckpoint for tests)
     * @return (chunks, per-stage row counts in pipeline order) — stats
-    *   force evaluation stage by stage (each stage is cached while its
-    *   count runs, then left for the next stage's lineage)
+    *   force evaluation stage by stage. Each stage is cached only while
+    *   its consumer materializes: once stage N+1's count lands, stage
+    *   N's cache is released (only the returned chunks frame stays
+    *   cached — the caller unpersists it when done), so executor memory
+    *   holds at most two stages at a time instead of the whole lineage.
     */
   def buildTrainingCorpus(docs: DataFrame, minWords: Int = 5,
       checkpointDir: Option[String] = None): (DataFrame, Seq[(String, Long)]) = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var prevStage: DataFrame = null
     def stage(name: String, df: DataFrame): DataFrame = {
       val c = df.cache()
       stats += name -> c.count()
+      // the new stage is materialized; its input cache has been consumed
+      if (prevStage != null) prevStage.unpersist()
+      prevStage = c
       c
     }
 

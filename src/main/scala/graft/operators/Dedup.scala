@@ -188,6 +188,43 @@ object Dedup {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Exact size-band boundaries: `bandBounds(k)` = ceil((5/4)^k) = the
+    * smallest integer size with band ≥ k, computed with BigInt so the
+    * band function below is EXACT integer arithmetic — no FP log can
+    * push a legitimate 4:5-ratio pair two bands apart. ~196 entries
+    * cover every long size up to 2^61.
+    */
+  private[operators] lazy val bandBounds: Array[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var num = BigInt(1)
+    var den = BigInt(1)
+    var bound = BigInt(1)
+    val cap = BigInt(Long.MaxValue) / 4
+    while (bound <= cap) {
+      buf += bound.toLong
+      num *= 5
+      den *= 4
+      bound = (num + den - 1) / den // ceil(5^k / 4^k)
+    }
+    buf.toArray
+  }
+
+  /** Exact `floor(log_1.25(sz))` for an integer-size column: an FP log
+    * estimate (always within ±1 of the true band) corrected against the
+    * exact integer boundaries. Deterministic — the ±1 band explode in
+    * [[ngramJaccard]] provably covers every pair at size ratio ≤ 5/4.
+    */
+  private[operators] def exactSizeBand(sz: Column): Column = {
+    val n = bandBounds.length
+    val g = least(greatest(
+      floor(log(greatest(sz, lit(1L)).cast("double")) / math.log(1.25)),
+      lit(0L)), lit((n - 2).toLong))
+    // element_at is 1-indexed: bounds(g) = element_at(_, g+1)
+    val atG = element_at(lit(bandBounds), (g + 1).cast("int"))
+    val atG1 = element_at(lit(bandBounds), (g + 2).cast("int"))
+    when(atG1 <= sz, g + 1).when(atG > sz, g - 1).otherwise(g)
+  }
+
   /** d4: word-1-gram Jaccard over blocked candidate pairs.
     * Blocking key = (lang, source): pairwise work bounded per block (the
     * reference's per-(CP,Expiry) pairing has the same shape). Exact
@@ -200,21 +237,21 @@ object Dedup {
     // explode shuffle, no giant per-word pair blowup — the join moves
     // one row per doc and intersection stays a codegen'd array op.
     //
-    // A log-size band is part of the JOIN key: jaccard ≥ 0.8 forces
-    // |set| ratio ≥ 4/5, i.e. |ln sz_a − ln sz_b| ≤ ln 1.25, so the two
-    // docs' floor(ln sz / ln 1.25) bands differ by at most 1. The a-side
-    // explodes to {band−1, band, band+1} (constant 3×) and every
-    // qualifying pair lands in exactly one band (the b-side's own) —
-    // pre-join pruning that keeps block populations bounded by the size
-    // distribution instead of the (lang, source) roster.
+    // A size band is part of the JOIN key: jaccard ≥ 0.8 forces
+    // |set| ratio ≥ 4/5, i.e. bands floor(log_1.25 sz) differ by at
+    // most 1. The a-side explodes to {band−1, band, band+1} (constant
+    // 3×) and every qualifying pair lands in exactly one band (the
+    // b-side's own) — pre-join pruning that keeps block populations
+    // bounded by the size distribution instead of the (lang, source)
+    // roster. Bands come from exactSizeBand (integer-exact), so the ±1
+    // explode PROVABLY covers pairs at the exact 4:5 boundary ratio —
+    // a raw FP floor(log/log1.25) could misround each side by one and
+    // silently drop such a pair.
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
       .withColumn("sz", size(col("ws")).cast("long"))
-      // greatest(sz, 1): empty docs would hit log(0) = -Inf (ANSI cast
-      // crash); they produce no intersections anyway
-      .withColumn("band",
-        floor(log(greatest(col("sz"), lit(1L)).cast("double")) / math.log(1.25)))
+      .withColumn("band", exactSizeBand(col("sz")))
     val a = toks.select(col("lang"), col("source"), col("doc_id").as("id_a"),
       col("ws").as("ws_a"), col("sz").as("sz_a"),
       explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))

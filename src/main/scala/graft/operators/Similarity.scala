@@ -44,20 +44,34 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** d6: IVF-bucketed ANN with a FIXED-k coarse quantizer from
-    * distributed k-means ([[kmeans]]): centroid count is independent of
-    * corpus size, so the centroid broadcast stays constant and
-    * assignment is O(n·k) — the shape that survives 100 TB (the earlier
-    * every-50th-vector quantizer grew the centroid set with the corpus:
-    * O(n²/50) assignment). Queries probe their `nprobe` nearest buckets
-    * (nprobe = 2 here; more probes = more recall, linearly more scan) —
-    * corpus vectors live in exactly one bucket, so probing several
-    * buckets cannot duplicate candidates. At write time `bucket` becomes
-    * a partition key, so a probe scans only its bucket's files.
+  /** Default IVF bucket count for an n-vector corpus: k ≈ √n, capped.
+    * √n balances the two costs that bound bucketed pairwise/probe work —
+    * bucket COUNT (centroid broadcast + k-means driver traffic, O(k))
+    * and bucket POPULATION (within-bucket candidates, O(n/k)) — so both
+    * grow as √n instead of one of them growing linearly. The cap keeps
+    * the centroid broadcast bounded (4096 × 64 dims × 4 B ≈ 1 MB) on
+    * arbitrarily large corpora; beyond it, raise nprobe/multi-assign
+    * rather than k (IVF probe cost is nprobe/k of the corpus either
+    * way). Floor of 2: one bucket would mean an unblocked cross join.
+    */
+  def adaptiveK(n: Long, cap: Int = 4096): Int =
+    math.max(2L, math.min(cap.toLong, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** d6: IVF-bucketed ANN with a corpus-size-scaled coarse quantizer
+    * from distributed k-means ([[kmeans]]): k = [[adaptiveK]](n) ≈ √n
+    * capped, so the centroid broadcast stays bounded and within-bucket
+    * scan cost grows as √n — the shape that survives 100 TB (a fixed
+    * tiny k would let bucket population grow linearly with the corpus;
+    * a corpus-proportional k would blow up the broadcast). Queries probe
+    * their `nprobe` nearest buckets (nprobe = 2 here; more probes = more
+    * recall, linearly more scan) — corpus vectors live in exactly one
+    * bucket, so probing several buckets cannot duplicate candidates. At
+    * write time `bucket` becomes a partition key, so a probe scans only
+    * its bucket's files.
     */
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val k = 16
+    val k = adaptiveK(emb.count())
     val nprobe = 2
     val cents = kmeans(emb, k, iters = 2)
     def assignTo(df: DataFrame, probes: Int): DataFrame = df.crossJoin(broadcast(cents))
@@ -183,13 +197,21 @@ object Similarity {
 
   /** Assignment of every vector to its nearest centroid (squared-L2). */
   def assign(emb: DataFrame, cents: DataFrame): DataFrame =
+    assignMulti(emb, cents, probes = 1)
+
+  /** Multi-assignment: every vector lands in its `probes` nearest
+    * centroid buckets. probes > 1 is the standard recall knob for
+    * bucket-blocked pairwise ops — a pair split across neighboring
+    * buckets by single-assignment still collides if either's second
+    * bucket is shared — at probes× the candidate volume. */
+  def assignMulti(emb: DataFrame, cents: DataFrame, probes: Int): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("d2", dot(col("embedding"), col("embedding")) -
         lit(2.0) * dot(col("embedding"), col("c_vec")) +
         dot(col("c_vec"), col("c_vec")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)))
-      .filter(col("rk") === 1)
+      .filter(col("rk") <= probes)
       .select(col("vec_id"), col("c_id").as("bucket"), col("d2"))
 
   /** Persist an IVF ANN index: every vector assigned to its nearest
@@ -230,20 +252,34 @@ object Similarity {
   }
 
   /** d11: embedding-cosine near-duplicate pairs, blocked by the
-    * operator's OWN IVF buckets (fixed-k k-means, the d6 quantizer) —
-    * self-contained: no reliance on a pre-existing cluster column.
-    * Pairwise comparison happens only within buckets; recall misses
-    * cross-bucket pairs, the standard ANN-blocking trade (raise k and
-    * multi-assign for tighter recall; k scales ~√n at 100 TB so bucket
-    * population stays bounded).
+    * operator's OWN IVF buckets (the d6 quantizer) — self-contained:
+    * no reliance on a pre-existing cluster column. k defaults to
+    * [[adaptiveK]](n) ≈ √n so within-bucket pair work stays bounded as
+    * the corpus grows, and multiAssign = 2 recovers most pairs that a
+    * single assignment would split across neighboring buckets.
     */
-  def nearDupCosine(s: SparkSession, d: String): DataFrame = {
+  def nearDupCosine(s: SparkSession, d: String): DataFrame =
+    nearDupCosinePairs(Tables.embeddings(s, d).select("vec_id", "embedding"))
+      .orderBy("id_a", "id_b")
+
+  /** Core bucket-blocked near-dup pipeline over any (vec_id, embedding)
+    * frame.
+    * @param k bucket count; None → [[adaptiveK]](corpus size)
+    * @param multiAssign buckets per vector (recall knob: a pair is
+    *   found iff the two vectors SHARE at least one of their buckets;
+    *   candidate volume grows ~multiAssign², recall → 1)
+    * @param threshold minimum cosine to report
+    */
+  def nearDupCosinePairs(emb0: DataFrame, k: Option[Int] = None,
+      multiAssign: Int = 2, threshold: Double = 0.30): DataFrame = {
     // Pre-compute each vector's norm ONCE before the pairwise join —
     // inside the join it would be recomputed per pair (O(pairs·dim)
     // extra work).
-    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val emb = emb0.select("vec_id", "embedding")
       .withColumn("nrm", norm(col("embedding")))
-    val buckets = assign(emb, kmeans(emb, 8, iters = 2)).select("vec_id", "bucket")
+    val kk = k.getOrElse(adaptiveK(emb.count()))
+    val buckets = assignMulti(emb, kmeans(emb, kk, iters = 2), multiAssign)
+      .select("vec_id", "bucket")
     val blocked = emb.join(buckets, "vec_id")
     val a = blocked.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("v_a"), col("nrm").as("n_a"))
@@ -252,8 +288,11 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-      .filter(col("cos") >= 0.30)
+      .filter(col("cos") >= threshold)
+      // multi-assignment can find the same pair in several shared
+      // buckets — dedupe, keeping the smallest bucket id for provenance
+      .groupBy("id_a", "id_b")
+      .agg(min(col("bucket")).as("bucket"), max(col("cos")).as("cos"))
       .select("bucket", "id_a", "id_b", "cos")
-      .orderBy("id_a", "id_b")
   }
 }

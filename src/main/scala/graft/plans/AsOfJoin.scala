@@ -100,13 +100,19 @@ case class AsOfJoinExec(
       var lastMatch: InternalRow = null
       var lastMatchKey: Any = null
 
-      // (rightTime[, rightSeq]) <= (leftTime[, leftSeq]) lexicographically
+      // (rightTime[, rightSeq]) <= (leftTime[, leftSeq]) lexicographically.
+      // Null seq values order NULLS FIRST (null < any non-null, null ==
+      // null) — matching the Ascending requiredChildOrdering the rows
+      // arrive in, so a nullable seq column cannot NPE or misorder.
       def atOrBefore(rRow: InternalRow, lt: Any, ls: Any): Boolean = {
         val tc = timeOrd.asInstanceOf[Ordering[Any]].compare(rtB.eval(rRow), lt)
         if (tc != 0) tc < 0
         else seqOrd match {
           case Some(ord) =>
-            ord.asInstanceOf[Ordering[Any]].compare(rsB.get.eval(rRow), ls) <= 0
+            val rs = rsB.get.eval(rRow)
+            if (rs == null) true // nulls first: at-or-before anything
+            else if (ls == null) false // non-null right > null left
+            else ord.asInstanceOf[Ordering[Any]].compare(rs, ls) <= 0
           case None => true // no seq: inclusive at equal time
         }
       }
@@ -146,6 +152,13 @@ case class AsOfJoinExec(
 /** User-facing API: resolves key/time columns against the analyzed
   * children and registers the strategy on first use. Right-side column
   * names must not collide with left's (rename upstream).
+  *
+  * Seq columns MAY be nullable: null seq values order NULLS FIRST
+  * (consistent with the Ascending sort the exec requires), i.e. a null
+  * right seq ties-or-precedes every left row at the same timestamp.
+  * Key and time columns are assumed non-null (rows with null keys/times
+  * should be filtered upstream — an as-of match against an unknown time
+  * is meaningless).
   */
 object AsOf {
   def join(leftDf: DataFrame, rightDf: DataFrame,

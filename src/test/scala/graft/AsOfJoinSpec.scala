@@ -94,6 +94,23 @@ class AsOfJoinSpec extends SparkSpec {
     assert(oracle(20L) == got(20L).map(_._1) || (oracle(20L).isEmpty && got(20L).isEmpty))
   }
 
+  test("nullable seq columns do not NPE: nulls order first at a tied timestamp") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // trade seq null: only null-seq quotes at the tied ts are visible
+    val trades = Seq((1L, Option.empty[Long], t0, 1.0))
+      .toDF("user_id", "seq", "ts", "value")
+    val quotes = Seq(
+      (1L, Option.empty[Long], t0, 100.0), // null seq → ties-or-precedes → visible
+      (1L, Some(5L), t0, 200.0))           // non-null seq > null left → not visible
+      .toDF("user_id_r", "q_seq", "q_ts", "q_value")
+    val got = graft.plans.AsOf.join(trades, quotes, "user_id", "ts", "q_ts",
+        leftSeqCol = Some("seq"), rightSeqCol = Some("q_seq"))
+      .select("value", "q_value").collect()
+    assert(got.length == 1 && got(0).getDouble(1) == 100.0,
+      s"null-seq trade must match only the null-seq quote, got ${got.mkString(",")}")
+  }
+
   test("as-of join with an empty right side yields all-null matches") {
     val gen = spark.read.format("graft-ticks").option("rows", "1000").load()
     val trades = gen.filter(col("event_type") === "purchase")

@@ -32,4 +32,20 @@ class VectorAggSpec extends SparkSpec {
     assert(r(0).getSeq[Double](1) == Seq(1.0, 2.0))
     assert(r(1).isNullAt(1))
   }
+
+  test("vector_sum empty-vector semantics are order-independent") {
+    import spark.implicits._
+    // a group of only empty vectors is a REAL zero-dimension sum, not null
+    val onlyEmpty = Seq((0, Seq.empty[Float]), (0, Seq.empty[Float])).toDF("g", "v")
+      .coalesce(1)
+      .groupBy("g").agg(VectorAgg.vectorSum(col("v")).as("s")).collect()
+    assert(!onlyEmpty(0).isNullAt(1) && onlyEmpty(0).getSeq[Double](1).isEmpty)
+    // empty mixed with d-dimensional throws in EITHER arrival order
+    // (pre-fix, empty-first was silently ignored)
+    def run(rows: Seq[Seq[Float]]): Unit =
+      rows.map((0, _)).toDF("g", "v").coalesce(1)
+        .groupBy("g").agg(VectorAgg.vectorSum(col("v")).as("s")).collect()
+    intercept[Exception](run(Seq(Seq.empty, Seq(1.0f, 2.0f))))
+    intercept[Exception](run(Seq(Seq(1.0f, 2.0f), Seq.empty)))
+  }
 }
