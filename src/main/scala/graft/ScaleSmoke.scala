@@ -105,6 +105,64 @@ object ScaleSmoke {
       println("[scale]   stages: " + stats.map { case (n, c) => s"$n=$c" }.mkString(" "))
       chunks.count()
     }
+
+    // Market-data end-to-end chain, the tick-side twin of the corpus
+    // pipeline above (reference /root/reference/docs/services_flow.mmd:
+    // stream collector → daily parquet → import → verts): DSv2 tick
+    // generator → date-partitioned parquet landing → hourly OHLC bars
+    // (the q17 core) → verticals gold (the q28 core). Each stage reads
+    // the REAL upstream artifact — bars and verts run from the parquet
+    // landing, not the in-memory generator.
+    val land = java.nio.file.Files.createTempDirectory("graft_land").toString
+    time(s"ticks→daily parquet ${rows / 1000000}M") {
+      uniform.withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(land)
+      spark.read.parquet(land).count()
+    }
+    val landed = spark.read.parquet(land)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+    time("parquet→hourly bars (q17 core)") {
+      operators.TimeSeries.ohlcBarsOf(landed).count()
+    }
+    time("parquet→verticals gold (q28 core)") {
+      operators.TimeSeries.verticalsOf(landed).count()
+    }
+    time("silver import composite (q54 shape)") {
+      // symbol-parse → PST gate → dim dedup → best-mark series over the
+      // SAME landing, via the registered operator's stage shapes
+      val staged = landed.limit(2000000)
+      val parsed = staged
+        .withColumn("cp", when(col("event_id") % 2 === 0, 1).otherwise(-1))
+        .withColumn("expiry", to_date(col("ts")))
+        .withColumn("strike", floor(col("value")).cast("long") * 5)
+      val dim = parsed.filter(col("strike") =!= 0)
+        .select("strike", "cp", "expiry").distinct()
+      val pac = from_utc_timestamp(col("ts"), "America/Los_Angeles")
+      val series = parsed
+        .filter(hour(pac) * 60 + minute(pac) >= 390 && hour(pac) * 60 + minute(pac) <= 780)
+        .groupBy(col("strike"), col("cp"), col("expiry"),
+          date_trunc("minute", col("ts")).as("t"))
+        .agg(max("value").as("mark"), count(lit(1)).as("n_obs"))
+      series.join(broadcast(dim), Seq("strike", "cp", "expiry")).count()
+    }
+
+    // Skewed band-bucket stress for the d3 simhash join shape: half the
+    // corpus shares ONE band bucket (identical low 16 bits), so the
+    // band equi-join has a 10k-row hot key → ~25M within-bucket
+    // candidates in one bucket vs ~0 elsewhere. AQE's skew-join split
+    // spreads the hot bucket across tasks; the wall should track the
+    // candidate count (work), not a single-straggler timeline. SkewOps
+    // salting is the fallback for aggregation shapes; for JOIN keys the
+    // AQE split is the right tool (salting a join key requires
+    // replicating the other side by the salt fanout).
+    val nSkew = 20000L
+    val skewFps = spark.range(nSkew).select(col("id").as("doc_id"),
+      expr("""if(id % 2 = 0,
+             |   cast(xxhash64(id) as bigint) & -65536,
+             |   cast(xxhash64(id * 7 + 3) as bigint))""".stripMargin).as("simhash"))
+    time(s"simhash pairs skewed hot bucket ${nSkew / 2}") {
+      operators.Dedup.simhashPairs(skewFps).count()
+    }
     spark.stop()
   }
 }

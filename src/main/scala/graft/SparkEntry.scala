@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chains, Dedup, Relational, Similarity, Sketches, TimeSeries}
+import graft.operators.{Chains, Dedup, Relational, Silver, Similarity, Sketches, TimeSeries}
 import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -76,6 +76,7 @@ object SparkEntry {
     "q51_strike_backfill" -> (Chains.strikeGridBackfill _),
     "q52_quality_merge"   -> (Relational.qualityMerge _),
     "q53_order_legs"      -> (Chains.orderLegsNormalize _),
+    "q54_silver_import"   -> (Silver.silverImport _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -663,6 +664,47 @@ object SparkEntry {
         |  CASE WHEN l_returnflag = 'R' THEN l_extendedprice
         |       ELSE -l_extendedprice END AS signed_price
         |FROM lineitem ORDER BY order_id, leg_id""".stripMargin,
+
+    "q54_silver_import" ->
+      """WITH staged AS (
+        |  SELECT event_id, event_type AS source, value AS mark,
+        |    date_trunc('minute', CAST(ts AS TIMESTAMP)) AS t,
+        |    CASE WHEN event_id % 97 = 0 THEN '$SPX' ELSE
+        |      rpad(CASE WHEN event_id % 3 = 0 THEN 'SPXW' ELSE 'SPX' END, 6, ' ') ||
+        |      strftime(CAST(ts AS DATE) + CAST(event_id % 21 AS INTEGER), '%y%m%d') ||
+        |      (CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END) ||
+        |      lpad(CAST(CAST(FLOOR(value) AS BIGINT) * 5000 AS VARCHAR), 8, '0')
+        |    END AS symbol
+        |  FROM events),
+        |parsed AS (
+        |  SELECT source, mark, t,
+        |    CASE WHEN substring(symbol, 13, 1) = 'C' THEN 1 ELSE -1 END AS cp,
+        |    CAST(strptime(substring(symbol, 7, 6), '%y%m%d') AS DATE) AS expiry,
+        |    CAST(substring(symbol, 14, 8) AS BIGINT) / 1000.0 AS strike
+        |  FROM staged WHERE symbol <> '$SPX'),
+        |dim AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY expiry, cp, strike) AS BIGINT) AS opt_id,
+        |    strike, cp, expiry
+        |  FROM (SELECT DISTINCT strike, cp, expiry FROM parsed
+        |        WHERE strike <> 0 AND cp IS NOT NULL AND expiry IS NOT NULL)),
+        |gated AS (
+        |  SELECT *, CASE source WHEN 'purchase' THEN 1 WHEN 'click' THEN 2
+        |       WHEN 'view' THEN 3 WHEN 'signup' THEN 4 ELSE 5 END AS q_rank
+        |  FROM parsed
+        |  WHERE mark IS NOT NULL AND t IS NOT NULL
+        |    AND (EXTRACT(hour FROM timezone('America/Los_Angeles', make_timestamptz(epoch_us(t)))) * 60 +
+        |         EXTRACT(minute FROM timezone('America/Los_Angeles', make_timestamptz(epoch_us(t)))))
+        |        BETWEEN 390 AND 780),
+        |series AS (
+        |  SELECT strike, cp, expiry, t,
+        |    (MIN({'r': q_rank, 'm': -mark})).r AS best_rank,
+        |    -(MIN({'r': q_rank, 'm': -mark})).m AS mark,
+        |    COUNT(*) AS n_obs
+        |  FROM gated GROUP BY strike, cp, expiry, t)
+        |SELECT d.opt_id, d.strike, d.cp, d.expiry, s.t, s.best_rank, s.mark, s.n_obs
+        |FROM series s JOIN dim d
+        |  ON d.strike = s.strike AND d.cp = s.cp AND d.expiry = s.expiry
+        |ORDER BY opt_id, t""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** q54: the silver-import composite — the reference's
+  * SP_IMPORT_PARQUET_OPT_DATA (/root/reference/docs/sql_server.md:182-330)
+  * as ONE fused pipeline: staged rows → symbol parse
+  * (ParseSPXSymbol_ITVF) → index-symbol exclusion → option-dim dedup
+  * (OPT master, surrogate ids) → PST 06:30–13:00 market-hours gate
+  * (EpochMsToPST_ITVF) → per-(option, timestamp) best-quality mark
+  * (the MAX(Mark)-per-T upsert into OPTM, extended with the
+  * multi-source quality ranking the reference's final MERGE exists
+  * for) — where q50/q39/q24/q17/q52 each prove one stage standalone,
+  * this entry proves they fuse.
+  *
+  * Scale shape: every per-row stage (symbol build, parse, tz gate,
+  * quality rank) is narrow — no exchange. The series aggregation is
+  * the ONE corpus-sized shuffle, on (strike, cp, expiry, t); the
+  * option dim is aggregated small (distinct contracts ≪ rows), gets
+  * its surrogate ids from a window over that already-small frame, and
+  * joins back as a BROADCAST — no second corpus shuffle. At 100 TB the
+  * staging scan partitions by arrival date and the same plan holds:
+  * one wide exchange, dim broadcast, everything else pipelined.
+  */
+object Silver {
+
+  def silverImport(s: SparkSession, d: String): DataFrame = {
+    // Staging: synthesize the fixed-width OCC symbol from event fields
+    // (the parquet-stage rows carry symbol + mark([37]) + epoch ts([38]);
+    // every 97th row plays the $SPX index that the procedure excludes).
+    val staged = Tables.events(s, d).select(
+      col("event_id"),
+      col("event_type").as("source"),
+      col("value").as("mark"),
+      date_trunc("minute", col("ts")).as("t"),
+      when(col("event_id") % 97 === 0, "$SPX").otherwise(concat(
+        rpad(when(col("event_id") % 3 === 0, "SPXW").otherwise("SPX"), 6, " "),
+        date_format(date_add(to_date(col("ts")), (col("event_id") % 21).cast("int")), "yyMMdd"),
+        when(col("event_id") % 2 === 0, "C").otherwise("P"),
+        lpad((floor(col("value")).cast("long") * 5000L).cast("string"), 8, "0")))
+        .as("symbol"))
+
+    // ParseSPXSymbol_ITVF: fixed-width decode (root ignored downstream —
+    // the dim key is (strike, cp, expiry), as in the reference's OPT).
+    val parsed = staged
+      .filter(col("symbol") =!= "$SPX")
+      .withColumn("cp", when(substring(col("symbol"), 13, 1) === "C", 1).otherwise(-1))
+      .withColumn("expiry", to_date(substring(col("symbol"), 7, 6), "yyMMdd"))
+      .withColumn("strike", substring(col("symbol"), 14, 8).cast("long") / 1000.0)
+
+    // OPT master: distinct valid contracts, surrogate ids from a window
+    // over the ALREADY-AGGREGATED dim (small — safe to single-partition
+    // for id assignment, exactly like a dimension-table sequence).
+    val dim = parsed
+      .filter(col("strike") =!= 0.0 && col("cp").isNotNull && col("expiry").isNotNull)
+      .select("strike", "cp", "expiry").distinct()
+      .withColumn("opt_id",
+        dense_rank().over(Window.orderBy("expiry", "cp", "strike")).cast("long"))
+
+    // Market-hours gate (PST wall clock) + per-(contract, minute) merge:
+    // sources rank by quality (the multi-brokerage rule the reference's
+    // MERGE serves), best rank wins, MAX(mark) within it. min(struct(
+    // q_rank, -mark)) computes both in the SAME single aggregation —
+    // one shuffle, map-side combined.
+    val pac = from_utc_timestamp(col("t"), "America/Los_Angeles")
+    val minuteOfDay = hour(pac) * 60 + minute(pac)
+    val series = parsed
+      .filter(col("mark").isNotNull && col("t").isNotNull)
+      .filter(minuteOfDay >= 390 && minuteOfDay <= 780)
+      .withColumn("q_rank",
+        when(col("source") === "purchase", 1).when(col("source") === "click", 2)
+          .when(col("source") === "view", 3).when(col("source") === "signup", 4)
+          .otherwise(5))
+      .groupBy("strike", "cp", "expiry", "t")
+      .agg(min(struct(col("q_rank").as("r"), negate(col("mark")).as("m"))).as("best"),
+        count(lit(1)).as("n_obs"))
+      .select(col("strike"), col("cp"), col("expiry"), col("t"),
+        col("best.r").as("best_rank"), negate(col("best.m")).as("mark"),
+        col("n_obs"))
+
+    series.join(broadcast(dim), Seq("strike", "cp", "expiry"))
+      .select("opt_id", "strike", "cp", "expiry", "t", "best_rank", "mark", "n_obs")
+      .orderBy("opt_id", "t")
+  }
+}

@@ -189,8 +189,15 @@ object TimeSeries {
     * by deterministic row_number (ts, event_id tie-break), not first()/
     * last() which are partition-order-sensitive.
     */
-  def ohlcBars(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d).withColumn("bar", date_trunc("hour", col("ts")))
+  def ohlcBars(s: SparkSession, d: String): DataFrame =
+    ohlcBarsOf(Tables.events(s, d)).orderBy("user_id", "bar")
+
+  /** Core hourly-OHLC aggregation over any (user_id, ts, event_id,
+    * value) tick frame — shared by the q17 entry and the market-data
+    * ScaleSmoke chain (which feeds it from a parquet landing, the
+    * production path). */
+  def ohlcBarsOf(ticks: DataFrame): DataFrame = {
+    val ev = ticks.withColumn("bar", date_trunc("hour", col("ts")))
     val wAsc = Window.partitionBy("user_id", "bar").orderBy(col("ts").asc, col("event_id").asc)
     val wDesc = Window.partitionBy("user_id", "bar").orderBy(col("ts").desc, col("event_id").desc)
     ev.withColumn("rn_a", row_number().over(wAsc))
@@ -203,7 +210,6 @@ object TimeSeries {
         max(when(col("rn_d") === 1, col("value"))).as("close_v"),
         count(lit(1)).as("n_ticks"),
         Relational.dsum(col("value")).as("volume"))
-      .orderBy("user_id", "bar")
   }
 
   /** q28: the verticals gold pipeline end-to-end (SP_PROCESS_VERTS,
@@ -213,10 +219,16 @@ object TimeSeries {
     * rolling average over the surviving series. Windows share ONE
     * partitioning (user_id) so Catalyst reuses a single exchange+sort.
     */
-  def verticalsPipeline(s: SparkSession, d: String): DataFrame = {
+  def verticalsPipeline(s: SparkSession, d: String): DataFrame =
+    verticalsOf(Tables.events(s, d)).orderBy("event_id")
+
+  /** Core verticals build over any (event_id, user_id, ts, value) tick
+    * frame — shared by the q28 entry and the market-data ScaleSmoke
+    * chain. All windows share the user_id partitioning: ONE exchange. */
+  def verticalsOf(ticks: DataFrame): DataFrame = {
     val w = lit(10.0)
     val lagW = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val paired = Tables.events(s, d)
+    val paired = ticks
       .withColumn("prev_value", lag(col("value"), 1).over(lagW))
       .withColumn("prev_ts", lag(col("ts"), 1).over(lagW))
       .filter(col("prev_value").isNotNull)
@@ -243,7 +255,6 @@ object TimeSeries {
         sum(col("o").cast(DecimalType(18, 4))).over(roll).cast("double") /
           count(lit(1)).over(roll))
       .select("event_id", "user_id", "ts", "net", "o", "avg_r")
-      .orderBy("event_id")
   }
 
   /** q20: time-of-day session filter + rollup.

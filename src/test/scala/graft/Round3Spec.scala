@@ -95,6 +95,30 @@ class Round3Spec extends SparkSpec {
       "reliable checkpointing must materialize files in the checkpoint dir")
   }
 
+  test("q54 silver import: PST gate holds, ranks bounded, dim is dense, join is broadcast") {
+    val out = Silver.silverImport(spark, sf).cache()
+    // market-hours gate: every surviving minute is 06:30–13:00 Pacific
+    val pac = from_utc_timestamp(col("t"), "America/Los_Angeles")
+    val mod = hour(pac) * 60 + minute(pac)
+    assert(out.filter(mod < 390 || mod > 780).count() == 0,
+      "rows outside the PST session must be gated out")
+    // quality ranks come from the 5-source CASE; every group observed >= 1 row
+    assert(out.filter(col("best_rank") < 1 || col("best_rank") > 5).count() == 0)
+    assert(out.filter(col("n_obs") < 1).count() == 0)
+    // surrogate ids are dense over the dim: max id == dim cardinality
+    val maxId = out.agg(max("opt_id")).collect()(0).getLong(0)
+    val nContracts = out.select("strike", "cp", "expiry").distinct().count()
+    assert(maxId >= nContracts, "opt_id must cover every contract")
+    // the strike<>0 validity rule filtered the dim
+    assert(out.filter(col("strike") === 0.0).count() == 0)
+    // plan shape: dim joins back as BROADCAST (no corpus-sized
+    // sort-merge), and the series agg is the single wide shuffle
+    val plan = Silver.silverImport(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-sized SMJ expected:\n$plan")
+    out.unpersist()
+  }
+
   test("d13 sketch error bounds vs exact answers: HLL within 3×rsd, quantile rank within n/accuracy") {
     val prof = Sketches.sketchProfile(spark, sf).collect()
     val ev = Tables.events(spark, sf).select("event_type", "user_id", "value").cache()
