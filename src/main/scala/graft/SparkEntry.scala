@@ -97,7 +97,8 @@ object SparkEntry {
     "d17_hamming_ann"     -> (Similarity.hammingTopK _),
     "d18_chunking"        -> (TextFns.chunkDocs _),
     "d19_jaccard_lsh"     -> ((s, d) =>
-      Dedup.ngramJaccardViaLsh(Tables.documents(s, d)).orderBy("id_a", "id_b")),
+      Dedup.ngramJaccardViaLsh(Tables.documents(s, d),
+        blockCols = Seq("lang", "source")).orderBy("id_a", "id_b")),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -677,10 +678,17 @@ object SparkEntry {
         |    END AS symbol
         |  FROM events),
         |parsed AS (
+        |  -- parse exprs carry the SAME '$SPX' guard as the row filter:
+        |  -- the optimizer can substitute dim's strike <> 0 below this
+        |  -- projection and reorder it ahead of the filter, where an
+        |  -- unguarded CAST of the index row's '' substring errors
         |  SELECT source, mark, t,
-        |    CASE WHEN substring(symbol, 13, 1) = 'C' THEN 1 ELSE -1 END AS cp,
-        |    CAST(strptime(substring(symbol, 7, 6), '%y%m%d') AS DATE) AS expiry,
-        |    CAST(substring(symbol, 14, 8) AS BIGINT) / 1000.0 AS strike
+        |    CASE WHEN symbol <> '$SPX' THEN
+        |      (CASE WHEN substring(symbol, 13, 1) = 'C' THEN 1 ELSE -1 END) END AS cp,
+        |    CASE WHEN symbol <> '$SPX' THEN
+        |      CAST(try_strptime(substring(symbol, 7, 6), '%y%m%d') AS DATE) END AS expiry,
+        |    CASE WHEN symbol <> '$SPX' THEN
+        |      TRY_CAST(substring(symbol, 14, 8) AS BIGINT) / 1000.0 END AS strike
         |  FROM staged WHERE symbol <> '$SPX'),
         |dim AS (
         |  SELECT CAST(dense_rank() OVER (ORDER BY expiry, cp, strike) AS BIGINT) AS opt_id,

@@ -282,13 +282,22 @@ object Dedup {
     * LSH capture probability 1-(1-j⁴)⁴ (≈ 0.98 at j = 0.9, ≈ 0.88 at
     * j = 0.8) — the standard trade documented for near-dup mining.
     *
+    * @param blockCols optional blocking attributes (e.g. lang, source):
+    *   when set, candidates must also agree on them — the LSH twin of
+    *   [[ngramJaccard]]'s block key, enforced IN the band join so
+    *   cross-block collisions are pruned before any verification. The
+    *   registered d19 entry blocks on (lang, source) to target exactly
+    *   d4's pair semantics (the sf0.1 corpus is ~21% near-dup dense
+    *   corpus-wide: unblocked it emits 2.7M true pairs — correct but
+    *   output-bound).
     * @return (id_a, id_b, n_inter, jaccard) exactly like ngramJaccard,
     *         restricted to LSH-captured candidates.
     */
-  def ngramJaccardViaLsh(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccardViaLsh(docs: DataFrame, threshold: Double = 0.8,
+      blockCols: Seq[String] = Seq.empty): DataFrame = {
     val toks = docs
-      .select(col("doc_id"),
-        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
+      .select(col("doc_id") +: blockCols.map(col) :+
+        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"): _*)
       .withColumn("sz", size(col("ws")).cast("long"))
     // LSH candidates WITHOUT the signature-agreement filter: banding is
     // the recall gate, the exact jaccard below is the precision gate.
@@ -301,13 +310,14 @@ object Dedup {
     val rows = perms / bands
     val sigs = toks.filter(size(col("ws")) >= 1)
       .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 1, perms))
-      .select("doc_id", "sig")
-    val banded = sigs.select(col("doc_id"),
+      .select("doc_id", blockCols :+ "sig": _*)
+    val banded = sigs.select(col("doc_id") +: blockCols.map(col) :+
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band", "band_hash")))
-    val cands = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
-      .join(banded.select(col("band"), col("band_hash"), col("doc_id").as("id_b")),
-        Seq("band", "band_hash"))
+        .as(Seq("band", "band_hash")): _*)
+    val joinKey = Seq("band", "band_hash") ++ blockCols
+    val cands = banded
+      .withColumnRenamed("doc_id", "id_a")
+      .join(banded.withColumnRenamed("doc_id", "id_b"), joinKey)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()

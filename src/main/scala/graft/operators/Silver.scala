@@ -25,32 +25,68 @@ import graft.Tables
   * joins back as a BROADCAST — no second corpus shuffle. At 100 TB the
   * staging scan partitions by arrival date and the same plan holds:
   * one wide exchange, dim broadcast, everything else pipelined.
+  *
+  * The narrow prefix ([[parseStaged]] → [[gateAndRank]]) is shared
+  * with the streaming twin (graft.streaming.EventStream.silverSeries):
+  * identical per-row semantics on the wire and in batch backfill.
   */
 object Silver {
 
-  def silverImport(s: SparkSession, d: String): DataFrame = {
-    // Staging: synthesize the fixed-width OCC symbol from event fields
-    // (the parquet-stage rows carry symbol + mark([37]) + epoch ts([38]);
-    // every 97th row plays the $SPX index that the procedure excludes).
-    val staged = Tables.events(s, d).select(
-      col("event_id"),
-      col("event_type").as("source"),
-      col("value").as("mark"),
-      date_trunc("minute", col("ts")).as("t"),
-      when(col("event_id") % 97 === 0, "$SPX").otherwise(concat(
-        rpad(when(col("event_id") % 3 === 0, "SPXW").otherwise("SPX"), 6, " "),
-        date_format(date_add(to_date(col("ts")), (col("event_id") % 21).cast("int")), "yyMMdd"),
-        when(col("event_id") % 2 === 0, "C").otherwise("P"),
-        lpad((floor(col("value")).cast("long") * 5000L).cast("string"), 8, "0")))
-        .as("symbol"))
+  /** Staging synth: fixed-width OCC symbols from event fields (the
+    * parquet-stage rows carry symbol + mark([37]) + epoch ts([38]);
+    * every 97th row plays the $SPX index the procedure excludes). */
+  def stagedFromEvents(ev: DataFrame): DataFrame = ev.select(
+    col("event_id"),
+    col("event_type").as("source"),
+    col("value").as("mark"),
+    col("ts"),
+    when(col("event_id") % 97 === 0, "$SPX").otherwise(concat(
+      rpad(when(col("event_id") % 3 === 0, "SPXW").otherwise("SPX"), 6, " "),
+      date_format(date_add(to_date(col("ts")), (col("event_id") % 21).cast("int")), "yyMMdd"),
+      when(col("event_id") % 2 === 0, "C").otherwise("P"),
+      lpad((floor(col("value")).cast("long") * 5000L).cast("string"), 8, "0")))
+      .as("symbol"))
 
-    // ParseSPXSymbol_ITVF: fixed-width decode (root ignored downstream —
-    // the dim key is (strike, cp, expiry), as in the reference's OPT).
-    val parsed = staged
-      .filter(col("symbol") =!= "$SPX")
-      .withColumn("cp", when(substring(col("symbol"), 13, 1) === "C", 1).otherwise(-1))
-      .withColumn("expiry", to_date(substring(col("symbol"), 7, 6), "yyMMdd"))
-      .withColumn("strike", substring(col("symbol"), 14, 8).cast("long") / 1000.0)
+  /** ParseSPXSymbol_ITVF: index exclusion + fixed-width decode (root is
+    * ignored downstream — the dim key is (strike, cp, expiry), as in
+    * the reference's OPT). Narrow, no exchange.
+    *
+    * Every parse expression carries the SAME `$SPX` guard as the row
+    * filter: a downstream predicate on a parsed column (e.g. the dim's
+    * `strike <> 0`) can be pushed below this projection by alias
+    * substitution and reordered ahead of the filter — under ANSI an
+    * unguarded cast of the index row's empty substring would throw
+    * (DuckDB's optimizer does exactly this reorder at sf0.1).
+    */
+  def parseStaged(staged: DataFrame): DataFrame = {
+    val isOpt = col("symbol") =!= "$SPX"
+    staged
+      .filter(isOpt)
+      .withColumn("cp", when(isOpt,
+        when(substring(col("symbol"), 13, 1) === "C", 1).otherwise(-1)))
+      .withColumn("expiry", when(isOpt,
+        to_date(substring(col("symbol"), 7, 6), "yyMMdd")))
+      .withColumn("strike", when(isOpt,
+        substring(col("symbol"), 14, 8).cast("long") / 1000.0))
+  }
+
+  /** Quality rules + PST market-hours gate + source quality rank (the
+    * multi-brokerage precedence the reference's MERGE serves). Narrow,
+    * no exchange; preserves the event-time column for streaming use. */
+  def gateAndRank(parsed: DataFrame): DataFrame = {
+    val pac = from_utc_timestamp(col("ts"), "America/Los_Angeles")
+    val minuteOfDay = hour(pac) * 60 + minute(pac)
+    parsed
+      .filter(col("mark").isNotNull && col("ts").isNotNull)
+      .filter(minuteOfDay >= 390 && minuteOfDay <= 780)
+      .withColumn("q_rank",
+        when(col("source") === "purchase", 1).when(col("source") === "click", 2)
+          .when(col("source") === "view", 3).when(col("source") === "signup", 4)
+          .otherwise(5))
+  }
+
+  def silverImport(s: SparkSession, d: String): DataFrame = {
+    val parsed = parseStaged(stagedFromEvents(Tables.events(s, d)))
 
     // OPT master: distinct valid contracts, surrogate ids from a window
     // over the ALREADY-AGGREGATED dim (small — safe to single-partition
@@ -61,21 +97,12 @@ object Silver {
       .withColumn("opt_id",
         dense_rank().over(Window.orderBy("expiry", "cp", "strike")).cast("long"))
 
-    // Market-hours gate (PST wall clock) + per-(contract, minute) merge:
-    // sources rank by quality (the multi-brokerage rule the reference's
-    // MERGE serves), best rank wins, MAX(mark) within it. min(struct(
-    // q_rank, -mark)) computes both in the SAME single aggregation —
-    // one shuffle, map-side combined.
-    val pac = from_utc_timestamp(col("t"), "America/Los_Angeles")
-    val minuteOfDay = hour(pac) * 60 + minute(pac)
-    val series = parsed
-      .filter(col("mark").isNotNull && col("t").isNotNull)
-      .filter(minuteOfDay >= 390 && minuteOfDay <= 780)
-      .withColumn("q_rank",
-        when(col("source") === "purchase", 1).when(col("source") === "click", 2)
-          .when(col("source") === "view", 3).when(col("source") === "signup", 4)
-          .otherwise(5))
-      .groupBy("strike", "cp", "expiry", "t")
+    // Per-(contract, minute) merge: best rank wins, MAX(mark) within
+    // it. min(struct(q_rank, -mark)) computes both in the SAME single
+    // aggregation — one shuffle, map-side combined.
+    val series = gateAndRank(parsed)
+      .groupBy(col("strike"), col("cp"), col("expiry"),
+        date_trunc("minute", col("ts")).as("t"))
       .agg(min(struct(col("q_rank").as("r"), negate(col("mark")).as("m"))).as("best"),
         count(lit(1)).as("n_obs"))
       .select(col("strike"), col("cp"), col("expiry"), col("t"),

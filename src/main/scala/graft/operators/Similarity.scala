@@ -278,9 +278,18 @@ object Similarity {
     val emb = emb0.select("vec_id", "embedding")
       .withColumn("nrm", norm(col("embedding")))
     val kk = k.getOrElse(adaptiveK(emb.count()))
-    val buckets = assignMulti(emb, kmeans(emb, kk, iters = 2), multiAssign)
-      .select("vec_id", "bucket")
-    val blocked = emb.join(buckets, "vec_id")
+    // Inline multi-assignment carrying (embedding, nrm) through the
+    // rank window — one shuffle on vec_id, no corpus-sized join back
+    // (assignMulti returns only ids, and joining it to emb would add a
+    // second wide shuffle per self-join side).
+    val blocked = emb.crossJoin(broadcast(kmeans(emb, kk, iters = 2)))
+      .withColumn("d2", dot(col("embedding"), col("embedding")) -
+        lit(2.0) * dot(col("embedding"), col("c_vec")) +
+        dot(col("c_vec"), col("c_vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)))
+      .filter(col("rk") <= multiAssign)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
     val a = blocked.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("v_a"), col("nrm").as("n_a"))
     val b = blocked.select(col("bucket"), col("vec_id").as("id_b"),

@@ -191,6 +191,33 @@ object EventStream {
       .select(col("user_id"), col("window.start").as("bar"),
         col("open_v"), col("high_v"), col("low_v"), col("close_v"), col("n_ticks"))
 
+  /** Streaming silver import — the on-the-wire twin of the q54 batch
+    * composite (SP_IMPORT_PARQUET_OPT_DATA): parse symbols as they
+    * arrive, gate to PST market hours, and maintain the
+    * per-(contract, minute) best-quality mark as a watermarked windowed
+    * aggregate (state bounded to open minutes). Surrogate-id assignment
+    * stays batch-side (dim tables mutate transactionally, not per-tick)
+    * — the stream emits natural-key series rows for the batch MERGE to
+    * upsert. Shares the narrow parse/gate/rank stages with
+    * operators.Silver (identical per-row semantics, parity-tested).
+    *
+    * @param staged streaming frame with (symbol, source, mark, ts)
+    */
+  def silverSeries(staged: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val parsed = graft.operators.Silver.gateAndRank(
+      graft.operators.Silver.parseStaged(staged.withWatermark("ts", watermarkDelay)))
+    parsed
+      .groupBy(window(col("ts"), "1 minute"),
+        col("strike"), col("cp"), col("expiry"))
+      .agg(min(struct(col("q_rank").as("r"), negate(col("mark")).as("m"))).as("best"),
+        count(lit(1)).as("n_obs"))
+      .select(col("strike"), col("cp"), col("expiry"),
+        col("window.start").as("t"),
+        col("best.r").as("best_rank"), negate(col("best.m")).as("mark"),
+        col("n_obs"))
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id within the
     * watermark horizon (at-least-once source → effectively-once sink).
     * State = seen ids inside the watermark window, evicted as event

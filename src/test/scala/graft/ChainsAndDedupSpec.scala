@@ -99,17 +99,14 @@ class ChainsAndDedupSpec extends SparkSpec {
   test("d4 via LSH: every emitted pair is exact-verified; recall vs blocked-exact is high") {
     val exact = Dedup.ngramJaccard(spark, sf)
       .select("id_a", "id_b", "jaccard").cache()
-    val viaLsh = Dedup.ngramJaccardViaLsh(Tables.documents(spark, sf))
+    // same blocking as the registered d19 entry: the result must be a
+    // STRICT subset of d4's exact blocked pairs (precision = 1 by
+    // construction — exact verify — and blocking enforced in the band
+    // join, so no cross-block extras)
+    val viaLsh = Dedup.ngramJaccardViaLsh(Tables.documents(spark, sf),
+        blockCols = Seq("lang", "source"))
       .select("id_a", "id_b", "jaccard").cache()
-    // precision = 1 by construction (exact verify); every LSH pair that
-    // falls inside a (lang, source) block must appear in the exact set
-    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source")
-    val sameBlock = viaLsh
-      .join(docs.select(col("doc_id").as("id_a"), col("lang").as("la"), col("source").as("sa")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("lang").as("lb"), col("source").as("sb")), "id_b")
-      .filter(col("la") === col("lb") && col("sa") === col("sb"))
-      .select("id_a", "id_b", "jaccard")
-    assert(sameBlock.exceptAll(exact).count() == 0,
+    assert(viaLsh.exceptAll(exact).count() == 0,
       "LSH-path pairs must be a subset of the exact blocked result")
     // recall: banding captures ~88% of j=0.8 pairs in expectation;
     // near-dup corpora sit well above the threshold, so demand >= 60%

@@ -119,6 +119,36 @@ class Round3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("streaming silver series matches the batch q54 composite on the same ticks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    case class Staged(symbol: String, source: String, mark: Double,
+        ts: java.sql.Timestamp)
+    val stagedRows = Silver.stagedFromEvents(graft.Tables.events(spark, sf))
+      .select("symbol", "source", "mark", "ts")
+      .as[(String, String, Double, java.sql.Timestamp)].collect()
+    val input = MemoryStream[(String, String, Double, java.sql.Timestamp)]
+    input.addData(stagedRows.toSeq)
+    val streamDf = input.toDF().toDF("symbol", "source", "mark", "ts")
+    graft.streaming.EventStream.runToMemory(
+      graft.streaming.EventStream.silverSeries(streamDf), "silver_out",
+      OutputMode.Complete)
+    val got = spark.table("silver_out")
+      .select("strike", "cp", "expiry", "t", "best_rank", "mark", "n_obs")
+    // batch side, natural-key grain (pre-dim-join series)
+    val want = Silver.silverImport(spark, sf)
+      .select("strike", "cp", "expiry", "t", "best_rank", "mark", "n_obs")
+    // batch inner-joins the dim (strike<>0 validity filter) — restrict
+    // the stream result to the same valid contracts for the compare
+    val gotValid = got.filter(col("strike") =!= 0.0)
+    assert(gotValid.count() == want.count(), "row sets differ in size")
+    assert(gotValid.exceptAll(want).count() == 0 &&
+           want.exceptAll(gotValid).count() == 0,
+      "streaming silver series must equal the batch composite row-for-row")
+  }
+
   test("d13 sketch error bounds vs exact answers: HLL within 3×rsd, quantile rank within n/accuracy") {
     val prof = Sketches.sketchProfile(spark, sf).collect()
     val ev = Tables.events(spark, sf).select("event_type", "user_id", "value").cache()
