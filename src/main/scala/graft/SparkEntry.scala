@@ -99,6 +99,13 @@ object SparkEntry {
     "d19_jaccard_lsh"     -> ((s, d) =>
       Dedup.ngramJaccardViaLsh(Tables.documents(s, d),
         blockCols = Seq("lang", "source")).orderBy("id_a", "id_b")),
+    // duplicate-CLUSTER formation: iterative min-label propagation over
+    // the exact d4 pair list — oracle-exact via a DuckDB recursive-CTE
+    // transitive closure (graph ops ARE SQL-expressible for bounded
+    // closures, so the driver verifies the component labels themselves)
+    "d20_dup_clusters"    -> ((s, d) =>
+      Dedup.connectedComponents(Dedup.ngramJaccard(s, d).select("id_a", "id_b"))
+        .orderBy("node")),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -733,6 +740,30 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d20_dup_clusters" ->
+      """WITH RECURSIVE tok0 AS (
+        |  SELECT doc_id, lang, source, UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, lang, source, w FROM tok0 WHERE w <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS node, id_b AS other FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT node, other FROM edges
+        |  UNION
+        |  SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node)
+        |SELECT node, LEAST(node, MIN(other)) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
     "d7_lang_id" -> {
       def cnt(tok: String) = s"CAST((length(t) - length(replace(t, '$tok', ''))) / ${tok.length} AS BIGINT)"
