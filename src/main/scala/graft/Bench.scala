@@ -25,6 +25,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // FAIR task scheduling: concurrent queries' small stages would
+      // otherwise queue FIFO behind any core-saturating stage,
+      // serializing the suite (head-of-line blocking dominated the wall
+      // once iterative entries joined the roster).
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

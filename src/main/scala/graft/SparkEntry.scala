@@ -104,7 +104,7 @@ object SparkEntry {
     // transitive closure (graph ops ARE SQL-expressible for bounded
     // closures, so the driver verifies the component labels themselves)
     "d20_dup_clusters"    -> ((s, d) =>
-      Dedup.connectedComponents(Dedup.ngramJaccard(s, d).select("id_a", "id_b"))
+      Dedup.connectedComponentsBounded(Dedup.ngramJaccard(s, d).select("id_a", "id_b"))
         .orderBy("node")),
   )
 

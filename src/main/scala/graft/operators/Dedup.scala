@@ -133,12 +133,18 @@ object Dedup {
     * round to cut the lineage — the standard large-graph loop on Spark
     * without GraphX's partition-pinning machinery.
     */
-  /** @param checkpointDir when set, per-round frontiers use RELIABLE
+  /** @param maxIter safety valve only — the loop exits on convergence
+    *   (labels are monotone decreasing, so it always converges). The
+    *   default accommodates diameter-100 graphs; a cap SMALLER than the
+    *   component diameter returns partial labels silently, so don't
+    *   lower it to "tune" runtime (use [[connectedComponentsBounded]]
+    *   for barrier-free scheduling instead).
+    * @param checkpointDir when set, per-round frontiers use RELIABLE
     *   `checkpoint()` into this directory (survives executor loss — the
     *   100 TB-cluster-safe choice; `localCheckpoint` is executor-memory-
     *   backed and dies with a lost executor). Unset → localCheckpoint,
     *   fine for tests/single-JVM. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 10,
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 100,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
@@ -174,6 +180,74 @@ object Dedup {
     }
     edges.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Lazy bounded-iteration connected components: builds `iters`
+    * rounds of min-label propagation as ONE deferred plan — no per-round
+    * checkpoint/count barriers — then verifies the fixpoint with a
+    * single count, falling back to the eager [[connectedComponents]]
+    * loop from the reached frontier in the (rare) case a component's
+    * diameter exceeds `iters`. Same answer as the eager loop on every
+    * input; far friendlier to concurrent schedulers: the whole
+    * propagation is one job instead of ~2·rounds sequential barriers
+    * (the eager entry serialized the whole benchmark suite behind its
+    * tiny blocking jobs).
+    *
+    * Near-dup clusters are low-diameter (similarity is near-transitive
+    * at high thresholds), so `iters` = 8 converges in one shot in
+    * practice; the fallback keeps worst-case correctness.
+    */
+  def connectedComponentsBounded(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    // edges feed every round's join AND the label init — without a
+    // lineage cut the upstream pair-mining query would re-execute
+    // once per round
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val idType = pairs.schema("id_a").dataType
+    for (_ <- 1 to iters) {
+      // labels ≤ one row per node of the PAIR graph — orders smaller
+      // than the corpus that produced the pairs, so broadcast beats a
+      // 2-sided shuffle join; the 8-partition repartition satisfies the
+      // agg's required distribution, keeping every round at 8 small
+      // tasks instead of spark.sql.shuffle.partitions-many (per-round
+      // task-scheduling overhead, not data volume, dominates this loop)
+      val neighborLabels = edges
+        .join(broadcast(labels.withColumnRenamed("node", "dst_n")),
+          col("dst") === col("dst_n"))
+        .select(col("src").as("node"), col("label"))
+      labels = labels.select(col("node"), col("label"), col("label").as("old"))
+        .union(neighborLabels.withColumn("old", lit(null).cast(idType)))
+        .repartition(8, col("node"))
+        .groupBy("node")
+        .agg(min("label").as("label"), max("old").as("old"))
+        // NON-EAGER lineage cut: `labels` is referenced twice per round
+        // (self + neighbor branch), so an un-cut plan doubles per
+        // iteration — 2^iters subtree executions. A lazy localCheckpoint
+        // truncates lineage and shares one materialized RDD per round
+        // WITHOUT the per-round driver count barrier the eager loop pays.
+        .localCheckpoint(eager = false)
+    }
+    val last = labels.cache()
+    val changed = last.filter(col("label") =!= col("old")).count()
+    val out =
+      if (changed == 0) last.select("node", "label")
+      else {
+        // Frontier not converged: finish with the eager loop over the
+        // ORIGINAL pairs plus (node, label) shortcut edges. The original
+        // edges are required for correctness — label edges alone can
+        // split a component (two distant local minima never see each
+        // other); the shortcuts only accelerate convergence.
+        val rest = connectedComponents(pairs.select("id_a", "id_b").union(
+          last.select(col("node").as("id_a"), col("label").as("id_b"))),
+          maxIter = 1000)
+        last.unpersist()
+        rest.select(col("node"), col("cluster_id").as("label"))
+      }
+    out.withColumnRenamed("label", "cluster_id")
   }
 
   /** End-to-end dedup: near-dup pairs → components → keep the smallest

@@ -18,6 +18,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L).map(cc).distinct == Seq(20L))
   }
 
+  test("bounded lazy variant matches the eager loop, including past its iteration budget") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // small graph: converges inside the budget (no fallback)
+    val small = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    assert(asMap(Dedup.connectedComponentsBounded(small)) ==
+           asMap(Dedup.connectedComponents(small)))
+    // 40-node chain with ids arranged so the minimum sits at one END:
+    // diameter 39 >> 8 forces the convergence check to fail and the
+    // eager fallback (original edges + shortcuts) to finish the job
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val bounded = asMap(Dedup.connectedComponentsBounded(chain, iters = 3))
+    val eager = asMap(Dedup.connectedComponents(chain, maxIter = 50))
+    assert(bounded == eager, "fallback must produce the exact eager labels")
+    assert(bounded.values.toSet == Set(1L), "the whole chain is one component")
+    // real pair list: d4's exact near-dup pairs
+    val pairs = Dedup.ngramJaccard(spark, sf).select("id_a", "id_b")
+    assert(asMap(Dedup.connectedComponentsBounded(pairs)) ==
+           asMap(Dedup.connectedComponents(pairs)))
+  }
+
   test("dedupedCorpus keeps exactly one doc per cluster plus all unpaired docs") {
     val docs = Tables.documents(spark, sf)
     val pairs = SparkEntry.queries("d2_minhash_lsh")(spark, sf).select("id_a", "id_b")
