@@ -106,6 +106,20 @@ object SparkEntry {
     "d20_dup_clusters"    -> ((s, d) =>
       Dedup.connectedComponentsBounded(Dedup.ngramJaccard(s, d).select("id_a", "id_b"))
         .orderBy("node")),
+    // multimodal decode pipeline (media-as-binary → partition-local
+    // feature extraction); codec stubbed (not in this container), the
+    // Spark plumbing — schema, mapPartitions batch shape, no shuffle —
+    // is the real thing. rows-only: byte-level features aren't
+    // SQL-expressible in the oracle (ascii() is codepoints, not bytes).
+    "d21_media_features"  -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, element_at}
+      val m = graft.multimodal.Multimodal
+      import s.implicits._
+      m.decodeStub(m.asMediaTable(s, d).as[m.MediaRow]).toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          element_at(col("histogram"), 1).as("hist0"), col("checksum"))
+        .orderBy("doc_id")
+    }),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
