@@ -50,6 +50,77 @@ case class DotProductF(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product of two array<tinyint> (int8-quantized) columns → long.
+  * Codegen'd — the `aggregate(zip_with(...))` HOF formulation of the
+  * same sum runs interpreted per (corpus × query) pair and was the
+  * slowest scorer in the whole ANN roster despite 4×-smaller inputs.
+  * Long result: |sum| ≤ 127² · dims, so overflow would need ~5·10¹⁴
+  * dims — effectively total over any real embedding width.
+  */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductI8 =
+    copy(left = l, right = r)
+}
+
+/** Per-vector symmetric int8 quantization: array<float> →
+  * struct<q: array<tinyint>, scale: double> with scale = max|x| (floored
+  * at Double.MIN_VALUE so an all-zero vector can't produce 0/0 = NaN)
+  * and q_i = round(x_i / scale · 127). One tight loop per row — the
+  * transform+aggregate HOF formulation ran interpreted over every
+  * corpus row on every probe. Build-time only, so CodegenFallback is
+  * acceptable (it sits in its own projection, not a join predicate).
+  */
+case class Quantize8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("q", ArrayType(ByteType, containsNull = false), nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var mx = java.lang.Double.MIN_VALUE
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getFloat(i).toDouble)
+      if (a > mx) mx = a
+      i += 1
+    }
+    val q = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      q(i) = math.round(arr.getFloat(i).toDouble / mx * 127.0).toByte
+      i += 1
+    }
+    InternalRow(new GenericArrayData(q), mx)
+  }
+  override protected def withNewChildInternal(c: Expression): Quantize8 = copy(child = c)
+}
+
 /** 64-bit SimHash over an array<string> token column. For each token,
   * xxhash64 gives 64 pseudo-random bits; each bit votes ±1; the
   * fingerprint bit is the sign of the vote sum. One tight O(tokens×64)
@@ -213,6 +284,8 @@ object ExprHelpers {
 
 object VectorExprs {
   def dotF(a: Column, b: Column): Column = toCol(DotProductF(toExpr(a), toExpr(b)))
+  def dotI8(a: Column, b: Column): Column = toCol(DotProductI8(toExpr(a), toExpr(b)))
+  def quantize8(c: Column): Column = toCol(Quantize8(toExpr(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def minhashSig(c: Column, k: Int): Column = toCol(MinHashSig(toExpr(c), k))
   def intersectCount(a: Column, b: Column): Column = toCol(IntersectCount(toExpr(a), toExpr(b)))

@@ -196,8 +196,27 @@ object Dedup {
     * Near-dup clusters are low-diameter (similarity is near-transitive
     * at high thresholds), so `iters` = 8 converges in one shot in
     * practice; the fallback keeps worst-case correctness.
+    *
+    * @param broadcastMaxEdges size gate for the per-round label
+    *   broadcast: the label frame has one row per node of the pair
+    *   graph (≤ the edge count, which we know exactly from the single
+    *   up-front materializing count). Below the gate, broadcasting the
+    *   labels beats a two-sided shuffle join; ABOVE it (a 100 TB corpus
+    *   whose near-dup graph has hundreds of millions of nodes) a forced
+    *   broadcast is an OOM multiplied by `iters`, so each round falls
+    *   back to a plain shuffle join on the label id — the same decision
+    *   AQE would make, but made once up front because the loop builds
+    *   one deferred plan. Default 2M edges ≈ tens of MB of label rows.
+    * @param roundPartitions explicit per-round shuffle width. None (the
+    *   default) lets the groupBy shuffle at spark.sql.shuffle.partitions
+    *   with normal map-side partial aggregation — the scale-safe choice.
+    *   A small Some(n) packs each round into n tasks, a single-node
+    *   bench tuning for graphs where per-task scheduling overhead, not
+    *   data, dominates.
     */
-  def connectedComponentsBounded(pairs: DataFrame, iters: Int = 8): DataFrame = {
+  def connectedComponentsBounded(pairs: DataFrame, iters: Int = 8,
+      broadcastMaxEdges: Long = 2000000L,
+      roundPartitions: Option[Int] = None): DataFrame = {
     // edges feed every round's join AND the label init — without a
     // lineage cut the upstream pair-mining query would re-execute
     // once per round
@@ -205,23 +224,25 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(eager = false)
+    // ONE materializing count before the loop: pins the edge RDD (the
+    // upstream pair-mining query runs exactly once) and supplies the
+    // statistic the broadcast-vs-shuffle gate needs. nodes ≤ edges, so
+    // the edge count is a safe upper bound on the label frame.
+    val edgeCount = edges.count()
+    val useBroadcast = edgeCount <= broadcastMaxEdges
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     val idType = pairs.schema("id_a").dataType
     for (_ <- 1 to iters) {
-      // labels ≤ one row per node of the PAIR graph — orders smaller
-      // than the corpus that produced the pairs, so broadcast beats a
-      // 2-sided shuffle join; the 8-partition repartition satisfies the
-      // agg's required distribution, keeping every round at 8 small
-      // tasks instead of spark.sql.shuffle.partitions-many (per-round
-      // task-scheduling overhead, not data volume, dominates this loop)
+      val labelSide = labels.withColumnRenamed("node", "dst_n")
       val neighborLabels = edges
-        .join(broadcast(labels.withColumnRenamed("node", "dst_n")),
+        .join(if (useBroadcast) broadcast(labelSide) else labelSide,
           col("dst") === col("dst_n"))
         .select(col("src").as("node"), col("label"))
-      labels = labels.select(col("node"), col("label"), col("label").as("old"))
+      val unioned = labels.select(col("node"), col("label"), col("label").as("old"))
         .union(neighborLabels.withColumn("old", lit(null).cast(idType)))
-        .repartition(8, col("node"))
+      labels = roundPartitions.map(n => unioned.repartition(n, col("node")))
+        .getOrElse(unioned)
         .groupBy("node")
         .agg(min("label").as("label"), max("old").as("old"))
         // NON-EAGER lineage cut: `labels` is referenced twice per round
@@ -234,8 +255,14 @@ object Dedup {
     val last = labels.cache()
     val changed = last.filter(col("label") =!= col("old")).count()
     val out =
-      if (changed == 0) last.select("node", "label")
-      else {
+      if (changed == 0) {
+        // Materialize off the cache, then release it — returning an
+        // alias of the cached plan would leak one cached label RDD per
+        // invocation in a long-lived session (bench/test JVMs).
+        val res = last.select("node", "label").localCheckpoint(eager = true)
+        last.unpersist()
+        res
+      } else {
         // Frontier not converged: finish with the eager loop over the
         // ORIGINAL pairs plus (node, label) shortcut edges. The original
         // edges are required for correctness — label edges alone can
@@ -256,7 +283,9 @@ object Dedup {
     * ships.
     */
   def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val cc = connectedComponents(pairs.select("id_a", "id_b"))
+    // barrier-free bounded CC: same labels as the eager loop (fallback
+    // guarantees it), one deferred plan instead of ~2·rounds barriers
+    val cc = connectedComponentsBounded(pairs.select("id_a", "id_b"))
     val drop = cc.filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
@@ -296,7 +325,10 @@ object Dedup {
     // element_at is 1-indexed: bounds(g) = element_at(_, g+1)
     val atG = element_at(lit(bandBounds), (g + 1).cast("int"))
     val atG1 = element_at(lit(bandBounds), (g + 2).cast("int"))
-    when(atG1 <= sz, g + 1).when(atG > sz, g - 1).otherwise(g)
+    // final clamp to ≥ 0 keeps the contract total over sz = 0 (the FP
+    // path clamps via greatest(sz,1) but the integer correction compares
+    // raw sz, so bounds(0)=1 > 0 would yield band −1 for empty docs)
+    greatest(when(atG1 <= sz, g + 1).when(atG > sz, g - 1).otherwise(g), lit(0L))
   }
 
   /** d4: word-1-gram Jaccard over blocked candidate pairs.

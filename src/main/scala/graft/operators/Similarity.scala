@@ -101,16 +101,7 @@ object Similarity {
     * vectors — 4× smaller vectors, the memory/IO story of a 100 TB ANN
     * corpus. Recall vs full precision is spec-checked.
     */
-  def quantize8(v: Column): Column = {
-    // Guard the degenerate all-zero vector: scale would be 0 and
-    // 0/0 = NaN, which ANSI round→tinyint casts reject at runtime.
-    val scale = greatest(
-      aggregate(v, lit(0.0d), (acc, x) => greatest(acc, abs(x))),
-      lit(java.lang.Double.MIN_VALUE))
-    struct(
-      transform(v, x => round(x / scale * 127.0).cast("tinyint")).as("q"),
-      scale.as("scale"))
-  }
+  def quantize8(v: Column): Column = graft.functions.VectorExprs.quantize8(v)
 
   def quantizedTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -118,9 +109,11 @@ object Similarity {
       .select(col("vec_id"), col("qv.q").as("q"), col("qv.scale").as("qscale"))
     val queries = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("qscale").as("q_scale"))
-    // int dot product, rescaled: approx cosine numerator
-    val qdot = aggregate(zip_with(col("q"), col("q_q"),
-      (a, b) => a.cast("int") * b.cast("int")), lit(0), (acc, x) => acc + x)
+    // int8 dot product via the codegen'd DotProductI8 expression — the
+    // HOF aggregate(zip_with(...)) formulation ran INTERPRETED per
+    // (corpus × query) pair and made the "fast" quantized tier the
+    // slowest ANN entry in the bench
+    val qdot = graft.functions.VectorExprs.dotI8(col("q"), col("q_q"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
     emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("score", qdot.cast("double") * col("qscale") * col("q_scale") / (127.0 * 127.0))

@@ -41,6 +41,24 @@ class ConnectedComponentsSpec extends SparkSpec {
            asMap(Dedup.connectedComponents(pairs)))
   }
 
+  test("bounded variant: shuffle-join path (gate=0) and explicit round partitioning match the eager labels") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val eager = asMap(Dedup.connectedComponents(pairs))
+    // broadcastMaxEdges = 0 forces the shuffle-join fallback every round
+    // — the path a 100 TB-scale label frame takes
+    assert(asMap(Dedup.connectedComponentsBounded(pairs, broadcastMaxEdges = 0L)) == eager)
+    // the single-node tuning knob (packed rounds) must not change labels
+    assert(asMap(Dedup.connectedComponentsBounded(pairs, roundPartitions = Some(4))) == eager)
+    // shuffle path + fallback (diameter > iters) together
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(asMap(Dedup.connectedComponentsBounded(chain, iters = 3, broadcastMaxEdges = 0L)) ==
+           asMap(Dedup.connectedComponents(chain, maxIter = 50)))
+  }
+
   test("dedupedCorpus keeps exactly one doc per cluster plus all unpaired docs") {
     val docs = Tables.documents(spark, sf)
     val pairs = SparkEntry.queries("d2_minhash_lsh")(spark, sf).select("id_a", "id_b")
