@@ -73,6 +73,13 @@ object ScaleSmoke {
     time("dup clusters from pairs") {
       operators.Dedup.connectedComponents(pairs.select("id_a", "id_b")).count()
     }
+    // bounded CC at scale settings: broadcast gate forced OFF (the path
+    // a corpus-sized label frame takes at 100 TB) — shuffle join each
+    // round, natural shuffle partitioning, no driver barriers inside
+    time("dup clusters bounded/shuffle") {
+      operators.Dedup.connectedComponentsBounded(pairs.select("id_a", "id_b"),
+        broadcastMaxEdges = 0L).count()
+    }
     // simhash band pairing at 1M docs: fingerprints from the same word
     // salads, 4×16-bit bands → verified hamming ≤ 3 pairs.
     time("simhash pairs 1M docs") {

@@ -106,6 +106,10 @@ object SparkEntry {
     "d20_dup_clusters"    -> ((s, d) =>
       Dedup.connectedComponentsBounded(Dedup.ngramJaccard(s, d).select("id_a", "id_b"))
         .orderBy("node")),
+    // the composed 100 TB dedup path: LSH pairs → bounded CC → keep-min
+    // corpus (rows-only: LSH recall is probabilistic; Round4Spec proves
+    // drop-set ⊆ exact pipeline's drop-set with high recall)
+    "d22_dedup_pipeline"  -> (Dedup.dedupPipeline _),
     // multimodal decode pipeline (media-as-binary → partition-local
     // feature extraction); codec stubbed (not in this container), the
     // Spark plumbing — schema, mapPartitions batch shape, no shuffle —

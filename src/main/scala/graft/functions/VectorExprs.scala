@@ -229,7 +229,16 @@ case class MinHashShingleSig(child: Expression, shingleK: Int, numPerms: Int)
       while (j < shingleK) { h = h * 0x100000001B3L + wh(i + j); j += 1 }
       var p = 0
       while (p < numPerms) {
-        val v = muls(p) * h + adds(p) // wrapping on purpose
+        // murmur3 fmix64 of (mul·h + add): a full-avalanche finalizer
+        // per permutation. A bare linear mix left the 16 orderings
+        // CORRELATED (all affine images of the same h), and measured
+        // band-capture recall fell short of the independent-permutation
+        // bound 1-(1-j^4)^4 the d19 gate asserts. Wrapping arithmetic
+        // on purpose (outside ANSI).
+        var v = muls(p) * h + adds(p)
+        v = (v ^ (v >>> 33)) * 0xFF51AFD7ED558CCDL
+        v = (v ^ (v >>> 33)) * 0xC4CEB9FE1A85EC53L
+        v ^= (v >>> 33)
         if (v < sig(p)) sig(p) = v
         p += 1
       }

