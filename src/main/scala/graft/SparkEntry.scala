@@ -699,7 +699,7 @@ object SparkEntry {
         |      rpad(CASE WHEN event_id % 3 = 0 THEN 'SPXW' ELSE 'SPX' END, 6, ' ') ||
         |      strftime(CAST(ts AS DATE) + CAST(event_id % 21 AS INTEGER), '%y%m%d') ||
         |      (CASE WHEN event_id % 2 = 0 THEN 'C' ELSE 'P' END) ||
-        |      lpad(CAST(CAST(FLOOR(value) AS BIGINT) * 5000 AS VARCHAR), 8, '0')
+        |      lpad(CAST(GREATEST(CAST(FLOOR(value) AS BIGINT), 0) * 5000 AS VARCHAR), 8, '0')
         |    END AS symbol
         |  FROM events),
         |parsed AS (

@@ -34,7 +34,13 @@ object Silver {
 
   /** Staging synth: fixed-width OCC symbols from event fields (the
     * parquet-stage rows carry symbol + mark([37]) + epoch ts([38]);
-    * every 97th row plays the $SPX index the procedure excludes). */
+    * every 97th row plays the $SPX index the procedure excludes).
+    * The encoded strike is clamped non-negative: a negative value would
+    * lpad to '00-15000' and the downstream ANSI substring-cast parse
+    * would throw (while the DuckDB oracle's TRY_CAST silently nulls) —
+    * the batch side must never EMIT a symbol the parse stage can't
+    * read. The 8-digit width assumes value < 20000 (test data tops out
+    * far below; a real feed would validate at ingest). */
   def stagedFromEvents(ev: DataFrame): DataFrame = ev.select(
     col("event_id"),
     col("event_type").as("source"),
@@ -44,7 +50,7 @@ object Silver {
       rpad(when(col("event_id") % 3 === 0, "SPXW").otherwise("SPX"), 6, " "),
       date_format(date_add(to_date(col("ts")), (col("event_id") % 21).cast("int")), "yyMMdd"),
       when(col("event_id") % 2 === 0, "C").otherwise("P"),
-      lpad((floor(col("value")).cast("long") * 5000L).cast("string"), 8, "0")))
+      lpad((greatest(floor(col("value")).cast("long"), lit(0L)) * 5000L).cast("string"), 8, "0")))
       .as("symbol"))
 
   /** ParseSPXSymbol_ITVF: index exclusion + fixed-width decode (root is
@@ -85,17 +91,43 @@ object Silver {
           .otherwise(5))
   }
 
+  /** Scalable deterministic surrogate ids: global dense-rank semantics
+    * over a DISTINCT-keyed frame WITHOUT a single-partition window.
+    * Two-level scheme: range-partition on the sort key (so partition i
+    * holds strictly smaller keys than partition i+1), rank locally per
+    * partition, then add each partition's running-count offset (a
+    * window over ≤ `partitions` tiny rows, broadcast back). The result
+    * equals `dense_rank() OVER (ORDER BY keys)` for distinct keys —
+    * boundary placement cancels out — so oracle parity is preserved,
+    * but no task ever holds more than its range slice: the id
+    * assignment survives a dim that ISN'T small (the single-partition
+    * dense_rank was the one silent scale assumption left in q54).
+    */
+  def surrogateIds(dim: DataFrame, keyCols: Seq[String], idCol: String,
+      partitions: Int = 32): DataFrame = {
+    val ks = keyCols.map(col)
+    val ranged = dim.repartitionByRange(partitions, ks: _*)
+      .withColumn("_pid", spark_partition_id())
+    val local = ranged.withColumn("_rk",
+      row_number().over(Window.partitionBy("_pid").orderBy(ks: _*)))
+    val offs = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum("_cnt").over(
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offs), "_pid")
+      .withColumn(idCol, (col("_off") + col("_rk")).cast("long"))
+      .drop("_pid", "_rk", "_off")
+  }
+
   def silverImport(s: SparkSession, d: String): DataFrame = {
     val parsed = parseStaged(stagedFromEvents(Tables.events(s, d)))
 
-    // OPT master: distinct valid contracts, surrogate ids from a window
-    // over the ALREADY-AGGREGATED dim (small — safe to single-partition
-    // for id assignment, exactly like a dimension-table sequence).
-    val dim = parsed
+    // OPT master: distinct valid contracts with two-level surrogate ids
+    // (dense_rank semantics, no single-partition exchange).
+    val dim = surrogateIds(parsed
       .filter(col("strike") =!= 0.0 && col("cp").isNotNull && col("expiry").isNotNull)
-      .select("strike", "cp", "expiry").distinct()
-      .withColumn("opt_id",
-        dense_rank().over(Window.orderBy("expiry", "cp", "strike")).cast("long"))
+      .select("strike", "cp", "expiry").distinct(),
+      Seq("expiry", "cp", "strike"), "opt_id")
 
     // Per-(contract, minute) merge: best rank wins, MAX(mark) within
     // it. min(struct(q_rank, -mark)) computes both in the SAME single

@@ -37,6 +37,48 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Incremental dedup-insert into a persistent date-partitioned
+    * historic dataset — the reference's production loop (staging →
+    * anti-join vs HISTORIC → insert → truncate, run every cycle:
+    * /root/reference/sql/opt.sql:347-391, SP_PY_PROCESS_OHLC): only
+    * rows whose `keys` are NOT already present get appended.
+    *
+    * Scale shape: the guard anti-join reads ONLY the historic
+    * partitions whose `day` overlaps the incoming batch (two-value
+    * driver agg → partition-pruned scan) and ONLY the key columns
+    * (column-pruned) — at 100 TB the guard scans a few days of keys,
+    * never the full history. REQUIREMENT for that prune to be sound:
+    * `keys` must determine the row's day (include the timestamp, or a
+    * key component derived from it, as in the reference's (symbol, T)
+    * OHLC primary key) — a re-delivered row always lands in the same
+    * day partition it first landed in.
+    *
+    * Retry-safe by construction: if a failed attempt appended part of
+    * a batch, the re-run's guard filters the already-landed keys and
+    * appends the remainder — at-least-once delivery becomes
+    * exactly-once CONTENT (the idempotence the reference gets from the
+    * staging truncate + PK constraint).
+    */
+  def upsertHistoric(batch: DataFrame, path: String, keys: Seq[String],
+      tsCol: String = "ts", filesPerDay: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val fresh0 = batch.dropDuplicates(keys)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(hPath)) fresh0
+      else {
+        val b = fresh0.agg(min(to_date(col(tsCol))).as("lo"),
+          max(to_date(col(tsCol))).as("hi")).head()
+        if (b.isNullAt(0)) return // empty batch: nothing to insert
+        val hist = spark.read.parquet(path)
+          .filter(col("day").between(b.getDate(0), b.getDate(1)))
+          .select(keys.map(col): _*)
+        fresh0.join(hist, keys, "left_anti")
+      }
+    writeDaily(fresh, tsCol, path, filesPerDay = filesPerDay)
+  }
+
   /** Read back with partition pruning (the SP_IMPORT_PARQUET single-day
     * import): predicate on `day` prunes at the file index. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =

@@ -242,6 +242,28 @@ object EventStream {
       }
       .start()
 
+  /** Streaming incremental dedup-insert: every micro-batch upserts into
+    * a persistent date-partitioned historic parquet table with the
+    * LEFT-JOIN-IS-NULL guard (Sinks.upsertHistoric) — the streaming
+    * form of the reference's staging → anti-join vs HISTORIC → insert →
+    * truncate cycle (sql/opt.sql:347-391; schwab_ohlc_service.py runs
+    * it on a timer; here each micro-batch IS the cycle). The historic
+    * table, not the checkpoint, is the dedup authority: a restarted
+    * query — even with a fresh checkpoint replaying old input — cannot
+    * re-insert rows the table already holds.
+    *
+    * `keys` must determine the row's day (see upsertHistoric's
+    * partition-prune contract).
+    */
+  def dedupInsertStream(stream: DataFrame, path: String, checkpoint: String,
+      keys: Seq[String], tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sinks.upsertHistoric(batch.toDF(), path, keys, tsCol)
+      }
+      .start()
+
   /** Convenience: run a streaming query over a bounded source into a
     * memory sink and block until drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

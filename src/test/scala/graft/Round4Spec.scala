@@ -31,6 +31,23 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("surrogateIds on an oversized dim equals the global dense_rank, with no single-partition data window") {
+    import org.apache.spark.sql.expressions.Window
+    // 100k distinct (expiry, cp, strike) triples — far beyond any "dim
+    // is small" assumption the old single-partition dense_rank relied on
+    val dim = spark.range(100000).select(
+      date_add(lit("2024-01-01").cast("date"), (col("id") % 365).cast("int")).as("expiry"),
+      when(col("id") % 2 === 0, 1).otherwise(-1).as("cp"),
+      floor(col("id") / 2).cast("double").as("strike"))
+    val got = Silver.surrogateIds(dim, Seq("expiry", "cp", "strike"), "opt_id")
+    val want = dim.withColumn("want_id",
+      dense_rank().over(Window.orderBy("expiry", "cp", "strike")).cast("long"))
+    val j = got.join(want, Seq("expiry", "cp", "strike"))
+    assert(j.count() == 100000)
+    assert(j.filter(col("opt_id") =!= col("want_id")).count() == 0,
+      "two-level ids must equal the global dense_rank")
+  }
+
   test("d19 measured recall vs exact pairs meets the 1-(1-j^4)^4 banding bound per jaccard bucket") {
     // 16 perms / 4 bands / 4 rows: a pair at jaccard j shares a band
     // with probability 1-(1-j^4)^4. Signatures are deterministic given

@@ -143,4 +143,77 @@ class StreamingSpec extends SparkSpec {
     assert(j.filter(col("value").isNull || col("w_value").isNull).count() == 0)
     assert(j.filter(col("value") =!= col("w_value")).count() == 0)
   }
+
+  test("streaming dedup-insert: re-delivered micro-batches + restart land exactly the batch q2 rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ev = Tables.events(spark, sf)
+    // q2's staging input (pre-guard) and its static old-historic guard
+    val staged = ev.filter(col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp"))
+      .select(cols.map(col): _*)
+      .as[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .collect().toSeq.sortBy(_._1)
+    val oldHistoric = ev.filter(col("ts") < lit("2024-01-04 00:00:00").cast("timestamp"))
+      .select("user_id", "event_type")
+    val base = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val n = staged.size
+    def runChunks(chunks: Seq[Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]],
+        ckpt: String): Unit = {
+      val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      // stream-static anti join = q2's NOT EXISTS vs the old historic
+      val guarded = input.toDF().toDF(cols: _*)
+        .join(oldHistoric, Seq("user_id", "event_type"), "left_anti")
+      val q = EventStream.dedupInsertStream(guarded, s"$base/data", ckpt, Seq("event_id"))
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+    }
+    // run 1: two micro-batches with heavy re-delivery overlap
+    runChunks(Seq(staged.take(n / 2), staged.slice(n / 4, 3 * n / 4)), s"$base/ckpt1")
+    // "restart": a NEW query (fresh checkpoint, fresh source) over the
+    // SAME historic table — replays already-landed rows plus the tail.
+    // The table, not the checkpoint, must be the dedup authority.
+    runChunks(Seq(staged.slice(n / 2, n), staged), s"$base/ckpt2")
+    val got = spark.read.parquet(s"$base/data").select(cols.map(col): _*)
+    val want = SparkEntry.queries("q2_dedup_insert")(spark, sf)
+    assert(got.count() == want.count(), s"rows ${got.count()} vs batch ${want.count()}")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "streamed historic content must equal the batch q2 result exactly")
+  }
+
+  test("silverSeries: a mark arriving behind the watermark is dropped; its window finalizes once without it") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val sym = "SPX   240119C00125000" // valid fixed-width OCC symbol
+    def t(s: String) = ts(s"2024-01-10 $s")
+    val input = MemoryStream[(String, String, Double, java.sql.Timestamp)]
+    val streamDf = input.toDF().toDF("symbol", "source", "mark", "ts")
+    // Append mode: a (contract, minute) window emits exactly once, when
+    // the watermark passes its end — the documented finalize-then-drop
+    // semantics under late data.
+    val q = EventStream.silverSeries(streamDf)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("silver_late_out").start()
+    // on-time marks in the 18:00 minute (10:00 PST — inside the gate)
+    input.addData(Seq((sym, "purchase", 10.0, t("18:00:10")),
+      (sym, "view", 99.0, t("18:00:20"))))
+    q.processAllAvailable()
+    // advance event time: watermark (10 min delay) moves to 18:20 after
+    // this batch, putting the 18:00 window past its horizon
+    input.addData(Seq((sym, "purchase", 5.0, t("18:30:00"))))
+    q.processAllAvailable()
+    // LATE: 18:00-minute mark behind the watermark — must be dropped,
+    // in the same batch the finalized 18:00 window is emitted
+    input.addData(Seq((sym, "purchase", 500.0, t("18:00:30"))))
+    q.processAllAvailable()
+    // push the watermark further: no re-emission of the 18:00 window
+    input.addData(Seq((sym, "view", 1.0, t("18:40:00"))))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("silver_late_out").filter(col("t") === t("18:00:00"))
+    assert(out.count() == 1, "finalized window must emit exactly once")
+    val r = out.select("best_rank", "mark", "n_obs").head()
+    assert(r.getInt(0) == 1 && r.getDouble(1) == 10.0 && r.getLong(2) == 2L,
+      s"late mark leaked into the finalized window: $r")
+  }
 }
