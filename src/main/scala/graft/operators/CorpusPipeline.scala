@@ -67,7 +67,10 @@ object CorpusPipeline {
     val words = exact.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
     val pairs = Dedup.minhashLshPairs(words)
-    val cc = Dedup.connectedComponents(pairs.select("id_a", "id_b"),
+    // barrier-free bounded CC; with a checkpointDir the per-round cuts
+    // are reliable (executor-loss-safe) yet still lazy — no per-round
+    // driver barriers in the middle of the pipeline
+    val cc = Dedup.connectedComponentsBounded(pairs.select("id_a", "id_b"),
       checkpointDir = checkpointDir)
     val drop = cc.filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"))

@@ -213,17 +213,27 @@ object Dedup {
     *   A small Some(n) packs each round into n tasks, a single-node
     *   bench tuning for graphs where per-task scheduling overhead, not
     *   data, dominates.
+    * @param checkpointDir when set, the per-round lineage cuts use
+    *   RELIABLE `checkpoint(eager = false)` into this directory —
+    *   still barrier-free (materialized by the single convergence
+    *   count), but an executor loss replays from the checkpoint files
+    *   instead of killing the job (localCheckpoint blocks die with
+    *   their executor). The cluster-safe choice for long pipelines.
     */
   def connectedComponentsBounded(pairs: DataFrame, iters: Int = 8,
       broadcastMaxEdges: Long = 2000000L,
-      roundPartitions: Option[Int] = None): DataFrame = {
+      roundPartitions: Option[Int] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // edges feed every round's join AND the label init — without a
     // lineage cut the upstream pair-mining query would re-execute
     // once per round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = cut(pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .localCheckpoint(eager = false)
+      .distinct())
     // ONE materializing count before the loop: pins the edge RDD (the
     // upstream pair-mining query runs exactly once) and supplies the
     // statistic the broadcast-vs-shuffle gate needs. nodes ≤ edges, so
@@ -245,12 +255,12 @@ object Dedup {
         .getOrElse(unioned)
         .groupBy("node")
         .agg(min("label").as("label"), max("old").as("old"))
-        // NON-EAGER lineage cut: `labels` is referenced twice per round
-        // (self + neighbor branch), so an un-cut plan doubles per
-        // iteration — 2^iters subtree executions. A lazy localCheckpoint
-        // truncates lineage and shares one materialized RDD per round
-        // WITHOUT the per-round driver count barrier the eager loop pays.
-        .localCheckpoint(eager = false)
+      // NON-EAGER lineage cut: `labels` is referenced twice per round
+      // (self + neighbor branch), so an un-cut plan doubles per
+      // iteration — 2^iters subtree executions. A lazy checkpoint
+      // truncates lineage and shares one materialized RDD per round
+      // WITHOUT the per-round driver count barrier the eager loop pays.
+      labels = cut(labels)
     }
     val last = labels.cache()
     val changed = last.filter(col("label") =!= col("old")).count()
@@ -259,7 +269,9 @@ object Dedup {
         // Materialize off the cache, then release it — returning an
         // alias of the cached plan would leak one cached label RDD per
         // invocation in a long-lived session (bench/test JVMs).
-        val res = last.select("node", "label").localCheckpoint(eager = true)
+        val res0 = last.select("node", "label")
+        val res = if (checkpointDir.isDefined) res0.checkpoint(eager = true)
+                  else res0.localCheckpoint(eager = true)
         last.unpersist()
         res
       } else {
@@ -270,7 +282,7 @@ object Dedup {
         // other); the shortcuts only accelerate convergence.
         val rest = connectedComponents(pairs.select("id_a", "id_b").union(
           last.select(col("node").as("id_a"), col("label").as("id_b"))),
-          maxIter = 1000)
+          maxIter = 1000, checkpointDir = checkpointDir)
         last.unpersist()
         rest.select(col("node"), col("cluster_id").as("label"))
       }

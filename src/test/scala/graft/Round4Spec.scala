@@ -31,6 +31,20 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("bounded CC with a reliable checkpoint dir matches the eager labels (converged and fallback paths)") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
+    assert(asMap(Dedup.connectedComponentsBounded(pairs, checkpointDir = Some(dir))) ==
+           asMap(Dedup.connectedComponents(pairs)))
+    val chain = (1L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assert(asMap(Dedup.connectedComponentsBounded(chain, iters = 3, checkpointDir = Some(dir))) ==
+           asMap(Dedup.connectedComponents(chain, maxIter = 50)))
+  }
+
   test("surrogateIds on an oversized dim equals the global dense_rank, with no single-partition data window") {
     import org.apache.spark.sql.expressions.Window
     // 100k distinct (expiry, cp, strike) triples — far beyond any "dim
