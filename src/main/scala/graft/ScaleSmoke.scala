@@ -131,6 +131,22 @@ object ScaleSmoke {
     time("parquet→hourly bars (q17 core)") {
       operators.TimeSeries.ohlcBarsOf(landed).count()
     }
+    // incremental dedup-insert at 10M rows: three overlapping chunks
+    // upsert into a fresh historic table — the guard anti-join must
+    // reject every overlap row, with its historic scan pruned to the
+    // batch's day range and the key columns
+    val hist = java.nio.file.Files.createTempDirectory("graft_hist").toString + "/data"
+    time("dedup-insert 3 chunks w/ overlap") {
+      // event_id + ts as the key (determines the day — the prune contract)
+      val chunk = (lo: Double, hi: Double) => landed.filter(
+        col("event_id") % 100 >= lo * 100 && col("event_id") % 100 < hi * 100)
+      sources.Sinks.upsertHistoric(chunk(0.0, 0.4), hist, Seq("event_id", "ts"))
+      sources.Sinks.upsertHistoric(chunk(0.2, 0.7), hist, Seq("event_id", "ts"))
+      sources.Sinks.upsertHistoric(chunk(0.5, 1.0), hist, Seq("event_id", "ts"))
+      val n = spark.read.parquet(hist).count()
+      require(n == landed.count(), s"overlap rows leaked: $n vs ${landed.count()}")
+      n
+    }
     time("parquet→verticals gold (q28 core)") {
       operators.TimeSeries.verticalsOf(landed).count()
     }
