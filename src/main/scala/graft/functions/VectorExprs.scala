@@ -113,7 +113,11 @@ case class Quantize8(child: Expression)
     val q = new Array[Byte](n)
     i = 0
     while (i < n) {
-      q(i) = math.round(arr.getFloat(i).toDouble / mx * 127.0).toByte
+      // HALF_UP away from zero — the semantics of the Spark round()
+      // expression this replaced (java Math.round alone rounds negative
+      // halves toward +inf: -63.5 → -63 instead of -64)
+      val v = arr.getFloat(i).toDouble / mx * 127.0
+      q(i) = (if (v < 0) -math.round(-v) else math.round(v)).toByte
       i += 1
     }
     InternalRow(new GenericArrayData(q), mx)

@@ -263,14 +263,31 @@ object Dedup {
       labels = cut(labels)
     }
     val last = labels.cache()
-    val changed = last.filter(col("label") =!= col("old")).count()
+    // The convergence count is the ONE action that materializes the
+    // whole deferred chain. With a reliable checkpointDir, Spark by
+    // default commits only the TOPMOST checkpoint-marked RDD of a job
+    // (spark.checkpoint.checkpointAllMarkedAncestors=false, read as a
+    // thread-LOCAL property) — every inner round's "reliable cut"
+    // would stay uncommitted and an executor loss would still replay
+    // the full lineage. Flip the property around this action so each
+    // round's marked RDD actually lands on checkpoint storage.
+    val sc = pairs.sparkSession.sparkContext
+    val ckptProp = "spark.checkpoint.checkpointAllMarkedAncestors"
+    val prevProp = sc.getLocalProperty(ckptProp)
+    if (checkpointDir.isDefined) sc.setLocalProperty(ckptProp, "true")
+    val changed =
+      try last.filter(col("label") =!= col("old")).count()
+      finally if (checkpointDir.isDefined) sc.setLocalProperty(ckptProp, prevProp)
     val out =
       if (changed == 0) {
         // Materialize off the cache, then release it — returning an
         // alias of the cached plan would leak one cached label RDD per
-        // invocation in a long-lived session (bench/test JVMs).
+        // invocation in a long-lived session (bench/test JVMs). With a
+        // checkpointDir the final round is ALREADY committed to
+        // reliable storage by the count above — re-checkpointing it
+        // would just write the identical label set a second time.
         val res0 = last.select("node", "label")
-        val res = if (checkpointDir.isDefined) res0.checkpoint(eager = true)
+        val res = if (checkpointDir.isDefined) res0
                   else res0.localCheckpoint(eager = true)
         last.unpersist()
         res

@@ -62,15 +62,24 @@ object Sinks {
   def upsertHistoric(batch: DataFrame, path: String, keys: Seq[String],
       tsCol: String = "ts", filesPerDay: Int = 8): Unit = {
     val spark = batch.sparkSession
-    val fresh0 = batch.dropDuplicates(keys)
+    // Null event time is rejected OUTRIGHT (quarantining is the
+    // caller's concern): a null-ts row has no day partition, so it
+    // would land in the Hive default partition where the day-pruned
+    // guard can never see it again — every re-delivery would duplicate
+    // it, silently voiding the exactly-once contract.
+    val fresh0 = batch.filter(col(tsCol).isNotNull).dropDuplicates(keys)
+    // Day bounds FIRST: an empty (or fully-filtered) batch must write
+    // nothing in EITHER branch — a zero-row partitioned write on a
+    // nonexistent path would create a schemaless directory that
+    // poisons every subsequent read.
+    val b = fresh0.agg(min(to_date(col(tsCol))).as("lo"),
+      max(to_date(col(tsCol))).as("hi")).head()
+    if (b.isNullAt(0)) return // nothing to insert
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
       if (!fs.exists(hPath)) fresh0
       else {
-        val b = fresh0.agg(min(to_date(col(tsCol))).as("lo"),
-          max(to_date(col(tsCol))).as("hi")).head()
-        if (b.isNullAt(0)) return // empty batch: nothing to insert
         val hist = spark.read.parquet(path)
           .filter(col("day").between(b.getDate(0), b.getDate(1)))
           .select(keys.map(col): _*)

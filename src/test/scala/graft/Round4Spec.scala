@@ -38,11 +38,40 @@ class Round4Spec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L)).toDF("id_a", "id_b")
-    assert(asMap(Dedup.connectedComponentsBounded(pairs, checkpointDir = Some(dir))) ==
+    assert(asMap(Dedup.connectedComponentsBounded(pairs, iters = 4, checkpointDir = Some(dir))) ==
            asMap(Dedup.connectedComponents(pairs)))
+    // EVERY round's cut must be committed to reliable storage (edges +
+    // one per round), not just the topmost marked RDD — that is the
+    // executor-loss story the checkpointDir mode exists for
+    val rddDirs = new java.io.File(dir).listFiles().flatMap(_.listFiles())
+      .count(f => f.isDirectory && f.getName.startsWith("rdd-"))
+    assert(rddDirs >= 5, s"expected edges + 4 round checkpoints, found $rddDirs rdd dirs")
     val chain = (1L until 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     assert(asMap(Dedup.connectedComponentsBounded(chain, iters = 3, checkpointDir = Some(dir))) ==
            asMap(Dedup.connectedComponents(chain, maxIter = 50)))
+  }
+
+  test("upsertHistoric: empty first batch cannot poison the table; null-ts rows are rejected not duplicated") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/data"
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("event_id", "s")
+      .select(col("event_id"), col("s").cast("timestamp").as("ts"))
+    // 1. empty first batch: no schemaless directory may be created
+    Sinks.upsertHistoric(mk(Nil), base, Seq("event_id"))
+    assert(!new java.io.File(base).exists(), "empty batch must not create the table dir")
+    // 2. batch with a null-ts row: the row is rejected (no day partition
+    //    could ever guard it), the valid rows land
+    Sinks.upsertHistoric(mk(Seq(1L -> "2024-01-05 10:00:00", 2L -> null,
+      3L -> "2024-01-06 10:00:00")), base, Seq("event_id"))
+    assert(spark.read.parquet(base).count() == 2)
+    // 3. full re-delivery (including the null-ts row): nothing duplicates
+    Sinks.upsertHistoric(mk(Seq(1L -> "2024-01-05 10:00:00", 2L -> null,
+      3L -> "2024-01-06 10:00:00")), base, Seq("event_id"))
+    assert(spark.read.parquet(base).count() == 2)
+    // 4. an all-null-ts batch against an EXISTING table: no-op either
+    Sinks.upsertHistoric(mk(Seq(4L -> null)), base, Seq("event_id"))
+    assert(spark.read.parquet(base).count() == 2)
   }
 
   test("surrogateIds on an oversized dim equals the global dense_rank, with no single-partition data window") {
