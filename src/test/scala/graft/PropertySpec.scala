@@ -33,6 +33,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("DotProductI8 equals the interpreted aggregate(zip_with) HOF on random int8 vectors") {
+    import spark.implicits._
+    val byteGen = Gen.chooseNum(-127, 127).map(_.toByte)
+    // Seq[Byte] → array<tinyint> (Array[Byte] would encode as BINARY)
+    val vecs = samples(Gen.listOfN(25, Gen.zip(
+      Gen.listOfN(64, byteGen).map(_.toSeq),
+      Gen.listOfN(64, byteGen).map(_.toSeq))), 4).flatten
+    val df = vecs.toDF("a", "b")
+    val hof = expr("aggregate(zip_with(a, b, (x, y) -> cast(x as long) * cast(y as long)), 0L, (acc, v) -> acc + v)")
+    val bad = df.select(VectorExprs.dotI8(col("a"), col("b")).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0, "codegen int8 dot must equal the declarative HOF")
+  }
+
+  test("Quantize8 equals the declarative HOF quantizer, including all-zero and negative-half vectors") {
+    import spark.implicits._
+    val floatGen = Gen.chooseNum(-1000, 1000).map(_.toFloat / 16f)
+    val vecs = samples(Gen.listOfN(25, Gen.listOfN(64, floatGen).map(_.toArray)), 4).flatten ++
+      Seq(Array.fill(64)(0f),            // degenerate: scale floor must prevent NaN
+          Array.tabulate(64)(i => if (i == 0) 2f else -1f)) // -1/2·127 = -63.5 → -64 (HALF_UP)
+    val df = vecs.toDF("v")
+    // the formulation Quantize8 replaced: HOF max-abs scale + Spark round()
+    val scale = greatest(expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))"),
+      lit(java.lang.Double.MIN_VALUE))
+    val refQ = transform(col("v"), x => round(x / scale * 127.0).cast("tinyint"))
+    val bad = df.select(VectorExprs.quantize8(col("v")).as("q"),
+        refQ.as("ref_q"), scale.as("ref_scale"))
+      .filter(col("q.q") =!= col("ref_q") || col("q.scale") =!= col("ref_scale"))
+      .count()
+    assert(bad == 0, "codegen quantizer must equal the declarative HOF formulation")
+  }
+
   test("connected components match brute-force union-find on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
