@@ -22,6 +22,38 @@ class TickSourceSpec extends SparkSpec {
     assert(b.exceptAll(a).count() == 0)
   }
 
+  test("event_id range predicates push into the source: generation is narrowed, results exact") {
+    val df = ticks(100000, 8)
+    val sliced = df.filter(col("event_id") >= 1000 && col("event_id") < 2000)
+    // the scan itself reports the narrowed range (generation, not
+    // post-filter, does the pruning)
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(plan.contains("range=[1000,2000)"), s"range not pushed:\n$plan")
+    assert(sliced.count() == 1000)
+    // pushed results identical to unpushed semantics
+    val want = df.collect().filter(r => r.getLong(0) >= 1000 && r.getLong(0) < 2000)
+    assert(sliced.collect().toSet == want.toSet)
+    // point lookup narrows to a single row's range
+    val pt = df.filter(col("event_id") === 42)
+    assert(pt.queryExecution.executedPlan.toString.contains("range=[42,43)"))
+    assert(pt.count() == 1)
+    // contradictory bounds → empty range, zero partitions planned, no crash
+    assert(df.filter(col("event_id") > 500 && col("event_id") < 100).count() == 0)
+    // non-range predicates stay residual and still evaluate correctly
+    val res = df.filter(col("event_id") < 1000 && col("event_type") === "click")
+    assert(res.collect().forall(r => r.getString(3) == "click"))
+  }
+
+  test("column pruning reaches the source: reader fills only projected fields") {
+    val df = ticks(10000, 4).select("user_id", "value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("cols=[user_id,value]"), s"columns not pruned:\n$plan")
+    assert(df.count() == 10000)
+    // pruned values match the full-schema read
+    val full = ticks(10000, 4).select("user_id", "value")
+    assert(df.exceptAll(full).count() == 0)
+  }
+
   test("source composes with graft operators (bars over generated ticks)") {
     val df = ticks(20000, 8).withColumn("props", lit("{}"))
     df.createOrReplaceTempView("gen_ticks")
