@@ -309,6 +309,8 @@ object VectorExprs {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dot_f", es => DotProductF(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_i8", es => DotProductI8(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("quantize8", es => Quantize8(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")

@@ -34,6 +34,13 @@ class ExtensionsSpec extends SparkSpec {
     val s = spark.sql(
       """SELECT simhash64(split(lower(text), ' ')) AS fp FROM docs_ext LIMIT 5""").collect()
     assert(s.length == 5)
+    // int8 quantize + dot round trip from SQL: self-dot of a quantized
+    // vector is non-negative and bounded by 127^2 * dims
+    val q = spark.sql(
+      """SELECT dot_i8(quantize8(embedding).q, quantize8(embedding).q) AS d
+        |FROM emb_ext LIMIT 5""".stripMargin).collect()
+    assert(q.nonEmpty && q.forall { r =>
+      val d = r.getLong(0); d >= 0 && d <= 127L * 127L * 64L })
   }
 
   test("GraftExtensions class is constructible and wires a builder") {
