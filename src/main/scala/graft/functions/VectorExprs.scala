@@ -253,6 +253,62 @@ case class MinHashShingleSig(child: Expression, shingleK: Int, numPerms: Int)
   override protected def withNewChildInternal(c: Expression): MinHashShingleSig = copy(child = c)
 }
 
+/** Positional agreement count between two array<long> MinHash
+  * signatures → int (the estimator numerator: agreements/perms ≈
+  * jaccard). Codegen'd — the size(filter(zip_with(...))) formulation
+  * runs interpreted PER CANDIDATE PAIR in the LSH verify join, the
+  * same per-pair-HOF shape that made the quantized ANN tier the
+  * slowest scorer before DotProductI8.
+  */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreeCount =
+    copy(left = l, right = r)
+}
+
+/** Sign-bit packing of an array<float> embedding's first 64 dims into
+  * one long (bit i set iff x_i > 0) — the binary-embedding build step.
+  * One tight loop per corpus row instead of an interpreted
+  * aggregate(zip_with(…, sequence(0,63), …)) cascade.
+  */
+case class PackSigns64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), 64)
+    var fp = 0L
+    var i = 0
+    while (i < n) { if (arr.getFloat(i) > 0f) fp |= (1L << i); i += 1 }
+    fp
+  }
+  override protected def withNewChildInternal(c: Expression): PackSigns64 = copy(child = c)
+}
+
 /** Count of common elements between two array<string> columns (set
   * semantics; inputs need not be sorted or deduped — dedup them
   * upstream if sizes must be set sizes). One hash-set build + one
@@ -299,6 +355,8 @@ object VectorExprs {
   def dotF(a: Column, b: Column): Column = toCol(DotProductF(toExpr(a), toExpr(b)))
   def dotI8(a: Column, b: Column): Column = toCol(DotProductI8(toExpr(a), toExpr(b)))
   def quantize8(c: Column): Column = toCol(Quantize8(toExpr(c)))
+  def sigAgree(a: Column, b: Column): Column = toCol(SigAgreeCount(toExpr(a), toExpr(b)))
+  def packSigns64(c: Column): Column = toCol(PackSigns64(toExpr(c)))
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def minhashSig(c: Column, k: Int): Column = toCol(MinHashSig(toExpr(c), k))
   def intersectCount(a: Column, b: Column): Column = toCol(IntersectCount(toExpr(a), toExpr(b)))

@@ -62,8 +62,9 @@ object Dedup {
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        // NB size() counts nulls too — count agreements via filter
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))").as("n_agree"))
+        // codegen'd positional agreement — the zip_with/filter HOF ran
+        // interpreted per candidate pair (and size() counts nulls)
+        graft.functions.VectorExprs.sigAgree(col("sig_a"), col("sig_b")).as("n_agree"))
       .groupBy("id_a", "id_b")
       .agg(max(col("n_agree")).as("n_agree"))
       .withColumn("est_jaccard", col("n_agree") / lit(16.0))

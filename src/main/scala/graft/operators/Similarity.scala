@@ -128,9 +128,7 @@ object Similarity {
     * = bit_count(xor). The coarsest, fastest ANN tier.
     */
   def packSigns(colName: String): Column =
-    expr(s"""aggregate(zip_with($colName, sequence(0, 63),
-            |  (x, i) -> if(x > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
-            |  cast(0 as bigint), (acc, b) -> acc | b)""".stripMargin)
+    graft.functions.VectorExprs.packSigns64(col(colName))
 
   def hammingTopK(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)

@@ -65,6 +65,31 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0, "codegen quantizer must equal the declarative HOF formulation")
   }
 
+  test("SigAgreeCount and PackSigns64 equal their declarative HOF formulations") {
+    import spark.implicits._
+    val longGen = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    val sigPairs = samples(Gen.listOfN(20, Gen.zip(
+      Gen.listOfN(16, longGen).map(_.toSeq),
+      Gen.listOfN(16, longGen).map(_.toSeq))), 3).flatten
+      // force some agreements: pair each signature with itself too
+      .flatMap { case (a, b) => Seq((a, b), (a, a)) }
+    val sdf = sigPairs.toDF("sig_a", "sig_b")
+    val agreeBad = sdf.select(VectorExprs.sigAgree(col("sig_a"), col("sig_b")).as("fast"),
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z))").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(agreeBad == 0, "codegen agreement count must equal the HOF")
+    val floatGen = Gen.chooseNum(-100, 100).map(_.toFloat / 8f)
+    val vecs = samples(Gen.listOfN(20, Gen.listOfN(64, floatGen).map(_.toArray)), 3)
+      .flatten ++ Seq(Array.fill(64)(0f))
+    val vdf = vecs.toDF("v")
+    val packBad = vdf.select(VectorExprs.packSigns64(col("v")).as("fast"),
+        expr("""aggregate(zip_with(v, sequence(0, 63),
+               |  (x, i) -> if(x > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
+               |  cast(0 as bigint), (acc, b) -> acc | b)""".stripMargin).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(packBad == 0, "codegen sign packing must equal the HOF")
+  }
+
   test("connected components match brute-force union-find on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))
