@@ -175,8 +175,12 @@ object Dedup {
           .groupBy("node")
           .agg(min("label").as("label"), max("old").as("old")))
       changed = next.filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next.select("node", "label").cache()
+      labels.unpersist() // frees the INIT cache in round 1; no-op after
+      // no re-cache: `next` is already eagerly checkpoint-materialized,
+      // so round N+1's two references read that RDD directly — a cache
+      // on top was a redundant second copy that leaked on return (the
+      // same defect the advisor caught on the bounded variant)
+      labels = next.select("node", "label")
       iter += 1
     }
     edges.unpersist()
