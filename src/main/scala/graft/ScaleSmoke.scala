@@ -105,6 +105,15 @@ object ScaleSmoke {
     time("jaccard-via-lsh 1M docs") {
       operators.Dedup.ngramJaccardViaLsh(docsBig).count()
     }
+    // the full d22 shape at 1M docs AS ONE PATH: LSH pairs → bounded
+    // CC (materializes the mine once via its edge count) → keep-min
+    // corpus. ~5000 planted duplicate pairs ⇒ expect ≈995k survivors.
+    time("d22 composed dedup 1M docs") {
+      val pairs = operators.Dedup.ngramJaccardViaLsh(docsBig).select("id_a", "id_b")
+      val kept = operators.Dedup.dedupedCorpus(docsBig, pairs).count()
+      require(kept >= 990000 && kept < 1000000, s"unexpected survivor count $kept")
+      kept
+    }
     // the full composed corpus build at 1M docs: scrub → gate → exact
     // dedup (drops the planted pairs) → LSH near-dup → chunks
     time("corpus pipeline 1M docs") {
