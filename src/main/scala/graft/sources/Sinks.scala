@@ -57,7 +57,11 @@ object Sinks {
     * a batch, the re-run's guard filters the already-landed keys and
     * appends the remainder — at-least-once delivery becomes
     * exactly-once CONTENT (the idempotence the reference gets from the
-    * staging truncate + PK constraint).
+    * staging truncate + PK constraint). SINGLE WRITER assumed, exactly
+    * like the reference's one scheduled job per table: two concurrent
+    * upserts into the same path can both pass the guard before either
+    * appends (parquet has no table-level PK to catch the race) —
+    * serialize writers per historic table.
     */
   def upsertHistoric(batch: DataFrame, path: String, keys: Seq[String],
       tsCol: String = "ts", filesPerDay: Int = 8): Unit = {
