@@ -82,6 +82,63 @@ object EventStream {
         })
   }
 
+  /** Latest-value-per-key on the Spark 4 `transformWithState` API with
+    * NATIVE state TTL — the modern replacement for [[latestPerKey]]'s
+    * timeout machinery. The TTL is enforced by the state store itself:
+    * expired values read back as absent and RocksDB compaction reclaims
+    * them, so idle-key eviction costs no per-key timers and no
+    * re-emission on evict (the value simply ages out, exactly like the
+    * Redis key expiry it mirrors). NOTE the bounded-run caveat still
+    * applies to the TTL mode: it runs in TimeMode.ProcessingTime, which
+    * (measured, like GroupStateTimeout.ProcessingTimeTimeout) schedules
+    * recurring micro-batches — `processAllAvailable()` does NOT settle;
+    * bounded smoke runs must poll-and-stop. TTL-less mode
+    * (TimeMode.None) settles normally. Requires the RocksDB state store
+    * provider (spark.sql.streaming.stateStore.providerClass).
+    *
+    * Reference analog: the Redis latest-quote cache with key expiry
+    * (services/schwab_stream.py set_latest_quote), state-store-native.
+    */
+  class LatestProcessor(ttl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, Latest] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[Latest] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val ttlConf = ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE)
+      state = getHandle.getValueState[Latest]("latest",
+        org.apache.spark.sql.Encoders.product[Latest], ttlConf)
+    }
+    override def handleInputRows(user: Long, ticks: Iterator[Tick],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Latest] = {
+      var best = if (state.exists()) Option(state.get()) else None
+      var seen = best.map(_.n_seen).getOrElse(0L)
+      ticks.foreach { t =>
+        seen += 1
+        val cmp = if (best.isEmpty) 1 else t.ts.compareTo(best.get.ts)
+        if (cmp > 0 || (cmp == 0 && t.event_id > best.get.last_event_id))
+          best = Some(Latest(user, t.ts, t.value, seen, t.event_id))
+      }
+      val out = best.get.copy(n_seen = seen)
+      state.update(out)
+      Iterator.single(out)
+    }
+  }
+
+  /** See [[LatestProcessor]]. TimeMode.None when no TTL (pure data
+    * state), ProcessingTime when a TTL is set (the store tracks expiry
+    * wall-clock). */
+  def latestPerKeyTtl(stream: Dataset[Tick],
+      ttl: Option[java.time.Duration] = None): Dataset[Latest] = {
+    import stream.sparkSession.implicits._
+    val timeMode =
+      if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+      else org.apache.spark.sql.streaming.TimeMode.None()
+    stream
+      .groupByKey(_.user_id)
+      .transformWithState(new LatestProcessor(ttl), timeMode, OutputMode.Update())
+  }
+
   /** Stream-stream interval join: each trade (purchase) joins quotes
     * (views) of the same user within [trade.ts - lookback, trade.ts].
     * Reference analog: the live trader consuming option ticks joined to

@@ -144,6 +144,79 @@ class StreamingSpec extends SparkSpec {
     assert(j.filter(col("value") =!= col("w_value")).count() == 0)
   }
 
+  test("transformWithState latestPerKeyTtl (no TTL) matches the batch latest-per-key and settles") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Tick].collect().toSeq
+      def run(ttl: Option[java.time.Duration], name: String) = {
+        val input = MemoryStream[Tick]
+        input.addData(batch)
+        EventStream.runToMemory(
+          EventStream.latestPerKeyTtl(input.toDS(), ttl).toDF(), name, OutputMode.Update)
+        spark.table(name)
+          .groupBy("user_id").agg(max(struct(col("ts"), col("value"))).as("s"))
+          .select(col("user_id"), col("s.ts").as("ts"), col("s.value").as("value"))
+      }
+      val want = SparkEntry.queries("q11_latest_per_key")(spark, sf)
+        .select(col("user_id"), col("ts"), col("value").as("w_value"))
+      // no TTL (TimeMode.None): exact parity with the batch
+      // latest-per-key, and processAllAvailable settles
+      val got = run(None, "tws_latest_out")
+      val j = got.join(want, Seq("user_id", "ts"), "full_outer")
+      assert(j.filter(col("value").isNull || col("w_value").isNull).count() == 0)
+      assert(j.filter(col("value") =!= col("w_value")).count() == 0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState TTL: an idle key's state ages out of the store (poll-and-stop — PT mode never settles)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Tick]
+      val q = EventStream.latestPerKeyTtl(input.toDS(),
+          Some(java.time.Duration.ofMillis(500))).toDF()
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("tws_ttl_out").start()
+      def lastSeen(ts: java.sql.Timestamp): Option[Long] = {
+        val r = spark.table("tws_ttl_out").filter(col("user_id") === 7 && col("ts") === ts)
+          .select("n_seen").collect()
+        r.lastOption.map(_.getLong(0))
+      }
+      def await(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(cond, "condition not reached within 30s")
+      }
+      input.addData(Tick(1L, ts("2024-01-10 10:00:00"), 7L, "view", 1.0))
+      await(lastSeen(ts("2024-01-10 10:00:00")).contains(1L))
+      Thread.sleep(2000) // >> 500ms TTL: the value ages out of the store
+      input.addData(Tick(2L, ts("2024-01-10 10:05:00"), 7L, "view", 2.0))
+      // state was absent again, so n_seen restarted at 1 (not 2) — the
+      // store-native expiry, no timers, no eviction re-emission
+      await(lastSeen(ts("2024-01-10 10:05:00")).contains(1L))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup-insert: re-delivered micro-batches + restart land exactly the batch q2 rows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
