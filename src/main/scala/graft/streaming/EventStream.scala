@@ -125,6 +125,79 @@ object EventStream {
     }
   }
 
+  case class FunnelRow(user_id: Long, tc: Option[java.sql.Timestamp],
+      tv: Option[java.sql.Timestamp], tp: Option[java.sql.Timestamp])
+
+  /** Streaming funnel — the stateful twin of batch q42's minimal
+    * click→view→purchase chain (tc = min click; tv = min view AFTER
+    * tc; tp = min purchase AFTER tv), correct under ARBITRARY
+    * out-of-order arrival by monotone refinement: tc only ever
+    * decreases, so the eligible-view set only grows and tv only
+    * decreases (likewise tp). That forces the one non-obvious state
+    * decision: a view at t ≤ current tv must be RETAINED even when not
+    * currently eligible (t ≤ tc), because a later-arriving earlier
+    * click can make it eligible; views above tv are discarded forever
+    * (tv is monotone ↓). State per user = min click (ValueState) + the
+    * retained view/purchase candidate lists (ListState, pruned to
+    * ≤ tv / ≤ tp each batch) — bounded by the user's below-threshold
+    * event counts, not the stream length.
+    *
+    * Emits the user's refined (tc, tv, tp) on every update (Update
+    * mode); the funnel step counts are a trivial aggregate over the
+    * latest row per user. TimeMode.None: settles in bounded runs.
+    */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, FunnelRow] {
+    @transient private var minClick: org.apache.spark.sql.streaming.ValueState[Long] = _
+    @transient private var views: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var purchases: org.apache.spark.sql.streaming.ListState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val none = org.apache.spark.sql.streaming.TTLConfig.NONE
+      minClick = getHandle.getValueState[Long]("min_click",
+        org.apache.spark.sql.Encoders.scalaLong, none)
+      views = getHandle.getListState[Long]("views",
+        org.apache.spark.sql.Encoders.scalaLong, none)
+      purchases = getHandle.getListState[Long]("purchases",
+        org.apache.spark.sql.Encoders.scalaLong, none)
+    }
+    override def handleInputRows(user: Long, ticks: Iterator[Tick],
+        tv0: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelRow] = {
+      val MAX = Long.MaxValue
+      var tc = if (minClick.exists()) minClick.get() else MAX
+      var vs = views.get().toList
+      var ps = purchases.get().toList
+      ticks.foreach { t =>
+        val us = tsToUs(t.ts)
+        t.event_type match {
+          case "click" => if (us < tc) tc = us
+          case "view" => vs ::= us
+          case "purchase" => ps ::= us
+          case _ =>
+        }
+      }
+      // refine: tv = min view strictly after tc; tp = min purchase
+      // strictly after tv. Prune candidates above the (monotone ↓)
+      // thresholds; keep everything at or below — a future tc drop can
+      // re-qualify them.
+      val tv = vs.filter(_ > tc).minOption.getOrElse(MAX)
+      val tp = ps.filter(_ > tv).minOption.getOrElse(MAX)
+      minClick.update(tc)
+      views.put(vs.filter(_ <= tv).distinct.toArray)
+      purchases.put(ps.filter(_ <= tp).distinct.toArray)
+      def opt(x: Long) = if (x == MAX) None else Some(usToTs(x))
+      Iterator.single(FunnelRow(user, opt(tc), opt(tv), opt(tp)))
+    }
+  }
+
+  /** See [[FunnelProcessor]]. */
+  def funnelStream(stream: Dataset[Tick]): Dataset[FunnelRow] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** See [[LatestProcessor]]. TimeMode.None when no TTL (pure data
     * state), ProcessingTime when a TTL is set (the store tracks expiry
     * wall-clock). */

@@ -217,6 +217,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel under fully reversed arrival matches batch q42 step counts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // reversed event time = the adversarial arrival order: every
+      // earlier click arrives AFTER the views it must re-qualify
+      val ticks = Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Tick].collect().toSeq.sortBy(t => (t.ts.getTime, t.event_id)).reverse
+      val input = MemoryStream[Tick]
+      val q = EventStream.funnelStream(input.toDS()).toDF()
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("funnel_out").start()
+      val third = ticks.size / 3
+      Seq(ticks.take(third), ticks.slice(third, 2 * third), ticks.drop(2 * third))
+        .foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+      // refinement is monotone ↓ per component, so the final state per
+      // user is the componentwise min over its emitted rows (min skips
+      // nulls; a component never reverts to null once set)
+      val fin = spark.table("funnel_out").groupBy("user_id")
+        .agg(min("tc").as("tc"), min("tv").as("tv"), min("tp").as("tp"))
+      val got = fin.agg(
+        count(col("tc")).as("n_step1"),
+        count(col("tv")).as("n_step2"),
+        count(col("tp")).as("n_step3")).head()
+      val want = SparkEntry.queries("q42_funnel")(spark, sf).head()
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+             (want.getLong(0), want.getLong(1), want.getLong(2)),
+        s"streaming funnel $got != batch $want")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup-insert: re-delivered micro-batches + restart land exactly the batch q2 rows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
