@@ -27,9 +27,16 @@ object Sinks {
     // would funnel an entire day — at 100 TB, terabytes — through ONE
     // writer task. The salt fans each day out to `filesPerDay` writers
     // (and output files), bounding both task size and file count.
+    // Sort each writer's slice by event time before writing: parquet
+    // row-group min/max stats then partition the day's time range, so
+    // a ts-range read skips whole row groups inside the day partition
+    // (the intra-day analog of the day-level partition prune).
     df.withColumn("day", to_date(col(tsCol)))
       .withColumn("_w", pmod(hash(col(tsCol)), lit(filesPerDay)))
-      .repartition(col("day"), col("_w"))
+      // (day, ts) so the writer's required partition-column ordering is
+      // already satisfied — no second (unstable, day-only) sort gets
+      // inserted that would scramble the ts order back
+      .sortWithinPartitions(col("day"), col(tsCol))
       .drop("_w")
       .write.mode(mode)
       .partitionBy("day")

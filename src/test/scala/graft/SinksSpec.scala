@@ -23,6 +23,21 @@ class SinksSpec extends SparkSpec {
     assert(!plan.contains("day=") || true) // plan text varies; count check above is the gate
   }
 
+  test("writeDaily files are ts-sorted inside: row-group stats can prune time ranges") {
+    val dir = Files.createTempDirectory("graft_sink_sorted").toString + "/quotes"
+    Sinks.writeDaily(Tables.events(spark, sf), "ts", dir)
+    // every physical file must be internally ordered by ts — that is
+    // what makes parquet min/max stats partition the day's time range
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ts = spark.read.parquet(f.getAbsolutePath).select("ts")
+        .collect().map(_.getTimestamp(0).getTime)
+      assert(ts.sameElements(ts.sorted), s"file ${f.getName} not ts-sorted")
+    }
+  }
+
   test("writeDaily overwriteDays is idempotent per day") {
     val dir = Files.createTempDirectory("graft_sink2").toString + "/quotes"
     val ev = Tables.events(spark, sf)
