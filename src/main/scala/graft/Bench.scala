@@ -26,9 +26,10 @@ import org.apache.spark.sql.SparkSession
   * reruns — reporting both walls makes that failure mode visible in
   * the snapshot itself. `value` stays the cold wall (comparable to
   * prior rounds); `wall` (the LAST field, which survives driver tail
-  * truncation) is the warm wall. Per-query numbers are latencies under
-  * concurrency (they inflate with queueing — compare plan shapes, not
-  * these, across concurrency settings).
+  * truncation) is the warm wall; the per-query map on the JSON line is
+  * the WARM pass. Per-query numbers are latencies under concurrency
+  * (they inflate with queueing — compare plan shapes, not these,
+  * across concurrency settings).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -70,14 +71,20 @@ object Bench {
     val (cold, wallCold) = runSuite()
     val (warm, wallWarm) = runSuite()
     // A failed query reports -1, never a wall-clock that looks like a pass.
+    // Values are truncated to 3 decimals and only ONE per-query map
+    // (the warm pass) goes on the JSON line: round 4's line carried
+    // both passes at full double precision (~6 kB), overflowed the
+    // driver's tail capture, and the snapshot failed to parse — the
+    // compact line must fit the capture window WHOLE.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def fmt(rs: Seq[(String, Double, Boolean)]): String =
-      rs.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
+      rs.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f3(v) else "-1") }
         .mkString("{", ",", "}")
     val errs = (cold ++ warm).collect { case (k, _, false) => "\"" + k + "\"" }
       .distinct.mkString("[", ",", "]")
     // `wall` (warm) is repeated as the LAST field: the driver captures
     // the tail of long lines and the headline must survive truncation.
-    println(s"""{"metric":"total","value":$wallCold,"unit":"sec","queries":${fmt(cold)},"queries_warm":${fmt(warm)},"errors":$errs,"sf":"$sfDir","wall_cold":$wallCold,"wall":$wallWarm}""")
+    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
     spark.stop()
   }
 }

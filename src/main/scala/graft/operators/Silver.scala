@@ -106,8 +106,17 @@ object Silver {
   def surrogateIds(dim: DataFrame, keyCols: Seq[String], idCol: String,
       partitions: Int = 32): DataFrame = {
     val ks = keyCols.map(col)
+    // Materialize the ranged layout ONCE (lazy, no driver barrier):
+    // both consumers below — the local ranks and the per-_pid offset
+    // counts — must see the SAME partition boundaries, but
+    // RangePartitioner samples nondeterministically per execution, so
+    // relying on exchange reuse to unify them is fragile (AQE can
+    // defeat it). Checkpointing pins one sampled layout by
+    // construction; the frame is dim-scale, so the executor-local
+    // blocks are cheap.
     val ranged = dim.repartitionByRange(partitions, ks: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(false)
     val local = ranged.withColumn("_rk",
       row_number().over(Window.partitionBy("_pid").orderBy(ks: _*)))
     val offs = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))

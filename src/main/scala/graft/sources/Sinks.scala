@@ -33,6 +33,7 @@ object Sinks {
     // (the intra-day analog of the day-level partition prune).
     df.withColumn("day", to_date(col(tsCol)))
       .withColumn("_w", pmod(hash(col(tsCol)), lit(filesPerDay)))
+      .repartition(col("day"), col("_w"))
       // (day, ts) so the writer's required partition-column ordering is
       // already satisfied — no second (unstable, day-only) sort gets
       // inserted that would scramble the ts order back

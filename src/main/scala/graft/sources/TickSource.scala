@@ -29,9 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    query GENERATES only its slice instead of filtering a full scan —
   *    the analog of a time-range predicate reaching a market-data API.
   *    Every other predicate is returned as a residual for Spark to
-  *    evaluate (and even accepted ones are re-checked post-scan: Spark
-  *    keeps pushed filters in the Filter node unless the source reports
-  *    them exact — correctness never depends on the source).
+  *    evaluate. CONTRACT: a filter this source accepts (i.e. does NOT
+  *    return from pushFilters) is trusted by Spark as exactly applied
+  *    and is NOT re-evaluated post-scan — so accepted filters must be
+  *    (and here are) applied exactly: the [lo, hi) range generation is
+  *    precise by construction. Any future approximate pushdown (e.g. a
+  *    bloom-filter probe) MUST keep its filter in the residual list.
   *  - column pruning (SupportsPushDownRequiredColumns): the reader
   *    fills only the projected fields — `ReadSchema` in `.explain`
   *    shows exactly what a 2-column projection costs.

@@ -140,7 +140,16 @@ object EventStream {
     * (tv is monotone ↓). State per user = min click (ValueState) + the
     * retained view/purchase candidate lists (ListState, pruned to
     * ≤ tv / ≤ tp each batch) — bounded by the user's below-threshold
-    * event counts, not the stream length.
+    * event counts. CAVEAT on that bound: a user with NO click yet has
+    * tc = tv = tp = MAX, so every one of THAT user's views and
+    * purchases is retained indefinitely — required for exactness
+    * (an arbitrarily late first click can make any of them the
+    * funnel's tv/tp), but it means state for clickless users grows
+    * with their stream length. A production deployment that can
+    * declare very-late clicks dead should bound it with a watermark
+    * cutoff (drop candidates older than the watermark minus the
+    * allowed click lateness); graft keeps the exact semantics because
+    * the batch-parity spec feeds fully reversed input.
     *
     * Emits the user's refined (tc, tv, tp) on every update (Update
     * mode); the funnel step counts are a trivial aggregate over the

@@ -38,6 +38,25 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("writeDaily fans each day out to multiple writer files, bounded by filesPerDay") {
+    val dir = Files.createTempDirectory("graft_sink_fan").toString + "/quotes"
+    Sinks.writeDaily(Tables.events(spark, sf), "ts", dir, filesPerDay = 8)
+    // the (day, salt) shuffle is what keeps one whole day from
+    // funneling through a single writer task at scale: every day must
+    // split across >1 file, and never more than filesPerDay
+    val rowsByDay = spark.read.parquet(dir).groupBy("day").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val perDay = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perDay.nonEmpty)
+    perDay.foreach { case (dayDir, n) =>
+      val rows = rowsByDay(dayDir.stripPrefix("day="))
+      assert(n <= 8, s"$dayDir wrote $n files > filesPerDay")
+      // tiny boundary days may land on fewer salts; any real day must split
+      if (rows >= 256) assert(n > 1, s"$dayDir ($rows rows) wrote 1 file")
+    }
+  }
+
   test("writeDaily overwriteDays is idempotent per day") {
     val dir = Files.createTempDirectory("graft_sink2").toString + "/quotes"
     val ev = Tables.events(spark, sf)
