@@ -96,18 +96,30 @@ class TickScanBuilder(rows: Long, partitions: Int, seed: Long, hotFraction: Doub
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // The +1 adjustments for GreaterThan / LessThanOrEqual / EqualTo
+    // overflow at v == Long.MaxValue; since ids live in [0, rows) and
+    // rows <= Long.MaxValue, the id Long.MaxValue is never generated, so
+    // `> MaxValue` and `= MaxValue` are exactly-empty (lo := MaxValue >=
+    // hi) and `<= MaxValue` is exactly a no-op — all still exact, never
+    // approximate, so they may stay accepted.
     val residual = filters.filter {
       case EqualTo("event_id", v) if asLong(v).isDefined =>
         val x = asLong(v).get
-        lo = math.max(lo, x); hi = math.min(hi, x + 1); false
+        lo = math.max(lo, x)
+        if (x != Long.MaxValue) hi = math.min(hi, x + 1)
+        false
       case GreaterThan("event_id", v) if asLong(v).isDefined =>
-        lo = math.max(lo, asLong(v).get + 1); false
+        val x = asLong(v).get
+        lo = if (x == Long.MaxValue) Long.MaxValue else math.max(lo, x + 1)
+        false
       case GreaterThanOrEqual("event_id", v) if asLong(v).isDefined =>
         lo = math.max(lo, asLong(v).get); false
       case LessThan("event_id", v) if asLong(v).isDefined =>
         hi = math.min(hi, asLong(v).get); false
       case LessThanOrEqual("event_id", v) if asLong(v).isDefined =>
-        hi = math.min(hi, asLong(v).get + 1); false
+        val x = asLong(v).get
+        if (x != Long.MaxValue) hi = math.min(hi, x + 1)
+        false
       case _ => true
     }
     accepted = filters.diff(residual)

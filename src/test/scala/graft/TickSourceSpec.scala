@@ -44,6 +44,19 @@ class TickSourceSpec extends SparkSpec {
     assert(res.collect().forall(r => r.getString(3) == "click"))
   }
 
+  test("Long.MaxValue boundary filters don't overflow the range math") {
+    val df = ticks(1000, 4)
+    // > MaxValue matches nothing (ids live in [0, rows)); the unguarded
+    // +1 used to overflow lo negative → clamp to 0 → ALL rows returned
+    assert(df.filter(col("event_id") > Long.MaxValue).count() == 0)
+    // = MaxValue likewise empty (hi+1 used to overflow to MinValue)
+    assert(df.filter(col("event_id") === Long.MaxValue).count() == 0)
+    // <= MaxValue matches everything (hi+1 used to overflow → 0 rows)
+    assert(df.filter(col("event_id") <= Long.MaxValue).count() == 1000)
+    // >= MaxValue needs no +1 but must still be exactly empty
+    assert(df.filter(col("event_id") >= Long.MaxValue).count() == 0)
+  }
+
   test("column pruning reaches the source: reader fills only projected fields") {
     val df = ticks(10000, 4).select("user_id", "value")
     val plan = df.queryExecution.executedPlan.toString
