@@ -114,6 +114,21 @@ object ScaleSmoke {
       require(kept >= 990000 && kept < 1000000, s"unexpected survivor count $kept")
       kept
     }
+    // the streaming-incremental d22 twin at 1M docs: three micro-batch
+    // upserts against the persisted band index must keep the same
+    // survivor count as the one-shot pipeline above (planted dups ⇒
+    // ≈995k), with each batch touching only its collision buckets
+    time("incremental dedup 3 batches 1M") {
+      val root = java.nio.file.Files.createTempDirectory("graft_incsc").toString
+      (0 until 3).foreach { i =>
+        operators.IncrementalDedup.upsertBatch(
+          docsBig.filter(pmod(col("doc_id"), lit(3)) === i), root,
+          blockCols = Seq.empty)
+      }
+      val kept = operators.IncrementalDedup.corpus(spark, root, blockCols = Seq.empty).count()
+      require(kept >= 990000 && kept < 1000000, s"unexpected incremental survivor count $kept")
+      kept
+    }
     // the full composed corpus build at 1M docs: scrub → gate → exact
     // dedup (drops the planted pairs) → LSH near-dup → chunks
     time("corpus pipeline 1M docs") {

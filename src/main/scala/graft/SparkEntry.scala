@@ -110,6 +110,20 @@ object SparkEntry {
     // corpus (rows-only: LSH recall is probabilistic; Round4Spec proves
     // drop-set ⊆ exact pipeline's drop-set with high recall)
     "d22_dedup_pipeline"  -> (Dedup.dedupPipeline _),
+    // the streaming-incremental twin of d22: three micro-batch upserts
+    // against a persisted band index land EXACTLY the batch pipeline's
+    // corpus (Round6Spec proves parity for arbitrary splits + replay;
+    // rows-only here for the same reason as d22: LSH isn't SQL)
+    "d23_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val root = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+      val docs = Tables.documents(s, d)
+      (0 until 3).foreach { i =>
+        graft.operators.IncrementalDedup.upsertBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === i), root)
+      }
+      graft.operators.IncrementalDedup.corpus(s, root).orderBy("doc_id")
+    }),
     // multimodal decode pipeline (media-as-binary → partition-local
     // feature extraction); codec stubbed (not in this container), the
     // Spark plumbing — schema, mapPartitions batch shape, no shuffle —

@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming/incremental NEAR-dup dedup — the per-cycle twin of the
+  * batch [[Dedup.dedupPipeline]] (d22), mirroring the reference's
+  * production dedup-insert loop (/root/reference/sql/opt.sql:347-391,
+  * run on a timer by services/schwab_ohlc_service.py) but for
+  * probabilistic near-duplicates instead of exact keys: each incoming
+  * micro-batch is MinHash-banded against a PERSISTED historic band
+  * index, collisions are verified with the exact word-set jaccard, and
+  * only novel content joins the corpus. Re-running batch d22 over the
+  * full corpus per cycle would re-scan everything ever ingested; this
+  * upsert touches the new docs, the band-index buckets they collide
+  * with, and nothing else.
+  *
+  * == Persisted layout under `root` ==
+  *  - `root/bands/bucket=N/` — the LSH band index: one row per
+  *    (doc, band) with its band hash and blocking attributes,
+  *    partitioned by `bucket = pmod(band_hash, buckets)` so a batch's
+  *    band join prunes to the buckets its own hashes land in (the
+  *    d6 persisted-IVF-index trick applied to LSH).
+  *  - `root/docs/bucket=N/` — per-doc state: word set (for exact
+  *    verification of future collisions), block attrs, and the doc's
+  *    cluster label at insert time; partitioned by
+  *    `bucket = pmod(hash(doc_id), buckets)` for pruned id lookups.
+  *  - `root/merges/` — tiny append-only log of cluster-label merges
+  *    (old_label → new_label). A later doc can CONNECT two existing
+  *    clusters; relabeling the losing cluster's rows in `docs/` would
+  *    rewrite unbounded history, so the merge is recorded here and
+  *    resolved at read time (union-find over a driver-scale log,
+  *    broadcast back). Entries always map to a strictly smaller live
+  *    label, so chains are acyclic and path-compress to one hop.
+  *
+  * == Exact parity with batch d22 ==
+  * Band collision is a deterministic pairwise predicate (fixed MinHash
+  * permutations), so splitting the corpus into micro-batches does not
+  * change WHICH pairs are captured: a pair lands together in a batch
+  * (self-join) or across the index (band join) with identical hashes
+  * either way. Incremental connected components over (new verified
+  * pairs ∪ star edges to historic cluster labels) therefore equals the
+  * one-shot CC over all verified pairs, in ANY arrival order — the
+  * spec feeds arbitrary splits and asserts the corpus is identical to
+  * [[Dedup.dedupPipeline]]'s, including after simulated crash/replay.
+  *
+  * == Crash/retry safety (single writer, like Sinks.upsertHistoric) ==
+  * Write order per batch: bands → merges → docs. The `docs/` store is
+  * the membership authority (the restart guard anti-joins it), so a
+  * crash before the docs append re-processes the batch; duplicate band
+  * rows from the retry are harmless (candidates are `.distinct()`ed)
+  * and re-derived merge entries are identical (the log dedupes in the
+  * driver map). The merge log is written `coalesce(1)` — one task, one
+  * file, driver-scale data — so it cannot land partially.
+  *
+  * == Scale shape ==
+  * Per batch: one narrow scan of the pruned band-index buckets joined
+  * on (band, band_hash, blockCols) — never the corpus text; candidate
+  * verification reads only the `docs/` buckets holding colliding ids;
+  * CC runs over the batch's edge set (bounded by true near-dup
+  * density), not the historic graph — historic clusters participate as
+  * single star nodes. State that grows with corpus size is only ever
+  * equi-joined or partition-pruned, never rewritten.
+  */
+object IncrementalDedup {
+
+  private val PERMS = 16
+  private val BANDS = 4
+  private val ROWS = PERMS / BANDS
+
+  private def bandsPath(root: String) = s"$root/bands"
+  private def docsPath(root: String) = s"$root/docs"
+  private def mergesPath(root: String) = s"$root/merges"
+
+  private def exists(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Tokenize exactly like [[Dedup.ngramJaccardViaLsh]]: the verifier
+    * and the signatures must see the SAME word set. */
+  private def tokenized(batch: DataFrame, blockCols: Seq[String]): DataFrame =
+    batch.select(col("doc_id") +: blockCols.map(col) :+
+      array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"): _*)
+      .withColumn("sz", size(col("ws")).cast("long"))
+
+  /** (doc_id, blockCols..., band, band_hash) — same signature + banding
+    * expressions as the batch path (shingle k=1: word-set jaccard). */
+  private def bandedSigs(toks: DataFrame, blockCols: Seq[String]): DataFrame =
+    toks.filter(col("sz") >= 1)
+      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 1, PERMS))
+      .select(col("doc_id") +: blockCols.map(col) :+
+        posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), b -> hash(slice(sig, b * $ROWS + 1, $ROWS)))"))
+          .as(Seq("band", "band_hash")): _*)
+
+  /** Exact word-set jaccard gate over candidate (id_a, id_b) pairs. */
+  private def verify(cands: DataFrame, aToks: DataFrame, bToks: DataFrame,
+      threshold: Double): DataFrame =
+    cands
+      .join(aToks.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), "id_a")
+      .join(bToks.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("n_inter",
+        graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b")))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+
+  /** Path-compressed merge map from the append-only log. Driver-side by
+    * design: one row per merge EVENT ever (two clusters connected by a
+    * later doc), a population that grows with near-dup graph mergers,
+    * not corpus size — and every entry maps to a strictly smaller id,
+    * so the walk terminates. Replayed duplicate entries collapse in
+    * the Map. */
+  private def mergeMap(s: SparkSession, root: String): Map[Long, Long] = {
+    if (!exists(s, mergesPath(root))) return Map.empty
+    val raw = s.read.parquet(mergesPath(root))
+      .select("old_label", "new_label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def find(x: Long): Long = raw.get(x).map(find).getOrElse(x)
+    raw.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** Resolve a label column through the (literal) merge map — one
+    * expression over a driver-scale map, no join. */
+  private def resolved(c: Column, m: Map[Long, Long]): Column =
+    if (m.isEmpty) c else coalesce(element_at(typedlit(m), c), c)
+
+  /** Upsert one batch of documents (doc_id, text, blockCols...) into
+    * the incremental dedup state at `root`. Idempotent per batch: a
+    * replay (streaming restart, retried foreachBatch) re-derives the
+    * same labels and the docs-store guard drops already-landed rows.
+    *
+    * @param buckets  partition-count for both stores — must be the
+    *   same value across every batch written to one `root` (it is the
+    *   pruning contract of the layout)
+    * @param checkpointDir reliable checkpoint dir for the per-batch CC
+    *   rounds (executor-loss safety on long pipelines; tests omit it)
+    */
+  def upsertBatch(batch: DataFrame, root: String, threshold: Double = 0.8,
+      blockCols: Seq[String] = Seq("lang", "source"), buckets: Int = 64,
+      checkpointDir: Option[String] = None): Unit = {
+    val s = batch.sparkSession
+    val joinKey = Seq("band", "band_hash") ++ blockCols
+
+    // ---- restart guard: docs/ is the membership authority ----------
+    val fresh0 = batch.dropDuplicates("doc_id")
+    val fresh =
+      if (!exists(s, docsPath(root))) fresh0
+      else {
+        // bounded driver pull: ≤ `buckets` ints, prunes the id lookup
+        val bks = fresh0.select(pmod(hash(col("doc_id")), lit(buckets)).as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val seen = s.read.parquet(docsPath(root))
+          .filter(col("bucket").isin(bks: _*)).select("doc_id")
+        fresh0.join(seen, Seq("doc_id"), "left_anti")
+      }
+
+    val toks = tokenized(fresh, blockCols).localCheckpoint(eager = true)
+    if (toks.isEmpty) { toks.unpersist(); return }
+    val banded = bandedSigs(toks, blockCols).localCheckpoint(eager = true)
+
+    // ---- candidates: within-batch self-join + batch-vs-index join --
+    val candsNew = banded.withColumnRenamed("doc_id", "id_a")
+      .join(banded.withColumnRenamed("doc_id", "id_b"), joinKey)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val edgesNew = verify(candsNew, toks, toks, threshold)
+
+    def noEdges = s.emptyDataFrame
+      .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+    val mm = mergeMap(s, root)
+    val edgesHist = (
+      if (!exists(s, bandsPath(root))) noEdges
+      else {
+        val bks = banded.select(pmod(col("band_hash"), lit(buckets)).as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val hist = s.read.parquet(bandsPath(root)).filter(col("bucket").isin(bks: _*))
+        val cands = banded.withColumnRenamed("doc_id", "id_a")
+          .join(hist.withColumnRenamed("doc_id", "id_b"), joinKey)
+          // a retried batch may find its own prior band rows — never
+          // pair a doc with itself
+          .filter(col("id_a") =!= col("id_b"))
+          .select("id_a", "id_b").distinct()
+        // verification ws for colliding historic docs: pruned id fetch
+        val dbks = cands.select(pmod(hash(col("id_b")), lit(buckets)).as("bucket"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (dbks.isEmpty) noEdges
+        else {
+          val hdocs = s.read.parquet(docsPath(root))
+            .filter(col("bucket").isin(dbks: _*))
+            .select(col("doc_id"), col("ws"), col("sz"),
+              resolved(col("cluster_id"), mm).as("h_label"))
+          // star edge: new doc → the historic doc's LIVE cluster label
+          verify(cands, toks, hdocs.drop("h_label"), threshold)
+            .join(hdocs.select(col("doc_id").as("id_b"), col("h_label")), "id_b")
+            .select(col("id_a"), col("h_label").as("id_b")).distinct()
+        }
+      }).localCheckpoint(eager = true)
+
+    // ---- incremental CC: batch pairs + star edges ------------------
+    val allEdges = edgesNew.union(edgesHist).localCheckpoint(eager = true)
+    // bounded CC already returns a checkpoint-materialized frame — both
+    // consumers below (batch labels, merge detection) share it
+    val labels =
+      if (allEdges.isEmpty) s.emptyDataFrame.select(lit(0L).as("node"), lit(0L).as("cluster_id")).limit(0)
+      else Dedup.connectedComponentsBounded(
+        allEdges.select(col("id_a"), col("id_b")), checkpointDir = checkpointDir)
+
+    val batchLabels = toks.select("doc_id")
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+
+    // historic cluster labels whose component found a smaller minimum:
+    // record the merge instead of rewriting the losing cluster's rows
+    val newMerges = edgesHist.select(col("id_b").as("node")).distinct()
+      .join(labels, "node")
+      .filter(col("cluster_id") =!= col("node"))
+      .select(col("node").as("old_label"), col("cluster_id").as("new_label"))
+
+    // ---- persist: bands → merges → docs (see crash-safety note) ----
+    // zero-row guards: a 0-row partitioned append on a nonexistent
+    // path creates a schemaless directory that poisons later reads
+    if (!banded.isEmpty)
+      banded.withColumn("bucket", pmod(col("band_hash"), lit(buckets)))
+        .write.mode("append").partitionBy("bucket").parquet(bandsPath(root))
+    if (!newMerges.isEmpty)
+      newMerges.coalesce(1).write.mode("append").parquet(mergesPath(root))
+    toks.join(batchLabels.select("doc_id", "cluster_id"), "doc_id")
+      .withColumn("bucket", pmod(hash(col("doc_id")), lit(buckets)))
+      .write.mode("append").partitionBy("bucket").parquet(docsPath(root))
+    Seq(toks, banded, edgesHist, allEdges, labels).foreach(_.unpersist())
+  }
+
+  /** The deduplicated corpus at `root`: docs whose id IS their live
+    * cluster label (keep-min policy, exactly [[Dedup.dedupedCorpus]]).
+    * Merge resolution is one broadcast expression over the tiny log —
+    * the historic store is never rewritten. */
+  def corpus(s: SparkSession, root: String, blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    val mm = mergeMap(s, root)
+    s.read.parquet(docsPath(root))
+      .filter(col("doc_id") === resolved(col("cluster_id"), mm))
+      .select(col("doc_id") +: blockCols.map(col): _*)
+  }
+
+  /** Current (doc_id → live cluster label) assignment — d20's streaming
+    * counterpart, derived from the store plus merge resolution. */
+  def clusters(s: SparkSession, root: String): DataFrame = {
+    val mm = mergeMap(s, root)
+    s.read.parquet(docsPath(root))
+      .select(col("doc_id"), resolved(col("cluster_id"), mm).as("cluster_id"))
+  }
+}

@@ -484,6 +484,27 @@ object EventStream {
       }
       .start()
 
+  /** Streaming incremental NEAR-dup dedup: every micro-batch is
+    * MinHash-banded against the persisted historic band index, verified
+    * with exact jaccard, and only novel content is inserted — the
+    * near-dup generalization of [[dedupInsertStream]] and the streaming
+    * twin of batch d22 (see graft.operators.IncrementalDedup for the
+    * layout, parity and crash-safety contracts). Like dedupInsertStream,
+    * the PERSISTED STORE — not the checkpoint — is the dedup authority:
+    * a restart replaying old input re-derives identical labels and the
+    * docs-store guard drops already-landed rows.
+    */
+  def nearDupInsertStream(stream: DataFrame, root: String, checkpoint: String,
+      threshold: Double = 0.8, blockCols: Seq[String] = Seq("lang", "source"),
+      buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.IncrementalDedup.upsertBatch(
+          batch.toDF(), root, threshold, blockCols, buckets)
+      }
+      .start()
+
   /** Convenience: run a streaming query over a bounded source into a
     * memory sink and block until drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

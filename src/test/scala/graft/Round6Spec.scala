@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IncrementalDedup}
+import graft.streaming.EventStream
+
+/** Round 6: streaming/incremental near-dup dedup — exact parity with
+  * the batch d22 pipeline under arbitrary batch splits, replay, and
+  * cluster merges. */
+class Round6Spec extends SparkSpec {
+
+  private def corpusSet(root: String): Set[(Long, String, String)] =
+    IncrementalDedup.corpus(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  private lazy val batchCorpus: Set[(Long, String, String)] =
+    Dedup.dedupPipeline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("incremental dedup: arbitrary micro-batch split lands exactly the batch d22 corpus") {
+    val root = Files.createTempDirectory("graft_inc_par").toString
+    val docs = Tables.documents(spark, sf)
+    // split by id mod 4 — deliberately NOT contiguous ranges: parity
+    // must hold for ANY arrival order (labels are component minima,
+    // which are order-independent)
+    (0 until 4).foreach { i =>
+      IncrementalDedup.upsertBatch(docs.filter(pmod(col("doc_id"), lit(4)) === i), root)
+    }
+    assert(corpusSet(root) == batchCorpus)
+  }
+
+  test("incremental dedup: replayed micro-batch is a no-op (restart idempotence)") {
+    val root = Files.createTempDirectory("graft_inc_replay").toString
+    val docs = Tables.documents(spark, sf)
+    val chunk = (i: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    IncrementalDedup.upsertBatch(chunk(0), root)
+    IncrementalDedup.upsertBatch(chunk(1), root)
+    IncrementalDedup.upsertBatch(chunk(1), root) // replay after "restart"
+    IncrementalDedup.upsertBatch(chunk(2), root)
+    IncrementalDedup.upsertBatch(chunk(2), root) // replay the tail too
+    assert(corpusSet(root) == batchCorpus)
+    // the docs store holds each doc exactly once despite the replays
+    val n = spark.read.parquet(s"$root/docs").count()
+    assert(n == docs.count(), s"docs store has $n rows for ${docs.count()} docs")
+  }
+
+  test("incremental dedup: a later doc connecting two historic clusters merges them via the log") {
+    // E overlaps A and D at jaccard 92/108 ≈ 0.852 (≥ 0.8) while
+    // j(A, D) = 84/116 ≈ 0.724 (< 0.8): batch 1 lands two separate
+    // clusters; batch 2's E must MERGE them — keep-min corpus = {1}
+    val e = (1 to 100).map(i => s"e$i")
+    val aText = (e.take(92) ++ (1 to 8).map(i => s"a$i")).mkString(" ")
+    val dText = (e.drop(8) ++ (1 to 8).map(i => s"d$i")).mkString(" ")
+    val eText = e.mkString(" ")
+    import spark.implicits._
+    val batch1 = Seq((1L, aText, "en", "web"), (10L, dText, "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val batch2 = Seq((20L, eText, "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val all = batch1.union(batch2)
+    // precondition: LSH (deterministic permutations) captures both
+    // E-pairs and the exact gate rejects (A, D)
+    val pairs = Dedup.ngramJaccardViaLsh(all, blockCols = Seq("lang", "source"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 20L), (10L, 20L)), s"unexpected pair capture: $pairs")
+
+    val root = Files.createTempDirectory("graft_inc_merge").toString
+    IncrementalDedup.upsertBatch(batch1, root)
+    assert(corpusSet(root).map(_._1) == Set(1L, 10L))
+    IncrementalDedup.upsertBatch(batch2, root)
+    assert(corpusSet(root).map(_._1) == Set(1L))
+    // the losing representative was recorded, not rewritten
+    val merges = spark.read.parquet(s"$root/merges")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merges == Set((10L, 1L)))
+    // cluster view resolves every doc to the surviving label
+    val cl = IncrementalDedup.clusters(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 10L -> 1L, 20L -> 1L))
+  }
+
+  test("nearDupInsertStream: micro-batches + query restart land the batch corpus") {
+    val root = Files.createTempDirectory("graft_inc_stream").toString
+    val ckpt = Files.createTempDirectory("graft_inc_ckpt").toString
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val rows = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)].collect()
+    val (first, second) = rows.partition(_._1 % 2 == 0)
+
+    val in1 = MemoryStream[(Long, String, String, String)]
+    val q1 = EventStream.nearDupInsertStream(
+      in1.toDF().toDF("doc_id", "text", "lang", "source"), root, ckpt)
+    in1.addData(first.take(first.length / 2))
+    q1.processAllAvailable()
+    in1.addData(first.drop(first.length / 2))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // "restart": a NEW query against the same store re-delivers part of
+    // the first half (at-least-once) plus the rest of the corpus
+    val in2 = MemoryStream[(Long, String, String, String)]
+    val q2 = EventStream.nearDupInsertStream(
+      in2.toDF().toDF("doc_id", "text", "lang", "source"), root,
+      Files.createTempDirectory("graft_inc_ckpt2").toString)
+    in2.addData(first.take(100) ++ second)
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert(corpusSet(root) == batchCorpus)
+  }
+}
