@@ -145,21 +145,37 @@ object EventStream {
     * purchases is retained indefinitely — required for exactness
     * (an arbitrarily late first click can make any of them the
     * funnel's tv/tp), but it means state for clickless users grows
-    * with their stream length. A production deployment that can
-    * declare very-late clicks dead should bound it with a watermark
-    * cutoff (drop candidates older than the watermark minus the
-    * allowed click lateness); graft keeps the exact semantics because
+    * with their stream length. `maxClickLatenessUs` is the opt-in
+    * bound for deployments that can declare very-late clicks dead:
+    * with it set, a click more than the lateness behind the USER'S OWN
+    * event-time frontier (a per-key high-watermark, kept in state) no
+    * longer refines, and candidates at or below that cutoff are
+    * dropped — except the current tv/tp witnesses, which future
+    * outputs still need. The per-key frontier deliberately replaces
+    * the global watermark here: Spark's event-time mode drops EVERY
+    * behind-watermark input row before the processor sees it (killing
+    * mildly-late views the exact semantics must absorb), and a global
+    * cutoff couples one user's state bound to other users' event
+    * times. The drop is LOSSLESS under the declared bound: a candidate
+    * at t ≤ cutoff can only become newly eligible via a future click
+    * strictly below it, and every such click is itself ≤ cutoff and
+    * therefore dead — so state is bounded by the key's event density
+    * inside one lateness window (+2 witnesses), and outputs equal the
+    * exact processor's whenever no over-late click actually arrives
+    * (spec-gated both ways). Default None keeps the exact semantics —
     * the batch-parity spec feeds fully reversed input.
     *
     * Emits the user's refined (tc, tv, tp) on every update (Update
     * mode); the funnel step counts are a trivial aggregate over the
-    * latest row per user. TimeMode.None: settles in bounded runs.
+    * latest row per user. TimeMode.None either way: settles in
+    * bounded runs.
     */
-  class FunnelProcessor
+  class FunnelProcessor(maxClickLatenessUs: Option[Long] = None)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, FunnelRow] {
     @transient private var minClick: org.apache.spark.sql.streaming.ValueState[Long] = _
     @transient private var views: org.apache.spark.sql.streaming.ListState[Long] = _
     @transient private var purchases: org.apache.spark.sql.streaming.ListState[Long] = _
+    @transient private var frontier: org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       val none = org.apache.spark.sql.streaming.TTLConfig.NONE
@@ -169,17 +185,31 @@ object EventStream {
         org.apache.spark.sql.Encoders.scalaLong, none)
       purchases = getHandle.getListState[Long]("purchases",
         org.apache.spark.sql.Encoders.scalaLong, none)
+      frontier = getHandle.getValueState[Long]("frontier",
+        org.apache.spark.sql.Encoders.scalaLong, none)
     }
     override def handleInputRows(user: Long, ticks: Iterator[Tick],
         tv0: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelRow] = {
       val MAX = Long.MaxValue
+      val evs = ticks.toArray
+      // candidates at or below the cutoff are dead unless they are the
+      // current eligible witness (see class doc for the proof). The
+      // frontier advances BEFORE the batch is applied: lateness is
+      // measured against the newest event time this key has ever seen,
+      // at batch granularity.
+      val cutoffUs = maxClickLatenessUs.map { l =>
+        val prev = if (frontier.exists()) frontier.get() else Long.MinValue
+        val front = (prev +: evs.map(t => tsToUs(t.ts))).max
+        frontier.update(front)
+        front - l
+      }.getOrElse(Long.MinValue)
       var tc = if (minClick.exists()) minClick.get() else MAX
       var vs = views.get().toList
       var ps = purchases.get().toList
-      ticks.foreach { t =>
+      evs.foreach { t =>
         val us = tsToUs(t.ts)
         t.event_type match {
-          case "click" => if (us < tc) tc = us
+          case "click" => if (us < tc && us > cutoffUs) tc = us
           case "view" => vs ::= us
           case "purchase" => ps ::= us
           case _ =>
@@ -188,22 +218,43 @@ object EventStream {
       // refine: tv = min view strictly after tc; tp = min purchase
       // strictly after tv. Prune candidates above the (monotone ↓)
       // thresholds; keep everything at or below — a future tc drop can
-      // re-qualify them.
+      // re-qualify them — except, under the lateness bound, candidates
+      // at or below the cutoff (minus the witness), which no live
+      // click can ever re-qualify.
       val tv = vs.filter(_ > tc).minOption.getOrElse(MAX)
       val tp = ps.filter(_ > tv).minOption.getOrElse(MAX)
       minClick.update(tc)
-      views.put(vs.filter(_ <= tv).distinct.toArray)
-      purchases.put(ps.filter(_ <= tp).distinct.toArray)
+      // the store rejects EMPTY list writes — a fully-pruned list is a clear
+      def putList(st: org.apache.spark.sql.streaming.ListState[Long], a: Array[Long]): Unit =
+        if (a.isEmpty) st.clear() else st.put(a)
+      putList(views, FunnelProcessor.prune(vs, tv, cutoffUs))
+      putList(purchases, FunnelProcessor.prune(ps, tp, cutoffUs))
       def opt(x: Long) = if (x == MAX) None else Some(usToTs(x))
       Iterator.single(FunnelRow(user, opt(tc), opt(tv), opt(tp)))
     }
   }
 
-  /** See [[FunnelProcessor]]. */
-  def funnelStream(stream: Dataset[Tick]): Dataset[FunnelRow] = {
+  object FunnelProcessor {
+    /** Keep candidates ≤ threshold (the monotone-↓ refinement bound)
+      * that are above the lateness cutoff, plus the threshold witness
+      * itself (the achieved tv/tp must survive for future outputs).
+      * Pure — spec'd directly for the state-shrink contract. */
+    private[graft] def prune(xs: List[Long], threshold: Long, cutoffUs: Long): Array[Long] =
+      xs.filter(x => x <= threshold && (x > cutoffUs || x == threshold))
+        .distinct.toArray
+  }
+
+  /** See [[FunnelProcessor]].
+    * @param maxClickLateness opt-in clickless-state bound: clicks
+    *   arriving more than this behind the user's own event-time
+    *   frontier no longer refine, and dead candidates are evicted.
+    *   None (default) = exact semantics, unbounded clickless state. */
+  def funnelStream(stream: Dataset[Tick],
+      maxClickLateness: Option[java.time.Duration] = None): Dataset[FunnelRow] = {
     import stream.sparkSession.implicits._
     stream.groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor,
+      .transformWithState(
+        new FunnelProcessor(maxClickLateness.map(_.toMillis * 1000L)),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 

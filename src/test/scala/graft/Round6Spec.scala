@@ -81,6 +81,61 @@ class Round6Spec extends SparkSpec {
     assert(cl == Map(1L -> 1L, 10L -> 1L, 20L -> 1L))
   }
 
+  test("funnel candidate prune: below-cutoff candidates die, the witness survives") {
+    import EventStream.FunnelProcessor.prune
+    // everything above the cutoff and ≤ threshold is retained
+    assert(prune(List(5L, 9L, 10L, 15L), 10L, Long.MinValue).sorted.toSeq == Seq(5L, 9L, 10L))
+    // below-cutoff non-witness candidates are evicted (state shrink)
+    assert(prune(List(5L, 9L, 10L, 15L), 10L, 8L).sorted.toSeq == Seq(9L, 10L))
+    // the achieved threshold witness survives even below the cutoff
+    assert(prune(List(5L, 10L, 15L), 10L, 12L).toSeq == Seq(10L))
+    // no witness achieved (threshold = MAX): pure cutoff eviction
+    assert(prune(List(5L, 9L), Long.MaxValue, 8L).toSeq == Seq(9L))
+  }
+
+  test("funnel maxClickLateness: an over-late click no longer refines; a live click still does") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.EventStream.Tick
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Tick]
+      val q = EventStream.funnelStream(input.toDS(),
+          maxClickLateness = Some(java.time.Duration.ofMinutes(30))).toDF()
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("funnel_late_out").start()
+      def lastRow(user: Long) = spark.table("funnel_late_out")
+        .filter(col("user_id") === user).collect().lastOption
+      // batch 1: an early view, then the user's frontier moves to 12:00
+      input.addData(Seq(
+        Tick(1L, ts("2024-01-10 10:00:00"), 7L, "view", 1.0),
+        Tick(2L, ts("2024-01-10 12:00:00"), 7L, "view", 1.0)))
+      q.processAllAvailable()
+      // batch 2: click at 08:00 — 4h behind the 12:00 frontier, beyond
+      // the 30-minute lateness bound: declared dead, must NOT refine
+      input.addData(Seq(Tick(3L, ts("2024-01-10 08:00:00"), 7L, "click", 1.0)))
+      q.processAllAvailable()
+      assert(lastRow(7L).get.isNullAt(1), "over-late click refined tc")
+      // batch 3: a click inside the lateness window still refines —
+      // and qualifies the RETAINED 12:00 view (not the pruned 10:00
+      // one, which only a dead click could have re-qualified)
+      input.addData(Seq(Tick(4L, ts("2024-01-10 11:45:00"), 7L, "click", 1.0)))
+      q.processAllAvailable()
+      val r = lastRow(7L).get
+      assert(r.getTimestamp(1) == ts("2024-01-10 11:45:00"))
+      assert(r.getTimestamp(2) == ts("2024-01-10 12:00:00"))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("nearDupInsertStream: micro-batches + query restart land the batch corpus") {
     val root = Files.createTempDirectory("graft_inc_stream").toString
     val ckpt = Files.createTempDirectory("graft_inc_ckpt").toString
