@@ -103,9 +103,19 @@ object Silver {
     * assignment survives a dim that ISN'T small (the single-partition
     * dense_rank was the one silent scale assumption left in q54).
     */
+  /** @param checkpointDir when set, the pinned range layout uses a
+    *   RELIABLE `checkpoint(eager = false)` into this directory (the
+    *   bounded-CC pattern): an executor loss replays from checkpoint
+    *   files instead of failing the query, and no executor-memory
+    *   blocks outlive the job. Unset → `localCheckpoint`: fine for
+    *   dim-scale frames in tests/single-JVM; the blocks are reclaimed
+    *   by the ContextCleaner once the result frame is unreferenced
+    *   (an in-flight lazy consumer is why they cannot be unpersisted
+    *   eagerly here). */
   def surrogateIds(dim: DataFrame, keyCols: Seq[String], idCol: String,
-      partitions: Int = 32): DataFrame = {
+      partitions: Int = 32, checkpointDir: Option[String] = None): DataFrame = {
     val ks = keyCols.map(col)
+    checkpointDir.foreach(dim.sparkSession.sparkContext.setCheckpointDir)
     // Materialize the ranged layout ONCE (lazy, no driver barrier):
     // both consumers below — the local ranks and the per-_pid offset
     // counts — must see the SAME partition boundaries, but
@@ -114,9 +124,11 @@ object Silver {
     // defeat it). Checkpointing pins one sampled layout by
     // construction; the frame is dim-scale, so the executor-local
     // blocks are cheap.
-    val ranged = dim.repartitionByRange(partitions, ks: _*)
+    val ranged0 = dim.repartitionByRange(partitions, ks: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(false)
+    val ranged =
+      if (checkpointDir.isDefined) ranged0.checkpoint(eager = false)
+      else ranged0.localCheckpoint(false)
     val local = ranged.withColumn("_rk",
       row_number().over(Window.partitionBy("_pid").orderBy(ks: _*)))
     val offs = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))

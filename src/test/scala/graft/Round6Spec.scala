@@ -81,6 +81,25 @@ class Round6Spec extends SparkSpec {
     assert(cl == Map(1L -> 1L, 10L -> 1L, 20L -> 1L))
   }
 
+  test("surrogateIds with a reliable checkpoint dir: same ids, checkpoint files on disk") {
+    import graft.operators.Silver
+    val dim = Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_type")).distinct()
+    val expected = dim.withColumn("sid",
+      dense_rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy("p_brand", "p_type")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ckpt = Files.createTempDirectory("graft_sid_ckpt").toString
+    val got = Silver.surrogateIds(dim, Seq("p_brand", "p_type"), "sid",
+        partitions = 8, checkpointDir = Some(ckpt))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    // the pinned layout really landed on reliable storage
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, "no checkpoint files written")
+  }
+
   test("funnel candidate prune: below-cutoff candidates die, the witness survives") {
     import EventStream.FunnelProcessor.prune
     // everything above the cutoff and ≤ threshold is retained
