@@ -30,6 +30,13 @@ import org.apache.spark.sql.SparkSession
   * the WARM pass. Per-query numbers are latencies under concurrency
   * (they inflate with queueing — compare plan shapes, not these,
   * across concurrency settings).
+  *
+  * Two self-diagnostics ride the line: `probes` are the parse-only
+  * q49/q53 timings over pre-materialized payload parquet (engine cost
+  * with the test scaffolding factored out — see ParseProbes), and
+  * `cal` is a fixed-cost calibration run at capture time, so a
+  * contended snapshot (inflated walls with an inflated `cal`) is
+  * self-evident from the artifact alone.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -70,6 +77,32 @@ object Bench {
 
     val (cold, wallCold) = runSuite()
     val (warm, wallWarm) = runSuite()
+
+    // Parse-only probes (q49/q53 minus their payload-BUILD scaffolding):
+    // materialize the payload parquet once, then time parse+flatten
+    // alone — the engine cost a 100 TB deployment actually pays. Timed
+    // serially after the suites; second (warm) run is the number.
+    val probeFns = ParseProbes.prepare(spark, sfDir)
+    val probes = probeFns.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once()
+      (name, once())
+    }
+
+    // Fixed-cost calibration, measured AT CAPTURE TIME: a driver-local
+    // sum over 100M longs costs a near-constant slice of one core, so
+    // an inflated `cal` in the snapshot means the capture itself ran
+    // contended (the round-3/round-5 cold-wall artifact) — the JSON
+    // line carries its own credibility check.
+    val cal = {
+      val t0 = System.nanoTime()
+      spark.range(100000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // A failed query reports -1, never a wall-clock that looks like a pass.
     // Values are truncated to 3 decimals and only ONE per-query map
     // (the warm pass) goes on the JSON line: round 4's line carried
@@ -82,9 +115,11 @@ object Bench {
         .mkString("{", ",", "}")
     val errs = (cold ++ warm).collect { case (k, _, false) => "\"" + k + "\"" }
       .distinct.mkString("[", ",", "]")
+    val probesJson = probes.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     // `wall` (warm) is repeated as the LAST field: the driver captures
     // the tail of long lines and the headline must survive truncation.
-    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
+    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parse-only probes for the payload-heavy entries (q49/q53): their
+  * registered queries BUILD the nested JSON payloads they then parse —
+  * test scaffolding that dominates their bench time, while at 100 TB
+  * payloads arrive from the source and only the parse side runs. The
+  * probes materialize the scaffold ONCE to parquet and expose the
+  * parse+flatten stage over that cached input, so hot-query triage
+  * measures the engine, not the generator. Reported by Bench under
+  * `probes` and runnable one-off via QProbe (same names).
+  */
+object ParseProbes {
+
+  val names: Seq[String] = Seq("q49_parse", "q53_parse")
+
+  /** Materialize the scaffold payloads under a temp dir and return the
+    * parse-only frame factories keyed by probe name. */
+  def prepare(s: SparkSession, sfDir: String): Map[String, () => DataFrame] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_payloads").toString
+    graft.operators.Chains.chainPayloads(s, sfDir)
+      .write.mode("overwrite").parquet(s"$dir/chains")
+    graft.operators.Chains.orderPayloads(s, sfDir)
+      .write.mode("overwrite").parquet(s"$dir/orders")
+    Map(
+      "q49_parse" -> (() =>
+        graft.operators.Chains.parseChainPayloads(s.read.parquet(s"$dir/chains"))._1),
+      "q53_parse" -> (() =>
+        graft.operators.Chains.parseOrderPayloads(s.read.parquet(s"$dir/orders"))._1))
+  }
+}
