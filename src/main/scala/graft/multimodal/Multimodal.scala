@@ -30,26 +30,43 @@ object Multimodal {
         (col("n_chars") % 640).cast("int").as("width"),
         (col("n_chars") % 480).cast("int").as("height"))
 
-  /** STUB decode: byte-histogram (16 bins) + additive checksum instead
-    * of a real image decode. Deterministic, partition-local, no shuffle
-    * — exactly the execution shape a real decoder needs. */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        // STUB: replace with real codec (e.g. ImageIO/ffmpeg) in prod.
-        val hist = new Array[Long](16)
-        var sum = 0L
-        var i = 0
-        while (i < r.payload.length) {
-          hist((r.payload(i) & 0xff) >> 4) += 1
-          sum = sum * 31 + (r.payload(i) & 0xff)
-          i += 1
-        }
-        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, hist, sum)
+  /** Pluggable codec seam: the Spark plumbing (schema, mapPartitions
+    * batch shape, no shuffle) is fixed; the per-payload decode is the
+    * ONLY thing a production deployment swaps (ImageIO/ffmpeg/soundfile
+    * — not in this container). Serializable: instances ship to
+    * executors inside the mapPartitions closure. */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRow): MediaFeatures
+  }
+
+  /** STUB codec: byte-histogram (16 bins) + additive checksum instead
+    * of a real image decode. Deterministic, partition-local. */
+  object ByteHistogramDecoder extends MediaDecoder {
+    def decode(r: MediaRow): MediaFeatures = {
+      // STUB: replace with real codec (e.g. ImageIO/ffmpeg) in prod.
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) {
+        hist((r.payload(i) & 0xff) >> 4) += 1
+        sum = sum * 31 + (r.payload(i) & 0xff)
+        i += 1
       }
+      MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, hist, sum)
     }
   }
+
+  /** Decode every payload partition-locally with the given codec — the
+    * execution shape a real decoder needs (batched per partition, no
+    * shuffle, columnar in/out). */
+  def decodeWith(media: Dataset[MediaRow], decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decoder.decode))
+  }
+
+  /** The registered d21 path: [[decodeWith]] + the stub codec. */
+  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
+    decodeWith(media, ByteHistogramDecoder)
 
   /** Per-frame feature pipeline: explode sampled frames, fingerprint
     * each (stub for a per-frame embedding), aggregate back per doc —

@@ -218,6 +218,23 @@ object Similarity {
     cents
   }
 
+  /** Incrementally maintain a persisted IVF index: assign NEW vectors
+    * to the EXISTING centroids (broadcast argmin — no k-means rerun, no
+    * corpus re-scan) and append them into their bucket partitions; a
+    * partitioned append only touches the buckets the batch lands in.
+    * This is the reference's append-only parquet + merge discipline
+    * applied to the ANN index: at 100 TB a full rebuild per ingest
+    * cycle re-clusters the world, while the append is one narrow pass
+    * over the new batch. The standard trade is centroid DRIFT — the
+    * quantizer stays frozen while the distribution moves — so probe
+    * results over (initial ∪ appended) equal a one-shot index built
+    * with the SAME centroids exactly (spec-gated), and a periodic
+    * [[buildIvfIndex]] re-clustering resets drift when recall decays.
+    */
+  def appendToIvfIndex(newEmb: DataFrame, cents: DataFrame, path: String): Unit =
+    newEmb.join(assign(newEmb, cents).select("vec_id", "bucket"), "vec_id")
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** Probe a persisted IVF index: queries are assigned to their nprobe
     * nearest centroids (broadcast), and the bucket equi-join against
     * the partitioned index lets dynamic partition pruning skip every

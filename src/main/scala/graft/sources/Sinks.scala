@@ -91,14 +91,22 @@ object Sinks {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
       if (!fs.exists(hPath)) fresh0
-      else {
-        val hist = spark.read.parquet(path)
-          .filter(col("day").between(b.getDate(0), b.getDate(1)))
-          .select(keys.map(col): _*)
-        fresh0.join(hist, keys, "left_anti")
-      }
+      else fresh0.join(guardScan(spark, path, b.getDate(0), b.getDate(1), keys),
+        keys, "left_anti")
     writeDaily(fresh, tsCol, path, filesPerDay = filesPerDay)
   }
+
+  /** The historic-side guard scan of [[upsertHistoric]], exposed so the
+    * layout contract is spec-assertable on the PLAN (SinksSpec): the
+    * day range must land in the scan's PartitionFilters (only
+    * overlapping day partitions are listed) and the read schema must
+    * contain ONLY the key columns — at 100 TB the guard reads a few
+    * days of keys, never the full history. */
+  private[graft] def guardScan(spark: SparkSession, path: String,
+      lo: java.sql.Date, hi: java.sql.Date, keys: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("day").between(lo, hi))
+      .select(keys.map(col): _*)
 
   /** Read back with partition pruning (the SP_IMPORT_PARQUET single-day
     * import): predicate on `day` prunes at the file index. */

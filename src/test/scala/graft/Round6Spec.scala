@@ -100,6 +100,68 @@ class Round6Spec extends SparkSpec {
     assert(files > 0, "no checkpoint files written")
   }
 
+  test("multimodal decoder seam: an alternate codec rides the same pipeline unchanged") {
+    import graft.multimodal.Multimodal
+    import spark.implicits._
+    // a fake "real" codec: features that depend on payload content in a
+    // different way than the stub — proves the seam carries the codec,
+    // not that one decode is hardwired into the plumbing
+    object XorDecoder extends Multimodal.MediaDecoder {
+      def decode(r: Multimodal.MediaRow): Multimodal.MediaFeatures = {
+        var x = 0L
+        r.payload.foreach(b => x ^= (b & 0xffL))
+        Multimodal.MediaFeatures(r.doc_id, r.media_type,
+          r.payload.length.toLong, Array.fill(16)(x), x)
+      }
+    }
+    val media = Multimodal.asMediaTable(spark, sf).as[Multimodal.MediaRow]
+    val viaSeam = Multimodal.decodeWith(media, XorDecoder).collect()
+    assert(viaSeam.nonEmpty)
+    viaSeam.foreach { f =>
+      assert(f.histogram.toSet == Set(f.checksum)) // the codec's own shape
+    }
+    // and the registered stub path is exactly the seam + stub codec
+    val stub = Multimodal.decodeStub(media).collect().map(f => f.doc_id -> f.checksum).toMap
+    val direct = Multimodal.decodeWith(media, Multimodal.ByteHistogramDecoder)
+      .collect().map(f => f.doc_id -> f.checksum).toMap
+    assert(stub == direct)
+  }
+
+  test("IVF incremental append: probes equal a one-shot index with the same centroids; only touched buckets change") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val initial = emb.filter(col("vec_id") >= 100)
+    val added = emb.filter(col("vec_id") >= 10 && col("vec_id") < 100)
+    val queries = emb.filter(col("vec_id") < 10)
+
+    val incPath = Files.createTempDirectory("graft_ivf_inc").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(initial, k = 16, iters = 2, incPath)
+
+    // bucket dirs not hit by the append must keep their exact file set
+    def filesPerBucket(p: String): Map[String, Set[String]] =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = filesPerBucket(incPath)
+    Similarity.appendToIvfIndex(added, cents, incPath)
+    val after = filesPerBucket(incPath)
+    val touched = Similarity.assign(added, cents).select("bucket")
+      .distinct().collect().map(r => s"bucket=${r.getInt(0)}").toSet
+    before.foreach { case (b, fs) =>
+      if (!touched.contains(b))
+        assert(after(b) == fs, s"untouched $b changed")
+    }
+    assert(touched.forall(b => after.getOrElse(b, Set.empty).size >
+      before.getOrElse(b, Set.empty).size), "a touched bucket gained no file")
+
+    // one-shot oracle: the SAME centroids over the full corpus
+    val fullPath = Files.createTempDirectory("graft_ivf_full").toString + "/idx"
+    Similarity.appendToIvfIndex(initial.union(added), cents, fullPath)
+    def probeSet(p: String) = Similarity.probeIvfIndex(spark, p, cents, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(probeSet(incPath) == probeSet(fullPath))
+    assert(probeSet(incPath).nonEmpty)
+  }
+
   test("funnel candidate prune: below-cutoff candidates die, the witness survives") {
     import EventStream.FunnelProcessor.prune
     // everything above the cutoff and ≤ threshold is retained

@@ -80,6 +80,32 @@ class SinksSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("upsertHistoric guard scan: day range reaches PartitionFilters, read schema is keys-only") {
+    val dir = Files.createTempDirectory("graft_guard").toString + "/hist"
+    Sinks.writeDaily(Tables.events(spark, sf), "ts", dir)
+    val days = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+      .map(_.getName.stripPrefix("day=")).sorted
+    assert(days.length >= 3, "need several day partitions for a meaningful prune")
+    val lo = java.sql.Date.valueOf(days(0))
+    val hi = java.sql.Date.valueOf(days(1))
+    val guard = Sinks.guardScan(spark, dir, lo, hi, Seq("event_id", "ts"))
+    val scans = guard.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata
+    }
+    assert(scans.nonEmpty, "no file scan in guard plan")
+    val meta = scans.head
+    // the day-range predicate prunes at the partition index, not post-scan
+    assert(meta("PartitionFilters").contains("day"),
+      s"day bound missing from PartitionFilters: ${meta("PartitionFilters")}")
+    // column pruning: the historic scan reads ONLY the key columns
+    assert(meta("ReadSchema").contains("event_id") && !meta("ReadSchema").contains("value"),
+      s"guard reads more than keys: ${meta("ReadSchema")}")
+    // and the prune is real: exactly the two in-range days' rows
+    val want = spark.read.parquet(dir)
+      .filter(col("day").isin(days(0), days(1))).count()
+    assert(guard.count() == want && want > 0)
+  }
+
   test("permissive jsonl read quarantines corrupt lines instead of failing") {
     val dir = Files.createTempDirectory("graft_badrec").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/data.jsonl"),
