@@ -55,11 +55,27 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val conc = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONC", "8").toInt
 
+    // LPT-first submission: the known-heavy entries (iterative/composed
+    // pipelines) start at t=0 and the cheap per-row queries fill the
+    // remaining slots, instead of a random map order that can park a
+    // 9-second pipeline behind 60 sub-second queries and stretch the
+    // wall by its full latency. Names absent from the hint list keep
+    // map order after the hinted ones.
+    val heavyFirst = Seq("d23_incremental_dedup", "d22_dedup_pipeline",
+      "d20_dup_clusters", "d19_jaccard_lsh", "d11_near_dup_cosine",
+      "d6_ivf_ann", "q54_silver_import", "q53_order_legs",
+      "q49_chain_flatten", "d4_ngram_jaccard")
+    val ordered = {
+      val m = SparkEntry.queries
+      heavyFirst.flatMap(n => m.get(n).map(n -> _)) ++
+        m.toSeq.filterNot { case (n, _) => heavyFirst.contains(n) }
+    }
+
     def runSuite(): (Seq[(String, Double, Boolean)], Double) = {
       val pool = Executors.newFixedThreadPool(conc)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val wall0 = System.nanoTime()
-      val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val futures = ordered.map { case (name, fn) =>
         Future {
           // per-query fair pool (thread-local property, inherited by
           // all jobs this query submits from this thread)

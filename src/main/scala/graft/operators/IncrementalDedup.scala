@@ -136,12 +136,29 @@ object IncrementalDedup {
     *   pruning contract of the layout)
     * @param checkpointDir reliable checkpoint dir for the per-batch CC
     *   rounds (executor-loss safety on long pipelines; tests omit it)
+    * @param driverMaxEdges size gate for the per-batch component
+    *   labeling. A micro-batch's verified edge set is bounded by the
+    *   BATCH near-dup density, not corpus size, so it is usually tiny —
+    *   and an 8-round distributed label propagation on a tiny graph is
+    *   pure scheduling overhead (measured: it tripled the per-batch
+    *   cost). At or below the gate the exact labels come from one
+    *   collect + driver union-find (same keep-min semantics); above it
+    *   — a giant batch or a pathologically dense one — the barrier-free
+    *   distributed loop takes over. 2M edges ≈ 32 MB collected.
     */
   def upsertBatch(batch: DataFrame, root: String, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq("lang", "source"), buckets: Int = 64,
-      checkpointDir: Option[String] = None): Unit = {
+      checkpointDir: Option[String] = None,
+      driverMaxEdges: Long = 2000000L): Unit = {
     val s = batch.sparkSession
     val joinKey = Seq("band", "band_hash") ++ blockCols
+    val dbg = sys.env.contains("GRAFT_INC_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (dbg) {
+      val t = System.nanoTime()
+      println(f"[inc] $tag%-14s ${(t - t0) / 1e9}%6.2f s")
+      t0 = t
+    }
 
     // ---- restart guard: docs/ is the membership authority ----------
     val fresh0 = batch.dropDuplicates("doc_id")
@@ -156,9 +173,12 @@ object IncrementalDedup {
         fresh0.join(seen, Seq("doc_id"), "left_anti")
       }
 
+    lap("guard")
     val toks = tokenized(fresh, blockCols).localCheckpoint(eager = true)
     if (toks.isEmpty) { toks.unpersist(); return }
+    lap("toks")
     val banded = bandedSigs(toks, blockCols).localCheckpoint(eager = true)
+    lap("banded")
 
     // ---- candidates: within-batch self-join + batch-vs-index join --
     val candsNew = banded.withColumnRenamed("doc_id", "id_a")
@@ -176,12 +196,16 @@ object IncrementalDedup {
         val bks = banded.select(pmod(col("band_hash"), lit(buckets)).as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq
         val hist = s.read.parquet(bandsPath(root)).filter(col("bucket").isin(bks: _*))
+        // checkpoint: the candidate set feeds BOTH the bucket collect
+        // below and the verification join — un-cut, the band join
+        // against the historic index would execute twice
         val cands = banded.withColumnRenamed("doc_id", "id_a")
           .join(hist.withColumnRenamed("doc_id", "id_b"), joinKey)
           // a retried batch may find its own prior band rows — never
           // pair a doc with itself
           .filter(col("id_a") =!= col("id_b"))
           .select("id_a", "id_b").distinct()
+          .localCheckpoint(eager = true)
         // verification ws for colliding historic docs: pruned id fetch
         val dbks = cands.select(pmod(hash(col("id_b")), lit(buckets)).as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq
@@ -197,16 +221,39 @@ object IncrementalDedup {
             .select(col("id_a"), col("h_label").as("id_b")).distinct()
         }
       }).localCheckpoint(eager = true)
+    lap("edgesHist")
 
     // ---- incremental CC: batch pairs + star edges ------------------
     val allEdges = edgesNew.union(edgesHist).localCheckpoint(eager = true)
+    val edgeCount = allEdges.count()
+    lap("allEdges")
     // bounded CC already returns a checkpoint-materialized frame — both
     // consumers below (batch labels, merge detection) share it
     val labels =
-      if (allEdges.isEmpty) s.emptyDataFrame.select(lit(0L).as("node"), lit(0L).as("cluster_id")).limit(0)
+      if (edgeCount == 0) s.emptyDataFrame.select(lit(0L).as("node"), lit(0L).as("cluster_id")).limit(0)
+      else if (edgeCount <= driverMaxEdges) {
+        // driver union-find, root = component min (keep-min semantics)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        allEdges.collect().foreach { e =>
+          val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        val nodes = parent.keys.toArray
+        import s.implicits._
+        nodes.map(n => (n, find(n))).toSeq
+          .toDF("node", "cluster_id")
+      }
       else Dedup.connectedComponentsBounded(
         allEdges.select(col("id_a"), col("id_b")), checkpointDir = checkpointDir)
 
+    lap("labels")
     val batchLabels = toks.select("doc_id")
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -220,15 +267,24 @@ object IncrementalDedup {
 
     // ---- persist: bands → merges → docs (see crash-safety note) ----
     // zero-row guards: a 0-row partitioned append on a nonexistent
-    // path creates a schemaless directory that poisons later reads
+    // path creates a schemaless directory that poisons later reads.
+    // repartition ON the partition column first: without it every
+    // writer task opens a file in every bucket dir (tasks × buckets
+    // tiny files per batch — measured, file creation dominated the
+    // write AND the next batch's footer reads)
     if (!banded.isEmpty)
       banded.withColumn("bucket", pmod(col("band_hash"), lit(buckets)))
+        .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(bandsPath(root))
+    lap("writeBands")
     if (!newMerges.isEmpty)
       newMerges.coalesce(1).write.mode("append").parquet(mergesPath(root))
+    lap("writeMerges")
     toks.join(batchLabels.select("doc_id", "cluster_id"), "doc_id")
       .withColumn("bucket", pmod(hash(col("doc_id")), lit(buckets)))
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(docsPath(root))
+    lap("writeDocs")
     Seq(toks, banded, edgesHist, allEdges, labels).foreach(_.unpersist())
   }
 
