@@ -68,6 +68,11 @@ object IncrementalDedup {
   private val BANDS = 4
   private val ROWS = PERMS / BANDS
 
+  /** Test-only crash injection between the bands and docs writes (the
+    * ordering the crash-safety contract hinges on). Never set outside
+    * specs. */
+  private[graft] var failAfterBands: Boolean = false
+
   private def bandsPath(root: String) = s"$root/bands"
   private def docsPath(root: String) = s"$root/docs"
   private def mergesPath(root: String) = s"$root/merges"
@@ -277,6 +282,10 @@ object IncrementalDedup {
         .repartition(col("bucket"))
         .write.mode("append").partitionBy("bucket").parquet(bandsPath(root))
     lap("writeBands")
+    // test-only failpoint: proves the crash-ordering contract (bands
+    // landed, docs not → the retry re-processes the batch and its own
+    // stale band rows are harmless)
+    if (failAfterBands) throw new RuntimeException("failpoint: after bands write")
     if (!newMerges.isEmpty)
       newMerges.coalesce(1).write.mode("append").parquet(mergesPath(root))
     lap("writeMerges")

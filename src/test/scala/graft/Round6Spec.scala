@@ -47,6 +47,24 @@ class Round6Spec extends SparkSpec {
     assert(n == docs.count(), s"docs store has $n rows for ${docs.count()} docs")
   }
 
+  test("incremental dedup: crash between bands and docs writes, then retry — still exact parity") {
+    val root = Files.createTempDirectory("graft_inc_crash").toString
+    val docs = Tables.documents(spark, sf)
+    val chunk = (i: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    IncrementalDedup.upsertBatch(chunk(0), root)
+    // batch 2 dies AFTER its band rows land but BEFORE its docs land —
+    // the worst ordering the contract allows
+    IncrementalDedup.failAfterBands = true
+    try intercept[RuntimeException] { IncrementalDedup.upsertBatch(chunk(1), root) }
+    finally IncrementalDedup.failAfterBands = false
+    // retry the batch, then finish the stream
+    IncrementalDedup.upsertBatch(chunk(1), root)
+    IncrementalDedup.upsertBatch(chunk(2), root)
+    assert(corpusSet(root) == batchCorpus)
+    val n = spark.read.parquet(s"$root/docs").count()
+    assert(n == docs.count(), s"docs store has $n rows for ${docs.count()} docs")
+  }
+
   test("incremental dedup: a later doc connecting two historic clusters merges them via the log") {
     // E overlaps A and D at jaccard 92/108 ≈ 0.852 (≥ 0.8) while
     // j(A, D) = 84/116 ≈ 0.724 (< 0.8): batch 1 lands two separate
