@@ -195,7 +195,7 @@ object IncrementalDedup {
     def noEdges = s.emptyDataFrame
       .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
     val mm = mergeMap(s, root)
-    val edgesHist = (
+    val edgesHist =
       if (!exists(s, bandsPath(root))) noEdges
       else {
         val bks = banded.select(pmod(col("band_hash"), lit(buckets)).as("bucket"))
@@ -214,50 +214,32 @@ object IncrementalDedup {
         // verification ws for colliding historic docs: pruned id fetch
         val dbks = cands.select(pmod(hash(col("id_b")), lit(buckets)).as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        if (dbks.isEmpty) noEdges
-        else {
-          val hdocs = s.read.parquet(docsPath(root))
-            .filter(col("bucket").isin(dbks: _*))
-            .select(col("doc_id"), col("ws"), col("sz"),
-              resolved(col("cluster_id"), mm).as("h_label"))
-          // star edge: new doc → the historic doc's LIVE cluster label
-          verify(cands, toks, hdocs.drop("h_label"), threshold)
-            .join(hdocs.select(col("doc_id").as("id_b"), col("h_label")), "id_b")
-            .select(col("id_a"), col("h_label").as("id_b")).distinct()
-        }
-      }).localCheckpoint(eager = true)
+        val res =
+          if (dbks.isEmpty) noEdges
+          else {
+            val hdocs = s.read.parquet(docsPath(root))
+              .filter(col("bucket").isin(dbks: _*))
+              .select(col("doc_id"), col("ws"), col("sz"),
+                resolved(col("cluster_id"), mm).as("h_label"))
+            // star edge: new doc → the historic doc's LIVE cluster label
+            verify(cands, toks, hdocs.drop("h_label"), threshold)
+              .join(hdocs.select(col("doc_id").as("id_b"), col("h_label")), "id_b")
+              .select(col("id_a"), col("h_label").as("id_b")).distinct()
+              .localCheckpoint(eager = true)
+          }
+        cands.unpersist()
+        res
+      }
     lap("edgesHist")
 
     // ---- incremental CC: batch pairs + star edges ------------------
+    // size-gated: driver union-find for micro-batch-sized edge sets
+    // (the overwhelmingly common case), distributed bounded CC above
+    // the gate — shared with the batch pipeline (dedupedCorpus)
     val allEdges = edgesNew.union(edgesHist).localCheckpoint(eager = true)
-    val edgeCount = allEdges.count()
     lap("allEdges")
-    // bounded CC already returns a checkpoint-materialized frame — both
-    // consumers below (batch labels, merge detection) share it
-    val labels =
-      if (edgeCount == 0) s.emptyDataFrame.select(lit(0L).as("node"), lit(0L).as("cluster_id")).limit(0)
-      else if (edgeCount <= driverMaxEdges) {
-        // driver union-find, root = component min (keep-min semantics)
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        allEdges.collect().foreach { e =>
-          val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
-          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-        }
-        val nodes = parent.keys.toArray
-        import s.implicits._
-        nodes.map(n => (n, find(n))).toSeq
-          .toDF("node", "cluster_id")
-      }
-      else Dedup.connectedComponentsBounded(
-        allEdges.select(col("id_a"), col("id_b")), checkpointDir = checkpointDir)
-
+    val labels = Dedup.connectedComponentsAuto(allEdges,
+      maxDriverEdges = driverMaxEdges, checkpointDir = checkpointDir)
     lap("labels")
     val batchLabels = toks.select("doc_id")
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")

@@ -99,6 +99,22 @@ class Round6Spec extends SparkSpec {
     assert(cl == Map(1L -> 1L, 10L -> 1L, 20L -> 1L))
   }
 
+  test("connectedComponentsAuto: driver and distributed paths agree with the eager loop") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, singleton edge 20-21, cross-chain 3-20
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L), (3L, 20L))
+      .toDF("id_a", "id_b")
+    def labelSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val eager = labelSet(Dedup.connectedComponents(pairs)
+      .select("node", "cluster_id"))
+    val driver = labelSet(Dedup.connectedComponentsAuto(pairs))
+    val dist = labelSet(Dedup.connectedComponentsAuto(pairs, maxDriverEdges = 0L))
+    assert(driver == eager, s"driver path $driver != eager $eager")
+    assert(dist == eager, s"distributed path $dist != eager $eager")
+    assert(eager.exists(_ == (21L -> 1L)), "cross-chain merge missing")
+  }
+
   test("surrogateIds with a reliable checkpoint dir: same ids, checkpoint files on disk") {
     import graft.operators.Silver
     val dim = Tables.part(spark, sf)
