@@ -333,8 +333,13 @@ object Dedup {
       return s.emptyDataFrame
         .select(lit(0L).as("node"), lit(0L).as("cluster_id")).limit(0)
     }
-    if (n > maxDriverEdges)
-      return connectedComponentsBounded(cut, checkpointDir = checkpointDir)
+    if (n > maxDriverEdges) {
+      // bounded CC materializes its own lineage cuts; release ours
+      // once it returns or the block leaks per invocation
+      val res = connectedComponentsBounded(cut, checkpointDir = checkpointDir)
+      cut.unpersist()
+      return res
+    }
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     val nodes = scala.collection.mutable.Set.empty[Long]
     def find(x: Long): Long = {

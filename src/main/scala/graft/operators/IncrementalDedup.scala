@@ -122,7 +122,13 @@ object IncrementalDedup {
     val raw = s.read.parquet(mergesPath(root))
       .select("old_label", "new_label").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def find(x: Long): Long = raw.get(x).map(find).getOrElse(x)
+    // iterative chain walk (labels strictly decrease, so it terminates;
+    // a recursive walk would grow the stack with merge-chain length)
+    def find(x: Long): Long = {
+      var r = x
+      while (raw.contains(r)) r = raw(r)
+      r
+    }
     raw.keys.map(k => k -> find(k)).toMap
   }
 

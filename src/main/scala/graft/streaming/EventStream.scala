@@ -556,6 +556,22 @@ object EventStream {
       }
       .start()
 
+  /** Streaming ANN-index maintenance: each micro-batch of new
+    * embeddings (vec_id, embedding) appends into a persisted IVF index
+    * by assignment to the FROZEN centroids — the streaming face of
+    * Similarity.appendToIvfIndex (same drift trade, same bucket-only
+    * touch set). Re-clustering stays a batch-side periodic job, like
+    * the dim-table rebuilds in the reference's batch MERGE layer.
+    */
+  def ivfAppendStream(stream: DataFrame, cents: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.appendToIvfIndex(batch.toDF(), cents, path)
+      }
+      .start()
+
   /** Convenience: run a streaming query over a bounded source into a
     * memory sink and block until drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

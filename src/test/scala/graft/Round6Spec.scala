@@ -196,6 +196,36 @@ class Round6Spec extends SparkSpec {
     assert(probeSet(incPath).nonEmpty)
   }
 
+  test("ivfAppendStream: streamed appends probe identically to the batch append") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val initial = emb.filter(col("vec_id") >= 100)
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = Files.createTempDirectory("graft_ivf_str").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(initial, k = 16, iters = 2, path)
+
+    val rows = emb.filter(col("vec_id") >= 10 && col("vec_id") < 100)
+      .as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventStream.ivfAppendStream(
+      input.toDF().toDF("vec_id", "embedding"), cents, path,
+      Files.createTempDirectory("graft_ivf_str_ck").toString)
+    input.addData(rows.take(rows.length / 2))
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val batchPath = Files.createTempDirectory("graft_ivf_bat").toString + "/idx"
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 10), cents, batchPath)
+    def probeSet(p: String) = Similarity.probeIvfIndex(spark, p, cents, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(probeSet(path) == probeSet(batchPath))
+    assert(probeSet(path).nonEmpty)
+  }
+
   test("funnel candidate prune: below-cutoff candidates die, the witness survives") {
     import EventStream.FunnelProcessor.prune
     // everything above the cutoff and ≤ threshold is retained
