@@ -132,10 +132,25 @@ object IncrementalDedup {
     raw.keys.map(k => k -> find(k)).toMap
   }
 
-  /** Resolve a label column through the (literal) merge map — one
-    * expression over a driver-scale map, no join. */
-  private def resolved(c: Column, m: Map[Long, Long]): Column =
-    if (m.isEmpty) c else coalesce(element_at(typedlit(m), c), c)
+  /** Resolve the label column `inCol` through the merge map into
+    * `outCol`. Small maps inline as one literal expression; past
+    * `LITERAL_MAX` entries the map rides a broadcast join instead — an
+    * unboundedly growing plan literal would bloat plan serialization
+    * long before the driver map itself hurt. */
+  private val LITERAL_MAX = 10000
+  private def withResolved(df: DataFrame, inCol: String, outCol: String,
+      m: Map[Long, Long]): DataFrame =
+    if (m.isEmpty) df.withColumn(outCol, col(inCol))
+    else if (m.size <= LITERAL_MAX)
+      df.withColumn(outCol, coalesce(element_at(typedlit(m), col(inCol)), col(inCol)))
+    else {
+      val s = df.sparkSession
+      import s.implicits._
+      df.join(broadcast(m.toSeq.toDF("_old", "_new")),
+          col(inCol) === col("_old"), "left")
+        .withColumn(outCol, coalesce(col("_new"), col(inCol)))
+        .drop("_old", "_new")
+    }
 
   /** Upsert one batch of documents (doc_id, text, blockCols...) into
     * the incremental dedup state at `root`. Idempotent per batch: a
@@ -223,10 +238,11 @@ object IncrementalDedup {
         val res =
           if (dbks.isEmpty) noEdges
           else {
-            val hdocs = s.read.parquet(docsPath(root))
-              .filter(col("bucket").isin(dbks: _*))
-              .select(col("doc_id"), col("ws"), col("sz"),
-                resolved(col("cluster_id"), mm).as("h_label"))
+            val hdocs = withResolved(
+              s.read.parquet(docsPath(root))
+                .filter(col("bucket").isin(dbks: _*))
+                .select(col("doc_id"), col("ws"), col("sz"), col("cluster_id")),
+              "cluster_id", "h_label", mm).drop("cluster_id")
             // star edge: new doc → the historic doc's LIVE cluster label
             verify(cands, toks, hdocs.drop("h_label"), threshold)
               .join(hdocs.select(col("doc_id").as("id_b"), col("h_label")), "id_b")
@@ -291,8 +307,8 @@ object IncrementalDedup {
     * the historic store is never rewritten. */
   def corpus(s: SparkSession, root: String, blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
     val mm = mergeMap(s, root)
-    s.read.parquet(docsPath(root))
-      .filter(col("doc_id") === resolved(col("cluster_id"), mm))
+    withResolved(s.read.parquet(docsPath(root)), "cluster_id", "_live", mm)
+      .filter(col("doc_id") === col("_live"))
       .select(col("doc_id") +: blockCols.map(col): _*)
   }
 
@@ -300,7 +316,8 @@ object IncrementalDedup {
     * counterpart, derived from the store plus merge resolution. */
   def clusters(s: SparkSession, root: String): DataFrame = {
     val mm = mergeMap(s, root)
-    s.read.parquet(docsPath(root))
-      .select(col("doc_id"), resolved(col("cluster_id"), mm).as("cluster_id"))
+    withResolved(s.read.parquet(docsPath(root)).select("doc_id", "cluster_id"),
+      "cluster_id", "_live", mm)
+      .select(col("doc_id"), col("_live").as("cluster_id"))
   }
 }
