@@ -47,6 +47,42 @@ class Round6Spec extends SparkSpec {
     assert(n == docs.count(), s"docs store has $n rows for ${docs.count()} docs")
   }
 
+  test("incremental dedup: random corpora + random splits stay parity with the batch pipeline") {
+    import spark.implicits._
+    // deterministic pseudo-random corpora: word salads over a small
+    // vocab (dup-dense by pigeonhole) — parity must hold whatever the
+    // LSH captures, because both paths share the capture
+    for (seed <- Seq(7L, 23L, 91L)) {
+      val docs = spark.range(60).select(col("id").as("doc_id"),
+        expr(s"""concat_ws(' ', transform(sequence(0, 11),
+                |  i -> concat('w', cast(pmod(xxhash64(if(id % 5 < 2, (id div 5) * 5, id) * $seed + i), 30) as string))))""".stripMargin)
+          .as("text"))
+      val expected = Dedup.dedupedCorpus(docs,
+          Dedup.ngramJaccardViaLsh(docs, threshold = 0.5).select("id_a", "id_b"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val root = Files.createTempDirectory(s"graft_inc_prop_$seed").toString
+      val nSplits = 1 + (seed % 3).toInt // 1-3 batches, seed-dependent
+      (0 until nSplits).foreach { i =>
+        IncrementalDedup.upsertBatch(
+          docs.filter(pmod(col("doc_id") + seed, lit(nSplits)) === i), root,
+          threshold = 0.5, blockCols = Seq.empty, buckets = 8)
+      }
+      val got = IncrementalDedup.corpus(spark, root, blockCols = Seq.empty)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"seed $seed: $got != $expected")
+    }
+  }
+
+  test("incremental dedup at sf0.01: corpus set-equal to batch d22, not just row counts") {
+    val d = "/root/testdata/sf0.01"
+    val expected = Dedup.dedupPipeline(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val got = SparkEntry.queries("d23_incremental_dedup")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got == expected)
+    assert(got.size == 315) // pinned: the known sf0.01 survivor count
+  }
+
   test("incremental dedup: crash between bands and docs writes, then retry — still exact parity") {
     val root = Files.createTempDirectory("graft_inc_crash").toString
     val docs = Tables.documents(spark, sf)
