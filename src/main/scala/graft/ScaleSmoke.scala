@@ -118,16 +118,29 @@ object ScaleSmoke {
     // upserts against the persisted band index must keep the same
     // survivor count as the one-shot pipeline above (planted dups ⇒
     // ≈995k), with each batch touching only its collision buckets
+    val incRoot = java.nio.file.Files.createTempDirectory("graft_incsc").toString
     time("incremental dedup 3 batches 1M") {
-      val root = java.nio.file.Files.createTempDirectory("graft_incsc").toString
       (0 until 3).foreach { i =>
         operators.IncrementalDedup.upsertBatch(
-          docsBig.filter(pmod(col("doc_id"), lit(3)) === i), root,
+          docsBig.filter(pmod(col("doc_id"), lit(3)) === i), incRoot,
           blockCols = Seq.empty)
       }
-      val kept = operators.IncrementalDedup.corpus(spark, root, blockCols = Seq.empty).count()
+      val kept = operators.IncrementalDedup.corpus(spark, incRoot, blockCols = Seq.empty).count()
       require(kept >= 990000 && kept < 1000000, s"unexpected incremental survivor count $kept")
       kept
+    }
+    // STEADY-STATE cycle: a 10k-doc novel batch against the established
+    // 1M-doc store — the per-cycle cost a production deployment pays
+    // (bootstrap above re-mines the whole corpus; this touches only the
+    // batch and its collision buckets)
+    time("incremental cycle 10k vs 1M store") {
+      val novel = spark.range(1000000, 1010000)
+        .select(col("id").as("doc_id"),
+          expr("""concat_ws(' ', transform(sequence(0, 29),
+                 |  i -> concat('w', cast(pmod(xxhash64(id * 1000000 + i), 10000) as string))))""".stripMargin)
+            .as("text"))
+      operators.IncrementalDedup.upsertBatch(novel, incRoot, blockCols = Seq.empty)
+      spark.read.parquet(s"$incRoot/docs").count()
     }
     // the full composed corpus build at 1M docs: scrub → gate → exact
     // dedup (drops the planted pairs) → LSH near-dup → chunks

@@ -61,6 +61,17 @@ import org.apache.spark.sql.functions._
   * density), not the historic graph — historic clusters participate as
   * single star nodes. State that grows with corpus size is only ever
   * equi-joined or partition-pruned, never rewritten.
+  *
+  * The bucket prune pays off for TRICKLE batches (few distinct band
+  * hashes); a batch large enough to hit every bucket pays one narrow
+  * pass over the whole band index per cycle (measured: 10k novel docs
+  * vs a 1M-doc store = 8.8 s, vs 38 s to re-bootstrap — ScaleSmoke's
+  * steady-state stage). That is the same cost profile as the
+  * reference's per-cycle anti-join against HISTORIC, and it amortizes
+  * the same way: batch the cycles (daily, not per-second). The known
+  * next step if the index-side pass itself becomes the bottleneck is a
+  * bucketBy(band_hash) TABLE layout so the historic side joins
+  * shuffle-free (BucketingSpec proves the zero-exchange plan shape).
   */
 object IncrementalDedup {
 
