@@ -317,6 +317,42 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: chained merges across batches resolve multi-hop (30->20->10)") {
+    // sliding 90-word windows over one word line: offset 8 ⇒ jaccard
+    // 82/98 ≈ 0.837 (links), offset 16 ⇒ 74/106 ≈ 0.698 (no link)
+    // "wc" prefix chosen so the FIXED permutations capture all four
+    // link pairs (0.837 jaccard has ~93% capture per pair; a miss is
+    // deterministic for a given vocabulary, so re-rolling the word
+    // names until the precondition holds is sound, not flaky)
+    def win(start: Int) = (start until start + 90).map(i => s"wc$i").mkString(" ")
+    import spark.implicits._
+    val b1 = Seq((10L, win(1), "en", "web"), (20L, win(17), "en", "web"),
+      (30L, win(33), "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val c40 = Seq((40L, win(25), "en", "web")).toDF("doc_id", "text", "lang", "source") // links 20-30
+    val c50 = Seq((50L, win(9), "en", "web")).toDF("doc_id", "text", "lang", "source") // links 10-20
+    // precondition: the fixed permutations capture exactly the link pairs
+    val pairs = Dedup.ngramJaccardViaLsh(b1.union(c40).union(c50),
+        blockCols = Seq("lang", "source"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 50L), (20L, 50L), (20L, 40L), (30L, 40L)),
+      s"unexpected capture: $pairs")
+
+    val root = Files.createTempDirectory("graft_inc_chain").toString
+    IncrementalDedup.upsertBatch(b1, root)
+    assert(corpusSet(root).map(_._1) == Set(10L, 20L, 30L))
+    IncrementalDedup.upsertBatch(c40, root) // merges 30 into 20
+    assert(corpusSet(root).map(_._1) == Set(10L, 20L))
+    IncrementalDedup.upsertBatch(c50, root) // merges 20 into 10 → chain
+    assert(corpusSet(root).map(_._1) == Set(10L))
+    val merges = spark.read.parquet(s"$root/merges")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merges == Set((30L, 20L), (20L, 10L)), s"log: $merges")
+    // 30 must resolve through the CHAIN 30→20→10, not stop at dead 20
+    val cl = IncrementalDedup.clusters(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 50L -> 10L))
+  }
+
   test("nearDupInsertStream: micro-batches + query restart land the batch corpus") {
     val root = Files.createTempDirectory("graft_inc_stream").toString
     val ckpt = Files.createTempDirectory("graft_inc_ckpt").toString
