@@ -70,8 +70,10 @@ import org.apache.spark.sql.functions._
   * reference's per-cycle anti-join against HISTORIC, and it amortizes
   * the same way: batch the cycles (daily, not per-second). The known
   * next step if the index-side pass itself becomes the bottleneck is a
-  * bucketBy(band_hash) TABLE layout so the historic side joins
-  * shuffle-free (BucketingSpec proves the zero-exchange plan shape).
+  * TABLE layout bucketed on the full join key
+  * (band, band_hash, blockCols): Round6Spec proves that exact band
+  * join then plans with NO exchange on the historic side — only the
+  * micro-batch moves.
   */
 object IncrementalDedup {
 

@@ -135,6 +135,45 @@ class Round6Spec extends SparkSpec {
     assert(cl == Map(1L -> 1L, 10L -> 1L, 20L -> 1L))
   }
 
+  test("band index as a bucketed table: the historic side of the band join plans with no exchange") {
+    // the documented evolution path for the incremental-dedup index
+    // (IncrementalDedup scale notes): store the band rows bucketed on
+    // band_hash and the per-cycle join stops shuffling the historic
+    // side — only the (small) batch side moves. Same schema, same join
+    // keys as upsertBatch's index join.
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS band_idx_b")
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+      array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
+      .filter(size(col("ws")) >= 1)
+    val banded = toks
+      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 1, 16))
+      .select(col("doc_id"), col("lang"), col("source"),
+        posexplode(expr("transform(sequence(0, 3), b -> hash(slice(sig, b * 4 + 1, 4)))"))
+          .as(Seq("band", "band_hash")))
+    banded.write.bucketBy(8, "band", "band_hash", "lang", "source")
+      .sortBy("band", "band_hash", "lang", "source")
+      .format("parquet").saveAsTable("band_idx_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hist = spark.table("band_idx_b")
+      val batch = banded.limit(100) // stand-in for an incoming micro-batch
+        .withColumnRenamed("doc_id", "id_a")
+      val j = batch.join(hist.withColumnRenamed("doc_id", "id_b"),
+        Seq("band", "band_hash", "lang", "source"))
+      val plan = j.queryExecution.executedPlan.toString
+      // ONE exchange (the batch side aligning to the bucket layout);
+      // the bucketed historic scan must not shuffle
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"historic side still shuffles ($exchanges exchanges):\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS band_idx_b")
+    }
+  }
+
   test("connectedComponentsAuto: driver and distributed paths agree with the eager loop") {
     import spark.implicits._
     // chain 1-2-3, pair 10-11, singleton edge 20-21, cross-chain 3-20
