@@ -98,27 +98,32 @@ object Bench {
     // materialize the payload parquet once, then time parse+flatten
     // alone — the engine cost a 100 TB deployment actually pays. Timed
     // serially after the suites; second (warm) run is the number.
-    val probeFns = ParseProbes.prepare(spark, sfDir)
-    val probes = probeFns.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn().count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once()
-      (name, once())
-    }
+    // Failure-isolated like the suite queries (-1, never a lost line):
+    // a probe crash must not discard two completed suite passes.
+    val probes: Seq[(String, Double)] =
+      try {
+        ParseProbes.prepare(spark, sfDir, ParseProbes.names).toSeq.sortBy(_._1)
+          .map { case (name, fn) =>
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              fn().count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            (name, try { once(); once() } catch { case _: Throwable => -1.0 })
+          }
+      } catch { case _: Throwable => ParseProbes.names.map(_ -> -1.0) }
 
     // Fixed-cost calibration, measured AT CAPTURE TIME: a driver-local
     // sum over 100M longs costs a near-constant slice of one core, so
     // an inflated `cal` in the snapshot means the capture itself ran
     // contended (the round-3/round-5 cold-wall artifact) — the JSON
     // line carries its own credibility check.
-    val cal = {
-      val t0 = System.nanoTime()
-      spark.range(100000000L).selectExpr("sum(id)").collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    val cal =
+      try {
+        val t0 = System.nanoTime()
+        spark.range(100000000L).selectExpr("sum(id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     // A failed query reports -1, never a wall-clock that looks like a pass.
     // Values are truncated to 3 decimals and only ONE per-query map
     // (the warm pass) goes on the JSON line: round 4's line carried

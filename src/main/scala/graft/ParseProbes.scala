@@ -16,17 +16,23 @@ object ParseProbes {
   val names: Seq[String] = Seq("q49_parse", "q53_parse")
 
   /** Materialize the scaffold payloads under a temp dir and return the
-    * parse-only frame factories keyed by probe name. */
-  def prepare(s: SparkSession, sfDir: String): Map[String, () => DataFrame] = {
+    * parse-only frame factories keyed by probe name. Only the REQUESTED
+    * probes' payloads are built — QProbe asks for one, Bench for all. */
+  def prepare(s: SparkSession, sfDir: String,
+      which: Seq[String] = names): Map[String, () => DataFrame] = {
     val dir = java.nio.file.Files.createTempDirectory("graft_payloads").toString
-    graft.operators.Chains.chainPayloads(s, sfDir)
-      .write.mode("overwrite").parquet(s"$dir/chains")
-    graft.operators.Chains.orderPayloads(s, sfDir)
-      .write.mode("overwrite").parquet(s"$dir/orders")
-    Map(
-      "q49_parse" -> (() =>
-        graft.operators.Chains.parseChainPayloads(s.read.parquet(s"$dir/chains"))._1),
-      "q53_parse" -> (() =>
-        graft.operators.Chains.parseOrderPayloads(s.read.parquet(s"$dir/orders"))._1))
+    new java.io.File(dir).deleteOnExit()
+    val builders = Map[String, () => (() => DataFrame)](
+      "q49_parse" -> (() => {
+        graft.operators.Chains.chainPayloads(s, sfDir)
+          .write.mode("overwrite").parquet(s"$dir/chains")
+        () => graft.operators.Chains.parseChainPayloads(s.read.parquet(s"$dir/chains"))._1
+      }),
+      "q53_parse" -> (() => {
+        graft.operators.Chains.orderPayloads(s, sfDir)
+          .write.mode("overwrite").parquet(s"$dir/orders")
+        () => graft.operators.Chains.parseOrderPayloads(s.read.parquet(s"$dir/orders"))._1
+      }))
+    which.flatMap(n => builders.get(n).map(b => n -> b())).toMap
   }
 }

@@ -23,7 +23,7 @@ object QProbe {
     // ParseProbes: scaffold payloads are materialized OUTSIDE the
     // timed section, so the probe measures parse, not generation
     val fn0: () => org.apache.spark.sql.DataFrame =
-      if (ParseProbes.names.contains(name)) ParseProbes.prepare(spark, d)(name)
+      if (ParseProbes.names.contains(name)) ParseProbes.prepare(spark, d, Seq(name))(name)
       else () => SparkEntry.queries(name)(spark, d)
     def once(): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -249,11 +249,22 @@ object Chains {
     // correlation that never leaves the row (parse-only probe:
     // 2.8 s → narrow). Inner-join semantics kept: an execution leg
     // with no matching order leg drops via the null filter.
+    //
+    // The map is built by a guarded fold, NOT map_from_arrays: under
+    // ANSI a payload that VIOLATES the uniqueness contract (duplicate
+    // legId) or carries a null legId would throw DUPLICATED_MAP_KEY /
+    // NULL_MAP_KEY and kill the whole batch — the resilience contract
+    // of this parser is quarantine-not-fail. Dirty keys degrade
+    // per-payload instead: null legIds are skipped, a duplicated legId
+    // keeps its first occurrence.
+    val legMap = expr(
+      """aggregate(
+        |  filter(o.orderLegCollection, l -> l.legId is not null),
+        |  cast(map() as map<int, struct<legId: int, instruction: string, symbol: string>>),
+        |  (m, l) -> if(map_contains_key(m, l.legId), m, map_concat(m, map(l.legId, l))))""".stripMargin)
     val flat = parsed
       .select(col("o.orderId").as("order_id"),
-        map_from_arrays(
-          expr("transform(o.orderLegCollection, l -> l.legId)"),
-          col("o.orderLegCollection")).as("legm"),
+        legMap.as("legm"),
         explode(col("o.orderActivityCollection")).as("act"))
       .select(col("order_id"), col("legm"), col("act.activityId").as("activity_id"),
         explode(col("act.executionLegs")).as("ex"))

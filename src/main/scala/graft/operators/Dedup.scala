@@ -320,7 +320,15 @@ object Dedup {
     * propagation on a thousand-edge graph is pure scheduling overhead
     * (measured ~3× the whole pipeline's cost at bench scale), while a
     * 100 TB corpus whose pair graph outgrows the driver still gets the
-    * scale-safe path. 2M edges ≈ 32 MB collected.
+    * scale-safe path.
+    *
+    * Driver-side memory at the gate: 2M collected edges is ~32 MB of
+    * raw longs but several hundred MB of JVM objects (Row boxing, the
+    * LongMap/bitset-free node set) — the default assumes a multi-GB
+    * driver heap, as Spark drivers running 100 TB jobs have; size
+    * `maxDriverEdges` DOWN on small drivers. The driver path also
+    * requires LongType ids (the common doc_id case); other id types
+    * take the type-generic distributed loop regardless of size.
     */
   def connectedComponentsAuto(pairs: DataFrame,
       maxDriverEdges: Long = 2000000L,
@@ -333,15 +341,18 @@ object Dedup {
       return s.emptyDataFrame
         .select(lit(0L).as("node"), lit(0L).as("cluster_id")).limit(0)
     }
-    if (n > maxDriverEdges) {
+    val longIds = cut.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (n > maxDriverEdges || !longIds) {
       // bounded CC materializes its own lineage cuts; release ours
       // once it returns or the block leaks per invocation
       val res = connectedComponentsBounded(cut, checkpointDir = checkpointDir)
       cut.unpersist()
       return res
     }
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    val nodes = scala.collection.mutable.Set.empty[Long]
+    // LongMap: unboxed keys — parent doubles as the node set (roots
+    // self-map), halving the footprint vs Map + Set of boxed Longs
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -351,13 +362,14 @@ object Dedup {
     }
     cut.collect().foreach { e =>
       val (a, b) = (e.getLong(0), e.getLong(1))
-      nodes += a; nodes += b
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
       val (ra, rb) = (find(a), find(b))
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
     cut.unpersist()
     import s.implicits._
-    nodes.toSeq.map(x => (x, find(x))).toDF("node", "cluster_id")
+    parent.keys.toSeq.map(x => (x, find(x))).toDF("node", "cluster_id")
   }
 
   /** End-to-end dedup: near-dup pairs → components → keep the smallest
@@ -519,25 +531,10 @@ object Dedup {
 
   def ngramJaccardViaLsh(docs: DataFrame, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq.empty): DataFrame = {
-    val toks = docs
-      .select(col("doc_id") +: blockCols.map(col) :+
-        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"): _*)
-      .withColumn("sz", size(col("ws")).cast("long"))
+    val toks = lshTokens(docs, blockCols)
     // LSH candidates WITHOUT the signature-agreement filter: banding is
     // the recall gate, the exact jaccard below is the precision gate.
-    // Shingle size 1: the signature minhashes the WORD SET — the same
-    // similarity measure the exact verify computes (3-shingle signatures
-    // would estimate a different, much lower jaccard for reordered
-    // near-dups and gut recall).
-    val perms = 16
-    val bands = 4
-    val rows = perms / bands
-    val sigs = toks.filter(size(col("ws")) >= 1)
-      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 1, perms))
-      .select("doc_id", blockCols :+ "sig": _*)
-    val banded = sigs.select(col("doc_id") +: blockCols.map(col) :+
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
-        .as(Seq("band", "band_hash")): _*)
+    val banded = lshBands(toks, blockCols)
     val joinKey = Seq("band", "band_hash") ++ blockCols
     val cands = banded
       .withColumnRenamed("doc_id", "id_a")
@@ -545,14 +542,47 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+    verifyJaccard(cands, toks, toks, threshold)
+  }
+
+  // -- shared LSH building blocks ------------------------------------
+  // The incremental path (IncrementalDedup) must band and verify with
+  // EXPRESSION-IDENTICAL stages or its exact-parity-with-batch
+  // guarantee silently breaks — so the stages live here, once.
+
+  /** Word-set tokens per doc: (doc_id, blockCols..., ws, sz). */
+  private[operators] def lshTokens(docs: DataFrame, blockCols: Seq[String]): DataFrame =
+    docs.select(col("doc_id") +: blockCols.map(col) :+
+      array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"): _*)
+      .withColumn("sz", size(col("ws")).cast("long"))
+
+  /** MinHash band rows per doc: (doc_id, blockCols..., band, band_hash).
+    * Shingle size 1: the signature minhashes the WORD SET — the same
+    * similarity measure the exact verify computes (3-shingle signatures
+    * would estimate a different, much lower jaccard for reordered
+    * near-dups and gut recall). 16 permutations, 4 bands × 4 rows. */
+  private[operators] def lshBands(toks: DataFrame, blockCols: Seq[String]): DataFrame = {
+    val perms = 16
+    val bands = 4
+    val rows = perms / bands
+    toks.filter(size(col("ws")) >= 1)
+      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 1, perms))
+      .select(col("doc_id") +: blockCols.map(col) :+
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
+          .as(Seq("band", "band_hash")): _*)
+  }
+
+  /** Exact word-set jaccard gate over candidate (id_a, id_b) pairs —
+    * emits (id_a, id_b, n_inter, jaccard) at or above the threshold. */
+  private[operators] def verifyJaccard(cands: DataFrame, aToks: DataFrame,
+      bToks: DataFrame, threshold: Double): DataFrame =
     cands
-      .join(toks.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), "id_a")
-      .join(toks.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), "id_b")
+      .join(aToks.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), "id_a")
+      .join(bToks.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("n_inter",
         graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b")))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_inter", "jaccard")
-  }
 }

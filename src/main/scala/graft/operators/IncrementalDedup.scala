@@ -77,10 +77,6 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  private val PERMS = 16
-  private val BANDS = 4
-  private val ROWS = PERMS / BANDS
-
   /** Test-only crash injection between the bands and docs writes (the
     * ordering the crash-safety contract hinges on). Never set outside
     * specs. */
@@ -95,34 +91,13 @@ object IncrementalDedup {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Tokenize exactly like [[Dedup.ngramJaccardViaLsh]]: the verifier
-    * and the signatures must see the SAME word set. */
-  private def tokenized(batch: DataFrame, blockCols: Seq[String]): DataFrame =
-    batch.select(col("doc_id") +: blockCols.map(col) :+
-      array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"): _*)
-      .withColumn("sz", size(col("ws")).cast("long"))
-
-  /** (doc_id, blockCols..., band, band_hash) — same signature + banding
-    * expressions as the batch path (shingle k=1: word-set jaccard). */
-  private def bandedSigs(toks: DataFrame, blockCols: Seq[String]): DataFrame =
-    toks.filter(col("sz") >= 1)
-      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 1, PERMS))
-      .select(col("doc_id") +: blockCols.map(col) :+
-        posexplode(expr(s"transform(sequence(0, ${BANDS - 1}), b -> hash(slice(sig, b * $ROWS + 1, $ROWS)))"))
-          .as(Seq("band", "band_hash")): _*)
-
-  /** Exact word-set jaccard gate over candidate (id_a, id_b) pairs. */
+  /** The tokenize / band / verify stages are SHARED with the batch
+    * pipeline (Dedup.lshTokens/lshBands/verifyJaccard): the exact-parity
+    * guarantee requires expression-identical stages, so they live in one
+    * place by construction. */
   private def verify(cands: DataFrame, aToks: DataFrame, bToks: DataFrame,
       threshold: Double): DataFrame =
-    cands
-      .join(aToks.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), "id_a")
-      .join(bToks.select(col("doc_id").as("id_b"), col("ws").as("ws_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("n_inter",
-        graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b")))
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b")
+    Dedup.verifyJaccard(cands, aToks, bToks, threshold).select("id_a", "id_b")
 
   /** Path-compressed merge map from the append-only log. Driver-side by
     * design: one row per merge EVENT ever (two clusters connected by a
@@ -183,7 +158,8 @@ object IncrementalDedup {
     *   cost). At or below the gate the exact labels come from one
     *   collect + driver union-find (same keep-min semantics); above it
     *   — a giant batch or a pathologically dense one — the barrier-free
-    *   distributed loop takes over. 2M edges ≈ 32 MB collected.
+    *   distributed loop takes over. See connectedComponentsAuto's notes
+    *   on driver-heap sizing at the gate.
     */
   def upsertBatch(batch: DataFrame, root: String, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq("lang", "source"), buckets: Int = 64,
@@ -213,10 +189,10 @@ object IncrementalDedup {
       }
 
     lap("guard")
-    val toks = tokenized(fresh, blockCols).localCheckpoint(eager = true)
+    val toks = Dedup.lshTokens(fresh, blockCols).localCheckpoint(eager = true)
     if (toks.isEmpty) { toks.unpersist(); return }
     lap("toks")
-    val banded = bandedSigs(toks, blockCols).localCheckpoint(eager = true)
+    val banded = Dedup.lshBands(toks, blockCols).localCheckpoint(eager = true)
     lap("banded")
 
     // ---- candidates: within-batch self-join + batch-vs-index join --

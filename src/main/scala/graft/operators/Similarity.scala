@@ -230,10 +230,39 @@ object Similarity {
     * results over (initial ∪ appended) equal a one-shot index built
     * with the SAME centroids exactly (spec-gated), and a periodic
     * [[buildIvfIndex]] re-clustering resets drift when recall decays.
+    *
+    * Replay-safe: an at-least-once re-delivery (streaming restart,
+    * retried foreachBatch) must not duplicate vectors, so already-
+    * indexed vec_ids are anti-joined away first — the INDEX is the
+    * authority, like the other graft sinks. Assignment is
+    * deterministic under frozen centroids, so a re-delivered vector
+    * lands in its original bucket and the guard scan prunes to the
+    * batch's own buckets.
     */
-  def appendToIvfIndex(newEmb: DataFrame, cents: DataFrame, path: String): Unit =
-    newEmb.join(assign(newEmb, cents).select("vec_id", "bucket"), "vec_id")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+  def appendToIvfIndex(newEmb: DataFrame, cents: DataFrame, path: String): Unit = {
+    val s = newEmb.sparkSession
+    val dedup = newEmb.dropDuplicates("vec_id")
+    val assigned = dedup
+      .join(assign(dedup, cents).select("vec_id", "bucket"), "vec_id")
+      .localCheckpoint(eager = true)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val novel =
+      if (!fs.exists(hPath)) assigned
+      else {
+        // bounded driver pull: ≤ k bucket ids, prunes the guard scan
+        val bks = assigned.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+        val seen = s.read.parquet(path).filter(col("bucket").isin(bks: _*)).select("vec_id")
+        assigned.join(seen, Seq("vec_id"), "left_anti")
+      }
+    // zero-row partitioned append would poison a fresh path; repartition
+    // on the partition column bounds the writer fan-out (tasks × buckets
+    // tiny files otherwise)
+    if (!novel.isEmpty)
+      novel.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    assigned.unpersist()
+  }
 
   /** Probe a persisted IVF index: queries are assigned to their nprobe
     * nearest centroids (broadcast), and the bucket equi-join against

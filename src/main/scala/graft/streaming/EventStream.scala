@@ -209,7 +209,9 @@ object EventStream {
       evs.foreach { t =>
         val us = tsToUs(t.ts)
         t.event_type match {
-          case "click" => if (us < tc && us > cutoffUs) tc = us
+          // >=: a click EXACTLY maxClickLateness behind the frontier is
+          // still in-contract ("MORE than the lateness behind" is dead)
+          case "click" => if (us < tc && us >= cutoffUs) tc = us
           case "view" => vs ::= us
           case "purchase" => ps ::= us
           case _ =>

@@ -269,6 +269,38 @@ class Round6Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     assert(probeSet(incPath) == probeSet(fullPath))
     assert(probeSet(incPath).nonEmpty)
+
+    // replay guard: an at-least-once re-delivery of the same batch must
+    // not duplicate vectors (the index is the authority)
+    val rowsBefore = spark.read.parquet(incPath).count()
+    Similarity.appendToIvfIndex(added, cents, incPath)
+    assert(spark.read.parquet(incPath).count() == rowsBefore, "replayed append duplicated vectors")
+    assert(probeSet(incPath) == probeSet(fullPath))
+  }
+
+  test("parseOrderPayloads: duplicate and null legIds degrade per-payload, never crash the batch") {
+    import spark.implicits._
+    import graft.operators.Chains
+    val payloads = Seq(
+      // dup legId 1 (first occurrence must win), a null legId (skipped),
+      // and an execution leg with no matching order leg (dropped)
+      """{"orderId":1,"orderLegCollection":[
+        |{"legId":1,"instruction":"BUY","symbol":"A"},
+        |{"legId":1,"instruction":"SELL","symbol":"B"},
+        |{"legId":null,"instruction":"BUY","symbol":"C"},
+        |{"legId":2,"instruction":"SELL","symbol":"D"}],
+        |"orderActivityCollection":[{"activityId":1,"executionLegs":[
+        |{"legId":1,"quantity":5.0,"price":10.0},
+        |{"legId":2,"quantity":1.0,"price":2.0},
+        |{"legId":3,"quantity":9.0,"price":9.0}]}]}""".stripMargin.replace("\n", "")
+    ).toDF("payload")
+    val (flat, quarantined) = Chains.parseOrderPayloads(payloads)
+    assert(quarantined.count() == 0)
+    val rows = flat.orderBy("leg_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3), r.getString(4), r.getDouble(7)))
+    assert(rows.toSeq == Seq(
+      (1L, 1, "BUY", "A", -10.0),  // first occurrence of dup legId wins
+      (1L, 2, "SELL", "D", 2.0)))  // legId 3 exec dropped, null leg skipped
   }
 
   test("ivfAppendStream: streamed appends probe identically to the batch append") {
@@ -339,13 +371,14 @@ class Round6Spec extends SparkSpec {
       input.addData(Seq(Tick(3L, ts("2024-01-10 08:00:00"), 7L, "click", 1.0)))
       q.processAllAvailable()
       assert(lastRow(7L).get.isNullAt(1), "over-late click refined tc")
-      // batch 3: a click inside the lateness window still refines —
-      // and qualifies the RETAINED 12:00 view (not the pruned 10:00
-      // one, which only a dead click could have re-qualified)
-      input.addData(Seq(Tick(4L, ts("2024-01-10 11:45:00"), 7L, "click", 1.0)))
+      // batch 3: a click EXACTLY maxClickLateness behind the frontier
+      // is in-contract ("MORE than the lateness behind" is dead) — it
+      // refines, and qualifies the RETAINED 12:00 view (not the pruned
+      // 10:00 one, which only a dead click could have re-qualified)
+      input.addData(Seq(Tick(4L, ts("2024-01-10 11:30:00"), 7L, "click", 1.0)))
       q.processAllAvailable()
       val r = lastRow(7L).get
-      assert(r.getTimestamp(1) == ts("2024-01-10 11:45:00"))
+      assert(r.getTimestamp(1) == ts("2024-01-10 11:30:00"))
       assert(r.getTimestamp(2) == ts("2024-01-10 12:00:00"))
       q.stop()
     } finally {
