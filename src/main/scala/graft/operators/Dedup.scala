@@ -551,7 +551,7 @@ object Dedup {
   // guarantee silently breaks — so the stages live here, once.
 
   /** Word-set tokens per doc: (doc_id, blockCols..., ws, sz). */
-  private[operators] def lshTokens(docs: DataFrame, blockCols: Seq[String]): DataFrame =
+  private[graft] def lshTokens(docs: DataFrame, blockCols: Seq[String]): DataFrame =
     docs.select(col("doc_id") +: blockCols.map(col) :+
       array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"): _*)
       .withColumn("sz", size(col("ws")).cast("long"))
@@ -561,7 +561,7 @@ object Dedup {
     * similarity measure the exact verify computes (3-shingle signatures
     * would estimate a different, much lower jaccard for reordered
     * near-dups and gut recall). 16 permutations, 4 bands × 4 rows. */
-  private[operators] def lshBands(toks: DataFrame, blockCols: Seq[String]): DataFrame = {
+  private[graft] def lshBands(toks: DataFrame, blockCols: Seq[String]): DataFrame = {
     val perms = 16
     val bands = 4
     val rows = perms / bands
@@ -574,7 +574,7 @@ object Dedup {
 
   /** Exact word-set jaccard gate over candidate (id_a, id_b) pairs —
     * emits (id_a, id_b, n_inter, jaccard) at or above the threshold. */
-  private[operators] def verifyJaccard(cands: DataFrame, aToks: DataFrame,
+  private[graft] def verifyJaccard(cands: DataFrame, aToks: DataFrame,
       bToks: DataFrame, threshold: Double): DataFrame =
     cands
       .join(aToks.select(col("doc_id").as("id_a"), col("ws").as("ws_a"), col("sz").as("sz_a")), "id_a")

@@ -144,14 +144,9 @@ class Round6Spec extends SparkSpec {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS band_idx_b")
     val docs = Tables.documents(spark, sf)
-    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
-      array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
-      .filter(size(col("ws")) >= 1)
-    val banded = toks
-      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 1, 16))
-      .select(col("doc_id"), col("lang"), col("source"),
-        posexplode(expr("transform(sequence(0, 3), b -> hash(slice(sig, b * 4 + 1, 4)))"))
-          .as(Seq("band", "band_hash")))
+    // the REAL band rows — same shared builders upsertBatch uses
+    val banded = Dedup.lshBands(
+      Dedup.lshTokens(docs, Seq("lang", "source")), Seq("lang", "source"))
     banded.write.bucketBy(8, "band", "band_hash", "lang", "source")
       .sortBy("band", "band_hash", "lang", "source")
       .format("parquet").saveAsTable("band_idx_b")
