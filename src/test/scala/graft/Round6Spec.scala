@@ -384,6 +384,32 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: null block-column docs never pair and survive, both paths") {
+    import spark.implicits._
+    // SQL join semantics: a null block key matches nothing, itself
+    // included — so a null-lang doc can never be paired and is always
+    // kept. Both paths must agree (the batch path's band join and the
+    // incremental index join share the same key columns).
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "web"),
+      (2L, base, "en", "web"),          // exact dup of 1 in-block → dropped
+      (3L, base, null.asInstanceOf[String], "web"), // null lang: kept
+      (4L, base, "en", null.asInstanceOf[String])   // null source: kept
+    ).toDF("doc_id", "text", "lang", "source")
+    val expected = Dedup.dedupedCorpus(docs,
+        Dedup.ngramJaccardViaLsh(docs, blockCols = Seq("lang", "source"))
+          .select("id_a", "id_b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected == Set(1L, 3L, 4L))
+    val root = Files.createTempDirectory("graft_inc_nullblock").toString
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") <= 2), root, buckets = 8)
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") > 2), root, buckets = 8)
+    val got = IncrementalDedup.corpus(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
   test("incremental dedup: chained merges across batches resolve multi-hop (30->20->10)") {
     // sliding 90-word windows over one word line: offset 8 ⇒ jaccard
     // 82/98 ≈ 0.837 (links), offset 16 ⇒ 74/106 ≈ 0.698 (no link)
