@@ -185,6 +185,28 @@ class Round6Spec extends SparkSpec {
     assert(eager.exists(_ == (21L -> 1L)), "cross-chain merge missing")
   }
 
+  test("connectedComponentsAuto: non-long id types route to the distributed loop and label correctly") {
+    import spark.implicits._
+    val pairs = Seq((2, 1), (2, 3), (10, 11)).toDF("id_a", "id_b") // IntegerType ids
+    val got = Dedup.connectedComponentsAuto(pairs)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toSet
+    assert(got == Set(1 -> 1, 2 -> 1, 3 -> 1, 10 -> 10, 11 -> 10))
+  }
+
+  test("LSH banding is word-ORDER invariant (k=1 shingles): reordered near-dups share all bands") {
+    import spark.implicits._
+    // the d19/d22/d23 recall argument rests on this: the signature
+    // minhashes the word SET, so a fully reordered duplicate collides
+    // in every band (3-shingle signatures would see it as dissimilar)
+    val words = (1 to 50).map(i => s"o$i")
+    val docs = Seq((1L, words.mkString(" ")), (2L, words.reverse.mkString(" ")))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(Dedup.lshTokens(docs, Seq.empty), Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = bands.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byDoc(1L) == byDoc(2L), "reordered duplicate landed in different band buckets")
+  }
+
   test("surrogateIds with a reliable checkpoint dir: same ids, checkpoint files on disk") {
     import graft.operators.Silver
     val dim = Tables.part(spark, sf)
