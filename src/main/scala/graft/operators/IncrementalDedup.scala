@@ -205,8 +205,13 @@ object IncrementalDedup {
     def noEdges = s.emptyDataFrame
       .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
     val mm = mergeMap(s, root)
+    // The docs/ check also covers the crashed-FIRST-batch retry: bands/
+    // can exist while docs/ does not (write order is bands → merges →
+    // docs), and those stale band rows belong to docs that never landed
+    // — there is no historic counterpart to verify against, and reading
+    // the absent docs/ path would throw on every retry (wedged store).
     val edgesHist =
-      if (!exists(s, bandsPath(root))) noEdges
+      if (!exists(s, bandsPath(root)) || !exists(s, docsPath(root))) noEdges
       else {
         val bks = banded.select(pmod(col("band_hash"), lit(buckets)).as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq

@@ -101,6 +101,26 @@ class Round6Spec extends SparkSpec {
     assert(n == docs.count(), s"docs store has $n rows for ${docs.count()} docs")
   }
 
+  test("incremental dedup: crash on the FIRST-ever batch, then retry — store not wedged, exact parity") {
+    // the worst-case variant of the failpoint: bands/ lands but docs/
+    // never exists. The retry must treat its own stale band rows as
+    // having no historic counterpart (docs/ absent ⇒ no verified edge
+    // is even possible) instead of throwing PATH_NOT_FOUND forever.
+    val root = Files.createTempDirectory("graft_inc_crash1").toString
+    val docs = Tables.documents(spark, sf)
+    val chunk = (i: Int) => docs.filter(pmod(col("doc_id"), lit(2)) === i)
+    IncrementalDedup.failAfterBands = true
+    try intercept[RuntimeException] { IncrementalDedup.upsertBatch(chunk(0), root) }
+    finally IncrementalDedup.failAfterBands = false
+    assert(!new java.io.File(s"$root/docs").exists(), "precondition: docs/ absent after first-batch crash")
+    // retry the crashed batch, then finish the stream
+    IncrementalDedup.upsertBatch(chunk(0), root)
+    IncrementalDedup.upsertBatch(chunk(1), root)
+    assert(corpusSet(root) == batchCorpus)
+    val n = spark.read.parquet(s"$root/docs").count()
+    assert(n == docs.count(), s"docs store has $n rows for ${docs.count()} docs")
+  }
+
   test("incremental dedup: a later doc connecting two historic clusters merges them via the log") {
     // E overlaps A and D at jaccard 92/108 ≈ 0.852 (≥ 0.8) while
     // j(A, D) = 84/116 ≈ 0.724 (< 0.8): batch 1 lands two separate
