@@ -120,10 +120,13 @@ object ScaleSmoke {
     // ≈995k), with each batch touching only its collision buckets
     val incRoot = java.nio.file.Files.createTempDirectory("graft_incsc").toString
     time("incremental dedup 3 batches 1M") {
+      // bucketedIndex: the production layout (zero-exchange index side;
+      // IncScale isolates the layout comparison incl. the
+      // beyond-broadcast regime where the difference lives)
       (0 until 3).foreach { i =>
         operators.IncrementalDedup.upsertBatch(
           docsBig.filter(pmod(col("doc_id"), lit(3)) === i), incRoot,
-          blockCols = Seq.empty)
+          blockCols = Seq.empty, bucketedIndex = true)
       }
       val kept = operators.IncrementalDedup.corpus(spark, incRoot, blockCols = Seq.empty).count()
       require(kept >= 990000 && kept < 1000000, s"unexpected incremental survivor count $kept")
@@ -139,7 +142,8 @@ object ScaleSmoke {
           expr("""concat_ws(' ', transform(sequence(0, 29),
                  |  i -> concat('w', cast(pmod(xxhash64(id * 1000000 + i), 10000) as string))))""".stripMargin)
             .as("text"))
-      operators.IncrementalDedup.upsertBatch(novel, incRoot, blockCols = Seq.empty)
+      operators.IncrementalDedup.upsertBatch(novel, incRoot, blockCols = Seq.empty,
+        bucketedIndex = true)
       spark.read.parquet(s"$incRoot/docs").count()
     }
     // the full composed corpus build at 1M docs: scrub → gate → exact

@@ -103,8 +103,14 @@ object SparkEntry {
     // the exact d4 pair list — oracle-exact via a DuckDB recursive-CTE
     // transitive closure (graph ops ARE SQL-expressible for bounded
     // closures, so the driver verifies the component labels themselves)
+    // size-gated CC (driver union-find at this edge count; the
+    // distributed bounded loop above the gate) — labels are identical
+    // either way, and Round7Spec keeps the bounded loop itself
+    // oracle-parity-gated on this exact pair list so the distributed
+    // path stays verified without billing its ~3× scheduling overhead
+    // to every bench capture
     "d20_dup_clusters"    -> ((s, d) =>
-      Dedup.connectedComponentsBounded(Dedup.ngramJaccard(s, d).select("id_a", "id_b"))
+      Dedup.connectedComponentsAuto(Dedup.ngramJaccard(s, d).select("id_a", "id_b"))
         .orderBy("node")),
     // the composed 100 TB dedup path: LSH pairs → bounded CC → keep-min
     // corpus (rows-only: LSH recall is probabilistic; Round4Spec proves
@@ -125,9 +131,13 @@ object SparkEntry {
       // corpus is split-count-invariant (Round6Spec proves parity for
       // arbitrary splits), so more cycles here would only re-bill the
       // same per-cycle fixed costs.
+      // bucketedIndex: the production layout — the band index is a
+      // bucketed table clustered on the full join key, so the
+      // steady-state historic join never shuffles the index side
       (0 until 2).foreach { i =>
         graft.operators.IncrementalDedup.upsertBatch(
-          docs.filter(pmod(col("doc_id"), lit(2)) === i), root, buckets = 16)
+          docs.filter(pmod(col("doc_id"), lit(2)) === i), root, buckets = 16,
+          bucketedIndex = true)
       }
       graft.operators.IncrementalDedup.corpus(s, root).orderBy("doc_id")
     }),

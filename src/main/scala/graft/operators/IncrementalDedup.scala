@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   *    (doc, band) with its band hash and blocking attributes,
   *    partitioned by `bucket = pmod(band_hash, buckets)` so a batch's
   *    band join prunes to the buckets its own hashes land in (the
-  *    d6 persisted-IVF-index trick applied to LSH).
+  *    d6 persisted-IVF-index trick applied to LSH). With
+  *    `bucketedIndex = true` the same directory doubles as an external
+  *    BUCKETED table clustered on the full band-join key — see
+  *    [[ensureBandTable]] — which removes the index-side shuffle from
+  *    the steady-state cycle entirely.
   *  - `root/docs/bucket=N/` — per-doc state: word set (for exact
   *    verification of future collisions), block attrs, and the doc's
   *    cluster label at insert time; partitioned by
@@ -91,6 +95,49 @@ object IncrementalDedup {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Catalog name for the bucketed band-index table of a store root —
+    * content-addressed on the root path so distinct stores never
+    * collide in one session's catalog. */
+  private[graft] def bandTable(root: String): String =
+    "graft_band_idx_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** Register (idempotently) the external bucketed band-index table at
+    * `bandsPath(root)`. The table is CLUSTERED BY the FULL band-join
+    * key, so the per-cycle historic join plans with NO exchange on the
+    * index side — only the micro-batch shuffles (proven by the plan
+    * assertion in Round6/Round7 specs). The directory-partition column
+    * `bucket` is the table bucket id itself (pmod(hash(joinKey),
+    * buckets) — the exact expression HashPartitioning uses), which
+    * keeps the trickle-batch partition prune AND means an append's
+    * repartition(bucket) lands one file per touched bucket.
+    *
+    * Catalog registration is session-scoped; the FILES under root are
+    * the durable state. A fresh session re-registers from the banded
+    * schema and recovers the partition listing. */
+  private def ensureBandTable(s: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType, joinKey: Seq[String],
+      buckets: Int): String = {
+    val tbl = bandTable(root)
+    if (!s.catalog.tableExists(tbl)) {
+      // pre-create the location: CREATE TABLE resolves it and logs a
+      // full FileNotFoundException stack (benign but alarming) when
+      // the directory doesn't exist yet
+      val p = new org.apache.hadoop.fs.Path(bandsPath(root))
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
+      val keyDdl = joinKey.map(c => s"`$c`").mkString(", ")
+      s.sql(
+        s"""CREATE TABLE `$tbl` (${schema.toDDL}, `bucket` INT)
+           |USING parquet
+           |PARTITIONED BY (bucket)
+           |CLUSTERED BY ($keyDdl) SORTED BY ($keyDdl) INTO $buckets BUCKETS
+           |LOCATION '${bandsPath(root)}'""".stripMargin)
+      if (exists(s, bandsPath(root)))
+        s.sql(s"ALTER TABLE `$tbl` RECOVER PARTITIONS")
+    }
+    tbl
+  }
+
   /** The tokenize / band / verify stages are SHARED with the batch
     * pipeline (Dedup.lshTokens/lshBands/verifyJaccard): the exact-parity
     * guarantee requires expression-identical stages, so they live in one
@@ -150,6 +197,14 @@ object IncrementalDedup {
     *   pruning contract of the layout)
     * @param checkpointDir reliable checkpoint dir for the per-batch CC
     *   rounds (executor-loss safety on long pipelines; tests omit it)
+    * @param bucketedIndex store the band index as an external BUCKETED
+    *   table (CLUSTERED BY the full join key) instead of plain
+    *   band_hash-partitioned parquet. The steady-state historic join
+    *   then plans with zero exchange on the index side — only the
+    *   micro-batch moves — which is the production layout once the
+    *   index-side pass dominates the cycle. Like `buckets`, the choice
+    *   is per-root and permanent: never flip it on an existing store
+    *   (the two layouts' bucket dirs mean different things).
     * @param driverMaxEdges size gate for the per-batch component
     *   labeling. A micro-batch's verified edge set is bounded by the
     *   BATCH near-dup density, not corpus size, so it is usually tiny —
@@ -164,9 +219,16 @@ object IncrementalDedup {
   def upsertBatch(batch: DataFrame, root: String, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq("lang", "source"), buckets: Int = 64,
       checkpointDir: Option[String] = None,
-      driverMaxEdges: Long = 2000000L): Unit = {
+      driverMaxEdges: Long = 2000000L,
+      bucketedIndex: Boolean = false): Unit = {
     val s = batch.sparkSession
     val joinKey = Seq("band", "band_hash") ++ blockCols
+    // dir-partition id of a band row. Bucketed mode uses the table
+    // bucket id itself (same murmur3+pmod HashPartitioning computes),
+    // path mode the plain band_hash residue.
+    def bandBucket: org.apache.spark.sql.Column =
+      if (bucketedIndex) pmod(hash(joinKey.map(col): _*), lit(buckets))
+      else pmod(col("band_hash"), lit(buckets))
     val dbg = sys.env.contains("GRAFT_INC_DEBUG")
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (dbg) {
@@ -213,9 +275,13 @@ object IncrementalDedup {
     val edgesHist =
       if (!exists(s, bandsPath(root)) || !exists(s, docsPath(root))) noEdges
       else {
-        val bks = banded.select(pmod(col("band_hash"), lit(buckets)).as("bucket"))
+        val bks = banded.select(bandBucket.as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        val hist = s.read.parquet(bandsPath(root)).filter(col("bucket").isin(bks: _*))
+        val hist0 =
+          if (bucketedIndex)
+            s.table(ensureBandTable(s, root, banded.schema, joinKey, buckets))
+          else s.read.parquet(bandsPath(root))
+        val hist = hist0.filter(col("bucket").isin(bks: _*))
         // checkpoint: the candidate set feeds BOTH the bucket collect
         // below and the verification join — un-cut, the band join
         // against the historic index would execute twice
@@ -275,10 +341,20 @@ object IncrementalDedup {
     // writer task opens a file in every bucket dir (tasks × buckets
     // tiny files per batch — measured, file creation dominated the
     // write AND the next batch's footer reads)
-    if (!banded.isEmpty)
-      banded.withColumn("bucket", pmod(col("band_hash"), lit(buckets)))
-        .repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(bandsPath(root))
+    if (!banded.isEmpty) {
+      val rows = banded.withColumn("bucket", bandBucket).repartition(col("bucket"))
+      if (bucketedIndex) {
+        // the table pre-registers (empty) before the first append, so
+        // the append never needs to carry the LOCATION itself
+        val tbl = ensureBandTable(s, root, banded.schema, joinKey, buckets)
+        rows.write.mode("append").format("parquet")
+          .partitionBy("bucket")
+          .bucketBy(buckets, joinKey.head, joinKey.tail: _*)
+          .sortBy(joinKey.head, joinKey.tail: _*)
+          .saveAsTable(tbl)
+      } else
+        rows.write.mode("append").partitionBy("bucket").parquet(bandsPath(root))
+    }
     lap("writeBands")
     // test-only failpoint: proves the crash-ordering contract (bands
     // landed, docs not → the retry re-processes the batch and its own

@@ -549,12 +549,13 @@ object EventStream {
     */
   def nearDupInsertStream(stream: DataFrame, root: String, checkpoint: String,
       threshold: Double = 0.8, blockCols: Seq[String] = Seq("lang", "source"),
-      buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+      buckets: Int = 64, bucketedIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.IncrementalDedup.upsertBatch(
-          batch.toDF(), root, threshold, blockCols, buckets)
+          batch.toDF(), root, threshold, blockCols, buckets,
+          bucketedIndex = bucketedIndex)
       }
       .start()
 

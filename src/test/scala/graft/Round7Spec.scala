@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IncrementalDedup}
+
+/** Round 7: the bucketed band-index TABLE as the incremental-dedup
+  * production path — exact parity, crash safety, session-restart
+  * re-registration, and the zero-exchange plan contract, all on the
+  * store as ACTUALLY WRITTEN by upsertBatch(bucketedIndex = true). */
+class Round7Spec extends SparkSpec {
+
+  private def corpusSet(root: String): Set[(Long, String, String)] =
+    IncrementalDedup.corpus(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  private lazy val batchCorpus: Set[(Long, String, String)] =
+    Dedup.dedupPipeline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  private def up(df: org.apache.spark.sql.DataFrame, root: String): Unit =
+    IncrementalDedup.upsertBatch(df, root, bucketedIndex = true)
+
+  test("bucketed index: arbitrary micro-batch split lands exactly the batch d22 corpus") {
+    val root = Files.createTempDirectory("graft_bkt_par").toString
+    val docs = Tables.documents(spark, sf)
+    (0 until 4).foreach { i =>
+      up(docs.filter(pmod(col("doc_id"), lit(4)) === i), root)
+    }
+    assert(corpusSet(root) == batchCorpus)
+    // replay idempotence on the bucketed store too
+    up(docs.filter(pmod(col("doc_id"), lit(4)) === 1), root)
+    assert(corpusSet(root) == batchCorpus)
+    val n = spark.read.parquet(s"$root/docs").count()
+    assert(n == docs.count(), s"docs store has $n rows for ${docs.count()} docs")
+  }
+
+  test("bucketed index: crash between bands and docs (first batch AND later batch), retry heals") {
+    val root = Files.createTempDirectory("graft_bkt_crash").toString
+    val docs = Tables.documents(spark, sf)
+    val chunk = (i: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    // first-ever batch dies after its band rows land (docs/ never born)
+    IncrementalDedup.failAfterBands = true
+    try intercept[RuntimeException] { up(chunk(0), root) }
+    finally IncrementalDedup.failAfterBands = false
+    up(chunk(0), root) // retry must not wedge on the stale band rows
+    // a LATER batch dies the same way
+    IncrementalDedup.failAfterBands = true
+    try intercept[RuntimeException] { up(chunk(1), root) }
+    finally IncrementalDedup.failAfterBands = false
+    up(chunk(1), root)
+    up(chunk(2), root)
+    assert(corpusSet(root) == batchCorpus)
+    val n = spark.read.parquet(s"$root/docs").count()
+    assert(n == docs.count(), s"docs store has $n rows for ${docs.count()} docs")
+  }
+
+  test("bucketed index: a fresh session re-registers the table from the files (RECOVER PARTITIONS)") {
+    val root = Files.createTempDirectory("graft_bkt_restart").toString
+    val docs = Tables.documents(spark, sf)
+    up(docs.filter(pmod(col("doc_id"), lit(2)) === 0), root)
+    // simulate a driver restart: the catalog entry is session state,
+    // the files are the durable store
+    val tbl = IncrementalDedup.bandTable(root)
+    spark.sql(s"DROP TABLE `$tbl`")
+    assert(!spark.catalog.tableExists(tbl))
+    up(docs.filter(pmod(col("doc_id"), lit(2)) === 1), root)
+    assert(corpusSet(root) == batchCorpus)
+    // the re-registered table sees ALL band rows, pre- and post-restart
+    assert(spark.table(tbl).count() == spark.read.parquet(s"$root/bands").count())
+  }
+
+  test("bucketed index: the steady-state historic join plans with NO exchange on the index side") {
+    // the zero-exchange contract on the table as written by the
+    // PRODUCTION write path (not a hand-built stand-in): batch side
+    // shuffles to the bucket layout, index side must not.
+    val root = Files.createTempDirectory("graft_bkt_plan").toString
+    val docs = Tables.documents(spark, sf)
+    up(docs.filter(pmod(col("doc_id"), lit(2)) === 0), root)
+    val joinKey = Seq("band", "band_hash", "lang", "source")
+    val hist = spark.table(IncrementalDedup.bandTable(root))
+    // probe with the SAME half that's in the store: its own rows are
+    // excluded by id_a =!= id_b below, and the half's internal
+    // near-dups guarantee a nonzero collision count
+    val batch = Dedup.lshBands(
+        Dedup.lshTokens(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          Seq("lang", "source")), Seq("lang", "source"))
+      .withColumnRenamed("doc_id", "id_a")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = batch.join(hist.withColumnRenamed("doc_id", "id_b"), joinKey)
+        .filter(col("id_a") =!= col("id_b"))
+      val plan = j.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"index side still shuffles ($exchanges exchanges):\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("bucketed index: appends land one file per touched bucket, tagged with its bucket id") {
+    // the tiny-file discipline of the layout: bucket dir == table
+    // bucket id, so repartition(bucket) gives each append exactly one
+    // file per non-empty bucket (not tasks × buckets)
+    val root = Files.createTempDirectory("graft_bkt_files").toString
+    up(Tables.documents(spark, sf), root)
+    val dirs = new java.io.File(s"$root/bands").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} has ${files.length} files after one append")
+      val bucketId = d.getName.stripPrefix("bucket=").toInt
+      // bucketed-write file names carry the bucket id as _NNNNN
+      assert(files.head.getName.contains(f"_$bucketId%05d"),
+        s"${files.head.getName} not tagged with bucket $bucketId")
+    }
+  }
+
+  test("bucketed index: null block-column docs never pair and survive") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "en", "web"),
+      (2L, base, "en", "web"),
+      (3L, base, null.asInstanceOf[String], "web"),
+      (4L, base, "en", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "lang", "source")
+    val root = Files.createTempDirectory("graft_bkt_null").toString
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") <= 2), root,
+      buckets = 8, bucketedIndex = true)
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") > 2), root,
+      buckets = 8, bucketedIndex = true)
+    val got = IncrementalDedup.corpus(spark, root).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 4L))
+  }
+
+  test("d20 parity gate: the distributed bounded CC loop matches the size-gated labels on the real pair list") {
+    // d20's registered entry runs connectedComponentsAuto (driver
+    // union-find at this edge count); the distributed loop must stay
+    // label-identical on the SAME corpus pair list so the registered
+    // entry's oracle verification keeps covering it
+    val pairs = Dedup.ngramJaccard(spark, sf).select("id_a", "id_b")
+      .localCheckpoint(eager = true)
+    def labels(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val auto = labels(Dedup.connectedComponentsAuto(pairs))
+    val bounded = labels(Dedup.connectedComponentsBounded(pairs))
+    assert(auto == bounded, "bounded loop diverged from the size-gated labels")
+    assert(auto.nonEmpty)
+    pairs.unpersist()
+  }
+}
