@@ -36,6 +36,9 @@ import org.apache.spark.sql.functions._
   *    resolved at read time (union-find over a driver-scale log,
   *    broadcast back). Entries always map to a strictly smaller live
   *    label, so chains are acyclic and path-compress to one hop.
+  *    A periodic [[compact]] folds resolved labels into `docs/` and
+  *    truncates the log, crash-safely, so neither the log nor the
+  *    read-time resolution grows without bound.
   *
   * == Exact parity with batch d22 ==
   * Band collision is a deterministic pairwise predicate (fixed MinHash
@@ -222,6 +225,7 @@ object IncrementalDedup {
       driverMaxEdges: Long = 2000000L,
       bucketedIndex: Boolean = false): Unit = {
     val s = batch.sparkSession
+    heal(s, root) // finish any interrupted compaction first
     val joinKey = Seq("band", "band_hash") ++ blockCols
     // dir-partition id of a band row. Bucketed mode uses the table
     // bucket id itself (same murmur3+pmod HashPartitioning computes),
@@ -371,11 +375,142 @@ object IncrementalDedup {
     Seq(toks, banded, edgesHist, allEdges, labels).foreach(_.unpersist())
   }
 
+  // ---- compaction: fold resolved labels into docs/, truncate merges/
+  //
+  // The append-only merge log grows with merge events forever, and
+  // every corpus()/clusters() read pays the driver union-find +
+  // resolution expression. The reference's own discipline is a
+  // periodic MERGE/compact (docs/sql_server.md OPTM MERGE); this is
+  // its analog under the store's single-writer contract.
+  //
+  // Protocol (each rename is atomic; no step needs multi-dir
+  // atomicity because FOLDING IS IDEMPOTENT: a folded label is a live
+  // root, never a merge-map key, so re-applying the frozen map to
+  // already-folded rows is a no-op — every crash window below reads
+  // correctly through the normal corpus()/clusters() path):
+  //   a. write docs_new = ONLY the merge-affected buckets, labels
+  //      folded (the old docs/ is never touched), then drop the
+  //      `_compacting` marker file
+  //   b. rename docs     -> docs_old
+  //   c. rename docs_new -> docs        (affected buckets, folded)
+  //   d. move each UNAFFECTED bucket dir docs_old -> docs (atomic
+  //      per-dir renames; a bucket lives in exactly one of the two,
+  //      so an interrupted sequence resumes deterministically)
+  //   e. delete merges/
+  //   f. delete docs_old + marker
+  // heal() (called on every entry) classifies the crash window by
+  // which artifacts exist: marker + docs + docs_new  = pre-swap, old
+  // state intact, discard the attempt; marker + no docs = roll (c)
+  // forward; marker + docs = resume the (d) moves and finish
+  // (e)/(f). Without the marker a stale docs_new is inert garbage
+  // (readers never look at it; the next compact clears it).
+
+  private def docsNewPath(root: String) = s"$root/docs_new"
+  private def docsOldPath(root: String) = s"$root/docs_old"
+  private def markerPath(root: String) = s"$root/_compacting"
+
+  /** Test-only crash injection after compaction step `n` (1 = docs_new
+    * + marker written, 2 = docs renamed away — the no-docs window,
+    * 3 = docs_new renamed in, merges not yet deleted). */
+  private[graft] var failDuringCompact: Int = 0
+
+  private def fs(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Move every bucket dir present in `from` but absent in `to` into
+    * `to` — the resumable step (d): a bucket dir lives in exactly one
+    * of the two places, so re-running after any interruption converges
+    * on the same final layout. */
+  private def moveMissingBuckets(f: org.apache.hadoop.fs.FileSystem,
+      from: String, to: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    if (!f.exists(new Path(from))) return
+    f.listStatus(new Path(from)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("bucket=") && !f.exists(new Path(s"$to/$name")))
+        f.rename(st.getPath, new Path(s"$to/$name"))
+    }
+  }
+
+  /** Roll an interrupted compaction forward (or discard an unfinished
+    * attempt) so the store is always readable. Cheap when idle: one
+    * existence probe on the marker. */
+  private[graft] def heal(s: SparkSession, root: String): Unit = {
+    val f = fs(s, root)
+    import org.apache.hadoop.fs.Path
+    if (!f.exists(new Path(markerPath(root)))) return
+    val docs = new Path(docsPath(root))
+    val dNew = new Path(docsNewPath(root))
+    if (f.exists(docs) && f.exists(dNew)) {
+      // crashed before (b): old state intact — discard the attempt
+      f.delete(dNew, true)
+    } else {
+      if (!f.exists(docs) && f.exists(dNew)) f.rename(dNew, docs)  // (c)
+      if (f.exists(docs)) {
+        moveMissingBuckets(f, docsOldPath(root), docsPath(root))   // (d)
+        f.delete(new Path(mergesPath(root)), true)                 // (e)
+        f.delete(new Path(docsOldPath(root)), true)                // (f)
+      } else if (f.exists(new Path(docsOldPath(root)))) {
+        // degenerate (unreachable by the protocol order): roll back
+        f.rename(new Path(docsOldPath(root)), docs)
+      }
+    }
+    f.delete(new Path(markerPath(root)), false)
+  }
+
+  /** Fold the merge log into `docs/` and truncate it. Runs under the
+    * store's single-writer contract (no concurrent upsertBatch).
+    * Scale shape: only buckets CONTAINING merge-affected rows are
+    * decoded and rewritten; every other bucket directory crosses the
+    * generation as one atomic rename (metadata-only, no data IO) — so
+    * both compute and IO scale with the merge-touched slice, not the
+    * store. After compaction the merge map is empty and every
+    * corpus()/clusters() read plans as a plain scan + filter. */
+  def compact(s: SparkSession, root: String, buckets: Int = 64): Unit = {
+    heal(s, root)
+    if (!exists(s, docsPath(root))) return
+    val mm = mergeMap(s, root)
+    if (mm.isEmpty) return
+    val f = fs(s, root)
+    import org.apache.hadoop.fs.Path
+    f.delete(new Path(docsNewPath(root)), true) // stale attempt, if any
+
+    // (a) affected buckets = those holding a row labeled by a DEAD id;
+    // docs_new gets ONLY those, folded — the live store is not touched
+    val deadLabels = mm.keys.toSeq
+    val affected = s.read.parquet(docsPath(root))
+      .filter(col("cluster_id").isin(deadLabels: _*))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) { // log entries no row carries (already folded)
+      f.delete(new Path(mergesPath(root)), true)
+      return
+    }
+    withResolved(
+        s.read.parquet(docsPath(root)).filter(col("bucket").isin(affected.toSeq: _*)),
+        "cluster_id", "_live", mm)
+      .drop("cluster_id").withColumnRenamed("_live", "cluster_id")
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(docsNewPath(root))
+    f.create(new Path(markerPath(root)), true).close()
+    if (failDuringCompact == 1) throw new RuntimeException("failpoint: compact after docs_new")
+    // (b)..(f): the swap — each step atomic, heal() finishes any tail
+    f.rename(new Path(docsPath(root)), new Path(docsOldPath(root)))
+    if (failDuringCompact == 2) throw new RuntimeException("failpoint: compact no-docs window")
+    f.rename(new Path(docsNewPath(root)), new Path(docsPath(root)))
+    if (failDuringCompact == 3) throw new RuntimeException("failpoint: compact before bucket moves")
+    moveMissingBuckets(f, docsOldPath(root), docsPath(root))
+    f.delete(new Path(mergesPath(root)), true)
+    f.delete(new Path(docsOldPath(root)), true)
+    f.delete(new Path(markerPath(root)), false)
+  }
+
   /** The deduplicated corpus at `root`: docs whose id IS their live
     * cluster label (keep-min policy, exactly [[Dedup.dedupedCorpus]]).
     * Merge resolution is one broadcast expression over the tiny log —
     * the historic store is never rewritten. */
   def corpus(s: SparkSession, root: String, blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    heal(s, root)
     val mm = mergeMap(s, root)
     withResolved(s.read.parquet(docsPath(root)), "cluster_id", "_live", mm)
       .filter(col("doc_id") === col("_live"))
@@ -385,6 +520,7 @@ object IncrementalDedup {
   /** Current (doc_id → live cluster label) assignment — d20's streaming
     * counterpart, derived from the store plus merge resolution. */
   def clusters(s: SparkSession, root: String): DataFrame = {
+    heal(s, root)
     val mm = mergeMap(s, root)
     withResolved(s.read.parquet(docsPath(root)).select("doc_id", "cluster_id"),
       "cluster_id", "_live", mm)

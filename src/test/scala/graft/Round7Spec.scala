@@ -135,6 +135,106 @@ class Round7Spec extends SparkSpec {
     assert(got == Set(1L, 3L, 4L))
   }
 
+  // ---- merge-log compaction ----------------------------------------
+
+  /** A store with a two-hop merge chain (30→20→10): sliding 90-word
+    * windows, same fixture family as Round6Spec's chained-merge test. */
+  private def chainedStore(): String = {
+    def win(start: Int) = (start until start + 90).map(i => s"wc$i").mkString(" ")
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cmp").toString
+    IncrementalDedup.upsertBatch(Seq((10L, win(1), "en", "web"),
+      (20L, win(17), "en", "web"), (30L, win(33), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"), root)
+    IncrementalDedup.upsertBatch(Seq((40L, win(25), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"), root) // merges 30 into 20
+    IncrementalDedup.upsertBatch(Seq((50L, win(9), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"), root) // merges 20 into 10
+    root
+  }
+
+  private def clusterMap(root: String): Map[Long, Long] =
+    IncrementalDedup.clusters(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("compact: corpus and clusters identical before and after; merge log truncated") {
+    val root = chainedStore()
+    val corpusBefore = corpusSet(root)
+    val clustersBefore = clusterMap(root)
+    assert(clustersBefore.values.toSet == Set(10L)) // precondition: chain resolved
+    IncrementalDedup.compact(spark, root)
+    assert(!new java.io.File(s"$root/merges").exists(), "merge log not truncated")
+    assert(corpusSet(root) == corpusBefore)
+    assert(clusterMap(root) == clustersBefore)
+    // idempotent: compacting a clean store is a no-op
+    IncrementalDedup.compact(spark, root)
+    assert(clusterMap(root) == clustersBefore)
+  }
+
+  test("compact: only merge-affected buckets are rewritten; the rest cross by rename") {
+    val root = chainedStore()
+    def filesPerBucket: Map[String, Set[String]] =
+      new java.io.File(s"$root/docs").listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = filesPerBucket
+    // affected buckets: those holding rows labeled by a dead id (20, 30)
+    val dead = spark.read.parquet(s"$root/docs")
+      .filter(col("cluster_id").isin(20L, 30L))
+      .select("bucket").distinct().collect().map(r => s"bucket=${r.getInt(0)}").toSet
+    assert(dead.nonEmpty)
+    IncrementalDedup.compact(spark, root)
+    val after = filesPerBucket
+    before.foreach { case (b, fs) =>
+      if (!dead.contains(b))
+        assert(after(b) == fs, s"unaffected $b was rewritten")
+    }
+    dead.foreach(b => assert(after(b) != before(b), s"affected $b not rewritten"))
+  }
+
+  test("compact: post-compaction reads plan without any merge resolution (no join, no literal map)") {
+    val root = chainedStore()
+    IncrementalDedup.compact(spark, root)
+    val plan = IncrementalDedup.clusters(spark, root)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"merge-map join survived compaction:\n$plan")
+    assert(!plan.contains("element_at"), s"literal merge map survived compaction:\n$plan")
+  }
+
+  test("compact: a crash in EVERY failpoint window leaves the store readable and heals forward") {
+    for (fp <- 1 to 3) {
+      val root = chainedStore()
+      val expectedCorpus = corpusSet(root)
+      val expectedClusters = clusterMap(root)
+      IncrementalDedup.failDuringCompact = fp
+      try intercept[RuntimeException] { IncrementalDedup.compact(spark, root) }
+      finally IncrementalDedup.failDuringCompact = 0
+      // reads heal the interrupted swap and stay correct
+      assert(corpusSet(root) == expectedCorpus, s"failpoint $fp: corpus diverged")
+      assert(clusterMap(root) == expectedClusters, s"failpoint $fp: clusters diverged")
+      // store is fully functional afterwards: more upserts + a clean compact
+      def winb(start: Int) = (start until start + 90).map(i => s"wb$i").mkString(" ")
+      import spark.implicits._
+      IncrementalDedup.upsertBatch(Seq((60L, winb(1), "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"), root)
+      IncrementalDedup.compact(spark, root)
+      assert(clusterMap(root) - 60L == expectedClusters, s"failpoint $fp: post-heal state broken")
+      assert(!new java.io.File(s"$root/_compacting").exists())
+      assert(!new java.io.File(s"$root/docs_old").exists())
+      assert(!new java.io.File(s"$root/docs_new").exists())
+    }
+  }
+
+  test("compact: upserts after compaction keep exact batch parity (merge machinery restarts cleanly)") {
+    val root = Files.createTempDirectory("graft_cmp_cont").toString
+    val docs = Tables.documents(spark, sf)
+    IncrementalDedup.upsertBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 0), root)
+    IncrementalDedup.upsertBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 1), root)
+    IncrementalDedup.compact(spark, root)
+    IncrementalDedup.upsertBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 2), root)
+    assert(corpusSet(root) == batchCorpus)
+  }
+
   test("d20 parity gate: the distributed bounded CC loop matches the size-gated labels on the real pair list") {
     // d20's registered entry runs connectedComponentsAuto (driver
     // union-find at this edge count); the distributed loop must stay
