@@ -100,8 +100,15 @@ object EventStream {
     * (services/schwab_stream.py set_latest_quote), state-store-native.
     */
   class LatestProcessor(ttl: Option[java.time.Duration])
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, Latest] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, Tick, Latest, Latest] {
     @transient private var state: org.apache.spark.sql.streaming.ValueState[Latest] = _
+    /** Batch-snapshot bootstrap (the Redis-cache-restore analog): seed
+      * each key's state from a q11-shaped row so a restarted stream
+      * resumes from the snapshot instead of replaying history. Runs
+      * once per snapshot key on the first micro-batch. */
+    override def handleInitialState(user: Long, snap: Latest,
+        tv: org.apache.spark.sql.streaming.TimerValues): Unit =
+      state.update(snap)
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       val ttlConf = ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
@@ -171,7 +178,7 @@ object EventStream {
     * bounded runs.
     */
   class FunnelProcessor(maxClickLatenessUs: Option[Long] = None)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, FunnelRow] {
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[Long, Tick, FunnelRow, FunnelRow] {
     @transient private var minClick: org.apache.spark.sql.streaming.ValueState[Long] = _
     @transient private var views: org.apache.spark.sql.streaming.ListState[Long] = _
     @transient private var purchases: org.apache.spark.sql.streaming.ListState[Long] = _
@@ -188,6 +195,27 @@ object EventStream {
       frontier = getHandle.getValueState[Long]("frontier",
         org.apache.spark.sql.Encoders.scalaLong, none)
     }
+    /** Batch-snapshot bootstrap: seed the funnel from its own last
+      * output row — tc plus the achieved tv/tp WITNESSES. The snapshot
+      * deliberately carries no other candidates (the batch output
+      * doesn't have them), so history is FROZEN at its refined values:
+      * a tail click that out-of-order-undercut the snapshot's tc could
+      * only re-qualify the carried witnesses, not arbitrary historic
+      * views — the same declared-dead trade as `maxClickLatenessUs`,
+      * and the Redis-restore semantics of the reference (the cache
+      * restores the latest snapshot, not the event history). For tails
+      * at or after the snapshot frontier — the normal restart case —
+      * outputs equal the batch query over the FULL input for every key
+      * whose funnel had started (spec-gated both ways). */
+    override def handleInitialState(user: Long, snap: FunnelRow,
+        tv0: org.apache.spark.sql.streaming.TimerValues): Unit = {
+      snap.tc.foreach(t => minClick.update(tsToUs(t)))
+      snap.tv.foreach(t => views.put(Array(tsToUs(t))))
+      snap.tp.foreach(t => purchases.put(Array(tsToUs(t))))
+      val seen = Seq(snap.tc, snap.tv, snap.tp).flatten.map(tsToUs)
+      if (seen.nonEmpty) frontier.update(seen.max)
+    }
+
     override def handleInputRows(user: Long, ticks: Iterator[Tick],
         tv0: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelRow] = {
       val MAX = Long.MaxValue
@@ -252,26 +280,38 @@ object EventStream {
     *   frontier no longer refine, and dead candidates are evicted.
     *   None (default) = exact semantics, unbounded clickless state. */
   def funnelStream(stream: Dataset[Tick],
-      maxClickLateness: Option[java.time.Duration] = None): Dataset[FunnelRow] = {
+      maxClickLateness: Option[java.time.Duration] = None,
+      initial: Option[Dataset[FunnelRow]] = None): Dataset[FunnelRow] = {
     import stream.sparkSession.implicits._
-    stream.groupByKey(_.user_id)
-      .transformWithState(
-        new FunnelProcessor(maxClickLateness.map(_.toMillis * 1000L)),
-        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+    val proc = new FunnelProcessor(maxClickLateness.map(_.toMillis * 1000L))
+    val timeMode = org.apache.spark.sql.streaming.TimeMode.None()
+    initial match {
+      case Some(snap) => stream.groupByKey(_.user_id)
+        .transformWithState(proc, timeMode, OutputMode.Update(),
+          snap.groupByKey(_.user_id))
+      case None => stream.groupByKey(_.user_id)
+        .transformWithState(proc, timeMode, OutputMode.Update())
+    }
   }
 
   /** See [[LatestProcessor]]. TimeMode.None when no TTL (pure data
     * state), ProcessingTime when a TTL is set (the store tracks expiry
     * wall-clock). */
   def latestPerKeyTtl(stream: Dataset[Tick],
-      ttl: Option[java.time.Duration] = None): Dataset[Latest] = {
+      ttl: Option[java.time.Duration] = None,
+      initial: Option[Dataset[Latest]] = None): Dataset[Latest] = {
     import stream.sparkSession.implicits._
     val timeMode =
       if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
       else org.apache.spark.sql.streaming.TimeMode.None()
-    stream
-      .groupByKey(_.user_id)
-      .transformWithState(new LatestProcessor(ttl), timeMode, OutputMode.Update())
+    val proc = new LatestProcessor(ttl)
+    initial match {
+      case Some(snap) => stream.groupByKey(_.user_id)
+        .transformWithState(proc, timeMode, OutputMode.Update(),
+          snap.groupByKey(_.user_id))
+      case None => stream.groupByKey(_.user_id)
+        .transformWithState(proc, timeMode, OutputMode.Update())
+    }
   }
 
   /** Stream-stream interval join: each trade (purchase) joins quotes

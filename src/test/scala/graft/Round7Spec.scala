@@ -235,6 +235,150 @@ class Round7Spec extends SparkSpec {
     assert(corpusSet(root) == batchCorpus)
   }
 
+  // ---- transformWithState initial-state bootstrap --------------------
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("latestPerKeyTtl bootstrap: a snapshot-seeded stream + tail equals the batch over full history") {
+    import graft.streaming.EventStream
+    import EventStream.{Latest, Tick}
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    withRocksDb {
+      // "history" already landed in a batch store; the snapshot is the
+      // batch latest-per-key over it (the q11 shape + stream metadata)
+      val snapshot = Seq(
+        Latest(1L, ts("2024-01-10 11:00:00"), 6.0, 2L, 2L),
+        Latest(2L, ts("2024-01-10 10:30:00"), 7.0, 1L, 3L)).toDS()
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Tick]
+      val q = EventStream.latestPerKeyTtl(input.toDS(), initial = Some(snapshot))
+        .toDF().writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("latest_boot").start()
+      // tail: an OLDER event for key 1 (must NOT displace the seeded
+      // latest — a fresh state would emit it) and a newer one for key 2
+      input.addData(Seq(
+        Tick(4L, ts("2024-01-10 09:00:00"), 1L, "quote", 9.9),
+        Tick(5L, ts("2024-01-10 12:00:00"), 2L, "quote", 8.0)))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("latest_boot").collect()
+        .map(r => r.getLong(0) -> (r.getTimestamp(1), r.getDouble(2), r.getLong(3))).toMap
+      // key 1: snapshot survives the stale tick, n_seen continues from 2
+      assert(last(1L) == ((ts("2024-01-10 11:00:00"), 6.0, 3L)))
+      // key 2: tail advances the latest — equals batch over full input
+      assert(last(2L) == ((ts("2024-01-10 12:00:00"), 8.0, 2L)))
+    }
+  }
+
+  test("funnel bootstrap: snapshot witnesses + in-order/mildly-late tail equal the batch over full history") {
+    import graft.streaming.EventStream
+    import EventStream.{FunnelRow, Tick}
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    withRocksDb {
+      // q42-shaped snapshot rows: u7 completed the funnel in history,
+      // u8 only clicked, u9 was clickless (views forfeited — the
+      // documented snapshot trade, asserted below)
+      val snapshot = Seq(
+        FunnelRow(7L, Some(ts("2024-01-10 10:00:00")), Some(ts("2024-01-10 10:30:00")), Some(ts("2024-01-10 11:00:00"))),
+        FunnelRow(8L, Some(ts("2024-01-10 10:00:00")), None, None),
+        FunnelRow(9L, None, None, None)).toDS()
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Tick]
+      val q = EventStream.funnelStream(input.toDS(), initial = Some(snapshot))
+        .toDF().writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("funnel_boot").start()
+      input.addData(Seq(
+        // u7: a mildly-late view BETWEEN historic tc and tv — must
+        // refine tv to 10:15 while the carried tp witness (11:00,
+        // still > new tv) survives: exactly batch-over-full-input
+        Tick(10L, ts("2024-01-10 10:15:00"), 7L, "view", 1.0),
+        // u8: funnel continues in-order from the snapshot
+        Tick(11L, ts("2024-01-10 12:00:00"), 8L, "view", 1.0),
+        Tick(12L, ts("2024-01-10 12:30:00"), 8L, "purchase", 1.0),
+        // u9: a tail click cannot resurrect historic (un-carried) views
+        Tick(13L, ts("2024-01-10 09:00:00"), 9L, "click", 1.0)))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("funnel_boot").collect()
+        .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toMap
+      assert(last(7L) == ((Some(ts("2024-01-10 10:00:00")), Some(ts("2024-01-10 10:15:00")), Some(ts("2024-01-10 11:00:00")))))
+      assert(last(8L) == ((Some(ts("2024-01-10 10:00:00")), Some(ts("2024-01-10 12:00:00")), Some(ts("2024-01-10 12:30:00")))))
+      // the declared divergence: tc from the tail, but no historic view
+      // to qualify (a full-history replay would have tv = the old view)
+      assert(last(9L) == ((Some(ts("2024-01-10 09:00:00")), None, None)))
+    }
+  }
+
+  test("funnel bootstrap parity on real events: snapshot(history) + tail == batch funnel(full), per key") {
+    import graft.streaming.EventStream
+    import EventStream.{FunnelRow, Tick}
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    withRocksDb {
+      val ev = Tables.events(spark, sf)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Tick].collect().sortBy(_.ts.getTime)
+      val splitAt = ev(ev.length / 2).ts
+      val (hist, tail) = ev.partition(_.ts.compareTo(splitAt) <= 0)
+
+      // snapshot = the stream's own refined rows over history (what a
+      // deployment persists per key — the q42 per-user shape)
+      val in0 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Tick]
+      val q0 = EventStream.funnelStream(in0.toDS()).toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("funnel_hist").start()
+      in0.addData(hist.toSeq); q0.processAllAvailable(); q0.stop()
+      // final row per key: tc/tv/tp are monotone non-increasing once
+      // defined, so min-ignoring-nulls IS the last refinement (and
+      // keeps the snapshot lineage free of streaming-unsupported exprs)
+      def finalRows(table: String) = spark.table(table)
+        .groupBy("user_id")
+        .agg(min("tc").as("tc"), min("tv").as("tv"), min("tp").as("tp"))
+        .as[FunnelRow]
+      val snapshot = finalRows("funnel_hist")
+
+      // bootstrapped stream over ONLY the tail (tail is at-or-after the
+      // split: the normal restart case)
+      val in1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Tick]
+      val q1 = EventStream.funnelStream(in1.toDS(), initial = Some(snapshot))
+        .toDF().writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("funnel_tail").start()
+      in1.addData(tail.toSeq); q1.processAllAvailable(); q1.stop()
+
+      // last row per key across snapshot ∪ tail-updates
+      val updated = finalRows("funnel_tail").collect()
+        .map(f => f.user_id -> f).toMap
+      val got = (snapshot.collect().map(f => f.user_id -> f).toMap ++ updated)
+        .view.mapValues(f => (f.tc, f.tv, f.tp)).toMap.filter(_._2._1.isDefined)
+
+      // oracle: one stream over the FULL input (Round4/Streaming specs
+      // pin that this equals batch q42's per-user refinement)
+      val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Tick]
+      val q2 = EventStream.funnelStream(in2.toDS()).toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("funnel_full").start()
+      in2.addData(ev.toSeq); q2.processAllAvailable(); q2.stop()
+      val want = finalRows("funnel_full").collect()
+        .map(f => f.user_id -> (f.tc, f.tv, f.tp)).toMap.filter(_._2._1.isDefined)
+
+      assert(got == want, "bootstrapped funnel diverged from full-history run")
+      assert(got.nonEmpty)
+    }
+  }
+
   test("d20 parity gate: the distributed bounded CC loop matches the size-gated labels on the real pair list") {
     // d20's registered entry runs connectedComponentsAuto (driver
     // union-find at this edge count); the distributed loop must stay
