@@ -611,7 +611,10 @@ object EventStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // the returned per-batch drift gauge is a monitoring hook; the
+        // bounded smoke path has no metrics sink to feed it to
         graft.operators.Similarity.appendToIvfIndex(batch.toDF(), cents, path)
+        ()
       }
       .start()
 

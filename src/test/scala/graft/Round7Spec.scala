@@ -379,6 +379,95 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  // ---- IVF centroid drift -------------------------------------------
+
+  /** Deterministic synthetic corpus for the drift story. Old
+    * distribution: 6 tight clusters on scaled basis axes (dims 0-5).
+    * Drifted distribution: 3 tight clusters at MIDPOINTS of old-center
+    * pairs — each straddles an old Voronoi boundary, so under the
+    * frozen quantizer a query's true neighbors split across two
+    * buckets and fixed-probe recall decays; after re-clustering each
+    * new mode gets its own centroid. */
+  private object DriftFixture {
+    val dim = 16
+    private def axis(i: Int) = Array.tabulate(dim)(j => if (j == i) 4.0f else 0.0f)
+    private def mid(i: Int, j: Int) =
+      Array.tabulate(dim)(d => if (d == i || d == j) 2.0f else 0.0f)
+    // cluster membership interleaves by id (id % nClusters) so kmeans'
+    // deterministic first-k-by-id seeding starts with one seed per
+    // cluster rather than k seeds inside the first cluster
+    private def mk(ids: Range, centers: IndexedSeq[Array[Float]], seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      ids.map { i =>
+        val c = centers(i % centers.length)
+        (i.toLong, c.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.5f))
+      }
+    }
+    private val oldCenters = (0 until 6).map(axis)
+    private val newCenters = (0 until 3).map(c => mid(2 * c, 2 * c + 1))
+    val initial: Seq[(Long, Array[Float])] = mk(0 until 600, oldCenters, 11)
+    val drifted: Seq[(Long, Array[Float])] = mk(1000 until 1600, newCenters, 31)
+    val inDist: Seq[(Long, Array[Float])] = mk(2000 until 2060, oldCenters, 51)
+    val queries: Seq[(Long, Array[Float])] = mk(9000 until 9015, newCenters, 71)
+  }
+
+  test("IVF drift: a drifted append trips shouldRecluster, an in-distribution append does not") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_drift_gauge").toString + "/idx"
+    val initial = DriftFixture.initial.toDF("vec_id", "embedding")
+    val cents = Similarity.buildIvfIndex(initial, k = 6, iters = 3, path)
+    val baseline = Similarity.ivfDrift(initial, cents)
+    val ok = Similarity.appendToIvfIndex(
+      DriftFixture.inDist.toDF("vec_id", "embedding"), cents, path)
+    assert(!Similarity.shouldRecluster(baseline, ok),
+      s"in-distribution append flagged: baseline=$baseline current=$ok")
+    val bad = Similarity.appendToIvfIndex(
+      DriftFixture.drifted.toDF("vec_id", "embedding"), cents, path)
+    assert(Similarity.shouldRecluster(baseline, bad),
+      s"drifted append not flagged: baseline=$baseline current=$bad")
+  }
+
+  test("IVF drift: probe recall decays under the frozen quantizer and re-clustering restores it") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_drift_recall").toString
+    val initial = DriftFixture.initial.toDF("vec_id", "embedding")
+    val cents = Similarity.buildIvfIndex(initial, k = 6, iters = 3, s"$root/idx")
+    Similarity.appendToIvfIndex(
+      DriftFixture.drifted.toDF("vec_id", "embedding"), cents, s"$root/idx")
+
+    val queries = DriftFixture.queries.toDF("vec_id", "embedding")
+    // ground truth: brute-force cosine top-5 over the full index content
+    val corpus = spark.read.parquet(s"$root/idx").select("vec_id", "embedding")
+    val truth = corpus
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5).select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    def recallOf(path: String, cs: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.probeIvfIndex(spark, path, cs, queries, topK = 5, nprobe = 1)
+        .select("q_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+
+    val before = recallOf(s"$root/idx", cents)
+    // the evidence-driven reset: re-fit on current content, new generation
+    val cents2 = Similarity.reclusterIvfIndex(spark, s"$root/idx", s"$root/idx2", k = 9, iters = 4)
+    val after = recallOf(s"$root/idx2", cents2)
+    assert(before <= 0.8, s"fixture failed to decay recall (before=$before)")
+    assert(after >= before + 0.15, s"re-cluster did not restore recall: $before -> $after")
+    assert(after >= 0.9, s"post-recluster recall too low: $after")
+  }
+
   test("d20 parity gate: the distributed bounded CC loop matches the size-gated labels on the real pair list") {
     // d20's registered entry runs connectedComponentsAuto (driver
     // union-find at this edge count); the distributed loop must stay
