@@ -65,6 +65,15 @@ object Bench {
       "d20_dup_clusters", "d19_jaccard_lsh", "d11_near_dup_cosine",
       "d6_ivf_ann", "q54_silver_import", "q53_order_legs",
       "q49_chain_flatten", "d4_ngram_jaccard")
+    // a renamed/removed entry silently dropping out of LPT ordering
+    // would quietly stretch the wall — fail loudly instead
+    val unresolved = heavyFirst.filterNot(SparkEntry.queries.contains)
+    require(unresolved.isEmpty, s"heavyFirst names not in SparkEntry.queries: $unresolved")
+    // session-level reliable-checkpoint dir: checkpoint-capable
+    // operators (surrogateIds, bounded CC) write file-backed cuts here
+    // instead of accumulating MEMORY_AND_DISK blocks across the suite
+    graft.ops.Checkpoints.install(spark.sparkContext,
+      java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString)
     val ordered = {
       val m = SparkEntry.queries
       heavyFirst.flatMap(n => m.get(n).map(n -> _)) ++

@@ -21,7 +21,15 @@ object ParseProbes {
   def prepare(s: SparkSession, sfDir: String,
       which: Seq[String] = names): Map[String, () => DataFrame] = {
     val dir = java.nio.file.Files.createTempDirectory("graft_payloads").toString
-    new java.io.File(dir).deleteOnExit()
+    // deleteOnExit on a non-empty dir is a no-op (File.delete only
+    // removes empty dirs) — walk the tree at shutdown instead
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }))
     val builders = Map[String, () => (() => DataFrame)](
       "q49_parse" -> (() => {
         graft.operators.Chains.chainPayloads(s, sfDir)

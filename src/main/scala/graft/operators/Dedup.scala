@@ -148,7 +148,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    checkpointDir.foreach(graft.ops.Checkpoints.install(spark.sparkContext, _))
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
@@ -229,7 +229,7 @@ object Dedup {
       broadcastMaxEdges: Long = 2000000L,
       roundPartitions: Option[Int] = None,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach(graft.ops.Checkpoints.install(pairs.sparkSession.sparkContext, _))
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
       else df.localCheckpoint(eager = false)

@@ -103,19 +103,27 @@ object Silver {
     * assignment survives a dim that ISN'T small (the single-partition
     * dense_rank was the one silent scale assumption left in q54).
     */
-  /** @param checkpointDir when set, the pinned range layout uses a
-    *   RELIABLE `checkpoint(eager = false)` into this directory (the
-    *   bounded-CC pattern): an executor loss replays from checkpoint
-    *   files instead of failing the query, and no executor-memory
-    *   blocks outlive the job. Unset → `localCheckpoint`: fine for
-    *   dim-scale frames in tests/single-JVM; the blocks are reclaimed
-    *   by the ContextCleaner once the result frame is unreferenced
-    *   (an in-flight lazy consumer is why they cannot be unpersisted
-    *   eagerly here). */
+  /** @param checkpointDir when set (or when the SESSION already has a
+    *   checkpoint dir installed — see graft.ops.Checkpoints), the
+    *   pinned range layout uses a RELIABLE `checkpoint(eager = false)`
+    *   into it (the bounded-CC pattern): an executor loss replays from
+    *   checkpoint files instead of failing the query, and no
+    *   executor-memory blocks outlive the job — a long-lived driver
+    *   (Bench installs a dir at startup) accumulates nothing in the
+    *   block manager across repeated calls. With neither set →
+    *   `localCheckpoint`: fine for dim-scale frames in tests/
+    *   single-JVM; the MEMORY_AND_DISK blocks are reclaimed by the
+    *   ContextCleaner once the result frame is unreferenced (an
+    *   in-flight lazy consumer is why they cannot be unpersisted
+    *   eagerly here). The checkpoint dir itself is SHARED session
+    *   state — install it through graft.ops.Checkpoints, not ad-hoc
+    *   setCheckpointDir calls. */
   def surrogateIds(dim: DataFrame, keyCols: Seq[String], idCol: String,
       partitions: Int = 32, checkpointDir: Option[String] = None): DataFrame = {
     val ks = keyCols.map(col)
-    checkpointDir.foreach(dim.sparkSession.sparkContext.setCheckpointDir)
+    val sc = dim.sparkSession.sparkContext
+    checkpointDir.foreach(graft.ops.Checkpoints.install(sc, _))
+    val reliable = checkpointDir.isDefined || graft.ops.Checkpoints.installed(sc).isDefined
     // Materialize the ranged layout ONCE (lazy, no driver barrier):
     // both consumers below — the local ranks and the per-_pid offset
     // counts — must see the SAME partition boundaries, but
@@ -127,7 +135,7 @@ object Silver {
     val ranged0 = dim.repartitionByRange(partitions, ks: _*)
       .withColumn("_pid", spark_partition_id())
     val ranged =
-      if (checkpointDir.isDefined) ranged0.checkpoint(eager = false)
+      if (reliable) ranged0.checkpoint(eager = false)
       else ranged0.localCheckpoint(false)
     val local = ranged.withColumn("_rk",
       row_number().over(Window.partitionBy("_pid").orderBy(ks: _*)))

@@ -468,6 +468,19 @@ class Round7Spec extends SparkSpec {
     assert(after >= 0.9, s"post-recluster recall too low: $after")
   }
 
+  test("q54 under a session checkpoint dir: no persisted blocks outlive the run") {
+    // the long-lived-driver contract: with a session-level reliable
+    // checkpoint dir installed (Bench does this at startup),
+    // surrogateIds' pinned layout goes to files, not MEMORY_AND_DISK
+    // blocks — repeated q54 runs accumulate nothing in the block manager
+    graft.ops.Checkpoints.install(spark.sparkContext,
+      Files.createTempDirectory("graft_q54_ckpt").toString)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    SparkEntry.queries("q54_silver_import")(spark, sf).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"q54 left persisted RDDs behind: $leaked")
+  }
+
   test("d20 parity gate: the distributed bounded CC loop matches the size-gated labels on the real pair list") {
     // d20's registered entry runs connectedComponentsAuto (driver
     // union-find at this edge count); the distributed loop must stay
