@@ -139,6 +139,11 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(2)) === i), root, buckets = 16,
           bucketedIndex = true)
       }
+      // the catalog entry is only needed while upserting (the corpus
+      // read is a plain parquet scan of docs/): unregister it so a
+      // long-lived session running many cycles — Bench runs this entry
+      // twice per capture — doesn't accrete one table per temp root
+      graft.operators.IncrementalDedup.unregisterBandTable(s, root)
       graft.operators.IncrementalDedup.corpus(s, root).orderBy("doc_id")
     }),
     // multimodal decode pipeline (media-as-binary → partition-local

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,6 +17,13 @@ import org.apache.spark.sql.functions._
   * with, and nothing else.
   *
   * == Persisted layout under `root` ==
+  *  - `root/_layout` — the store's layout contract (buckets,
+  *    bucketedIndex, blockCols, threshold), written on first touch and
+  *    validated on every subsequent [[upsertBatch]]: the partition
+  *    prune and the parity guarantee are only sound when every batch
+  *    agrees on these, so a mismatch (e.g. a restarted stream that
+  *    forgot `bucketedIndex = true`) fails loudly instead of silently
+  *    missing collisions.
   *  - `root/bands/bucket=N/` — the LSH band index: one row per
   *    (doc, band) with its band hash and blocking attributes,
   *    partitioned by `bucket = pmod(band_hash, buckets)` so a batch's
@@ -38,7 +46,9 @@ import org.apache.spark.sql.functions._
   *    label, so chains are acyclic and path-compress to one hop.
   *    A periodic [[compact]] folds resolved labels into `docs/` and
   *    truncates the log, crash-safely, so neither the log nor the
-  *    read-time resolution grows without bound.
+  *    read-time resolution grows without bound. The same pass drops
+  *    band rows whose doc never landed (a bands-landed crash), so the
+  *    band index stays ⊆ docs membership.
   *
   * == Exact parity with batch d22 ==
   * Band collision is a deterministic pairwise predicate (fixed MinHash
@@ -60,6 +70,14 @@ import org.apache.spark.sql.functions._
   * driver map). The merge log is written `coalesce(1)` — one task, one
   * file, driver-scale data — so it cannot land partially.
   *
+  * Reads ([[corpus]]/[[clusters]]) are NON-MUTATING: they see through
+  * any interrupted compaction window via a bucket-overlay view and
+  * never delete or rename anything — so a reader racing a live
+  * [[compact]] can at worst hit a transient listing miss (retry), never
+  * corrupt the store. Only the writer entry points ([[upsertBatch]],
+  * [[compact]]) heal, which under the store's single-writer contract
+  * cannot race a live compaction.
+  *
   * == Scale shape ==
   * Per batch: one narrow scan of the pruned band-index buckets joined
   * on (band, band_hash, blockCols) — never the corpus text; candidate
@@ -75,12 +93,7 @@ import org.apache.spark.sql.functions._
   * vs a 1M-doc store = 8.8 s, vs 38 s to re-bootstrap — ScaleSmoke's
   * steady-state stage). That is the same cost profile as the
   * reference's per-cycle anti-join against HISTORIC, and it amortizes
-  * the same way: batch the cycles (daily, not per-second). The known
-  * next step if the index-side pass itself becomes the bottleneck is a
-  * TABLE layout bucketed on the full join key
-  * (band, band_hash, blockCols): Round6Spec proves that exact band
-  * join then plans with NO exchange on the historic side — only the
-  * micro-batch moves.
+  * the same way: batch the cycles (daily, not per-second).
   */
 object IncrementalDedup {
 
@@ -92,11 +105,68 @@ object IncrementalDedup {
   private def bandsPath(root: String) = s"$root/bands"
   private def docsPath(root: String) = s"$root/docs"
   private def mergesPath(root: String) = s"$root/merges"
+  private def layoutPath(root: String) = s"$root/_layout"
 
   private def exists(s: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  // ---- layout contract ---------------------------------------------
+
+  /** The per-root, permanent layout parameters. `buckets` is the
+    * partition-prune contract of both stores, `bucketedIndex` decides
+    * what the band bucket ids MEAN, and blockCols/threshold decide
+    * which pairs ever got verified — flipping any of them mid-store
+    * silently breaks the prune or the parity guarantee, so they are
+    * persisted on first write and validated on every batch. */
+  private[graft] case class Layout(buckets: Int, bucketedIndex: Boolean,
+      blockCols: Seq[String], threshold: Double)
+
+  private[graft] def readLayout(s: SparkSession, root: String): Option[Layout] = {
+    val p = new Path(layoutPath(root))
+    val f = fs(s, root)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val kv = text.linesIterator.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    Some(Layout(kv("buckets").toInt, kv("bucketedIndex").toBoolean,
+      kv("blockCols").split(",").toSeq.filter(_.nonEmpty),
+      kv("threshold").toDouble))
+  }
+
+  private def writeLayout(s: SparkSession, root: String, l: Layout): Unit = {
+    val f = fs(s, root)
+    val tmp = new Path(layoutPath(root) + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(
+      s"""v1
+         |buckets=${l.buckets}
+         |bucketedIndex=${l.bucketedIndex}
+         |blockCols=${l.blockCols.mkString(",")}
+         |threshold=${l.threshold}
+         |""".stripMargin.getBytes("UTF-8"))
+    finally out.close()
+    renameOrThrow(f, tmp, new Path(layoutPath(root)))
+  }
+
+  /** Validate this batch's parameters against the store's persisted
+    * layout; first touch writes it (including the first touch of a
+    * store created before layout markers existed). */
+  private def checkLayout(s: SparkSession, root: String, l: Layout): Unit =
+    readLayout(s, root) match {
+      case Some(stored) =>
+        require(stored == l,
+          s"store layout mismatch at $root: store was created with $stored, " +
+            s"this batch passed $l — buckets/bucketedIndex/blockCols/threshold " +
+            "are per-root and permanent (a silent flip would break the " +
+            "partition prune and miss duplicates)")
+      case None => writeLayout(s, root, l)
+    }
+
+  // ---- catalog lifecycle -------------------------------------------
 
   /** Catalog name for the bucketed band-index table of a store root —
     * content-addressed on the root path so distinct stores never
@@ -104,6 +174,23 @@ object IncrementalDedup {
   private[graft] def bandTable(root: String): String =
     "graft_band_idx_" + java.security.MessageDigest.getInstance("MD5")
       .digest(root.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** Drop the session-catalog entry for `root`'s band table (the FILES
+    * under root are untouched — the table is external and a later
+    * upsert re-registers it). Long-lived sessions cycling many store
+    * roots should call this when done with a root, or the catalog
+    * accretes one entry per root forever. */
+  def unregisterBandTable(s: SparkSession, root: String): Unit = {
+    val tbl = bandTable(root)
+    if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE `$tbl`")
+  }
+
+  /** Delete the ENTIRE store at `root` — catalog entry and all files.
+    * Destructive; for test teardown and store retirement. */
+  def dropStore(s: SparkSession, root: String): Unit = {
+    unregisterBandTable(s, root)
+    fs(s, root).delete(new Path(root), true)
+  }
 
   /** Register (idempotently) the external bucketed band-index table at
     * `bandsPath(root)`. The table is CLUSTERED BY the FULL band-join
@@ -123,22 +210,32 @@ object IncrementalDedup {
       buckets: Int): String = {
     val tbl = bandTable(root)
     if (!s.catalog.tableExists(tbl)) {
-      // pre-create the location: CREATE TABLE resolves it and logs a
-      // full FileNotFoundException stack (benign but alarming) when
-      // the directory doesn't exist yet
-      val p = new org.apache.hadoop.fs.Path(bandsPath(root))
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
-      val keyDdl = joinKey.map(c => s"`$c`").mkString(", ")
-      s.sql(
-        s"""CREATE TABLE `$tbl` (${schema.toDDL}, `bucket` INT)
-           |USING parquet
-           |PARTITIONED BY (bucket)
-           |CLUSTERED BY ($keyDdl) SORTED BY ($keyDdl) INTO $buckets BUCKETS
-           |LOCATION '${bandsPath(root)}'""".stripMargin)
+      registerBandTableAt(s, tbl, bandsPath(root), schema, joinKey, buckets)
       if (exists(s, bandsPath(root)))
         s.sql(s"ALTER TABLE `$tbl` RECOVER PARTITIONS")
     }
     tbl
+  }
+
+  /** CREATE the external bucketed band table `tbl` at `location` —
+    * shared by the live table and compaction's shadow table (which must
+    * write bands_new with the IDENTICAL clustered layout so the swapped
+    * files keep the zero-exchange contract). */
+  private def registerBandTableAt(s: SparkSession, tbl: String, location: String,
+      schema: org.apache.spark.sql.types.StructType, joinKey: Seq[String],
+      buckets: Int): Unit = {
+    // pre-create the location: CREATE TABLE resolves it and logs a
+    // full FileNotFoundException stack (benign but alarming) when
+    // the directory doesn't exist yet
+    val p = new Path(location)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).mkdirs(p)
+    val keyDdl = joinKey.map(c => s"`$c`").mkString(", ")
+    s.sql(
+      s"""CREATE TABLE `$tbl` (${schema.toDDL}, `bucket` INT)
+         |USING parquet
+         |PARTITIONED BY (bucket)
+         |CLUSTERED BY ($keyDdl) SORTED BY ($keyDdl) INTO $buckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
   }
 
   /** The tokenize / band / verify stages are SHARED with the batch
@@ -190,6 +287,19 @@ object IncrementalDedup {
         .drop("_old", "_new")
     }
 
+  /** Keep rows whose long column `c` is in `values` — inline `isin` for
+    * small sets, broadcast left-semi past `litMax` (the same unbounded-
+    * plan-literal guard as [[withResolved]]; a big merge log's dead-
+    * label list must not ride the plan as one literal). */
+  private[graft] def filterInLongSet(df: DataFrame, c: String,
+      values: Seq[Long], litMax: Int = LITERAL_MAX): DataFrame =
+    if (values.size <= litMax) df.filter(col(c).isin(values: _*))
+    else {
+      val s = df.sparkSession
+      import s.implicits._
+      df.join(broadcast(values.toDF(c)), Seq(c), "left_semi")
+    }
+
   /** Upsert one batch of documents (doc_id, text, blockCols...) into
     * the incremental dedup state at `root`. Idempotent per batch: a
     * replay (streaming restart, retried foreachBatch) re-derives the
@@ -197,7 +307,8 @@ object IncrementalDedup {
     *
     * @param buckets  partition-count for both stores — must be the
     *   same value across every batch written to one `root` (it is the
-    *   pruning contract of the layout)
+    *   pruning contract of the layout; enforced via the persisted
+    *   `_layout` marker)
     * @param checkpointDir reliable checkpoint dir for the per-batch CC
     *   rounds (executor-loss safety on long pipelines; tests omit it)
     * @param bucketedIndex store the band index as an external BUCKETED
@@ -206,8 +317,8 @@ object IncrementalDedup {
     *   then plans with zero exchange on the index side — only the
     *   micro-batch moves — which is the production layout once the
     *   index-side pass dominates the cycle. Like `buckets`, the choice
-    *   is per-root and permanent: never flip it on an existing store
-    *   (the two layouts' bucket dirs mean different things).
+    *   is per-root and permanent — enforced via `_layout` (a silent
+    *   flip would reinterpret the bucket dirs and miss collisions).
     * @param driverMaxEdges size gate for the per-batch component
     *   labeling. A micro-batch's verified edge set is bounded by the
     *   BATCH near-dup density, not corpus size, so it is usually tiny —
@@ -225,7 +336,8 @@ object IncrementalDedup {
       driverMaxEdges: Long = 2000000L,
       bucketedIndex: Boolean = false): Unit = {
     val s = batch.sparkSession
-    heal(s, root) // finish any interrupted compaction first
+    heal(s, root) // finish any interrupted compaction first (writer-side only)
+    checkLayout(s, root, Layout(buckets, bucketedIndex, blockCols, threshold))
     val joinKey = Seq("band", "band_hash") ++ blockCols
     // dir-partition id of a band row. Bucketed mode uses the table
     // bucket id itself (same murmur3+pmod HashPartitioning computes),
@@ -375,7 +487,8 @@ object IncrementalDedup {
     Seq(toks, banded, edgesHist, allEdges, labels).foreach(_.unpersist())
   }
 
-  // ---- compaction: fold resolved labels into docs/, truncate merges/
+  // ---- compaction: fold resolved labels into docs/, truncate merges/,
+  //      and drop orphaned band rows
   //
   // The append-only merge log grows with merge events forever, and
   // every corpus()/clusters() read pays the driver union-find +
@@ -383,11 +496,12 @@ object IncrementalDedup {
   // periodic MERGE/compact (docs/sql_server.md OPTM MERGE); this is
   // its analog under the store's single-writer contract.
   //
-  // Protocol (each rename is atomic; no step needs multi-dir
-  // atomicity because FOLDING IS IDEMPOTENT: a folded label is a live
-  // root, never a merge-map key, so re-applying the frozen map to
-  // already-folded rows is a no-op — every crash window below reads
-  // correctly through the normal corpus()/clusters() path):
+  // Protocol (each rename is CHECKED — a silently failed rename on an
+  // object store must halt, not cascade into deletes; no step needs
+  // multi-dir atomicity because FOLDING IS IDEMPOTENT: a folded label
+  // is a live root, never a merge-map key, so re-applying the frozen
+  // map to already-folded rows is a no-op — every crash window below
+  // reads correctly through the non-mutating corpus()/clusters() view):
   //   a. write docs_new = ONLY the merge-affected buckets, labels
   //      folded (the old docs/ is never touched), then drop the
   //      `_compacting` marker file
@@ -397,132 +511,321 @@ object IncrementalDedup {
   //      per-dir renames; a bucket lives in exactly one of the two,
   //      so an interrupted sequence resumes deterministically)
   //   e. delete merges/
-  //   f. delete docs_old + marker
-  // heal() (called on every entry) classifies the crash window by
+  //   f. delete docs_old + marker — GUARDED: only after verifying
+  //      docs/ exists and every bucket dir still in docs_old also
+  //      exists in docs/ (nothing unique can be lost)
+  // heal() — called from the WRITER entry points only (upsertBatch,
+  // compact; reads never mutate) — classifies the crash window by
   // which artifacts exist: marker + docs + docs_new  = pre-swap, old
   // state intact, discard the attempt; marker + no docs = roll (c)
   // forward; marker + docs = resume the (d) moves and finish
   // (e)/(f). Without the marker a stale docs_new is inert garbage
   // (readers never look at it; the next compact clears it).
+  //
+  // The bands/ tree gets the same protocol (bands_new/bands_old/
+  // `_compacting_bands`) when compact() drops orphaned band rows.
 
   private def docsNewPath(root: String) = s"$root/docs_new"
   private def docsOldPath(root: String) = s"$root/docs_old"
   private def markerPath(root: String) = s"$root/_compacting"
+  private def bandsNewPath(root: String) = s"$root/bands_new"
+  private def bandsOldPath(root: String) = s"$root/bands_old"
+  private def bandsMarkerPath(root: String) = s"$root/_compacting_bands"
 
   /** Test-only crash injection after compaction step `n` (1 = docs_new
     * + marker written, 2 = docs renamed away — the no-docs window,
     * 3 = docs_new renamed in, merges not yet deleted). */
   private[graft] var failDuringCompact: Int = 0
 
+  /** Same windows for the band-index hygiene swap. */
+  private[graft] var failDuringBandCompact: Int = 0
+
   private def fs(s: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** rename() reports failure as a BOOLEAN on many FileSystems (object
+    * stores, transient errors) — treating it as fire-and-forget is how
+    * a failed swap cascades into destructive deletes. Halt instead:
+    * every window left behind is healable. */
+  private def renameOrThrow(f: FileSystem, from: Path, to: Path): Unit =
+    if (!f.rename(from, to))
+      throw new IllegalStateException(
+        s"rename $from -> $to failed; store left as-is (heal() on the next " +
+          "writer entry resumes or discards the interrupted compaction)")
 
   /** Move every bucket dir present in `from` but absent in `to` into
     * `to` — the resumable step (d): a bucket dir lives in exactly one
     * of the two places, so re-running after any interruption converges
     * on the same final layout. */
-  private def moveMissingBuckets(f: org.apache.hadoop.fs.FileSystem,
-      from: String, to: String): Unit = {
-    import org.apache.hadoop.fs.Path
+  private def moveMissingBuckets(f: FileSystem, from: String, to: String): Unit = {
     if (!f.exists(new Path(from))) return
     f.listStatus(new Path(from)).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("bucket=") && !f.exists(new Path(s"$to/$name")))
-        f.rename(st.getPath, new Path(s"$to/$name"))
+        renameOrThrow(f, st.getPath, new Path(s"$to/$name"))
     }
   }
 
-  /** Roll an interrupted compaction forward (or discard an unfinished
-    * attempt) so the store is always readable. Cheap when idle: one
-    * existence probe on the marker. */
-  private[graft] def heal(s: SparkSession, root: String): Unit = {
-    val f = fs(s, root)
-    import org.apache.hadoop.fs.Path
-    if (!f.exists(new Path(markerPath(root)))) return
-    val docs = new Path(docsPath(root))
-    val dNew = new Path(docsNewPath(root))
-    if (f.exists(docs) && f.exists(dNew)) {
+  /** Delete the retired `old` generation — ONLY once it provably holds
+    * nothing unique: `live` exists and every bucket dir still in `old`
+    * also exists in `live` (i.e. it is a superseded stale copy). Any
+    * orphan means an earlier step silently failed: halt, never delete. */
+  private def deleteOldGuarded(f: FileSystem, live: String, old: String): Unit = {
+    val op = new Path(old)
+    if (!f.exists(op)) return
+    if (!f.exists(new Path(live)))
+      throw new IllegalStateException(s"refusing to delete $old: $live does not exist")
+    val orphans = f.listStatus(op).map(_.getPath.getName)
+      .filter(n => n.startsWith("bucket=") && !f.exists(new Path(s"$live/$n")))
+    if (orphans.nonEmpty)
+      throw new IllegalStateException(
+        s"refusing to delete $old: bucket dirs ${orphans.mkString(", ")} have no " +
+          s"counterpart in $live (an earlier swap step must have failed)")
+    f.delete(op, true)
+  }
+
+  /** The checked (b)..(f) swap shared by the docs fold and the band
+    * hygiene pass. The caller has already written `newp` (affected
+    * buckets only) and created `marker`. `fail` is the test-only
+    * failpoint hook; `onFinish` runs after the bucket moves and before
+    * the guarded old-generation delete (the docs tree deletes merges/
+    * here). */
+  private def swapCompacted(f: FileSystem, live: String, newp: String,
+      old: String, marker: String, fail: Int => Unit,
+      onFinish: () => Unit): Unit = {
+    renameOrThrow(f, new Path(live), new Path(old))
+    fail(2)
+    renameOrThrow(f, new Path(newp), new Path(live))
+    fail(3)
+    moveMissingBuckets(f, old, live)
+    onFinish()
+    deleteOldGuarded(f, live, old)
+    f.delete(new Path(marker), false)
+  }
+
+  /** Roll one tree's interrupted compaction forward (or discard an
+    * unfinished attempt). Returns whether a marker was found. */
+  private def healTree(f: FileSystem, live: String, newp: String,
+      old: String, marker: String, onFinish: () => Unit): Boolean = {
+    val m = new Path(marker)
+    if (!f.exists(m)) return false
+    val lv = new Path(live)
+    val nw = new Path(newp)
+    if (f.exists(lv) && f.exists(nw)) {
       // crashed before (b): old state intact — discard the attempt
-      f.delete(dNew, true)
+      f.delete(nw, true)
     } else {
-      if (!f.exists(docs) && f.exists(dNew)) f.rename(dNew, docs)  // (c)
-      if (f.exists(docs)) {
-        moveMissingBuckets(f, docsOldPath(root), docsPath(root))   // (d)
-        f.delete(new Path(mergesPath(root)), true)                 // (e)
-        f.delete(new Path(docsOldPath(root)), true)                // (f)
-      } else if (f.exists(new Path(docsOldPath(root)))) {
+      if (!f.exists(lv) && f.exists(nw)) renameOrThrow(f, nw, lv) // (c)
+      if (f.exists(lv)) {
+        moveMissingBuckets(f, old, live)                          // (d)
+        onFinish()                                                // (e)
+        deleteOldGuarded(f, live, old)                            // (f)
+      } else if (f.exists(new Path(old))) {
         // degenerate (unreachable by the protocol order): roll back
-        f.rename(new Path(docsOldPath(root)), docs)
+        renameOrThrow(f, new Path(old), lv)
       }
     }
-    f.delete(new Path(markerPath(root)), false)
+    f.delete(m, false)
+    true
   }
 
-  /** Fold the merge log into `docs/` and truncate it. Runs under the
-    * store's single-writer contract (no concurrent upsertBatch).
+  /** Roll any interrupted compaction forward so the store is writable.
+    * WRITER-SIDE ONLY (upsertBatch/compact): reads go through the
+    * non-mutating [[docsView]] instead, so a reader can never race a
+    * live compaction into deleting its in-flight artifacts. Cheap when
+    * idle: one existence probe per marker. */
+  private[graft] def heal(s: SparkSession, root: String): Unit = {
+    val f = fs(s, root)
+    healTree(f, docsPath(root), docsNewPath(root), docsOldPath(root),
+      markerPath(root), () => f.delete(new Path(mergesPath(root)), true))
+    val bandsHealed = healTree(f, bandsPath(root), bandsNewPath(root),
+      bandsOldPath(root), bandsMarkerPath(root), () => ())
+    if (bandsHealed && s.catalog.tableExists(bandTable(root)))
+      s.sql(s"REFRESH TABLE `${bandTable(root)}`")
+  }
+
+  /** NON-MUTATING view of the docs store that reads correctly through
+    * every compaction crash window (classified by which artifacts
+    * exist — see the protocol comment): folding is idempotent under
+    * the still-present merge log, so overlaying the un-moved docs_old
+    * buckets onto docs/ is exact in every window. A read racing a LIVE
+    * compact can at worst hit a transient listing miss (the next plan
+    * re-resolves); it cannot corrupt the store. */
+  private def docsView(s: SparkSession, root: String): DataFrame = {
+    val f = fs(s, root)
+    if (!f.exists(new Path(markerPath(root))))
+      return s.read.parquet(docsPath(root))
+    val docs = new Path(docsPath(root))
+    val dOld = new Path(docsOldPath(root))
+    if (f.exists(docs)) {
+      // pre-swap (docs full) or mid-(d) (docs = folded affected + some
+      // moved buckets): overlay the not-yet-moved docs_old buckets
+      val extra =
+        if (!f.exists(dOld)) Seq.empty[String]
+        else f.listStatus(dOld).map(_.getPath.getName)
+          .filter(n => n.startsWith("bucket=") &&
+            !f.exists(new Path(s"${docsPath(root)}/$n")))
+          .map(n => s"${docsOldPath(root)}/$n").toSeq
+      val base = s.read.parquet(docsPath(root))
+      if (extra.isEmpty) base
+      else base.unionByName(
+        s.read.option("basePath", docsOldPath(root)).parquet(extra: _*))
+    } else if (f.exists(dOld)) {
+      // the no-docs window between (b) and (c): the old generation is
+      // complete and the merge log still resolves its labels
+      s.read.parquet(docsOldPath(root))
+    } else {
+      // degenerate: only docs_new exists (unreachable by protocol order)
+      s.read.parquet(docsNewPath(root))
+    }
+  }
+
+  /** Fold the merge log into `docs/`, truncate it, and drop band rows
+    * whose doc never landed ([[compactBands]]). Runs under the store's
+    * single-writer contract (no concurrent upsertBatch).
     * Scale shape: only buckets CONTAINING merge-affected rows are
     * decoded and rewritten; every other bucket directory crosses the
     * generation as one atomic rename (metadata-only, no data IO) — so
     * both compute and IO scale with the merge-touched slice, not the
     * store. After compaction the merge map is empty and every
     * corpus()/clusters() read plans as a plain scan + filter. */
-  def compact(s: SparkSession, root: String, buckets: Int = 64): Unit = {
+  def compact(s: SparkSession, root: String): Unit = {
     heal(s, root)
     if (!exists(s, docsPath(root))) return
-    val mm = mergeMap(s, root)
-    if (mm.isEmpty) return
     val f = fs(s, root)
-    import org.apache.hadoop.fs.Path
-    f.delete(new Path(docsNewPath(root)), true) // stale attempt, if any
+    val mm = mergeMap(s, root)
+    if (mm.nonEmpty) {
+      f.delete(new Path(docsNewPath(root)), true) // stale attempt, if any
 
-    // (a) affected buckets = those holding a row labeled by a DEAD id;
-    // docs_new gets ONLY those, folded — the live store is not touched
-    val deadLabels = mm.keys.toSeq
-    val affected = s.read.parquet(docsPath(root))
-      .filter(col("cluster_id").isin(deadLabels: _*))
-      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
-    if (affected.isEmpty) { // log entries no row carries (already folded)
-      f.delete(new Path(mergesPath(root)), true)
-      return
+      // (a) affected buckets = those holding a row labeled by a DEAD id;
+      // docs_new gets ONLY those, folded — the live store is not touched
+      val affected = filterInLongSet(s.read.parquet(docsPath(root)),
+          "cluster_id", mm.keys.toSeq)
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      if (affected.isEmpty) { // log entries no row carries (already folded)
+        f.delete(new Path(mergesPath(root)), true)
+      } else {
+        withResolved(
+            s.read.parquet(docsPath(root)).filter(col("bucket").isin(affected.toSeq: _*)),
+            "cluster_id", "_live", mm)
+          .drop("cluster_id").withColumnRenamed("_live", "cluster_id")
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(docsNewPath(root))
+        f.create(new Path(markerPath(root)), true).close()
+        if (failDuringCompact == 1)
+          throw new RuntimeException("failpoint: compact after docs_new")
+        // (b)..(f): the checked swap — heal() finishes any tail
+        swapCompacted(f, docsPath(root), docsNewPath(root), docsOldPath(root),
+          markerPath(root),
+          n => if (failDuringCompact == n)
+            throw new RuntimeException(s"failpoint: compact window $n"),
+          () => { f.delete(new Path(mergesPath(root)), true); () })
+      }
     }
-    withResolved(
-        s.read.parquet(docsPath(root)).filter(col("bucket").isin(affected.toSeq: _*)),
-        "cluster_id", "_live", mm)
-      .drop("cluster_id").withColumnRenamed("_live", "cluster_id")
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(docsNewPath(root))
-    f.create(new Path(markerPath(root)), true).close()
-    if (failDuringCompact == 1) throw new RuntimeException("failpoint: compact after docs_new")
-    // (b)..(f): the swap — each step atomic, heal() finishes any tail
-    f.rename(new Path(docsPath(root)), new Path(docsOldPath(root)))
-    if (failDuringCompact == 2) throw new RuntimeException("failpoint: compact no-docs window")
-    f.rename(new Path(docsNewPath(root)), new Path(docsPath(root)))
-    if (failDuringCompact == 3) throw new RuntimeException("failpoint: compact before bucket moves")
-    moveMissingBuckets(f, docsOldPath(root), docsPath(root))
-    f.delete(new Path(mergesPath(root)), true)
-    f.delete(new Path(docsOldPath(root)), true)
-    f.delete(new Path(markerPath(root)), false)
+    compactBands(s, root)
   }
+
+  /** Band-index hygiene: drop band rows whose doc_id never landed in
+    * docs/ — the residue of a bands-landed/docs-lost crash. Harmless
+    * for correctness (they verify never, pair never) but accreting;
+    * dropping them keeps band membership ⊆ docs membership, so the
+    * index never outgrows the corpus. Same crash-safe swap as the docs
+    * fold; on the bucketed-table layout the surviving rows are written
+    * through a shadow table with the IDENTICAL clustered spec, so the
+    * swapped files keep the zero-exchange join contract. */
+  private def compactBands(s: SparkSession, root: String): Unit = {
+    if (!exists(s, bandsPath(root)) || !exists(s, docsPath(root))) return
+    val f = fs(s, root)
+    f.delete(new Path(bandsNewPath(root)), true) // stale attempt, if any
+    val bands = s.read.parquet(bandsPath(root))
+    val stale = bands.select("doc_id").distinct()
+      .join(s.read.parquet(docsPath(root)).select("doc_id"), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    try {
+      if (stale.isEmpty) return
+      val affected = bands.join(stale, Seq("doc_id"), "left_semi")
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      val layout = readLayout(s, root)
+      val bucketed = layout.map(_.bucketedIndex)
+        .getOrElse(bucketedBandFiles(f, root))
+      if (bucketed && layout.isEmpty) {
+        // can't rewrite a clustered layout without its persisted
+        // contract (bucket count + join key) — leave the (harmless)
+        // rows; the next upsertBatch writes the marker
+        System.err.println(s"[graft] compactBands($root): bucketed band files " +
+          "but no _layout marker; skipping hygiene pass (run one upsertBatch first)")
+        return
+      }
+      val surviving = bands.filter(col("bucket").isin(affected.toSeq: _*))
+        .join(stale, Seq("doc_id"), "left_anti")
+      if (bucketed) {
+        val l = layout.get
+        val joinKey = Seq("band", "band_hash") ++ l.blockCols
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          bands.schema.filterNot(_.name == "bucket"))
+        // shadow table at bands_new with the identical clustered spec;
+        // external, so dropping it afterwards leaves the files
+        val shadow = bandTable(root) + "_cmp"
+        if (s.catalog.tableExists(shadow)) s.sql(s"DROP TABLE `$shadow`")
+        registerBandTableAt(s, shadow, bandsNewPath(root), dataSchema,
+          joinKey, l.buckets)
+        if (!surviving.isEmpty)
+          surviving.repartition(col("bucket"))
+            .write.mode("append").format("parquet")
+            .partitionBy("bucket")
+            .bucketBy(l.buckets, joinKey.head, joinKey.tail: _*)
+            .sortBy(joinKey.head, joinKey.tail: _*)
+            .saveAsTable(shadow)
+        s.sql(s"DROP TABLE `$shadow`")
+      } else {
+        if (!surviving.isEmpty)
+          surviving.repartition(col("bucket"))
+            .write.partitionBy("bucket").parquet(bandsNewPath(root))
+        else f.mkdirs(new Path(bandsNewPath(root)))
+      }
+      // placeholder dirs for fully-emptied affected buckets: without
+      // one, the resume step would move the STALE old dir back in
+      affected.foreach(b => f.mkdirs(new Path(s"${bandsNewPath(root)}/bucket=$b")))
+      f.create(new Path(bandsMarkerPath(root)), true).close()
+      if (failDuringBandCompact == 1)
+        throw new RuntimeException("failpoint: band compact after bands_new")
+      swapCompacted(f, bandsPath(root), bandsNewPath(root), bandsOldPath(root),
+        bandsMarkerPath(root),
+        n => if (failDuringBandCompact == n)
+          throw new RuntimeException(s"failpoint: band compact window $n"),
+        () => ())
+      if (s.catalog.tableExists(bandTable(root)))
+        s.sql(s"REFRESH TABLE `${bandTable(root)}`")
+    } finally stale.unpersist()
+  }
+
+  /** Detect a clustered band layout from the bucketed-write file-name
+    * tag (part-...-XXXX_NNNNN.c000...) — fallback for pre-`_layout`
+    * stores only. */
+  private def bucketedBandFiles(f: FileSystem, root: String): Boolean =
+    f.listStatus(new Path(bandsPath(root)))
+      .filter(_.getPath.getName.startsWith("bucket="))
+      .exists(d => f.listStatus(d.getPath)
+        .exists(_.getPath.getName.matches(".*_\\d{5}\\.c\\d+.*")))
 
   /** The deduplicated corpus at `root`: docs whose id IS their live
     * cluster label (keep-min policy, exactly [[Dedup.dedupedCorpus]]).
     * Merge resolution is one broadcast expression over the tiny log —
-    * the historic store is never rewritten. */
+    * the historic store is never rewritten. NON-MUTATING (see
+    * [[docsView]]): safe to call concurrently with the writer. */
   def corpus(s: SparkSession, root: String, blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
-    heal(s, root)
     val mm = mergeMap(s, root)
-    withResolved(s.read.parquet(docsPath(root)), "cluster_id", "_live", mm)
+    withResolved(docsView(s, root), "cluster_id", "_live", mm)
       .filter(col("doc_id") === col("_live"))
       .select(col("doc_id") +: blockCols.map(col): _*)
   }
 
   /** Current (doc_id → live cluster label) assignment — d20's streaming
-    * counterpart, derived from the store plus merge resolution. */
+    * counterpart, derived from the store plus merge resolution.
+    * NON-MUTATING (see [[docsView]]). */
   def clusters(s: SparkSession, root: String): DataFrame = {
-    heal(s, root)
     val mm = mergeMap(s, root)
-    withResolved(s.read.parquet(docsPath(root)).select("doc_id", "cluster_id"),
+    withResolved(docsView(s, root).select("doc_id", "cluster_id"),
       "cluster_id", "_live", mm)
       .select(col("doc_id"), col("_live").as("cluster_id"))
   }

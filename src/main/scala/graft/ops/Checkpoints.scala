@@ -21,9 +21,18 @@ object Checkpoints {
   /** Install `dir` as the session's checkpoint directory. */
   def install(sc: SparkContext, dir: String): Unit = synchronized {
     val prev = sc.getCheckpointDir
-    // setCheckpointDir stores a qualified child path under the given
-    // dir, so substring containment is the right "same dir?" probe
-    if (prev.exists(p => !p.contains(dir)))
+    // setCheckpointDir stores a qualified RANDOM CHILD of the given
+    // dir, so "same dir?" = the stored child's parent path equals the
+    // qualified new dir. (Raw substring containment would both miss
+    // flips — '/tmp/a' is a substring of a child of '/tmp/ab' — and
+    // fire spuriously on a differently-qualified but identical dir.)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val qualified = p.getFileSystem(sc.hadoopConfiguration).makeQualified(p)
+    val flipped = prev.exists { pv =>
+      val parent = new org.apache.hadoop.fs.Path(pv).getParent
+      parent == null || parent != qualified
+    }
+    if (flipped)
       System.err.println(s"[graft] WARNING: checkpoint dir flip ${prev.get} -> $dir " +
         "(shared session state; in-flight lazy checkpoints will follow the new dir)")
     sc.setCheckpointDir(dir)

@@ -209,7 +209,8 @@ class Round7Spec extends SparkSpec {
       IncrementalDedup.failDuringCompact = fp
       try intercept[RuntimeException] { IncrementalDedup.compact(spark, root) }
       finally IncrementalDedup.failDuringCompact = 0
-      // reads heal the interrupted swap and stay correct
+      // reads are NON-MUTATING but see through the interrupted swap
+      // (the next writer entry heals it)
       assert(corpusSet(root) == expectedCorpus, s"failpoint $fp: corpus diverged")
       assert(clusterMap(root) == expectedClusters, s"failpoint $fp: clusters diverged")
       // store is fully functional afterwards: more upserts + a clean compact

@@ -1,0 +1,265 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, IncrementalDedup}
+
+/** Round 8: incremental-dedup store hardening — the persisted layout
+  * contract, non-mutating reads through interrupted compactions,
+  * checked renames/guarded deletes, band-index hygiene (bands ⊆ docs
+  * after compact) on both layouts, and catalog lifecycle. */
+class Round8Spec extends SparkSpec {
+
+  private def corpusSet(root: String): Set[(Long, String, String)] =
+    IncrementalDedup.corpus(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  private def clusterMap(root: String): Map[Long, Long] =
+    IncrementalDedup.clusters(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private lazy val batchCorpus: Set[(Long, String, String)] =
+    Dedup.dedupPipeline(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  /** A store with a two-hop merge chain (30→20→10) — the Round7Spec
+    * compaction fixture. */
+  private def chainedStore(): String = {
+    def win(start: Int) = (start until start + 90).map(i => s"wc$i").mkString(" ")
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_r8_cmp").toString
+    IncrementalDedup.upsertBatch(Seq((10L, win(1), "en", "web"),
+      (20L, win(17), "en", "web"), (30L, win(33), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"), root)
+    IncrementalDedup.upsertBatch(Seq((40L, win(25), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"), root) // merges 30 into 20
+    IncrementalDedup.upsertBatch(Seq((50L, win(9), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source"), root) // merges 20 into 10
+    root
+  }
+
+  // ---- persisted layout contract -----------------------------------
+
+  test("layout marker: flipping buckets/bucketedIndex/threshold on an existing store fails loudly") {
+    val root = Files.createTempDirectory("graft_r8_layout").toString
+    val docs = Tables.documents(spark, sf)
+    val half = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    IncrementalDedup.upsertBatch(half, root, buckets = 8)
+    val other = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // ADVICE's exact scenario: a restarted stream that forgets the
+    // store's layout must fail loudly, not silently miss collisions
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.upsertBatch(other, root, buckets = 16)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.upsertBatch(other, root, buckets = 8, bucketedIndex = true)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.upsertBatch(other, root, buckets = 8, threshold = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDedup.upsertBatch(other, root, buckets = 8, blockCols = Seq("lang"))
+    }
+    // the matching layout proceeds and the store stays exact
+    IncrementalDedup.upsertBatch(other, root, buckets = 8)
+    assert(corpusSet(root) == batchCorpus)
+  }
+
+  test("layout marker: a pre-marker store gets the contract backfilled on its next upsert") {
+    val root = Files.createTempDirectory("graft_r8_backfill").toString
+    val docs = Tables.documents(spark, sf)
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") % 2 === 0), root, buckets = 8)
+    // simulate a store created before layout markers existed
+    new java.io.File(s"$root/_layout").delete()
+    assert(IncrementalDedup.readLayout(spark, root).isEmpty)
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") % 2 === 1), root, buckets = 8)
+    val l = IncrementalDedup.readLayout(spark, root)
+    assert(l.contains(IncrementalDedup.Layout(8, bucketedIndex = false,
+      Seq("lang", "source"), 0.8)))
+    assert(corpusSet(root) == batchCorpus)
+  }
+
+  // ---- non-mutating reads (the ADVICE concurrent-heal hazard) ------
+
+  test("reads during an interrupted compaction mutate NOTHING and stay correct in every window") {
+    for (fp <- 1 to 3) {
+      val root = chainedStore()
+      val expectedCorpus = corpusSet(root)
+      val expectedClusters = clusterMap(root)
+      IncrementalDedup.failDuringCompact = fp
+      try intercept[RuntimeException] { IncrementalDedup.compact(spark, root) }
+      finally IncrementalDedup.failDuringCompact = 0
+      def snapshot(): Map[String, Boolean] =
+        Seq("_compacting", "docs", "docs_new", "docs_old", "merges")
+          .map(n => n -> new java.io.File(s"$root/$n").exists()).toMap
+      val before = snapshot()
+      assert(before("_compacting"), s"failpoint $fp left no marker")
+      // a concurrent reader racing the (apparently live) compaction:
+      // correct results, zero mutations — it must NOT "heal"
+      assert(corpusSet(root) == expectedCorpus, s"failpoint $fp: corpus diverged")
+      assert(clusterMap(root) == expectedClusters, s"failpoint $fp: clusters diverged")
+      assert(snapshot() == before,
+        s"failpoint $fp: a READ mutated the store ($before -> ${snapshot()})")
+      // only the writer entry heals
+      IncrementalDedup.compact(spark, root)
+      assert(!new java.io.File(s"$root/_compacting").exists())
+      assert(!new java.io.File(s"$root/docs_old").exists())
+      assert(!new java.io.File(s"$root/docs_new").exists())
+      assert(corpusSet(root) == expectedCorpus)
+      assert(clusterMap(root) == expectedClusters)
+    }
+  }
+
+  // ---- band-index hygiene ------------------------------------------
+
+  private def bandDocIds(root: String): Set[Long] =
+    spark.read.parquet(s"$root/bands").select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+
+  private def docIds(root: String): Set[Long] =
+    spark.read.parquet(s"$root/docs").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("compact drops band rows whose doc never landed; parity preserved (path layout)") {
+    val root = Files.createTempDirectory("graft_r8_hyg").toString
+    val docs = Tables.documents(spark, sf)
+    val chunk = (i: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    IncrementalDedup.upsertBatch(chunk(0), root)
+    IncrementalDedup.failAfterBands = true
+    try intercept[RuntimeException] { IncrementalDedup.upsertBatch(chunk(1), root) }
+    finally IncrementalDedup.failAfterBands = false
+    // stale band rows (chunk 1) are present before the hygiene pass
+    assert((bandDocIds(root) -- docIds(root)).nonEmpty)
+    IncrementalDedup.compact(spark, root)
+    assert((bandDocIds(root) -- docIds(root)).isEmpty,
+      "band index still holds docs that never landed")
+    // the dropped rows don't break parity: the retry re-bands the batch
+    IncrementalDedup.upsertBatch(chunk(1), root)
+    IncrementalDedup.upsertBatch(chunk(2), root)
+    assert(corpusSet(root) == batchCorpus)
+  }
+
+  test("compact band hygiene is a no-op on a clean store") {
+    val root = Files.createTempDirectory("graft_r8_hyg_noop").toString
+    IncrementalDedup.upsertBatch(Tables.documents(spark, sf), root)
+    def filesPerBucket: Map[String, Set[String]] =
+      new java.io.File(s"$root/bands").listFiles()
+        .filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val before = filesPerBucket
+    IncrementalDedup.compact(spark, root)
+    assert(filesPerBucket == before, "clean band index was rewritten")
+  }
+
+  test("band hygiene on the bucketed table keeps the clustered layout (zero-exchange join survives)") {
+    val root = Files.createTempDirectory("graft_r8_hyg_bkt").toString
+    val docs = Tables.documents(spark, sf)
+    val chunk = (i: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+    def up(df: org.apache.spark.sql.DataFrame): Unit =
+      IncrementalDedup.upsertBatch(df, root, bucketedIndex = true)
+    up(chunk(0))
+    IncrementalDedup.failAfterBands = true
+    try intercept[RuntimeException] { up(chunk(1)) }
+    finally IncrementalDedup.failAfterBands = false
+    IncrementalDedup.compact(spark, root)
+    assert((bandDocIds(root) -- docIds(root)).isEmpty)
+    // rewritten files still carry the bucket-id tag the clustered
+    // layout depends on
+    new java.io.File(s"$root/bands").listFiles()
+      .filter(_.getName.startsWith("bucket=")).foreach { d =>
+        val bucketId = d.getName.stripPrefix("bucket=").toInt
+        d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { fl =>
+          assert(fl.getName.contains(f"_$bucketId%05d"),
+            s"${fl.getName} lost its bucket tag after hygiene rewrite")
+        }
+      }
+    // the refreshed table sees exactly the surviving rows
+    val tbl = IncrementalDedup.bandTable(root)
+    assert(spark.table(tbl).count() == spark.read.parquet(s"$root/bands").count())
+    // zero-exchange historic join still plans with no index-side shuffle
+    val joinKey = Seq("band", "band_hash", "lang", "source")
+    val batch = Dedup.lshBands(
+        Dedup.lshTokens(chunk(0), Seq("lang", "source")), Seq("lang", "source"))
+      .withColumnRenamed("doc_id", "id_a")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = batch.join(spark.table(tbl).withColumnRenamed("doc_id", "id_b"), joinKey)
+        .filter(col("id_a") =!= col("id_b"))
+      val plan = j.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"index side shuffles after hygiene ($exchanges exchanges):\n$plan")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // the store is still fully functional: retry + finish, exact parity
+    up(chunk(1))
+    up(chunk(2))
+    assert(corpusSet(root) == batchCorpus)
+  }
+
+  test("band hygiene: a crash in every failpoint window heals forward; bands ⊆ docs holds after") {
+    for (fp <- 1 to 3) {
+      val root = Files.createTempDirectory(s"graft_r8_hyg_fp$fp").toString
+      val docs = Tables.documents(spark, sf)
+      val chunk = (i: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === i)
+      IncrementalDedup.upsertBatch(chunk(0), root)
+      IncrementalDedup.failAfterBands = true
+      try intercept[RuntimeException] { IncrementalDedup.upsertBatch(chunk(1), root) }
+      finally IncrementalDedup.failAfterBands = false
+      IncrementalDedup.failDuringBandCompact = fp
+      try intercept[RuntimeException] { IncrementalDedup.compact(spark, root) }
+      finally IncrementalDedup.failDuringBandCompact = 0
+      // docs-side reads unaffected by the band-tree crash window
+      assert(docIds(root).nonEmpty)
+      // the writer path heals and the store finishes exactly
+      IncrementalDedup.upsertBatch(chunk(1), root)
+      IncrementalDedup.upsertBatch(chunk(2), root)
+      IncrementalDedup.compact(spark, root)
+      assert(!new java.io.File(s"$root/_compacting_bands").exists(), s"fp$fp marker survived")
+      assert(!new java.io.File(s"$root/bands_old").exists(), s"fp$fp bands_old survived")
+      assert(!new java.io.File(s"$root/bands_new").exists(), s"fp$fp bands_new survived")
+      assert((bandDocIds(root) -- docIds(root)).isEmpty, s"fp$fp: bands ⊄ docs")
+      assert(corpusSet(root) == batchCorpus, s"fp$fp: corpus diverged")
+    }
+  }
+
+  // ---- catalog lifecycle -------------------------------------------
+
+  test("dropStore unregisters the band table and deletes the files") {
+    val root = Files.createTempDirectory("graft_r8_drop").toString
+    IncrementalDedup.upsertBatch(Tables.documents(spark, sf), root,
+      bucketedIndex = true)
+    val tbl = IncrementalDedup.bandTable(root)
+    assert(spark.catalog.tableExists(tbl))
+    IncrementalDedup.dropStore(spark, root)
+    assert(!spark.catalog.tableExists(tbl))
+    assert(!new java.io.File(root).exists())
+  }
+
+  test("unregisterBandTable leaves the files; the next upsert re-registers") {
+    val root = Files.createTempDirectory("graft_r8_unreg").toString
+    val docs = Tables.documents(spark, sf)
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") % 2 === 0), root,
+      bucketedIndex = true)
+    IncrementalDedup.unregisterBandTable(spark, root)
+    assert(!spark.catalog.tableExists(IncrementalDedup.bandTable(root)))
+    assert(new java.io.File(s"$root/bands").exists())
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") % 2 === 1), root,
+      bucketedIndex = true)
+    assert(corpusSet(root) == batchCorpus)
+  }
+
+  // ---- plan-literal guard ------------------------------------------
+
+  test("filterInLongSet: the broadcast-semi path past the literal cap matches isin exactly") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("cluster_id")
+    val wanted = Seq(3L, 17L, 42L, 99L)
+    val viaIsin = df.filter(col("cluster_id").isin(wanted: _*))
+      .collect().map(_.getLong(0)).toSet
+    val viaJoin = IncrementalDedup.filterInLongSet(df, "cluster_id", wanted, litMax = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaJoin == viaIsin)
+    assert(viaJoin == wanted.toSet)
+  }
+}
