@@ -31,12 +31,16 @@ import org.apache.spark.sql.SparkSession
   * (they inflate with queueing — compare plan shapes, not these,
   * across concurrency settings).
   *
-  * Two self-diagnostics ride the line: `probes` are the parse-only
+  * Three self-diagnostics ride the line: `probes` are the parse-only
   * q49/q53 timings over pre-materialized payload parquet (engine cost
-  * with the test scaffolding factored out — see ParseProbes), and
-  * `cal` is a fixed-cost calibration run at capture time, so a
-  * contended snapshot (inflated walls with an inflated `cal`) is
-  * self-evident from the artifact alone.
+  * with the test scaffolding factored out — see ParseProbes), run in a
+  * FRESH SparkSession so two suite passes of session state can't
+  * pollute them (round 7: 6.7-10s in-suite vs 1.58s solo); `cal` is a
+  * fixed-cost calibration run at capture time, so a contended snapshot
+  * (inflated walls with an inflated `cal`) is self-evident from the
+  * artifact alone; and `contended` makes that call explicit — when the
+  * warm pass's cal exceeds the quiet ceiling the warm suite re-runs
+  * once and the lower-cal capture is kept.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -100,39 +104,70 @@ object Bench {
       (results, wall)
     }
 
-    val (cold, wallCold) = runSuite()
-    val (warm, wallWarm) = runSuite()
-
-    // Parse-only probes (q49/q53 minus their payload-BUILD scaffolding):
-    // materialize the payload parquet once, then time parse+flatten
-    // alone — the engine cost a 100 TB deployment actually pays. Timed
-    // serially after the suites; second (warm) run is the number.
-    // Failure-isolated like the suite queries (-1, never a lost line):
-    // a probe crash must not discard two completed suite passes.
-    val probes: Seq[(String, Double)] =
-      try {
-        ParseProbes.prepare(spark, sfDir, ParseProbes.names).toSeq.sortBy(_._1)
-          .map { case (name, fn) =>
-            def once(): Double = {
-              val t0 = System.nanoTime()
-              fn().count()
-              (System.nanoTime() - t0) / 1e9
-            }
-            (name, try { once(); once() } catch { case _: Throwable => -1.0 })
-          }
-      } catch { case _: Throwable => ParseProbes.names.map(_ -> -1.0) }
-
     // Fixed-cost calibration, measured AT CAPTURE TIME: a driver-local
     // sum over 100M longs costs a near-constant slice of one core, so
     // an inflated `cal` in the snapshot means the capture itself ran
     // contended (the round-3/round-5 cold-wall artifact) — the JSON
     // line carries its own credibility check.
-    val cal =
+    def calOnce(s: SparkSession): Double =
       try {
         val t0 = System.nanoTime()
-        spark.range(100000000L).selectExpr("sum(id)").collect()
+        s.range(100000000L).selectExpr("sum(id)").collect()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
+
+    val (cold, wallCold) = runSuite()
+    var (warm, wallWarm) = runSuite()
+    var cal = calOnce(spark)
+    // Self-defense against contended captures: round 7's official
+    // artifact read a 76s wall with cal 0.983 (vs 0.22-0.36 quiet) —
+    // external load, not a regression, but the number entered the
+    // record. If the warm pass's cal exceeds the quiet ceiling, re-run
+    // the warm suite ONCE and keep the lower-cal capture; either way
+    // the line carries `contended` so downstream tooling never
+    // mistakes a loaded snapshot for a measurement.
+    val CalThreshold = 0.5
+    if (cal > CalThreshold) {
+      val (warm2, wallWarm2) = runSuite()
+      val cal2 = calOnce(spark)
+      if (cal2 >= 0 && cal2 < cal) { warm = warm2; wallWarm = wallWarm2; cal = cal2 }
+    }
+    val contended = cal > CalThreshold
+    val errs = (cold ++ warm).collect { case (k, _, false) => "\"" + k + "\"" }
+      .distinct.mkString("[", ",", "]")
+    spark.stop()
+
+    // Parse-only probes (q49/q53 minus their payload-BUILD scaffolding):
+    // materialize the payload parquet once, then time parse+flatten
+    // alone — the engine cost a 100 TB deployment actually pays. Run in
+    // a FRESH SparkSession: round 7's in-suite probes read 6.7-10s for
+    // q53_parse vs 1.58s solo (QProbe, same code/data) — two suite
+    // passes leave the session hot with catalog entries, the reliable-
+    // checkpoint dir's ContextCleaner churn, and cached/evicted blocks,
+    // and the probes inherited all of it. A fresh session measures the
+    // engine, matching what QProbe reports. Second (warm) run is the
+    // number. Failure-isolated (-1, never a lost line): a probe crash
+    // must not discard two completed suite passes.
+    val probes: Seq[(String, Double)] =
+      try {
+        val ps = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        ps.sparkContext.setLogLevel("WARN")
+        try {
+          ParseProbes.prepare(ps, sfDir, ParseProbes.names).toSeq.sortBy(_._1)
+            .map { case (name, fn) =>
+              def once(): Double = {
+                val t0 = System.nanoTime()
+                fn().count()
+                (System.nanoTime() - t0) / 1e9
+              }
+              (name, try { once(); once() } catch { case _: Throwable => -1.0 })
+            }
+        } finally ps.stop()
+      } catch { case _: Throwable => ParseProbes.names.map(_ -> -1.0) }
     // A failed query reports -1, never a wall-clock that looks like a pass.
     // Values are truncated to 3 decimals and only ONE per-query map
     // (the warm pass) goes on the JSON line: round 4's line carried
@@ -143,13 +178,10 @@ object Bench {
     def fmt(rs: Seq[(String, Double, Boolean)]): String =
       rs.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) f3(v) else "-1") }
         .mkString("{", ",", "}")
-    val errs = (cold ++ warm).collect { case (k, _, false) => "\"" + k + "\"" }
-      .distinct.mkString("[", ",", "]")
     val probesJson = probes.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // `wall` (warm) is repeated as the LAST field: the driver captures
     // the tail of long lines and the headline must survive truncation.
-    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"contended":$contended,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
   }
 }
