@@ -40,6 +40,36 @@ object Monitoring {
     l
   }
 
+  /** Metrics sink for the streaming IVF maintenance loop: records each
+    * micro-batch's drift gauge (EventStream.ivfAppendStream's `onDrift`
+    * hook) against the index generation's BASELINE and latches
+    * [[graft.operators.Similarity.shouldRecluster]] — the stream-side
+    * face of the evidence-driven re-cluster trigger. The maintenance
+    * loop polls `tripped` and, when set, runs reclusterIvfIndex into a
+    * new generation and swaps readers (then starts a fresh tracker
+    * against the new baseline). Thread-safe: `record` runs on the
+    * stream execution thread, readers on the maintenance thread.
+    */
+  class IvfDriftTracker(baseline: graft.operators.Similarity.IvfDrift,
+      maxDistRatio: Double = 1.5, maxSkew: Double = 4.0) {
+    private val history = new ConcurrentLinkedQueue[graft.operators.Similarity.IvfDrift]()
+    @volatile private var trippedFlag = false
+    def record(d: graft.operators.Similarity.IvfDrift): Unit = {
+      history.add(d)
+      if (graft.operators.Similarity.shouldRecluster(baseline, d, maxDistRatio, maxSkew))
+        trippedFlag = true
+    }
+    /** Latched: once any batch's gauge crosses the threshold, stays set
+      * until a new tracker (= new index generation) replaces this one. */
+    def tripped: Boolean = trippedFlag
+    def drain(): Seq[graft.operators.Similarity.IvfDrift] = {
+      val out = Vector.newBuilder[graft.operators.Similarity.IvfDrift]
+      var d = history.poll()
+      while (d != null) { out += d; d = history.poll() }
+      out.result()
+    }
+  }
+
   /** Run a (streaming or batch) body with restart-on-failure + linear
     * backoff — the stream controller's reconnect loop. Returns the
     * number of attempts used; rethrows after maxRestarts failures.

@@ -296,7 +296,11 @@ object EventStream {
 
   /** See [[LatestProcessor]]. TimeMode.None when no TTL (pure data
     * state), ProcessingTime when a TTL is set (the store tracks expiry
-    * wall-clock). */
+    * wall-clock). Snapshot × TTL: handleInitialState writes through
+    * the SAME TTL-configured state as live updates, so snapshot-seeded
+    * keys expire `ttl` after the seeding batch like any other write —
+    * a snapshot is a head start, not an immortal row (spec-pinned in
+    * Round8Spec). */
   def latestPerKeyTtl(stream: Dataset[Tick],
       ttl: Option[java.time.Duration] = None,
       initial: Option[Dataset[Latest]] = None): Dataset[Latest] = {
@@ -603,18 +607,22 @@ object EventStream {
     * embeddings (vec_id, embedding) appends into a persisted IVF index
     * by assignment to the FROZEN centroids — the streaming face of
     * Similarity.appendToIvfIndex (same drift trade, same bucket-only
-    * touch set). Re-clustering stays a batch-side periodic job, like
-    * the dim-table rebuilds in the reference's batch MERGE layer.
+    * touch set). Each batch's IvfDrift gauge feeds `onDrift` (wire a
+    * [[graft.ops.Monitoring.IvfDriftTracker]] to latch the evidence-
+    * driven re-cluster trigger); re-clustering itself stays a
+    * batch-side job (Similarity.reclusterIvfIndex) the maintenance
+    * loop schedules when the tracker trips, like the dim-table
+    * rebuilds in the reference's batch MERGE layer. The callback runs
+    * on the stream execution thread — keep it cheap and thread-safe.
     */
   def ivfAppendStream(stream: DataFrame, cents: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      onDrift: graft.operators.Similarity.IvfDrift => Unit = _ => ()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // the returned per-batch drift gauge is a monitoring hook; the
-        // bounded smoke path has no metrics sink to feed it to
-        graft.operators.Similarity.appendToIvfIndex(batch.toDF(), cents, path)
-        ()
+        onDrift(graft.operators.Similarity.appendToIvfIndex(batch.toDF(), cents, path))
       }
       .start()
 

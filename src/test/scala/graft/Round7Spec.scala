@@ -382,36 +382,6 @@ class Round7Spec extends SparkSpec {
 
   // ---- IVF centroid drift -------------------------------------------
 
-  /** Deterministic synthetic corpus for the drift story. Old
-    * distribution: 6 tight clusters on scaled basis axes (dims 0-5).
-    * Drifted distribution: 3 tight clusters at MIDPOINTS of old-center
-    * pairs — each straddles an old Voronoi boundary, so under the
-    * frozen quantizer a query's true neighbors split across two
-    * buckets and fixed-probe recall decays; after re-clustering each
-    * new mode gets its own centroid. */
-  private object DriftFixture {
-    val dim = 16
-    private def axis(i: Int) = Array.tabulate(dim)(j => if (j == i) 4.0f else 0.0f)
-    private def mid(i: Int, j: Int) =
-      Array.tabulate(dim)(d => if (d == i || d == j) 2.0f else 0.0f)
-    // cluster membership interleaves by id (id % nClusters) so kmeans'
-    // deterministic first-k-by-id seeding starts with one seed per
-    // cluster rather than k seeds inside the first cluster
-    private def mk(ids: Range, centers: IndexedSeq[Array[Float]], seed: Int) = {
-      val rnd = new scala.util.Random(seed)
-      ids.map { i =>
-        val c = centers(i % centers.length)
-        (i.toLong, c.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.5f))
-      }
-    }
-    private val oldCenters = (0 until 6).map(axis)
-    private val newCenters = (0 until 3).map(c => mid(2 * c, 2 * c + 1))
-    val initial: Seq[(Long, Array[Float])] = mk(0 until 600, oldCenters, 11)
-    val drifted: Seq[(Long, Array[Float])] = mk(1000 until 1600, newCenters, 31)
-    val inDist: Seq[(Long, Array[Float])] = mk(2000 until 2060, oldCenters, 51)
-    val queries: Seq[(Long, Array[Float])] = mk(9000 until 9015, newCenters, 71)
-  }
-
   test("IVF drift: a drifted append trips shouldRecluster, an in-distribution append does not") {
     import graft.operators.Similarity
     import spark.implicits._
@@ -497,4 +467,35 @@ class Round7Spec extends SparkSpec {
     assert(auto.nonEmpty)
     pairs.unpersist()
   }
+}
+
+/** Deterministic synthetic corpus for the drift story (shared by
+  * Round7Spec's batch drift tests and Round8Spec's streaming
+  * maintenance loop). Old distribution: 6 tight clusters on scaled
+  * basis axes (dims 0-5). Drifted distribution: 3 tight clusters at
+  * MIDPOINTS of old-center pairs — each straddles an old Voronoi
+  * boundary, so under the frozen quantizer a query's true neighbors
+  * split across two buckets and fixed-probe recall decays; after
+  * re-clustering each new mode gets its own centroid. */
+private[graft] object DriftFixture {
+  val dim = 16
+  private def axis(i: Int) = Array.tabulate(dim)(j => if (j == i) 4.0f else 0.0f)
+  private def mid(i: Int, j: Int) =
+    Array.tabulate(dim)(d => if (d == i || d == j) 2.0f else 0.0f)
+  // cluster membership interleaves by id (id % nClusters) so kmeans'
+  // deterministic first-k-by-id seeding starts with one seed per
+  // cluster rather than k seeds inside the first cluster
+  private def mk(ids: Range, centers: IndexedSeq[Array[Float]], seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    ids.map { i =>
+      val c = centers(i % centers.length)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.5f))
+    }
+  }
+  private val oldCenters = (0 until 6).map(axis)
+  private val newCenters = (0 until 3).map(c => mid(2 * c, 2 * c + 1))
+  val initial: Seq[(Long, Array[Float])] = mk(0 until 600, oldCenters, 11)
+  val drifted: Seq[(Long, Array[Float])] = mk(1000 until 1600, newCenters, 31)
+  val inDist: Seq[(Long, Array[Float])] = mk(2000 until 2060, oldCenters, 51)
+  val queries: Seq[(Long, Array[Float])] = mk(9000 until 9015, newCenters, 71)
 }

@@ -262,4 +262,127 @@ class Round8Spec extends SparkSpec {
     assert(viaJoin == viaIsin)
     assert(viaJoin == wanted.toSet)
   }
+
+  // ---- streaming IVF maintenance loop ------------------------------
+
+  test("streaming IVF maintenance: drift trips through ivfAppendStream's tracker and re-cluster restores recall") {
+    import graft.operators.Similarity
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = Files.createTempDirectory("graft_r8_ivf_loop").toString
+    val initial = DriftFixture.initial.toDF("vec_id", "embedding")
+    val cents = Similarity.buildIvfIndex(initial, k = 6, iters = 3, s"$root/idx")
+    // generation baseline: drift of the content the quantizer was fit to
+    val baseline = Similarity.ivfDrift(initial, cents)
+    val tracker = new graft.ops.Monitoring.IvfDriftTracker(baseline)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventStream.ivfAppendStream(
+      input.toDF().toDF("vec_id", "embedding"), cents, s"$root/idx",
+      Files.createTempDirectory("graft_r8_ivf_ck").toString,
+      onDrift = tracker.record)
+    // an in-distribution micro-batch leaves the trigger unarmed
+    input.addData(DriftFixture.inDist)
+    q.processAllAvailable()
+    assert(!tracker.tripped, "in-distribution batch tripped the tracker")
+    // the drifted stream arms it (latched across later batches)
+    val (d1, d2) = DriftFixture.drifted.splitAt(DriftFixture.drifted.size / 2)
+    input.addData(d1)
+    q.processAllAvailable()
+    input.addData(d2)
+    q.processAllAvailable()
+    q.stop()
+    assert(tracker.tripped, "drifted stream never tripped shouldRecluster")
+    val gauges = tracker.drain()
+    assert(gauges.size == 3, s"expected one gauge per micro-batch, got $gauges")
+
+    // the maintenance response the trip schedules: measure recall under
+    // the frozen quantizer, re-cluster into a new generation, re-measure
+    val queries = DriftFixture.queries.toDF("vec_id", "embedding")
+    val corpus = spark.read.parquet(s"$root/idx").select("vec_id", "embedding")
+    val truth = corpus
+      .join(broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))),
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("embedding")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5).select("q_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallOf(path: String, cs: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.probeIvfIndex(spark, path, cs, queries, topK = 5, nprobe = 1)
+        .select("q_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      truth.map { case (qid, t) =>
+        got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val before = recallOf(s"$root/idx", cents)
+    val cents2 = Similarity.reclusterIvfIndex(spark, s"$root/idx", s"$root/idx2", k = 9, iters = 4)
+    val after = recallOf(s"$root/idx2", cents2)
+    assert(before <= 0.8, s"fixture failed to decay recall (before=$before)")
+    assert(after >= before + 0.15, s"re-cluster did not restore recall: $before -> $after")
+    assert(after >= 0.9, s"post-recluster recall too low: $after")
+  }
+
+  // ---- initial-state × TTL -----------------------------------------
+
+  test("latestPerKeyTtl: snapshot-seeded state carries the TTL from seed time (poll-and-stop)") {
+    // the pinned semantics: handleInitialState writes through the SAME
+    // TTL-configured ValueState as live updates, so a snapshot-seeded
+    // key's state expires `ttl` after the seeding batch — a snapshot is
+    // a head start, not an immortal row. Seeded keys that receive a
+    // tick within the TTL continue from the snapshot (n_seen resumes);
+    // seeded keys left idle past the TTL age out store-natively and a
+    // later tick sees absent state (n_seen restarts at 1).
+    import graft.streaming.EventStream
+    import graft.streaming.EventStream.{Latest, Tick}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val snapshot = Seq(
+        Latest(7L, ts("2024-01-10 09:00:00"), 70.0, 5L, 100L),
+        Latest(8L, ts("2024-01-10 09:00:00"), 80.0, 3L, 200L)).toDS()
+      val input = MemoryStream[Tick]
+      val q = EventStream.latestPerKeyTtl(input.toDS(),
+          ttl = Some(java.time.Duration.ofMillis(500)),
+          initial = Some(snapshot)).toDF()
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_ttl_seed_out").start()
+      def lastSeen(user: Long, t: java.sql.Timestamp): Option[Long] = {
+        val r = spark.table("tws_ttl_seed_out")
+          .filter(col("user_id") === user && col("ts") === t)
+          .select("n_seen").collect()
+        r.lastOption.map(_.getLong(0))
+      }
+      def await(cond: => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 30000
+        while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+        assert(cond, "condition not reached within 30s")
+      }
+      // batch 0: the snapshot seeds BOTH keys; user 7's tick lands in
+      // the same batch, inside the TTL by construction — it continues
+      // from the snapshot (n_seen 5 -> 6)
+      input.addData(Tick(1L, ts("2024-01-10 10:00:00"), 7L, "view", 1.0))
+      await(lastSeen(7L, ts("2024-01-10 10:00:00")).contains(6L))
+      Thread.sleep(2000) // >> 500ms TTL: user 8's seeded state ages out idle
+      input.addData(Tick(2L, ts("2024-01-10 10:05:00"), 8L, "view", 2.0))
+      // absent state again: the snapshot did NOT outlive its TTL
+      await(lastSeen(8L, ts("2024-01-10 10:05:00")).contains(1L))
+      q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
