@@ -473,8 +473,8 @@ object SparkEntry {
 
     "q40_winsorize" ->
       s"""WITH bounds AS (
-         |  SELECT event_type AS et, quantile_cont(value, 0.05) AS p05,
-         |         quantile_cont(value, 0.95) AS p95
+         |  SELECT event_type AS et, ROUND(quantile_cont(value, 0.05), 6) AS p05,
+         |         ROUND(quantile_cont(value, 0.95), 6) AS p95
          |  FROM events GROUP BY event_type)
          |SELECT event_type, COUNT(*) AS n_events,
          |  CAST(SUM(CAST(LEAST(GREATEST(value, p05), p95) AS $DEC)) AS DOUBLE) AS clipped_sum,

@@ -35,8 +35,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = rd(s, d, "events")
+    // the driver's table is TIMESTAMP(NANOS) (read as long under the
+    // legacy conf); the amplified beyond-sf0.1 probe dir (Amplify) and
+    // any user-supplied table carry ordinary µs timestamps — accept both
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = rd(s, d, "documents")

@@ -283,9 +283,17 @@ object Relational {
     */
   def winsorize(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    // bounds rounded to 6 dp in BOTH dialects: the engines interpolate
+    // the percentile with mathematically-equal but FP-different
+    // formulas (lo + f·(hi−lo) vs lo·(1−f) + hi·f), so the raw bound
+    // can differ by an ulp — and when the data is dense around it
+    // (first seen at the 10× amplified probe, never at sf≤0.1) the
+    // strict n_clipped comparison flips rows. Rounding collapses the
+    // ulp gap; clipping at a 6-dp bound is the same discipline dsum's
+    // DECIMAL(·,6) already imposes on the sums.
     val bounds = ev.groupBy(col("event_type").as("et"))
-      .agg(expr("percentile(value, 0.05)").as("p05"),
-        expr("percentile(value, 0.95)").as("p95"))
+      .agg(round(expr("percentile(value, 0.05)"), 6).as("p05"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
     ev.join(broadcast(bounds), ev("event_type") === col("et"))
       .withColumn("clipped", least(greatest(col("value"), col("p05")), col("p95")))
       .groupBy(col("event_type"))
