@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chains, Dedup, Relational, Silver, Similarity, Sketches, TimeSeries}
+import graft.operators.{Chains, Curation, Dedup, Relational, Silver, Similarity, Sketches, TimeSeries}
 import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -160,6 +160,13 @@ object SparkEntry {
           element_at(col("histogram"), 1).as("hist0"), col("checksum"))
         .orderBy("doc_id")
     }),
+    // corpus curation (post-dedup hygiene, all oracle-exact):
+    // benchmark decontamination via broadcast 8-gram semi-join
+    "d24_decontaminate"   -> (Curation.decontaminate _),
+    // Gopher-style duplicate-3-gram fraction, one narrow map pass
+    "d25_repetition_score" -> (Curation.repetitionScore _),
+    // deterministic (md5-hash) domain-mixture downsample — replayable
+    "d26_domain_mix"      -> (Curation.domainMixSample _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -899,5 +906,42 @@ object SparkEntry {
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |  md5(text) AS fp_raw
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d24_decontaminate" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS ng
+        |  FROM docs, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+        |  WHERE len(ws) >= 8),
+        |bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id % 7 = 0)
+        |SELECT doc_id, COUNT(DISTINCT ng) AS n_hits
+        |FROM grams JOIN bench USING (ng)
+        |WHERE doc_id % 7 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d25_repetition_score" ->
+      """WITH ng AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |                   i -> array_to_string(ws[i:i+2], ' ')) AS ngs
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3)
+        |SELECT doc_id, CAST(len(ngs) AS BIGINT) AS n_ngrams,
+        |  (len(ngs) - len(list_distinct(ngs))) / len(ngs) AS rep_frac
+        |FROM ng ORDER BY doc_id""".stripMargin,
+
+    "d26_domain_mix" ->
+      """WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+        |rates AS (SELECT source,
+        |  LEAST(CAST(1.0 AS DOUBLE),
+        |        CAST(0.5 AS DOUBLE) * (SELECT SUM(n_src) FROM counts)
+        |          / (SELECT COUNT(*) FROM counts) / n_src) AS keep_rate
+        |  FROM counts),
+        |u AS (SELECT doc_id, source,
+        |        CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 AS u
+        |      FROM documents)
+        |SELECT doc_id, source FROM u JOIN rates USING (source)
+        |WHERE u < keep_rate ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-corpus curation operators a 100 TB LLM data pipeline runs
+  * after dedup: benchmark decontamination, intra-document repetition
+  * scoring, and deterministic domain-mixture resampling. All three are
+  * oracle-checked (exact SQL twins in SparkEntry.oracleSql) — unlike
+  * the LSH/ANN family these are exact set/arithmetic semantics, so
+  * they get the strong gate.
+  *
+  * Reference analog: the staging→silver cleansing layer
+  * (/root/reference/docs/sql_server.md "the data at this point is
+  * mostly pristine") generalized to the corpus-hygiene passes every
+  * published LLM data pipeline (C4, Gopher, RefinedWeb) describes.
+  */
+object Curation {
+
+  /** Word 8-grams as strings, 1-based slide over the split text; docs
+    * shorter than n words contribute none (Spark's sequence(1, k<1)
+    * DESCENDS instead of returning empty — the size filter is load-
+    * bearing, the DuckDB twin's generate_series is empty on its own). */
+  private def explodedNgrams(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= n)
+      .withColumn("ng", explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))")))
+      .select("doc_id", "ng")
+
+  /** d24: benchmark decontamination — flag training docs sharing any
+    * word 8-gram with the held-out eval slice (doc_id % 7 == 0 stands
+    * in for the benchmark corpus), with the overlapping-gram count as
+    * the contamination score. The shape that survives 100 TB: eval
+    * suites are tiny, so their distinct-gram set BROADCASTS and the
+    * corpus side is one map-side explode + broadcast semi-join +
+    * groupBy(doc) — no corpus-sized shuffle of gram strings.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    decontaminateOf(docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0))
+  }
+
+  /** Core of [[decontaminate]] over explicit training/benchmark frames
+    * (both (doc_id, text)). */
+  def decontaminateOf(training: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val bench = explodedNgrams(benchmark, n).select("ng").distinct()
+    explodedNgrams(training, n)
+      .join(broadcast(bench), "ng")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("ng")).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** d25: Gopher-style repetition gauge — the fraction of a document's
+    * word 3-grams that are duplicates of an earlier one. Pure per-row
+    * array arithmetic (no explode, no shuffle): the scale cost is one
+    * narrow map pass, the cheapest possible shape. Division stays
+    * int-exact into one double op so both engines produce identical
+    * bits.
+    */
+  def repetitionScore(s: SparkSession, d: String): DataFrame =
+    repetitionScoreOf(Tables.documents(s, d))
+
+  /** Core of [[repetitionScore]] over an explicit (doc_id, text) frame. */
+  def repetitionScoreOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("ngs", expr(
+        "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))"))
+      .select(col("doc_id"),
+        size(col("ngs")).cast("long").as("n_ngrams"),
+        ((size(col("ngs")) - size(array_distinct(col("ngs")))).cast("double")
+          / size(col("ngs"))).as("rep_frac"))
+      .orderBy("doc_id")
+
+  /** Deterministic uniform in [0, 1) from the doc id: first 8 hex
+    * chars of md5, identical in DuckDB as
+    * CAST(CONCAT('0x', SUBSTRING(md5(...), 1, 8)) AS BIGINT) / 2^32.
+    * Hash-based, not rand(): the sample is REPLAYABLE — the property
+    * that makes a 100 TB sampling job restartable and auditable. */
+  private def hashU: org.apache.spark.sql.Column =
+    expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+      .divide(lit(4294967296.0))
+
+  /** d26: domain-mixture resampling — resample the corpus toward a
+    * UNIFORM source mixture at `targetFrac` of its size: every source
+    * gets the same row budget (targetFrac × total / n_sources), so
+    * over-represented domains are downsampled toward it and already-
+    * small ones are kept whole (keep_rate capped at 1). Selection is
+    * by the deterministic per-doc hash, never rand().
+    * Scale shape: one tiny per-source count agg broadcast back onto a
+    * single filtering map pass over the corpus; no corpus shuffle, and
+    * a re-run (or a replayed micro-batch) keeps exactly the same docs.
+    */
+  def domainMixSample(s: SparkSession, d: String): DataFrame =
+    domainMixSampleOf(Tables.documents(s, d).select("doc_id", "source"))
+
+  /** Core of [[domainMixSample]] over an explicit (doc_id, source)
+    * frame. The arithmetic runs left-to-right in doubles over exact
+    * ints — the identical op sequence the DuckDB oracle writes, so the
+    * keep_rate bits match across engines. */
+  def domainMixSampleOf(docs: DataFrame, targetFrac: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val totals = counts.agg(sum(col("n_src")).as("total"),
+      count(lit(1)).as("n_groups"))
+    val rates = counts
+      .crossJoin(broadcast(totals))
+      .select(col("source"),
+        least(lit(1.0),
+          lit(targetFrac) * col("total") / col("n_groups") / col("n_src"))
+          .as("keep_rate"))
+    docs
+      .withColumn("u", hashU)
+      .join(broadcast(rates), "source")
+      .filter(col("u") < col("keep_rate"))
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+}

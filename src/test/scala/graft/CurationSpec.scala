@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Corpus-curation operators (d24-d26): planted-fixture semantics plus
+  * the plan shapes that make them 100 TB-safe (broadcast gram join, no
+  * corpus-side shuffle before the sample filter). */
+class CurationSpec extends SparkSpec {
+
+  test("decontaminate: only docs sharing an 8-gram with the benchmark are flagged, scored by distinct overlap") {
+    import spark.implicits._
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")          // w1..w20
+    val bench = Seq((100L, w)).toDF("doc_id", "text")
+    val training = Seq(
+      // contains w3..w10 and w4..w11 → two distinct benchmark 8-grams
+      (1L, (3 to 11).map(i => s"w$i").mkString(" ")),
+      // same words, order scrambled → no 8-gram survives
+      (2L, Seq(4, 3, 6, 5, 8, 7, 10, 9, 11).map(i => s"w$i").mkString(" ")),
+      // disjoint vocabulary
+      (3L, (30 to 45).map(i => s"x$i").mkString(" ")),
+      // shorter than 8 words: contributes no grams at all
+      (4L, (1 to 7).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminateOf(training, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L), s"unexpected contamination map: $got")
+  }
+
+  test("decontaminate: the benchmark gram set joins by BROADCAST (eval sets are tiny; the corpus side must not shuffle)") {
+    val plan = SparkEntry.queries("d24_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"gram join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join crept in:\n$plan")
+  }
+
+  test("repetitionScore: duplicate-3-gram fraction on planted repetitive vs all-distinct docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),      // grams: aba, bab, aba, bab → 4 total, 2 distinct
+      (2L, "a b c d e"),        // all distinct → 0.0
+      (3L, "x y")               // < 3 words → filtered out
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionScoreOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 4L, 0.5), (2L, 3L, 0.0)))
+  }
+
+  test("domainMixSample: deterministic replay, skewed sources downsampled toward the uniform budget") {
+    import spark.implicits._
+    // skewed sources: big=400 docs, mid=100, small=25; targetFrac 0.5
+    // → per-source budget 0.5 × 525 / 3 = 87.5: big keeps ~22%, mid
+    // ~88%, small is under budget and keeps everything (rate capped)
+    val docs = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (0 until 100).map(i => (1000L + i, "mid")) ++
+      (0 until 25).map(i => (2000L + i, "small"))).toDF("doc_id", "source")
+    val kept = Curation.domainMixSampleOf(docs)
+    val a = kept.collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = kept.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.toSeq == b.toSeq, "hash-based sample is not replay-deterministic")
+    val bySrc = a.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("small") == 25, s"under-budget source was subsampled: $bySrc")
+    // binomial around the 87.5 budget — generous ±4σ slack
+    assert(bySrc("big") >= 55 && bySrc("big") <= 120, s"big source off budget: $bySrc")
+    assert(bySrc("mid") >= 70 && bySrc("mid") <= 100, s"mid source off budget: $bySrc")
+    // sample is a subset of the input, no duplicates introduced
+    assert(a.distinct.length == a.length)
+  }
+
+  test("curation entries: registered queries run and the oracle dialect stays aligned") {
+    // rows>0 over the real corpus at test SF; the exact-parity gate is
+    // the driver selfcheck (run at sf0.01/sf0.1/amplified this round)
+    Seq("d24_decontaminate", "d25_repetition_score", "d26_domain_mix").foreach { k =>
+      assert(SparkEntry.queries(k)(spark, sf).count() > 0, s"$k returned no rows")
+      assert(SparkEntry.oracleSql.contains(k), s"$k has no oracle SQL")
+    }
+  }
+}
