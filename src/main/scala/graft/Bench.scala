@@ -31,16 +31,17 @@ import org.apache.spark.sql.SparkSession
   * (they inflate with queueing — compare plan shapes, not these,
   * across concurrency settings).
   *
-  * Three self-diagnostics ride the line: `probes` are the parse-only
+  * Self-diagnostics ride the line: `probes` are the parse-only
   * q49/q53 timings over pre-materialized payload parquet (engine cost
   * with the test scaffolding factored out — see ParseProbes), run in a
   * FRESH SparkSession so two suite passes of session state can't
   * pollute them (round 7: 6.7-10s in-suite vs 1.58s solo); `cal` is a
-  * fixed-cost calibration run at capture time, so a contended snapshot
-  * (inflated walls with an inflated `cal`) is self-evident from the
-  * artifact alone; and `contended` makes that call explicit — when the
-  * warm pass's cal exceeds the quiet ceiling the warm suite re-runs
-  * once and the lower-cal capture is kept.
+  * fixed-cost calibration run at capture time; `ext_cores` is the
+  * external CPU load integrated over the warm pass (/proc jiffy
+  * deltas minus this JVM's — the gauge a bursty external load can't
+  * dodge between probes); and `contended` makes the call explicit —
+  * when either gauge trips, the warm suite re-runs once and the
+  * less-contended capture is kept.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -84,9 +85,28 @@ object Bench {
         m.toSeq.filterNot { case (n, _) => heavyFirst.contains(n) }
     }
 
-    def runSuite(): (Seq[(String, Double, Boolean)], Double) = {
+    // Whole-window external-load gauge: total non-idle jiffies machine-
+    // wide minus THIS process's (local-mode Spark is single-JVM, so self
+    // = driver + executors). A point-in-time calibration probe after the
+    // suite can land in a lull of a bursty external load (measured: a
+    // 32-core concurrent job inflated the warm wall 1.7× while cal read
+    // a quiet 0.275) — the jiffy delta integrates over the whole pass
+    // and our own saturation can't fake it. Cores of external load =
+    // jiffy delta / (USER_HZ × wall); USER_HZ is 100 on this platform.
+    def procBusy(): Option[(Long, Long)] =
+      try {
+        val tot = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        // indices 3/4 are idle/iowait; everything else is busy time
+        val busyAll = tot.indices.collect { case i if i != 3 && i != 4 => tot(i) }.sum
+        val self = scala.io.Source.fromFile("/proc/self/stat").mkString.trim.split(" ")
+        Some((busyAll, self(13).toLong + self(14).toLong)) // utime + stime
+      } catch { case _: Throwable => None }
+
+    def runSuite(): (Seq[(String, Double, Boolean)], Double, Double) = {
       val pool = Executors.newFixedThreadPool(conc)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val busy0 = procBusy()
       val wall0 = System.nanoTime()
       val futures = ordered.map { case (name, fn) =>
         Future {
@@ -101,7 +121,12 @@ object Bench {
       val results = Await.result(Future.sequence(futures), Duration.Inf)
       val wall = (System.nanoTime() - wall0) / 1e9
       pool.shutdown()
-      (results, wall)
+      val extCores = (busy0, procBusy()) match {
+        case (Some((a0, s0)), Some((a1, s1))) =>
+          math.max(0.0, ((a1 - a0) - (s1 - s0)) / (100.0 * wall))
+        case _ => -1.0
+      }
+      (results, wall, extCores)
     }
 
     // Fixed-cost calibration, measured AT CAPTURE TIME: a driver-local
@@ -116,23 +141,30 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
 
-    val (cold, wallCold) = runSuite()
-    var (warm, wallWarm) = runSuite()
+    val (cold, wallCold, _) = runSuite()
+    var (warm, wallWarm, ext) = runSuite()
     var cal = calOnce(spark)
     // Self-defense against contended captures: round 7's official
     // artifact read a 76s wall with cal 0.983 (vs 0.22-0.36 quiet) —
     // external load, not a regression, but the number entered the
-    // record. If the warm pass's cal exceeds the quiet ceiling, re-run
-    // the warm suite ONCE and keep the lower-cal capture; either way
-    // the line carries `contended` so downstream tooling never
-    // mistakes a loaded snapshot for a measurement.
+    // record. Two gauges: `cal` (point-in-time fixed-cost probe) and
+    // `ext_cores` (external CPU integrated over the warm pass — the
+    // one a bursty load can't dodge). If either trips, re-run the warm
+    // suite ONCE and keep the less-contended capture; either way the
+    // line carries `contended` so downstream tooling never mistakes a
+    // loaded snapshot for a measurement.
     val CalThreshold = 0.5
-    if (cal > CalThreshold) {
-      val (warm2, wallWarm2) = runSuite()
+    val ExtCoresThreshold = 2.0
+    def loaded(c: Double, e: Double) = c > CalThreshold || e > ExtCoresThreshold
+    if (loaded(cal, ext)) {
+      val (warm2, wallWarm2, ext2) = runSuite()
       val cal2 = calOnce(spark)
-      if (cal2 >= 0 && cal2 < cal) { warm = warm2; wallWarm = wallWarm2; cal = cal2 }
+      if (ext2 >= 0 && (ext < 0 || ext2 < ext)) {
+        warm = warm2; wallWarm = wallWarm2; ext = ext2
+        if (cal2 >= 0) cal = cal2
+      }
     }
-    val contended = cal > CalThreshold
+    val contended = loaded(cal, ext)
     val errs = (cold ++ warm).collect { case (k, _, false) => "\"" + k + "\"" }
       .distinct.mkString("[", ",", "]")
     spark.stop()
@@ -164,7 +196,11 @@ object Bench {
                 fn().count()
                 (System.nanoTime() - t0) / 1e9
               }
-              (name, try { once(); once() } catch { case _: Throwable => -1.0 })
+              // one cold run pays the fresh session's codegen/JIT, then
+              // min of two warm runs — a single warm pass still jittered
+              // ~2× across captures (GC from the stopped suite session)
+              (name, try { once(); math.min(once(), once()) }
+                catch { case _: Throwable => -1.0 })
             }
         } finally ps.stop()
       } catch { case _: Throwable => ParseProbes.names.map(_ -> -1.0) }
@@ -182,6 +218,6 @@ object Bench {
       .mkString("{", ",", "}")
     // `wall` (warm) is repeated as the LAST field: the driver captures
     // the tail of long lines and the headline must survive truncation.
-    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"contended":$contended,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
+    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"ext_cores":${f3(ext)},"contended":$contended,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
   }
 }

@@ -153,6 +153,28 @@ object ScaleSmoke {
       println("[scale]   stages: " + stats.map { case (n, c) => s"$n=$c" }.mkString(" "))
       chunks.count()
     }
+    // curation passes at 1M docs. Decontamination against a REALISTIC
+    // eval slice (~1k docs — eval suites are tiny; that's what makes
+    // the gram set broadcastable): planted duplicate pairs guarantee
+    // benchmark 8-grams appear in training docs.
+    time("decontaminate 1M vs 1k bench") {
+      operators.Curation.decontaminateOf(
+        docsBig.filter(col("doc_id") % 997 =!= 0),
+        docsBig.filter(col("doc_id") % 997 === 0)).count()
+    }
+    time("repetition score 1M docs") {
+      operators.Curation.repetitionScoreOf(docsBig).count()
+    }
+    // skewed mixture: one source holds 70% of the corpus, nine split
+    // the rest — the budget form must bite the big one only
+    time("domain mix sample 1M docs") {
+      val sourced = docsBig.withColumn("source",
+        expr("concat('src', if(doc_id % 1000 < 700, 0, doc_id % 10))"))
+      val kept = operators.Curation.domainMixSampleOf(
+        sourced.select("doc_id", "source")).count()
+      require(kept > 100000 && kept < 900000, s"unexpected mix sample size $kept")
+      kept
+    }
 
     // Market-data end-to-end chain, the tick-side twin of the corpus
     // pipeline above (reference /root/reference/docs/services_flow.mmd:
