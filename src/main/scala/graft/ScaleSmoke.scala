@@ -146,10 +146,19 @@ object ScaleSmoke {
         bucketedIndex = true)
       spark.read.parquet(s"$incRoot/docs").count()
     }
-    // the full composed corpus build at 1M docs: scrub → gate → exact
-    // dedup (drops the planted pairs) → LSH near-dup → chunks
+    // the full composed corpus build at 1M docs, all stages on: scrub →
+    // gate → exact dedup (drops the planted pairs) → LSH near-dup →
+    // decontaminate vs a ~1k-doc eval slice → repetition gate → skewed
+    // domain mix → chunks
     time("corpus pipeline 1M docs") {
-      val (chunks, stats) = operators.CorpusPipeline.buildTrainingCorpus(docsBig)
+      val sourced = docsBig.withColumn("source",
+        expr("concat('src', if(doc_id % 1000 < 700, 0, doc_id % 10))"))
+      val (chunks, stats) = operators.CorpusPipeline.buildTrainingCorpus(
+        sourced,
+        benchmark = Some(docsBig.filter(col("doc_id") % 997 === 0)
+          .select("doc_id", "text")),
+        maxRepFrac = 0.9,
+        mixTargetFrac = Some(0.5))
       println("[scale]   stages: " + stats.map { case (n, c) => s"$n=$c" }.mkString(" "))
       chunks.count()
     }

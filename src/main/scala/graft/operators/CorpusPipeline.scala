@@ -7,20 +7,42 @@ import org.apache.spark.sql.functions._
   * data team actually ships, assembled from the individual operators:
   *
   *   raw docs → scrub → quality gate → exact dedup → near-dup dedup
+  *            → [decontaminate] → repetition gate → [domain mix]
   *            → chunked training examples
   *
   * Each stage is the same declarative transform its standalone query
   * uses (d12 scrub, d8-style gates, d1 exact dedup, d2 LSH + connected
-  * components, d18 chunking), so the composition inherits their scale
-  * properties: no stage is O(rows²), every pairwise step goes through
-  * bounded candidate generation.
+  * components, d24 decontamination, d25 repetition, d26 mixing, d18
+  * chunking), so the composition inherits their scale properties: no
+  * stage is O(rows²), every pairwise step goes through bounded
+  * candidate generation, and the curation gates are broadcast joins or
+  * pure map passes.
   */
 object CorpusPipeline {
+
+  /** The d12 scrub as one reusable transform — applied to the corpus
+    * as stage 1 and to the decontamination benchmark (both sides of a
+    * gram match must normalize identically). */
+  private def scrubText(df: DataFrame): DataFrame =
+    df.withColumn("text",
+      trim(regexp_replace(regexp_replace(regexp_replace(
+        lower(col("text")),
+        "https?://[^ ]+", " "),
+        "[^ ]+@[^ ]+", " "),
+        "\\s+", " ")))
+      .filter(col("text") =!= "")
 
   /** @param docs (doc_id: long, text: string) + any carry-through cols
     * @param minWords quality gate: minimum whitespace words post-scrub
     * @param checkpointDir reliable checkpointing for the component loop
     *   (pass on a real cluster; None → localCheckpoint for tests)
+    * @param benchmark held-out eval docs (doc_id, text); when given,
+    *   docs sharing any word 8-gram are dropped (d24)
+    * @param maxRepFrac repetition gate: drop docs whose duplicate-
+    *   3-gram fraction exceeds this (1.0 = off)
+    * @param mixTargetFrac when given AND docs carry a `source` column,
+    *   resample toward the uniform source mixture at this corpus
+    *   fraction (d26) before chunking
     * @return (chunks, per-stage row counts in pipeline order) — stats
     *   force evaluation stage by stage. Each stage is cached only while
     *   its consumer materializes: once stage N+1's count lands, stage
@@ -29,7 +51,10 @@ object CorpusPipeline {
     *   holds at most two stages at a time instead of the whole lineage.
     */
   def buildTrainingCorpus(docs: DataFrame, minWords: Int = 5,
-      checkpointDir: Option[String] = None): (DataFrame, Seq[(String, Long)]) = {
+      checkpointDir: Option[String] = None,
+      benchmark: Option[DataFrame] = None,
+      maxRepFrac: Double = 1.0,
+      mixTargetFrac: Option[Double] = None): (DataFrame, Seq[(String, Long)]) = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var prevStage: DataFrame = null
     def stage(name: String, df: DataFrame): DataFrame = {
@@ -42,13 +67,7 @@ object CorpusPipeline {
     }
 
     // 1. scrub: URL/email strip, whitespace collapse, lowercase (d12)
-    val scrubbed = stage("scrubbed", docs.withColumn("text",
-      trim(regexp_replace(regexp_replace(regexp_replace(
-        lower(col("text")),
-        "https?://[^ ]+", " "),
-        "[^ ]+@[^ ]+", " "),
-        "\\s+", " ")))
-      .filter(col("text") =!= ""))
+    val scrubbed = stage("scrubbed", scrubText(docs))
 
     // 2. quality gate: length floor (cheap heuristics first — drop
     //    before any shuffle touches the rows)
@@ -76,10 +95,46 @@ object CorpusPipeline {
       .select(col("node").as("doc_id"))
     val nearDeduped = stage("near_dedup", exact.join(drop, Seq("doc_id"), "left_anti"))
 
-    // 5. chunk to training examples: overlapping word windows (d18)
+    // 5. benchmark decontamination (d24): anti-join away docs sharing
+    //    any 8-gram with the eval slice — the contaminated-id list is
+    //    tiny (broadcast gram join inside decontaminateOf). The
+    //    benchmark goes through the SAME scrub first: gram matching is
+    //    only sound when both sides are normalized identically.
+    val decon = benchmark match {
+      case Some(b) => stage("decontaminated", nearDeduped.join(
+        Curation.decontaminateOf(nearDeduped.select("doc_id", "text"),
+          scrubText(b)).select("doc_id"),
+        Seq("doc_id"), "left_anti"))
+      case None => nearDeduped
+    }
+
+    // 6. repetition gate (d25): per-row duplicate-3-gram fraction.
+    //    Docs under 3 words pass unconditionally (no 3-grams exist, and
+    //    sequence(1, k<1) would descend / slice(ws, 0, _) would throw
+    //    under ANSI if a caller set minWords < 3)
+    val repGated =
+      if (maxRepFrac >= 1.0) decon
+      else stage("repetition_gate", decon
+        .withColumn("ws", split(col("text"), " "))
+        .filter(when(size(col("ws")) < 3, lit(true)).otherwise {
+          val ngs = expr(
+            "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))")
+          (size(ngs) - size(array_distinct(ngs))).cast("double") / size(ngs) <= maxRepFrac
+        })
+        .drop("ws"))
+
+    // 7. domain mixture (d26): deterministic hash sample toward the
+    //    uniform source budget; carry-through columns survive
+    val mixed = mixTargetFrac match {
+      case Some(f) if repGated.columns.contains("source") =>
+        stage("domain_mix", Curation.mixKeepFilter(repGated, f))
+      case _ => repGated
+    }
+
+    // 8. chunk to training examples: overlapping word windows (d18)
     val chunkSize = 20
     val stride = 10
-    val chunks = stage("chunks", nearDeduped
+    val chunks = stage("chunks", mixed
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         posexplode(expr(

@@ -105,8 +105,17 @@ object Curation {
     * frame. The arithmetic runs left-to-right in doubles over exact
     * ints — the identical op sequence the DuckDB oracle writes, so the
     * keep_rate bits match across engines. */
-  def domainMixSampleOf(docs: DataFrame, targetFrac: Double = 0.5): DataFrame = {
-    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+  def domainMixSampleOf(docs: DataFrame, targetFrac: Double = 0.5): DataFrame =
+    mixKeepFilter(docs, targetFrac)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** The mix filter with carry-through columns (used standalone by d26
+    * and as a [[CorpusPipeline]] stage): keeps rows whose per-doc hash
+    * clears the source's budget rate; any extra columns ride along. */
+  def mixKeepFilter(docs: DataFrame, targetFrac: Double): DataFrame = {
+    val ids = docs.select("doc_id", "source")
+    val counts = ids.groupBy("source").agg(count(lit(1)).as("n_src"))
     val totals = counts.agg(sum(col("n_src")).as("total"),
       count(lit(1)).as("n_groups"))
     val rates = counts
@@ -119,7 +128,6 @@ object Curation {
       .withColumn("u", hashU)
       .join(broadcast(rates), "source")
       .filter(col("u") < col("keep_rate"))
-      .select("doc_id", "source")
-      .orderBy("doc_id")
+      .drop("u", "keep_rate")
   }
 }

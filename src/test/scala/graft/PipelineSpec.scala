@@ -33,6 +33,51 @@ class PipelineSpec extends SparkSpec {
     assert(dupFp == 0, "exact duplicates survived the pipeline")
   }
 
+  test("corpus pipeline full recipe: decontaminate + repetition gate + domain mix stages compose") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "source")
+    // benchmark ⊆ corpus: the realistic decontamination setup (remove
+    // eval data from training) — every benchmark doc long enough to
+    // produce grams must be dropped by self-overlap
+    val bench = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+    val (chunks, stats) = CorpusPipeline.buildTrainingCorpus(
+      docs, minWords = 3,
+      benchmark = Some(bench), maxRepFrac = 0.9, mixTargetFrac = Some(0.5))
+    assert(stats.map(_._1) == Seq("scrubbed", "quality_gate", "exact_dedup",
+      "near_dedup", "decontaminated", "repetition_gate", "domain_mix", "chunks"))
+    val m = stats.toMap
+    assert(m("decontaminated") < m("near_dedup"),
+      "decontamination dropped nothing despite benchmark ⊆ corpus")
+    assert(m("repetition_gate") <= m("decontaminated"))
+    assert(m("domain_mix") > 0 && m("domain_mix") <= m("repetition_gate"))
+    assert(chunks.select("doc_id").distinct().count() == m("domain_mix"))
+    // no surviving benchmark doc has ≥ 8 scrubbed words (shorter docs
+    // produce no 8-grams and legitimately pass the gram filter)
+    val leaked = chunks.select("doc_id").distinct()
+      .filter(col("doc_id") % 7 === 0)
+      .join(docs, "doc_id")
+      .filter(size(split(trim(regexp_replace(regexp_replace(regexp_replace(
+        lower(col("text")),
+        "https?://[^ ]+", " "),
+        "[^ ]+@[^ ]+", " "),
+        "\\s+", " ")), " ")) >= 8)
+      .count()
+    assert(leaked == 0, s"$leaked gram-bearing benchmark docs survived decontamination")
+  }
+
+  test("repetition gate passes sub-3-word docs unconditionally (no ANSI slice throw)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hi there"),                       // 2 words: no 3-grams, must survive
+      (2L, "a b a b a b a b a b a b"),        // highly repetitive, must drop
+      (3L, "the quick brown fox jumps high")) // distinct grams, must survive
+      .toDF("doc_id", "text")
+    val (chunks, stats) = CorpusPipeline.buildTrainingCorpus(
+      docs, minWords = 1, maxRepFrac = 0.5)
+    val kept = chunks.select("doc_id").distinct().as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"expected {1, 3}, got $kept")
+    assert(stats.toMap.apply("repetition_gate") == 2)
+  }
+
   test("IVF index: partitioned write, probe prunes partitions, results match in-memory IVF") {
     val dir = Files.createTempDirectory("graft_ivf").toString + "/index"
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
