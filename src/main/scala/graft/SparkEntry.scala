@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chains, Curation, Dedup, Relational, Silver, Similarity, Sketches, TimeSeries}
+import graft.operators.{Chains, CorpusStats, Curation, Dedup, Relational, Silver, Similarity, Sketches, TimeSeries}
 import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -167,6 +167,15 @@ object SparkEntry {
     "d25_repetition_score" -> (Curation.repetitionScore _),
     // deterministic (md5-hash) domain-mixture downsample — replayable
     "d26_domain_mix"      -> (Curation.domainMixSample _),
+    // PII redaction over deterministically-dirtied text (corpus has no
+    // natural PII) — count + mask, one narrow map pass
+    "d27_pii_redact"      -> (Curation.redactPii _),
+    // replayable hash-cut train/val/test assignment
+    "d28_stratified_split" -> (Curation.stratifiedSplit _),
+    // corpus-wide top-k 3-grams: partial-agg + TakeOrdered
+    "d29_ngram_topk"      -> (CorpusStats.ngramTopK _),
+    // Zipf audit: top words + cumulative token coverage
+    "d30_vocab_coverage"  -> (CorpusStats.vocabCoverage _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -929,6 +938,58 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(ngs) AS BIGINT) AS n_ngrams,
         |  (len(ngs) - len(list_distinct(ngs))) / len(ngs) AS rep_frac
         |FROM ng ORDER BY doc_id""".stripMargin,
+
+    "d27_pii_redact" ->
+      """WITH dirty AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 3 = 0
+        |       THEN ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0
+        |       THEN ' ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+        |         || '-' || CAST(doc_id % 89 + 10 AS VARCHAR)
+        |         || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0
+        |       THEN ' (' || CAST(doc_id % 800 + 200 AS VARCHAR)
+        |         || ') 555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END
+        |  AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}|\d{3}-\d{2}-\d{4}|\(\d{3}\) \d{3}-\d{4}')) AS BIGINT) AS n_pii,
+        |  regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}|\d{3}-\d{2}-\d{4}|\(\d{3}\) \d{3}-\d{4}', '<PII>', 'g') AS clean
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+
+    "d28_stratified_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN u < CAST(0.9 AS DOUBLE) THEN 'train'
+        |       WHEN u < CAST(0.95 AS DOUBLE) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |        CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 AS u
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "d29_ngram_topk" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT array_to_string(ws[i:i+2], ' ') AS ng
+        |  FROM docs, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 3)
+        |SELECT ng, COUNT(*) AS n_occ
+        |FROM grams GROUP BY ng
+        |ORDER BY n_occ DESC, ng
+        |LIMIT 50""".stripMargin,
+
+    "d30_vocab_coverage" ->
+      """WITH words AS (
+        |  SELECT w FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |counts AS (SELECT w, COUNT(*) AS n_occ FROM words GROUP BY w),
+        |top AS (SELECT w, n_occ FROM counts ORDER BY n_occ DESC, w LIMIT 100)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occ DESC, w) AS BIGINT) AS rnk,
+        |  w, n_occ,
+        |  CAST(SUM(n_occ) OVER (ORDER BY n_occ DESC, w
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST((SELECT SUM(n_occ) FROM counts) AS DOUBLE) AS cum_frac
+        |FROM top ORDER BY rnk""".stripMargin,
 
     "d26_domain_mix" ->
       """WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),

@@ -23,7 +23,7 @@ object Curation {
     * shorter than n words contribute none (Spark's sequence(1, k<1)
     * DESCENDS instead of returning empty — the size filter is load-
     * bearing, the DuckDB twin's generate_series is empty on its own). */
-  private def explodedNgrams(docs: DataFrame, n: Int): DataFrame =
+  private[operators] def explodedNgrams(docs: DataFrame, n: Int): DataFrame =
     docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= n)
@@ -108,6 +108,73 @@ object Curation {
   def domainMixSampleOf(docs: DataFrame, targetFrac: Double = 0.5): DataFrame =
     mixKeepFilter(docs, targetFrac)
       .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  /** Combined PII pattern: e-mail, SSN-like id, US-phone-like. Kept to
+    * a regex subset whose semantics are identical in Java regex (Spark)
+    * and RE2 (DuckDB) — character classes, bounded repeats, alternation
+    * — so the oracle comparison is byte-exact. */
+  val PiiPattern: String =
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}|\\d{3}-\\d{2}-\\d{4}|\\(\\d{3}\\) \\d{3}-\\d{4}"
+
+  /** d27: PII redaction — mask e-mail / SSN-like / phone-like spans and
+    * count them per document. One narrow map pass, no shuffle: the
+    * cheapest scale shape, same as d25. The synthetic corpus carries no
+    * natural PII, so the registered query plants it deterministically
+    * first ([[dirtyDocs]], mirrored in the oracle) — otherwise the
+    * redaction would be a no-op demo. */
+  def redactPii(s: SparkSession, d: String): DataFrame =
+    redactPiiOf(dirtyDocs(Tables.documents(s, d).select("doc_id", "text")))
+
+  /** Deterministic dirty-text builder for the d27 entry: doc_id mod 3
+    * appends an e-mail, mod 5 an SSN-like id, mod 7 a phone (so rows
+    * carry zero to three PII spans). Value ranges keep each group at
+    * fixed digit width, so no lpad is needed in either dialect. */
+  def dirtyDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit(" user"), col("doc_id").cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(
+        lit(" "), (col("doc_id") % 900 + 100).cast("string"),
+        lit("-"), (col("doc_id") % 89 + 10).cast("string"),
+        lit("-"), (col("doc_id") % 9000 + 1000).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, concat(
+        lit(" ("), (col("doc_id") % 800 + 200).cast("string"),
+        lit(") 555-"), (col("doc_id") % 9000 + 1000).cast("string")))
+        .otherwise(lit(""))).as("text"))
+
+  /** Core of [[redactPii]] over an explicit (doc_id, text) frame. */
+  def redactPiiOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0)))
+        .cast("long").as("n_pii"),
+      regexp_replace(col("text"), PiiPattern, "<PII>").as("clean"))
+      .orderBy("doc_id")
+
+  /** d28: stratified train/val/test assignment — the same replayable
+    * md5-hash uniform as d26 cut at fixed thresholds, so any re-run
+    * (or a late-arriving shard) lands every doc in the same split
+    * without coordination. Thresholds are UPPER BOUNDS (not fractions
+    * to sum) so both dialects compare against the same literals — a
+    * Scala-side 0.9 + 0.05 would be 0.9500000000000001 and flip docs
+    * on the knife edge vs the oracle's 0.95. */
+  def stratifiedSplit(s: SparkSession, d: String): DataFrame =
+    stratifiedSplitOf(Tables.documents(s, d).select("doc_id", "source"))
+
+  /** Core of [[stratifiedSplit]]: keeps every input column, appends
+    * `split`. */
+  def stratifiedSplitOf(docs: DataFrame, trainUpper: Double = 0.9,
+      valUpper: Double = 0.95): DataFrame =
+    docs
+      .withColumn("u", hashU)
+      .withColumn("split",
+        when(col("u") < trainUpper, "train")
+          .when(col("u") < valUpper, "val")
+          .otherwise("test"))
+      .drop("u")
       .orderBy("doc_id")
 
   /** The mix filter with carry-through columns (used standalone by d26

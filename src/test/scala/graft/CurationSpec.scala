@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Curation
+import graft.operators.{CorpusStats, Curation}
 
 /** Corpus-curation operators (d24-d26): planted-fixture semantics plus
   * the plan shapes that make them 100 TB-safe (broadcast gram join, no
@@ -68,10 +68,83 @@ class CurationSpec extends SparkSpec {
     assert(a.distinct.length == a.length)
   }
 
+  test("redactPii: masks and counts e-mail / SSN / phone spans, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to alice.smith@corp.example.org for details"),
+      (2L, "ssn 123-45-6789 and backup 987-65-4321 on file"),
+      (3L, "call (415) 555-0199 today"),
+      (4L, "no pii here at all"),
+      (5L, "mixed bob@x.io and 222-33-4444 and (800) 555-1234")
+    ).toDF("doc_id", "text")
+    val got = Curation.redactPiiOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "write to <PII> for details"),
+      (2L, 2L, "ssn <PII> and backup <PII> on file"),
+      (3L, 1L, "call <PII> today"),
+      (4L, 0L, "no pii here at all"),
+      (5L, 3L, "mixed <PII> and <PII> and <PII>")))
+  }
+
+  test("dirtyDocs plants PII on the mod-3/5/7 schedule and redactPii recovers the counts") {
+    val dirty = Curation.dirtyDocs(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+    val got = Curation.redactPiiOf(dirty)
+      .withColumn("expected",
+        (col("doc_id") % 3 === 0).cast("long") +
+        (col("doc_id") % 5 === 0).cast("long") +
+        (col("doc_id") % 7 === 0).cast("long"))
+    assert(got.filter(col("n_pii") =!= col("expected")).count() == 0,
+      "redaction count diverged from the planting schedule")
+    assert(got.filter(col("n_pii") > 0).count() > 0, "no PII planted at all")
+  }
+
+  test("stratifiedSplit: deterministic, complete, and near the 90/5/5 cut") {
+    val a = Curation.stratifiedSplit(spark, sf)
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(counts.keySet == Set("train", "val", "test"), s"splits: $counts")
+    // binomial slack around 90/5/5 (500 docs at sf0.001+)
+    assert(counts("train").toDouble / total > 0.8, s"train share off: $counts")
+    assert(counts("val").toDouble / total < 0.15 &&
+      counts("test").toDouble / total < 0.15, s"val/test share off: $counts")
+    // same doc always lands in the same split (replay determinism)
+    val rows = a.collect().map(r => (r.getLong(0), r.getString(2)))
+    val again = Curation.stratifiedSplit(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq == again.toSeq, "hash split is not replay-deterministic")
+  }
+
+  test("ngramTopK: exact counts with deterministic tie-break on the gram") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // "a b c"×3, "b c a"×2, "c a b"×2
+      (2L, "a b c d"),           // "a b c", "b c d"
+      (3L, "x y")                // too short: no grams
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramTopKOf(docs, n = 3, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("a b c", 4L), ("b c a", 2L), ("c a b", 2L)), got.toSeq)
+  }
+
+  test("vocabCoverage: cumulative fraction is monotone, ends at top-k coverage of the true total") {
+    import spark.implicits._
+    val docs = Seq("a a a b b c", "a b d").toDF("text")
+    // counts: a=4, b=3, c=1, d=1; total=9
+    val got = CorpusStats.vocabCoverageOf(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 4L, 4.0 / 9), (2L, "b", 3L, 7.0 / 9), (3L, "c", 1L, 8.0 / 9)))
+  }
+
   test("curation entries: registered queries run and the oracle dialect stays aligned") {
     // rows>0 over the real corpus at test SF; the exact-parity gate is
     // the driver selfcheck (run at sf0.01/sf0.1/amplified this round)
-    Seq("d24_decontaminate", "d25_repetition_score", "d26_domain_mix").foreach { k =>
+    Seq("d24_decontaminate", "d25_repetition_score", "d26_domain_mix",
+        "d27_pii_redact", "d28_stratified_split", "d29_ngram_topk",
+        "d30_vocab_coverage").foreach { k =>
       assert(SparkEntry.queries(k)(spark, sf).count() > 0, s"$k returned no rows")
       assert(SparkEntry.oracleSql.contains(k), s"$k has no oracle SQL")
     }
