@@ -176,6 +176,8 @@ object SparkEntry {
     "d29_ngram_topk"      -> (CorpusStats.ngramTopK _),
     // Zipf audit: top words + cumulative token coverage
     "d30_vocab_coverage"  -> (CorpusStats.vocabCoverage _),
+    // exact-greedy token-budget mixing (two-level prefix sum)
+    "d31_token_budget_mix" -> (Curation.tokenBudgetMix _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -990,6 +992,25 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    / CAST((SELECT SUM(n_occ) FROM counts) AS DOUBLE) AS cum_frac
         |FROM top ORDER BY rnk""".stripMargin,
+
+    "d31_token_budget_mix" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |    CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM documents),
+        |counts AS (SELECT source, SUM(n_tokens) AS src_tokens FROM toks GROUP BY source),
+        |budgets AS (SELECT source,
+        |  CAST(0.5 AS DOUBLE) * (SELECT SUM(src_tokens) FROM counts)
+        |    / (SELECT COUNT(*) FROM counts) AS budget
+        |  FROM counts),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM toks)
+        |SELECT doc_id, source, n_tokens FROM c JOIN budgets USING (source)
+        |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
 
     "d26_domain_mix" ->
       """WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),

@@ -144,4 +144,20 @@ object CorpusPipeline {
 
     (chunks, stats.toSeq)
   }
+
+  /** Write training examples as partitioned parquet shards — the
+    * pipeline's terminal sink. Discipline (measured, see build notes):
+    * repartition on (partition column, shard) FIRST, or every write
+    * task opens a file in every partition directory and the next
+    * reader's footer scan drowns in tasks×dirs tiny files. The shard
+    * column caps files per directory at `shardsPerPartition` while
+    * keeping the write parallel across shards. */
+  def writeTrainingShards(chunks: DataFrame, dir: String,
+      partitionCol: String = "split", shardsPerPartition: Int = 4): Unit = {
+    chunks
+      .withColumn("_shard", pmod(hash(col("doc_id")), lit(shardsPerPartition)))
+      .repartition(col(partitionCol), col("_shard"))
+      .drop("_shard")
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+  }
 }

@@ -47,7 +47,13 @@ object CorpusStats {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
     val counts = words.groupBy("w").agg(count(lit(1)).as("n_occ"))
-    val total = counts.agg(sum(col("n_occ")).as("total"))
+    // token total as a narrow per-row map + scalar agg — NOT a second
+    // pass through the explode+groupBy lineage (the two consumers of
+    // `counts` would each re-run the full vocabulary aggregation; this
+    // pass reads the same column but shuffles nothing)
+    val total = docs.agg(
+      sum(size(array_remove(split(col("text"), " "), "")).cast("long"))
+        .as("total"))
     val top = counts.orderBy(col("n_occ").desc, col("w")).limit(k)
     // explicit ROWS frame: order keys are unique so RANGE would behave
     // identically, but ROWS pins the frame the DuckDB twin writes

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -176,6 +177,65 @@ object Curation {
           .otherwise("test"))
       .drop("u")
       .orderBy("doc_id")
+
+  /** d31: token-budget mixing — the exact-greedy twin of d26. Every
+    * source gets the same TOKEN budget (targetFrac × total tokens /
+    * n_sources) and keeps its docs in hash-priority order until the
+    * running token total crosses it, so the sampled mixture is balanced
+    * by token mass, not doc count (what a training run actually
+    * consumes). Replayable: priority is the md5 hash, never rand().
+    *
+    * Scale shape: the running sum is a per-source ordered prefix sum —
+    * a naive window would sort each source inside ONE partition (5 TB a
+    * partition at 100 TB with 20 sources). Instead the two-level scheme
+    * from Silver.surrogateIds: range-partition on the selection order,
+    * local running sum per physical partition, per-partition offsets
+    * (tiny) broadcast back. Identical cum values to the global window,
+    * skew bounded by the range partitioner. */
+  def tokenBudgetMix(s: SparkSession, d: String): DataFrame =
+    tokenBudgetMixOf(Tables.documents(s, d).select("doc_id", "source", "text"))
+
+  /** Core of [[tokenBudgetMix]] over an explicit (doc_id, source, text)
+    * frame. checkpointDir pins the sampled range layout reliably on a
+    * real cluster (None → localCheckpoint, fine for single-JVM). */
+  def tokenBudgetMixOf(docs: DataFrame, targetFrac: Double = 0.5,
+      partitions: Int = 32, checkpointDir: Option[String] = None): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    checkpointDir.foreach(graft.ops.Checkpoints.install(sc, _))
+    val reliable = checkpointDir.isDefined || graft.ops.Checkpoints.installed(sc).isDefined
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(array_remove(split(col("text"), " "), "")).cast("long").as("n_tokens"))
+      .withColumn("u", hashU)
+    val counts = toks.groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
+    val budgets = counts
+      .crossJoin(broadcast(counts.agg(sum(col("src_tokens")).as("total"),
+        count(lit(1)).as("n_groups"))))
+      .select(col("source"),
+        (lit(targetFrac) * col("total") / col("n_groups")).as("budget"))
+    // pin ONE sampled range layout: both consumers (local cumsums and
+    // the offset counts) must see the same partition boundaries, and
+    // RangePartitioner samples nondeterministically per execution
+    val ranged0 = toks
+      .repartitionByRange(partitions, col("source"), col("u"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    val ranged =
+      if (reliable) ranged0.checkpoint(eager = false)
+      else ranged0.localCheckpoint(false)
+    val localW = Window.partitionBy("source", "_pid").orderBy("u", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = ranged.groupBy("source", "_pid").agg(sum(col("n_tokens")).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(
+        Window.partitionBy("source").orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "_pid", "_off")
+    ranged
+      .withColumn("_cum", sum(col("n_tokens")).over(localW))
+      .join(broadcast(offs), Seq("source", "_pid"))
+      .join(broadcast(budgets), "source")
+      .filter((col("_cum") + col("_off")) <= col("budget"))
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
+  }
 
   /** The mix filter with carry-through columns (used standalone by d26
     * and as a [[CorpusPipeline]] stage): keeps rows whose per-doc hash

@@ -139,6 +139,38 @@ class CurationSpec extends SparkSpec {
       (1L, "a", 4L, 4.0 / 9), (2L, "b", 3L, 7.0 / 9), (3L, "c", 1L, 8.0 / 9)))
   }
 
+  test("tokenBudgetMix: two-level prefix sum equals the naive global window; budgets hold per source") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed fixture: big source carries ~16x the small one's tokens
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text")
+    val got = Curation.tokenBudgetMixOf(docs, targetFrac = 0.5, partitions = 7)
+    // naive single-window reference (fine at test scale)
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(array_remove(split(col("text"), " "), "")).cast("long").as("n_tokens"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        / lit(4294967296.0)).as("u"))
+    val counts = toks.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val Seq(total, nGroups) = counts.agg(sum("src_tokens"), count(lit(1)))
+      .collect().head.toSeq.map(_.toString.toLong)
+    val budget = 0.5 * total / nGroups
+    val naive = toks.withColumn("cum", sum("n_tokens").over(
+        Window.partitionBy("source").orderBy("u", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .select("doc_id", "source", "n_tokens").orderBy("doc_id")
+    val a = got.collect().map(_.toSeq).toSeq
+    val b = naive.collect().map(_.toSeq).toSeq
+    assert(a == b, s"two-level cut diverged from the global window: ${a.size} vs ${b.size} rows")
+    // every source's kept token mass stays within budget
+    val masses = got.groupBy("source").agg(sum("n_tokens").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    masses.foreach { case (src, m) =>
+      assert(m <= budget, s"source $src kept $m tokens over budget $budget") }
+    assert(got.count() > 0 && got.count() < docs.count(),
+      "token-budget mix kept everything (or nothing) — fixture does not bite")
+  }
+
   test("curation entries: registered queries run and the oracle dialect stays aligned") {
     // rows>0 over the real corpus at test SF; the exact-parity gate is
     // the driver selfcheck (run at sf0.01/sf0.1/amplified this round)

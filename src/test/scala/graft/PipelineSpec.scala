@@ -78,6 +78,26 @@ class PipelineSpec extends SparkSpec {
     assert(stats.toMap.apply("repetition_gate") == 2)
   }
 
+  test("writeTrainingShards: partition dirs bounded to shardsPerPartition files, rows round-trip") {
+    val dir = Files.createTempDirectory("graft_shards").toString + "/corpus"
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val split = graft.operators.Curation.stratifiedSplitOf(docs)
+    CorpusPipeline.writeTrainingShards(
+      split.select("doc_id", "split", "text"), dir, shardsPerPartition = 3)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count(), "rows lost in the shard write")
+    assert(back.select("split").distinct().count() == 3, "expected train/val/test dirs")
+    // the write discipline holds: each split dir has at most
+    // shardsPerPartition parquet files (not tasks x dirs tiny files)
+    val root = new java.io.File(dir)
+    val perDir = root.listFiles().filter(_.getName.startsWith("split=")).map { d =>
+      d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(perDir.nonEmpty)
+    perDir.foreach { case (name, n) =>
+      assert(n > 0 && n <= 3, s"$name has $n parquet files (want 1..3)") }
+  }
+
   test("IVF index: partitioned write, probe prunes partitions, results match in-memory IVF") {
     val dir = Files.createTempDirectory("graft_ivf").toString + "/index"
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
