@@ -7,11 +7,15 @@ import org.apache.spark.sql.functions._
 /** Scale smoke: runs the core operator shapes on 10M+ DSv2-generated
   * rows (100× the sf0.1 events table) — evidence that the plans hold
   * beyond the test parquet, including under heavy key skew.
-  * Run: sbt "runMain graft.ScaleSmoke [rows]"
+  * Run: sbt "runMain graft.ScaleSmoke [rows] [stageFilter]"
+  * stageFilter (substring match) runs only matching stages — stages
+  * that consume another stage's cached result (dup clusters ← minhash)
+  * must be selected together with their producer.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 10000000L
+    val only = if (args.length > 1) Some(args(1)) else None
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,11 +24,12 @@ object ScaleSmoke {
     def gen(hot: Double) = spark.read.format("graft-ticks")
       .option("rows", rows.toString).option("partitions", "64")
       .option("hotfraction", hot.toString).load()
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.1f s rows=$r")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(name.contains)) {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.1f s rows=$r")
+      }
     val uniform = gen(0.0)
     time(s"gen+count ${rows / 1000000}M") { uniform.count() }
     time("ohlc bars (group+2 windows)") {
@@ -174,6 +179,24 @@ object ScaleSmoke {
     time("repetition score 1M docs") {
       operators.Curation.repetitionScoreOf(docsBig).count()
     }
+    // paired probe for the gram hot loop: the tight-loop NgramStats
+    // expression vs the interpreted transform+array_distinct HOF over
+    // the SAME cached input (generation cost excluded) — the text-family
+    // twin of the DotProductI8 lesson; run with stageFilter "gram"
+    val gramCached = docsBig
+      .select(col("doc_id"), split(col("text"), " ").as("ws")).cache()
+    time("gram probe cache prime") { gramCached.count() }
+    time("gram stats EXPR 1M cached") {
+      gramCached.select(graft.functions.VectorExprs.ngramStats(col("ws"), 3).as("st"))
+        .filter(col("st.n_distinct") > 0).count()
+    }
+    time("gram stats HOF 1M cached") {
+      gramCached.select(expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> array_join(slice(ws, i, 3), ' '))""".stripMargin).as("ngs"))
+        .filter(size(array_distinct(col("ngs"))) > 0).count()
+    }
+    gramCached.unpersist()
     // skewed mixture: one source holds 70% of the corpus, nine split
     // the rest — the budget form must bite the big one only
     time("domain mix sample 1M docs") {

@@ -331,9 +331,85 @@ case class IntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Word k-grams of an array<string> column as array<string> — the
+  * gram strings the reference curation queries join/count on,
+  * byte-identical to array_join(slice(ws,i,k), ' ') but built in one
+  * tight JVM loop instead of an interpreted transform+slice+array_join
+  * lambda per gram (the d2-era 10-20× HOF lesson applied to the text
+  * family: d24/d29 and the pipeline's gram stages run this per row over
+  * the whole corpus). Fewer than k words → empty array, matching the
+  * load-bearing size(ws) >= k filter semantics.
+  */
+case class WordNgrams(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = arr.getUTF8String(i); i += 1 }
+    val sep = ExprHelpers.Space
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      val slice = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { slice(j) = words(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(sep, slice: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): WordNgrams = copy(child = c)
+}
+
+/** Fused gram count + distinct-gram count over an array<string> of
+  * words → struct(n_ngrams long, n_distinct long). The d25 repetition
+  * gauge needs only these two numbers; this computes them WITHOUT
+  * materializing the gram array (one UTF8String concat per gram into a
+  * byte-exact hash set — string equality semantics identical to
+  * array_distinct's, so oracle parity is untouched). Fewer than k
+  * words → (0, 0).
+  */
+case class NgramStats(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0) return InternalRow(0L, 0L)
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = arr.getUTF8String(i); i += 1 }
+    val sep = ExprHelpers.Space
+    val seen = new java.util.HashSet[UTF8String](m * 2)
+    i = 0
+    while (i < m) {
+      val slice = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { slice(j) = words(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, slice: _*))
+      i += 1
+    }
+    InternalRow(m.toLong, seen.size.toLong)
+  }
+  override protected def withNewChildInternal(c: Expression): NgramStats = copy(child = c)
+}
+
 /** Static-forwarder targets for generated code (Scala object methods
   * compile to static methods on the companion class). */
 object ExprHelpers {
+  /** Shared separator for gram building (allocated once per JVM). */
+  val Space: UTF8String = UTF8String.fromString(" ")
+
   def intersectCount(a: ArrayData, b: ArrayData): Long = {
     var x = a
     var y = b
@@ -362,6 +438,8 @@ object VectorExprs {
   def intersectCount(a: Column, b: Column): Column = toCol(IntersectCount(toExpr(a), toExpr(b)))
   def minhashShingleSig(c: Column, k: Int, perms: Int): Column =
     toCol(MinHashShingleSig(toExpr(c), k, perms))
+  def wordNgrams(c: Column, k: Int): Column = toCol(WordNgrams(toExpr(c), k))
+  def ngramStats(c: Column, k: Int): Column = toCol(NgramStats(toExpr(c), k))
 
   /** Register for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

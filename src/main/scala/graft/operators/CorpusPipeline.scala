@@ -117,9 +117,9 @@ object CorpusPipeline {
       else stage("repetition_gate", decon
         .withColumn("ws", split(col("text"), " "))
         .filter(when(size(col("ws")) < 3, lit(true)).otherwise {
-          val ngs = expr(
-            "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))")
-          (size(ngs) - size(array_distinct(ngs))).cast("double") / size(ngs) <= maxRepFrac
+          val st = graft.functions.VectorExprs.ngramStats(col("ws"), 3)
+          (st.getField("n_ngrams") - st.getField("n_distinct")).cast("double") /
+            st.getField("n_ngrams") <= maxRepFrac
         })
         .drop("ws"))
 

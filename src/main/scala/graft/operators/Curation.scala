@@ -20,16 +20,18 @@ import graft.Tables
   */
 object Curation {
 
-  /** Word 8-grams as strings, 1-based slide over the split text; docs
-    * shorter than n words contribute none (Spark's sequence(1, k<1)
-    * DESCENDS instead of returning empty — the size filter is load-
-    * bearing, the DuckDB twin's generate_series is empty on its own). */
+  /** Word n-grams as strings, built by the tight-loop [[graft.functions.WordNgrams]]
+    * expression (byte-identical output to the interpreted
+    * transform(array_join(slice(…))) lambda it replaced — the HOF ran
+    * row-at-a-time through the interpreter over the whole corpus). Docs
+    * shorter than n words contribute none: the expression returns an
+    * empty array, and the size filter prunes them before the split
+    * column even materializes. */
   private[operators] def explodedNgrams(docs: DataFrame, n: Int): DataFrame =
     docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= n)
-      .withColumn("ng", explode(expr(
-        s"transform(sequence(1, size(ws) - ${n - 1}), i -> array_join(slice(ws, i, $n), ' '))")))
+      .withColumn("ng", explode(graft.functions.VectorExprs.wordNgrams(col("ws"), n)))
       .select("doc_id", "ng")
 
   /** d24: benchmark decontamination — flag training docs sharing any
@@ -67,17 +69,20 @@ object Curation {
   def repetitionScore(s: SparkSession, d: String): DataFrame =
     repetitionScoreOf(Tables.documents(s, d))
 
-  /** Core of [[repetitionScore]] over an explicit (doc_id, text) frame. */
+  /** Core of [[repetitionScore]] over an explicit (doc_id, text) frame.
+    * [[graft.functions.NgramStats]] computes gram count + distinct count
+    * in one pass without materializing the gram array (same byte-exact
+    * string equality as the transform + array_distinct cascade it
+    * replaced, so the DuckDB twin is untouched). */
   def repetitionScoreOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
-      .withColumn("ngs", expr(
-        "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))"))
+      .withColumn("st", graft.functions.VectorExprs.ngramStats(col("ws"), 3))
       .select(col("doc_id"),
-        size(col("ngs")).cast("long").as("n_ngrams"),
-        ((size(col("ngs")) - size(array_distinct(col("ngs")))).cast("double")
-          / size(col("ngs"))).as("rep_frac"))
+        col("st.n_ngrams").as("n_ngrams"),
+        ((col("st.n_ngrams") - col("st.n_distinct")).cast("double")
+          / col("st.n_ngrams")).as("rep_frac"))
       .orderBy("doc_id")
 
   /** Deterministic uniform in [0, 1) from the doc id: first 8 hex

@@ -171,6 +171,41 @@ class CurationSpec extends SparkSpec {
       "token-budget mix kept everything (or nothing) — fixture does not bite")
   }
 
+  test("WordNgrams/NgramStats: byte-parity with the interpreted HOF cascade over the real corpus") {
+    import graft.functions.VectorExprs
+    val ws = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val fast8 = ws.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(VectorExprs.wordNgrams(col("ws"), 8)).as("ng"))
+    val hof8 = ws.filter(size(col("ws")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 7), i -> array_join(slice(ws, i, 8), ' '))")).as("ng"))
+    assert(fast8.exceptAll(hof8).count() == 0 && hof8.exceptAll(fast8).count() == 0,
+      "8-gram strings diverge from the HOF formulation")
+    val stats = ws.filter(size(col("ws")) >= 3)
+      .select(VectorExprs.ngramStats(col("ws"), 3).as("st"),
+        expr("transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))").as("ngs"))
+      .filter(col("st.n_ngrams") =!= size(col("ngs")).cast("long") ||
+        col("st.n_distinct") =!= size(array_distinct(col("ngs"))).cast("long"))
+    assert(stats.count() == 0, "NgramStats diverges from size/array_distinct")
+  }
+
+  test("WordNgrams/NgramStats edges: short arrays empty/zero, k=1 is the word list itself") {
+    import spark.implicits._
+    import graft.functions.VectorExprs
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq("a")), (3L, Seq[String]()))
+      .toDF("id", "ws")
+    val g3 = df.select(VectorExprs.wordNgrams(col("ws"), 3).as("ng"),
+      VectorExprs.ngramStats(col("ws"), 3).as("st")).collect()
+    g3.foreach { r =>
+      assert(r.getSeq[String](0).isEmpty)
+      assert(r.getStruct(1).getLong(0) == 0L && r.getStruct(1).getLong(1) == 0L)
+    }
+    val g1 = df.filter(col("id") === 1L)
+      .select(VectorExprs.wordNgrams(col("ws"), 1).as("ng")).head()
+    assert(g1.getSeq[String](0) == Seq("a", "b"))
+  }
+
   test("curation entries: registered queries run and the oracle dialect stays aligned") {
     // rows>0 over the real corpus at test SF; the exact-parity gate is
     // the driver selfcheck (run at sf0.01/sf0.1/amplified this round)
