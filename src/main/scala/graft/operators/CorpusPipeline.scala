@@ -23,7 +23,7 @@ object CorpusPipeline {
   /** The d12 scrub as one reusable transform — applied to the corpus
     * as stage 1 and to the decontamination benchmark (both sides of a
     * gram match must normalize identically). */
-  private def scrubText(df: DataFrame): DataFrame =
+  private[graft] def scrubText(df: DataFrame): DataFrame =
     df.withColumn("text",
       trim(regexp_replace(regexp_replace(regexp_replace(
         lower(col("text")),
@@ -116,11 +116,7 @@ object CorpusPipeline {
       if (maxRepFrac >= 1.0) decon
       else stage("repetition_gate", decon
         .withColumn("ws", split(col("text"), " "))
-        .filter(when(size(col("ws")) < 3, lit(true)).otherwise {
-          val st = graft.functions.VectorExprs.ngramStats(col("ws"), 3)
-          (st.getField("n_ngrams") - st.getField("n_distinct")).cast("double") /
-            st.getField("n_ngrams") <= maxRepFrac
-        })
+        .filter(repetitionKeep(col("ws"), maxRepFrac))
         .drop("ws"))
 
     // 7. domain mixture (d26): deterministic hash sample toward the
@@ -144,6 +140,54 @@ object CorpusPipeline {
 
     (chunks, stats.toSeq)
   }
+
+  /** Keep predicate for the repetition gate over a split-words column.
+    * Docs under 3 words pass unconditionally (no 3-grams exist; the
+    * CASE guard also keeps the gram expression from seeing them). */
+  private[graft] def repetitionKeep(ws: org.apache.spark.sql.Column,
+      maxRepFrac: Double): org.apache.spark.sql.Column =
+    when(size(ws) < 3, lit(true)).otherwise {
+      val st = graft.functions.VectorExprs.ngramStats(ws, 3)
+      (st.getField("n_ngrams") - st.getField("n_distinct")).cast("double") /
+        st.getField("n_ngrams") <= maxRepFrac
+    }
+
+  /** The STATELESS curation gates as one batch transform — scrub →
+    * word-count floor → repetition gate → benchmark-gram
+    * decontamination — shared by the batch pipeline's entry points and
+    * the streaming ingestion path (EventStream.curatedInsertStream).
+    * Every gate is row-deterministic (or batch-local for the decon
+    * semi-join), so a REPLAYED micro-batch re-derives the identical
+    * keep set: the property the streaming sink's replay idempotence
+    * rests on. `benchGrams` is the pre-scrubbed distinct 8-gram set of
+    * the eval suite (tiny → broadcast), computed once at stream start,
+    * not per batch. */
+  def curateBatch(docs: DataFrame, benchGrams: Option[DataFrame] = None,
+      minWords: Int = 5, maxRepFrac: Double = 1.0): DataFrame = {
+    val scrubbed = scrubText(docs)
+      .filter(size(split(col("text"), " ")) >= minWords)
+    val repGated =
+      if (maxRepFrac >= 1.0) scrubbed
+      else scrubbed
+        .withColumn("ws", split(col("text"), " "))
+        .filter(repetitionKeep(col("ws"), maxRepFrac))
+        .drop("ws")
+    benchGrams match {
+      case Some(bg) =>
+        val hit = Curation.explodedNgrams(repGated.select("doc_id", "text"), 8)
+          .join(broadcast(bg), "ng")
+          .select("doc_id").distinct()
+        repGated.join(hit, Seq("doc_id"), "left_anti")
+      case None => repGated
+    }
+  }
+
+  /** The benchmark side of [[curateBatch]]'s decontamination gate:
+    * scrub (identically to the corpus) and collect the distinct word
+    * 8-grams. Call once on the static eval suite, pass the result to
+    * every batch. */
+  def benchmarkGrams(benchmark: DataFrame, n: Int = 8): DataFrame =
+    Curation.explodedNgrams(scrubText(benchmark), n).select("ng").distinct()
 
   /** Write training examples as partitioned parquet shards — the
     * pipeline's terminal sink. Discipline (measured, see build notes):

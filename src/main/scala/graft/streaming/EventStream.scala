@@ -603,6 +603,40 @@ object EventStream {
       }
       .start()
 
+  /** Streaming CURATED corpus ingestion: the full training-data intake
+    * path as one sink — each micro-batch runs the stateless curation
+    * gates (scrub → word floor → repetition gate → benchmark
+    * decontamination, graft.operators.CorpusPipeline.curateBatch) and
+    * only the survivors enter the near-dup incremental store. The
+    * benchmark's gram set is computed ONCE at stream start (eval suites
+    * are tiny and static; each batch's decon gate is then a broadcast
+    * semi-join). Replay-idempotent like the sinks above: the gates are
+    * row-deterministic, so a replayed batch re-derives the same keep
+    * set and the docs-store guard anti-join drops already-landed rows.
+    */
+  def curatedInsertStream(stream: DataFrame, root: String, checkpoint: String,
+      benchmark: Option[DataFrame] = None, minWords: Int = 5,
+      maxRepFrac: Double = 1.0, threshold: Double = 0.8,
+      blockCols: Seq[String] = Seq("lang", "source"), buckets: Int = 64,
+      bucketedIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    // materialized once; every batch closure reuses the cached grams
+    val benchGrams = benchmark.map { b =>
+      val g = graft.operators.CorpusPipeline.benchmarkGrams(b).cache()
+      g.count()
+      g
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val curated = graft.operators.CorpusPipeline.curateBatch(
+          batch.toDF(), benchGrams, minWords, maxRepFrac)
+        graft.operators.IncrementalDedup.upsertBatch(
+          curated, root, threshold, blockCols, buckets,
+          bucketedIndex = bucketedIndex)
+      }
+      .start()
+  }
+
   /** Streaming ANN-index maintenance: each micro-batch of new
     * embeddings (vec_id, embedding) appends into a persisted IVF index
     * by assignment to the FROZEN centroids — the streaming face of

@@ -385,4 +385,46 @@ class Round8Spec extends SparkSpec {
       }
     }
   }
+
+  test("curatedInsertStream: gates drop short/repetitive/contaminated docs; replay adds nothing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cur_stream").toString
+    val ckpt = Files.createTempDirectory("graft_cur_ckpt").toString
+
+    def doc(i: Int, words: Seq[String]) = (i.toLong, words.mkString(" "), "en", "src0")
+    val cleanA = doc(1, (1 to 30).map(i => s"aw$i"))
+    val cleanB = doc(2, (1 to 30).map(i => s"bw$i"))
+    val short  = doc(3, Seq("tiny", "doc"))                       // < minWords
+    val repet  = doc(4, Seq.fill(15)(Seq("rep", "rep", "rep")).flatten) // rep_frac ≈ 1
+    // contaminated: copies 12 consecutive words (≥ one 8-gram) from the benchmark doc
+    val benchWords = (1 to 20).map(i => s"ev$i")
+    val contam = doc(5, benchWords.take(12) ++ (1 to 18).map(i => s"cw$i"))
+    val bench = Seq((100L, benchWords.mkString(" "))).toDF("doc_id", "text")
+
+    val in1 = MemoryStream[(Long, String, String, String)]
+    val q1 = graft.streaming.EventStream.curatedInsertStream(
+      in1.toDF().toDF("doc_id", "text", "lang", "source"), root, ckpt,
+      benchmark = Some(bench), minWords = 5, maxRepFrac = 0.9)
+    in1.addData(Seq(cleanA, short))
+    q1.processAllAvailable()
+    in1.addData(Seq(cleanB, repet, contam))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(corpusSet(root).map(_._1) == Set(1L, 2L),
+      s"gates failed: ${corpusSet(root).map(_._1)}")
+
+    // replay: a new query re-delivers everything (at-least-once) — the
+    // deterministic gates + store guard must land zero new rows
+    val in2 = MemoryStream[(Long, String, String, String)]
+    val q2 = graft.streaming.EventStream.curatedInsertStream(
+      in2.toDF().toDF("doc_id", "text", "lang", "source"), root,
+      Files.createTempDirectory("graft_cur_ckpt2").toString,
+      benchmark = Some(bench), minWords = 5, maxRepFrac = 0.9)
+    in2.addData(Seq(cleanA, cleanB, short, repet, contam))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(corpusSet(root).map(_._1) == Set(1L, 2L), "replay changed the corpus")
+  }
 }
