@@ -178,6 +178,8 @@ object SparkEntry {
     "d30_vocab_coverage"  -> (CorpusStats.vocabCoverage _),
     // exact-greedy token-budget mixing (two-level prefix sum)
     "d31_token_budget_mix" -> (Curation.tokenBudgetMix _),
+    // product-quantization ANN: M-byte codes + ADC + exact re-rank
+    "d32_pq_ann"          -> (Similarity.pqTopK _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.

@@ -404,6 +404,108 @@ case class NgramStats(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): NgramStats = copy(child = c)
 }
 
+/** Product-quantization encode: per subspace, the (squared-L2) argmin
+  * sub-centroid id → array<tinyint> of length M. The codebook
+  * (M × K × subDim floats) is a build-time constant baked into the
+  * expression — collected once from the per-subspace k-means, kilobytes
+  * even at K=256. Ties break to the lowest centroid index, so encoding
+  * is deterministic. 64-dim float → 4 bytes is 64× compression.
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val m = codebook.length
+    val codes = new Array[Byte](m)
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val cb = codebook(mi)
+      val sub = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < cb.length) {
+        val c = cb(k)
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val t = v.getFloat(off + j).toDouble - c(j)
+          d += t * t
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      codes(mi) = best.toByte
+      off += sub
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncode = copy(child = c)
+}
+
+/** ADC lookup table for one query vector: flattened array<double> of
+  * length M×K with table[m·K + k] = dot(query_sub_m, centroid[m][k]).
+  * Computed once per QUERY (not per candidate) — scoring a candidate
+  * then costs M array reads instead of a full dim-wide dot product.
+  */
+case class PqQueryTable(child: Expression, codebook: Array[Array[Array[Float]]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val v = in.asInstanceOf[ArrayData]
+    val m = codebook.length
+    val kk = codebook(0).length
+    val out = new Array[Double](m * kk)
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val cb = codebook(mi)
+      val sub = cb(0).length
+      var k = 0
+      while (k < kk) {
+        val c = cb(k)
+        var s = 0.0
+        var j = 0
+        while (j < sub) { s += v.getFloat(off + j).toDouble * c(j); j += 1 }
+        out(mi * kk + k) = s
+        k += 1
+      }
+      off += sub
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): PqQueryTable = copy(child = c)
+}
+
+/** PQ asymmetric-distance score: codes (array<tinyint>, length M) ×
+  * query table (array<double>, length M×K) → Σ_m table[m·K + codes[m]]
+  * ≈ dot(query, candidate). M lookups per candidate pair — the whole
+  * point of PQ scoring.
+  */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val table = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var mi = 0
+    val m = codes.numElements()
+    while (mi < m) {
+      s += table.getDouble(mi * k + (codes.getByte(mi).toInt & 0xFF))
+      mi += 1
+    }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
 /** Static-forwarder targets for generated code (Scala object methods
   * compile to static methods on the companion class). */
 object ExprHelpers {
@@ -440,6 +542,12 @@ object VectorExprs {
     toCol(MinHashShingleSig(toExpr(c), k, perms))
   def wordNgrams(c: Column, k: Int): Column = toCol(WordNgrams(toExpr(c), k))
   def ngramStats(c: Column, k: Int): Column = toCol(NgramStats(toExpr(c), k))
+  def pqEncode(c: Column, cb: Array[Array[Array[Float]]]): Column =
+    toCol(PqEncode(toExpr(c), cb))
+  def pqQueryTable(c: Column, cb: Array[Array[Array[Float]]]): Column =
+    toCol(PqQueryTable(toExpr(c), cb))
+  def pqAdc(codes: Column, table: Column, k: Int): Column =
+    toCol(PqAdc(toExpr(codes), toExpr(table), k))
 
   /** Register for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -450,5 +558,9 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
       es => MinHashSig(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      es => WordNgrams(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_stats",
+      es => NgramStats(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

@@ -145,6 +145,111 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Train a product-quantization codebook: per subspace (m contiguous
+    * dim/m-wide slices), Lloyd's k-means with `k` sub-centroids —
+    * ALL m subspaces fitted simultaneously: each iteration is ONE
+    * corpus pass (PqEncode assigns every subspace in a single tight
+    * loop), one posexplode to (subspace, code) pairs, and one tiny
+    * map-side-combined shuffle of m×k sub-vector sums. Training m
+    * independent k-means runs would cost m×iters jobs; this costs
+    * iters. Returns codebook(m)(k)(subDim) — kilobytes, a driver-side
+    * constant the PQ expressions bake in. Empty clusters keep their
+    * previous centroid; seeds are slices of the k hash-smallest
+    * vectors (the kmeans seeding discipline), so training is
+    * deterministic end to end.
+    */
+  def trainPqCodebook(emb: DataFrame, m: Int, k: Int,
+      iters: Int): Array[Array[Array[Float]]] = {
+    import graft.functions.VectorExprs
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val seeds = emb.orderBy(hash(col("vec_id")), col("vec_id")).limit(k)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.length >= 2, "PQ training needs at least 2 vectors")
+    var cb = Array.tabulate(m, seeds.length) { (mi, j) =>
+      seeds(j).slice(mi * sub, mi * sub + sub)
+    }
+    for (_ <- 1 to iters) {
+      val means = emb
+        .select(col("embedding"),
+          posexplode(VectorExprs.pqEncode(col("embedding"), cb)).as(Seq("mi", "code")))
+        .select(col("mi"), col("code"),
+          expr(s"slice(embedding, mi * $sub + 1, $sub)").as("subv"))
+        .groupBy("mi", "code")
+        .agg(graft.functions.VectorAgg.vectorSum(col("subv")).as("vs"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cb.map(_.clone())
+      means.foreach { r =>
+        val mi = r.getInt(0)
+        val code = r.getByte(1).toInt & 0xFF
+        val vs = r.getSeq[Double](2)
+        val n = r.getLong(3).toDouble
+        next(mi)(code) = vs.map(x => (x / n).toFloat).toArray
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** d32: product-quantization ANN — the middle tier of the compression
+    * ladder (float32 → int8 d16 → PQ codes → sign bits d17): M-byte
+    * codes (64× compression at 64-dim), asymmetric-distance scoring
+    * (one M×K lookup table per QUERY, M array reads per candidate),
+    * exact float re-rank of the top `refine` PQ candidates. Scale
+    * shape: candidate generation touches only the code column (M bytes
+    * a row — the whole 100 TB corpus's codes fit where 1.6 TB of floats
+    * would not), queries broadcast, and only queries×refine rows ever
+    * re-read the float embeddings (broadcast back against the corpus —
+    * or a bucket-pruned read when codes live in an IVF layout).
+    */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    pqTopKOf(emb, emb.filter(col("vec_id") < 10))
+  }
+
+  /** L2-normalize the embedding column (build-time pass; zero vectors
+    * guarded to avoid NaN codes). On the unit sphere dot ≡ cosine, so
+    * the PQ ADC score approximates the cosine the exact tiers rank by. */
+  private def unitEmb(df: DataFrame): DataFrame =
+    df.withColumn("nrm", greatest(norm(col("embedding")), lit(1e-30)))
+      .withColumn("embedding",
+        expr("transform(embedding, x -> cast(x / nrm AS float))"))
+      .drop("nrm")
+
+  /** Core of [[pqTopK]]: corpus + explicit query frame (both
+    * (vec_id, embedding)). Vectors are L2-normalized first — PQ
+    * approximates COSINE (what d5 ranks by), not raw dot, and the
+    * re-rank scores cosine exactly. */
+  def pqTopKOf(emb: DataFrame, queries: DataFrame, m: Int = 16, k: Int = 16,
+      iters: Int = 4, topK: Int = 5, refine: Int = 50): DataFrame = {
+    import graft.functions.VectorExprs
+    val unit = unitEmb(emb)
+    val cb = trainPqCodebook(unit, m, k, iters)
+    val codes = unit.select(col("vec_id"),
+      VectorExprs.pqEncode(col("embedding"), cb).as("codes"))
+    val qt = unitEmb(queries).select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"),
+      VectorExprs.pqQueryTable(col("embedding"), cb).as("tbl"))
+    val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = codes.join(broadcast(qt), col("vec_id") =!= col("q_id"))
+      .withColumn("approx", VectorExprs.pqAdc(col("codes"), col("tbl"), k))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= refine)
+      .select("q_id", "vec_id", "q_vec")
+    // exact re-rank: only queries×refine candidate rows re-touch the
+    // float corpus, and the tiny candidate set broadcasts. score =
+    // dot of unit vectors = cosine of the originals.
+    val wB = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    unit.join(broadcast(cand), "vec_id")
+      .withColumn("score", dot(col("embedding"), col("q_vec")))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Distributed Lloyd's k-means over the embedding column — the real
     * coarse quantizer behind IVF. Deterministic init (first k vectors
     * by id). Each iteration: broadcast centroids, argmin-assign (one
