@@ -464,6 +464,68 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rk"))
   }
 
+  /** Persist the composed IVF-PQ index — the 100 TB ANN layout: the
+    * coarse quantizer's buckets partition the corpus on disk (probes
+    * become partition-pruned scans of nprobe/k of the files), PQ codes
+    * make the in-bucket candidate pass M bytes a row, and the float
+    * embedding rides in the same row group for the final re-rank —
+    * parquet column pruning keeps it UNREAD until then (the candidate
+    * scan's ReadSchema is (vec_id, codes) only). Vectors are stored
+    * L2-normalized; returns (centroids, codebook) — persist both
+    * beside the index, they are the index's generation identity like
+    * [[buildIvfIndex]]'s centroids.
+    */
+  def buildIvfPqIndex(emb: DataFrame, kIvf: Int, m: Int, kPq: Int,
+      iters: Int, path: String): (DataFrame, Array[Array[Array[Float]]]) = {
+    import graft.functions.VectorExprs
+    val unit = unitEmb(emb)
+    val cents = kmeans(unit, kIvf, iters)
+    val cb = trainPqCodebook(unit, m, kPq, iters)
+    unit.join(assign(unit, cents).select("vec_id", "bucket"), "vec_id")
+      .withColumn("codes", VectorExprs.pqEncode(col("embedding"), cb))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    (cents, cb)
+  }
+
+  /** Probe a persisted IVF-PQ index: nprobe nearest buckets per query
+    * (broadcast centroid argmax) → ADC over the pruned buckets' code
+    * column → top-`refine` per query → exact cosine re-rank reading
+    * the float column of only those buckets. Two scans of the SAME
+    * pruned partition set, the first touching M bytes a row.
+    */
+  def probeIvfPq(s: SparkSession, path: String, cents: DataFrame,
+      cb: Array[Array[Array[Float]]], queries: DataFrame, topK: Int = 5,
+      nprobe: Int = 2, refine: Int = 50): DataFrame = {
+    import graft.functions.VectorExprs
+    val k = cb(0).length
+    val q = unitEmb(queries).crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)))
+      .filter(col("crk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        VectorExprs.pqQueryTable(col("embedding"), cb).as("tbl"),
+        col("c_id").as("bucket"))
+    val idx = s.read.parquet(path)
+    val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id").asc)
+    val cand = idx.select("vec_id", "codes", "bucket")
+      .join(broadcast(q.select("q_id", "tbl", "bucket")), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx", VectorExprs.pqAdc(col("codes"), col("tbl"), k))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= refine)
+      .select("q_id", "vec_id", "bucket")
+    val wB = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    idx.select("vec_id", "embedding", "bucket")
+      .join(broadcast(cand), Seq("bucket", "vec_id"))
+      .join(broadcast(q.select("q_id", "q_vec").dropDuplicates("q_id")), "q_id")
+      .withColumn("score", dot(col("embedding"), col("q_vec")))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** d11: embedding-cosine near-duplicate pairs, blocked by the
     * operator's OWN IVF buckets (the d6 quantizer) — self-contained:
     * no reliance on a pre-existing cluster column. k defaults to

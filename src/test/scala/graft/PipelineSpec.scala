@@ -123,6 +123,40 @@ class PipelineSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("IVF-PQ index: code-only candidate scan, pruned probe, full-probe+refine equals brute force") {
+    val dir = Files.createTempDirectory("graft_ivfpq").toString + "/index"
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val (cents, cb) = Similarity.buildIvfPqIndex(
+      emb, kIvf = 8, m = 16, kPq = 16, iters = 2, path = dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("bucket=")))
+    val queries = emb.filter(col("vec_id") < 10)
+    val res = Similarity.probeIvfPq(spark, dir, cents, cb, queries,
+      topK = 5, nprobe = 2, refine = 50)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no partition pruning:\n${plan.take(2000)}")
+    // the candidate-stage INDEX scan reads codes, never the float
+    // column; only the re-rank scan touches embedding (other FileScans
+    // in the plan read the raw embeddings parquet for the query side)
+    val idxScans = plan.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("graft_ivfpq"))
+    assert(idxScans.nonEmpty, s"no index FileScan lines found:\n${plan.take(3000)}")
+    val withEmb = idxScans.count(_.split("ReadSchema").last.contains("embedding"))
+    assert(withEmb == 1, s"expected 1 embedding-reading index scan, got $withEmb:\n${idxScans.mkString("\n")}")
+    assert(idxScans.exists(l => !l.split("ReadSchema").last.contains("embedding")),
+      s"no code-only index scan:\n${idxScans.mkString("\n")}")
+    val got = res.cache()
+    assert(got.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+    // all buckets + refine >= corpus: must equal brute-force cosine top-1
+    val all = Similarity.probeIvfPq(spark, dir, cents, cb, queries,
+      topK = 1, nprobe = 8, refine = 1000)
+      .select(col("q_id"), col("neighbor_id").as("pq_n"))
+    val bf = Similarity.embedTopK(spark, sf)
+      .filter(col("rk") === 1).select(col("q_id"), col("neighbor_id").as("bf_n"))
+    assert(bf.join(all, "q_id").filter(col("bf_n") =!= col("pq_n")).count() == 0,
+      "full-probe IVF-PQ with corpus-wide refine must equal brute force")
+    got.unpersist()
+  }
+
   test("chains payloads parse in a STREAM: flatten + quarantine both flow") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
