@@ -180,6 +180,8 @@ object SparkEntry {
     "d31_token_budget_mix" -> (Curation.tokenBudgetMix _),
     // product-quantization ANN: M-byte codes + ADC + exact re-rank
     "d32_pq_ann"          -> (Similarity.pqTopK _),
+    // unigram-NLL quality score (perplexity proxy, top-V + OOV model)
+    "d33_unigram_nll"     -> (CorpusStats.unigramNll _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1013,6 +1015,21 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, source, n_tokens FROM c JOIN budgets USING (source)
         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+
+    "d33_unigram_nll" ->
+      """WITH words AS (
+        |  SELECT doc_id, w
+        |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |counts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+        |tot AS (SELECT SUM(c) AS total FROM counts),
+        |top AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 1000)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(ROUND(-LN(CASE WHEN c IS NOT NULL
+        |           THEN c / total ELSE CAST(0.5 AS DOUBLE) / total END), 9)
+        |         AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS nll
+        |FROM words LEFT JOIN top USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d26_domain_mix" ->
       """WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),

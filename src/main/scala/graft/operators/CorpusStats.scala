@@ -41,6 +41,46 @@ object CorpusStats {
   def vocabCoverage(s: SparkSession, d: String): DataFrame =
     vocabCoverageOf(Tables.documents(s, d).select("text"), k = 100)
 
+  /** d33: unigram NLL quality score — the perplexity proxy every LLM
+    * data pipeline filters on, as an exact aggregation: train a
+    * top-V unigram model from the corpus itself (count / total, OOV at
+    * 0.5 / total), score each doc by its mean per-token negative log
+    * likelihood. Scale shape: ONE vocab count shuffle (map-side
+    * combined); the top-V model broadcasts (V bounded, the standard
+    * cap-plus-OOV trick — never a corpus-side join against an unbounded
+    * vocab); one groupBy(doc) agg.
+    *
+    * Cross-engine determinism: floating sums are order-dependent, and
+    * Spark's partial aggregation adds in partition order while DuckDB
+    * adds sequentially — so per-word NLL is rounded to 9 dp and summed
+    * as DECIMAL(18,9) (exact, order-independent; bounded well inside
+    * 2^53 so the final double cast is exact), then averaged and rounded
+    * to 6 dp. The 9 dp round also absorbs the ≤1-ulp ln() divergence
+    * between JVM and C libm.
+    */
+  def unigramNll(s: SparkSession, d: String): DataFrame =
+    unigramNllOf(Tables.documents(s, d).select("doc_id", "text"), vocabCap = 1000)
+
+  /** Core of [[unigramNll]] over an explicit (doc_id, text) frame. */
+  def unigramNllOf(docs: DataFrame, vocabCap: Int): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val counts = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val top = counts.orderBy(col("c").desc, col("w")).limit(vocabCap)
+    words
+      .join(broadcast(top), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", round(-log(
+        when(col("c").isNotNull, col("c") / col("total"))
+          .otherwise(lit(0.5) / col("total"))), 9).cast("decimal(18,9)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round((sum(col("nll")).cast("double") / count(lit(1))), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
   /** Core of [[vocabCoverage]] over any frame with a text column. */
   def vocabCoverageOf(docs: DataFrame, k: Int): DataFrame = {
     val words = docs

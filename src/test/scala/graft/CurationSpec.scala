@@ -206,12 +206,28 @@ class CurationSpec extends SparkSpec {
     assert(g1.getSeq[String](0) == Seq("a", "b"))
   }
 
+  test("unigramNll: common-word docs score lower than rare/OOV docs; OOV capped vocab bites") {
+    import spark.implicits._
+    val docs = (
+      (1 to 50).map(i => (i.toLong, "the quick fox")) ++       // frequent words
+      Seq((100L, "the quick fox"), (101L, "zyx wvu tsr"))      // same vs all-rare
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.unigramNllOf(docs, vocabCap = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(100L) < got(101L),
+      s"frequent-word doc must score lower NLL: ${got(100L)} vs ${got(101L)}")
+    // rare words fell outside the top-3 vocab → OOV probability applied
+    assert(got(101L) > -math.log(0.5 / (51 * 3.0 + 3)) - 1.0)
+    assert(got.values.forall(v => v > 0 && !v.isNaN))
+  }
+
   test("curation entries: registered queries run and the oracle dialect stays aligned") {
     // rows>0 over the real corpus at test SF; the exact-parity gate is
     // the driver selfcheck (run at sf0.01/sf0.1/amplified this round)
     Seq("d24_decontaminate", "d25_repetition_score", "d26_domain_mix",
         "d27_pii_redact", "d28_stratified_split", "d29_ngram_topk",
-        "d30_vocab_coverage").foreach { k =>
+        "d30_vocab_coverage", "d31_token_budget_mix",
+        "d33_unigram_nll").foreach { k =>
       assert(SparkEntry.queries(k)(spark, sf).count() > 0, s"$k returned no rows")
       assert(SparkEntry.oracleSql.contains(k), s"$k has no oracle SQL")
     }
