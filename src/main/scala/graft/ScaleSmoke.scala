@@ -207,6 +207,34 @@ object ScaleSmoke {
       require(kept > 100000 && kept < 900000, s"unexpected mix sample size $kept")
       kept
     }
+    // exact-greedy token budgets under the same 70% skew: the two-level
+    // prefix sum must bound the hot source's work by range partition,
+    // not by source size
+    time("token budget mix 1M docs") {
+      val sourced = docsBig.withColumn("source",
+        expr("concat('src', if(doc_id % 1000 < 700, 0, doc_id % 10))"))
+      val kept = operators.Curation.tokenBudgetMixOf(
+        sourced.select("doc_id", "source", "text"), targetFrac = 0.5).count()
+      require(kept > 100000 && kept < 900000, s"unexpected token mix size $kept")
+      kept
+    }
+    time("unigram nll 1M docs") {
+      operators.CorpusStats.unigramNllOf(docsBig, vocabCap = 1000).count()
+    }
+    // PQ at 1M×64-dim vectors: single-pass-per-iteration codebook
+    // training + ADC search + re-rank, the d32 path at 1000× the test
+    // embeddings table (hash-generated deterministic vectors, cached so
+    // the stages measure PQ, not the interpreted generator)
+    val vecsBig = spark.range(1000000).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63),
+             |  i -> cast(pmod(xxhash64(id * 64 + i), 2000) / 1000.0 - 1.0 as float))""".stripMargin)
+        .as("embedding")).cache()
+    time("pq vec gen+cache 1M") { vecsBig.count() }
+    time("pq train+search 1M vecs") {
+      operators.Similarity.pqTopKOf(vecsBig,
+        vecsBig.filter(col("vec_id") < 5), refine = 100).count()
+    }
+    vecsBig.unpersist()
 
     // Market-data end-to-end chain, the tick-side twin of the corpus
     // pipeline above (reference /root/reference/docs/services_flow.mmd:
