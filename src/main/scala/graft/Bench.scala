@@ -160,8 +160,20 @@ object Bench {
     if (loaded(cal, ext)) {
       val (warm2, wallWarm2, ext2) = runSuite()
       val cal2 = calOnce(spark)
-      if (ext2 >= 0 && (ext < 0 || ext2 < ext)) {
-        warm = warm2; wallWarm = wallWarm2; ext = ext2
+      // "less contended" judged on whichever gauge can actually compare
+      // the two captures: ext when both sides measured it and they
+      // differ meaningfully, else cal (a cal-only trip — or a platform
+      // with no /proc — must still be able to accept a cleaner re-run),
+      // else prefer the capture that HAS an ext reading at all.
+      val extComparable = ext >= 0 && ext2 >= 0 && math.abs(ext2 - ext) > 0.1
+      val calComparable = cal >= 0 && cal2 >= 0
+      val keepRerun =
+        if (extComparable) ext2 < ext
+        else if (calComparable) cal2 < cal
+        else ext2 >= 0 && ext < 0
+      if (keepRerun) {
+        warm = warm2; wallWarm = wallWarm2
+        if (ext2 >= 0) ext = ext2
         if (cal2 >= 0) cal = cal2
       }
     }

@@ -404,6 +404,30 @@ case class NgramStats(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): NgramStats = copy(child = c)
 }
 
+/** L2-normalize an array<float> vector in one tight loop (norm floored
+  * at 1e-30 so a zero vector maps to zeros, not NaN). The
+  * transform(x -> x / nrm) HOF formulation runs interpreted per
+  * element, and the PQ/IVF builders evaluate the normalized column on
+  * every training pass.
+  */
+case class NormalizeF(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = arr.getFloat(i).toDouble; s += v * v; i += 1 }
+    val nrm = math.max(math.sqrt(s), 1e-30)
+    val out = new Array[Float](n)
+    i = 0
+    while (i < n) { out(i) = (arr.getFloat(i) / nrm).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): NormalizeF = copy(child = c)
+}
+
 /** Product-quantization encode: per subspace, the (squared-L2) argmin
   * sub-centroid id → array<tinyint> of length M. The codebook
   * (M × K × subDim floats) is a build-time constant baked into the
@@ -542,6 +566,7 @@ object VectorExprs {
     toCol(MinHashShingleSig(toExpr(c), k, perms))
   def wordNgrams(c: Column, k: Int): Column = toCol(WordNgrams(toExpr(c), k))
   def ngramStats(c: Column, k: Int): Column = toCol(NgramStats(toExpr(c), k))
+  def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))
   def pqEncode(c: Column, cb: Array[Array[Array[Float]]]): Column =
     toCol(PqEncode(toExpr(c), cb))
   def pqQueryTable(c: Column, cb: Array[Array[Array[Float]]]): Column =

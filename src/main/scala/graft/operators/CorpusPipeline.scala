@@ -102,8 +102,8 @@ object CorpusPipeline {
     //    only sound when both sides are normalized identically.
     val decon = benchmark match {
       case Some(b) => stage("decontaminated", nearDeduped.join(
-        Curation.decontaminateOf(nearDeduped.select("doc_id", "text"),
-          scrubText(b)).select("doc_id"),
+        Curation.contaminatedIds(nearDeduped.select("doc_id", "text"),
+          benchmarkGrams(b)),
         Seq("doc_id"), "left_anti"))
       case None => nearDeduped
     }
@@ -174,10 +174,9 @@ object CorpusPipeline {
         .drop("ws")
     benchGrams match {
       case Some(bg) =>
-        val hit = Curation.explodedNgrams(repGated.select("doc_id", "text"), 8)
-          .join(broadcast(bg), "ng")
-          .select("doc_id").distinct()
-        repGated.join(hit, Seq("doc_id"), "left_anti")
+        repGated.join(
+          Curation.contaminatedIds(repGated.select("doc_id", "text"), bg),
+          Seq("doc_id"), "left_anti")
       case None => repGated
     }
   }

@@ -67,7 +67,12 @@ object CorpusStats {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
     val counts = words.groupBy("w").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum(col("c")).as("total"))
+    // token total as a narrow map pass (same discipline as
+    // vocabCoverageOf): totalling through `counts` would re-run the
+    // full explode+groupBy vocabulary aggregation a second time
+    val total = docs.agg(
+      sum(size(array_remove(split(col("text"), " "), "")).cast("long"))
+        .as("total"))
     val top = counts.orderBy(col("c").desc, col("w")).limit(vocabCap)
     words
       .join(broadcast(top), Seq("w"), "left")

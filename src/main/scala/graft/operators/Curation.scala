@@ -49,7 +49,9 @@ object Curation {
   }
 
   /** Core of [[decontaminate]] over explicit training/benchmark frames
-    * (both (doc_id, text)). */
+    * (both (doc_id, text)). Scored variant (per-doc distinct-gram
+    * overlap) — the gating paths that only need the contaminated id
+    * SET use [[contaminatedIds]], which skips the countDistinct. */
   def decontaminateOf(training: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
     val bench = explodedNgrams(benchmark, n).select("ng").distinct()
     explodedNgrams(training, n)
@@ -58,6 +60,16 @@ object Curation {
       .agg(countDistinct(col("ng")).as("n_hits"))
       .orderBy("doc_id")
   }
+
+  /** The contaminated doc_id SET against a pre-built distinct gram
+    * frame — the single decontamination-gate implementation shared by
+    * CorpusPipeline.buildTrainingCorpus and curateBatch (one broadcast
+    * semi-join + distinct; no per-doc scoring aggregation). */
+  private[operators] def contaminatedIds(training: DataFrame,
+      benchGrams: DataFrame, n: Int = 8): DataFrame =
+    explodedNgrams(training, n)
+      .join(broadcast(benchGrams), "ng")
+      .select("doc_id").distinct()
 
   /** d25: Gopher-style repetition gauge — the fraction of a document's
     * word 3-grams that are duplicates of an earlier one. Pure per-row

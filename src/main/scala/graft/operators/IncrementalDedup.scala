@@ -106,6 +106,7 @@ object IncrementalDedup {
   private def docsPath(root: String) = s"$root/docs"
   private def mergesPath(root: String) = s"$root/merges"
   private def layoutPath(root: String) = s"$root/_layout"
+  private def bandsPendingPath(root: String) = s"$root/_bands_pending"
 
   private def exists(s: SparkSession, path: String): Boolean = {
     val p = new Path(path)
@@ -163,7 +164,22 @@ object IncrementalDedup {
             s"this batch passed $l — buckets/bucketedIndex/blockCols/threshold " +
             "are per-root and permanent (a silent flip would break the " +
             "partition prune and miss duplicates)")
-      case None => writeLayout(s, root, l)
+      case None =>
+        // Pre-marker store backfill: bucketedIndex IS detectable from
+        // the band files' bucketed-write tag — validate it against the
+        // batch's parameter instead of trusting the parameter,
+        // otherwise the exact restart mistake the marker exists for
+        // (resuming a bucketed store with the default
+        // bucketedIndex=false) would persist the WRONG contract and
+        // silently miss band collisions forever.
+        if (exists(s, bandsPath(root))) {
+          val detected = bucketedBandFiles(fs(s, root), root)
+          require(detected == l.bucketedIndex,
+            s"pre-_layout store at $root has a ${if (detected) "bucketed-table"
+              else "path"} band layout on disk, but this batch passed " +
+              s"bucketedIndex=${l.bucketedIndex} — pass the store's actual layout")
+        }
+        writeLayout(s, root, l)
     }
 
   // ---- catalog lifecycle -------------------------------------------
@@ -457,7 +473,17 @@ object IncrementalDedup {
     // writer task opens a file in every bucket dir (tasks × buckets
     // tiny files per batch — measured, file creation dominated the
     // write AND the next batch's footer reads)
-    if (!banded.isEmpty) {
+    // crash-evidence marker for compactBands' hygiene gate: created
+    // before the band append, cleared only after the docs append lands.
+    // A marker inherited from an earlier crashed batch is NOT cleared
+    // by this batch's success — it stays until a hygiene pass confirms
+    // bands ⊆ docs again.
+    val fMark = fs(s, root)
+    val pendingMark = new Path(bandsPendingPath(root))
+    val pendingBefore = fMark.exists(pendingMark)
+    val wroteBands = !banded.isEmpty
+    if (wroteBands) {
+      if (!pendingBefore) fMark.create(pendingMark, true).close()
       val rows = banded.withColumn("bucket", bandBucket).repartition(col("bucket"))
       if (bucketedIndex) {
         // the table pre-registers (empty) before the first append, so
@@ -484,6 +510,7 @@ object IncrementalDedup {
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(docsPath(root))
     lap("writeDocs")
+    if (wroteBands && !pendingBefore) fMark.delete(pendingMark, false)
     Seq(toks, banded, edgesHist, allEdges, labels).foreach(_.unpersist())
   }
 
@@ -736,13 +763,21 @@ object IncrementalDedup {
   private def compactBands(s: SparkSession, root: String): Unit = {
     if (!exists(s, bandsPath(root)) || !exists(s, docsPath(root))) return
     val f = fs(s, root)
+    // crash-evidence gate: stale band rows can ONLY come from a
+    // bands-landed/docs-lost crash, and that crash leaves _bands_pending
+    // behind (upsertBatch clears it after the docs append succeeds; an
+    // inherited marker survives until hygiene confirms the store). No
+    // marker, no scan — routine compaction stays O(merge-touched)
+    // instead of paying a full band-index x docs anti-join per cycle.
+    val pending = new Path(bandsPendingPath(root))
+    if (!f.exists(pending)) return
     f.delete(new Path(bandsNewPath(root)), true) // stale attempt, if any
     val bands = s.read.parquet(bandsPath(root))
     val stale = bands.select("doc_id").distinct()
       .join(s.read.parquet(docsPath(root)).select("doc_id"), Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = true)
     try {
-      if (stale.isEmpty) return
+      if (stale.isEmpty) { f.delete(pending, false); return }
       val affected = bands.join(stale, Seq("doc_id"), "left_semi")
         .select("bucket").distinct().collect().map(_.getInt(0)).toSet
       val layout = readLayout(s, root)
@@ -796,6 +831,7 @@ object IncrementalDedup {
         () => ())
       if (s.catalog.tableExists(bandTable(root)))
         s.sql(s"REFRESH TABLE `${bandTable(root)}`")
+      f.delete(pending, false) // evidence resolved: bands subset docs again
     } finally stale.unpersist()
   }
 

@@ -209,14 +209,14 @@ object Similarity {
     pqTopKOf(emb, emb.filter(col("vec_id") < 10))
   }
 
-  /** L2-normalize the embedding column (build-time pass; zero vectors
-    * guarded to avoid NaN codes). On the unit sphere dot ≡ cosine, so
-    * the PQ ADC score approximates the cosine the exact tiers rank by. */
+  /** L2-normalize the embedding column (zero vectors guarded inside the
+    * expression). On the unit sphere dot ≡ cosine, so the PQ ADC score
+    * approximates the cosine the exact tiers rank by. One tight-loop
+    * NormalizeF pass — the HOF formulation ran interpreted on every
+    * training iteration's corpus scan. */
   private def unitEmb(df: DataFrame): DataFrame =
-    df.withColumn("nrm", greatest(norm(col("embedding")), lit(1e-30)))
-      .withColumn("embedding",
-        expr("transform(embedding, x -> cast(x / nrm AS float))"))
-      .drop("nrm")
+    df.withColumn("embedding",
+      graft.functions.VectorExprs.normalizeF(col("embedding")))
 
   /** Core of [[pqTopK]]: corpus + explicit query frame (both
     * (vec_id, embedding)). Vectors are L2-normalized first — PQ
@@ -232,9 +232,13 @@ object Similarity {
     val qt = unitEmb(queries).select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"),
       VectorExprs.pqQueryTable(col("embedding"), cb).as("tbl"))
+    // stride = the TRAINED codebook's width, not the k parameter: a
+    // corpus smaller than k seeds fewer centroids, and a k-stride ADC
+    // would index past the table (or read the wrong subspace's cells)
+    val stride = cb(0).length
     val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id").asc)
     val cand = codes.join(broadcast(qt), col("vec_id") =!= col("q_id"))
-      .withColumn("approx", VectorExprs.pqAdc(col("codes"), col("tbl"), k))
+      .withColumn("approx", VectorExprs.pqAdc(col("codes"), col("tbl"), stride))
       .withColumn("rk", row_number().over(wA))
       .filter(col("rk") <= refine)
       .select("q_id", "vec_id", "q_vec")

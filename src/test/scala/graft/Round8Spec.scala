@@ -80,6 +80,29 @@ class Round8Spec extends SparkSpec {
     assert(corpusSet(root) == batchCorpus)
   }
 
+  test("layout backfill detects the on-disk band layout: resuming a bucketed pre-marker store with the default fails loudly") {
+    val root = Files.createTempDirectory("graft_r8_backfill_bkt").toString
+    val docs = Tables.documents(spark, sf)
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") % 2 === 0), root,
+      bucketedIndex = true)
+    new java.io.File(s"$root/_layout").delete()
+    // the exact restart mistake the marker exists for: default params
+    // against a bucketed store — the disk layout is detectable, so the
+    // backfill must refuse rather than persist the wrong contract
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.upsertBatch(docs.filter(col("doc_id") % 2 === 1), root)
+    }
+    assert(e.getMessage.contains("bucketed-table"), e.getMessage)
+    assert(IncrementalDedup.readLayout(spark, root).isEmpty,
+      "a refused backfill must not persist a layout")
+    // passing the true layout heals the marker and the store finishes
+    IncrementalDedup.upsertBatch(docs.filter(col("doc_id") % 2 === 1), root,
+      bucketedIndex = true)
+    assert(IncrementalDedup.readLayout(spark, root)
+      .exists(_.bucketedIndex), "backfill lost the detected layout")
+    assert(corpusSet(root) == batchCorpus)
+  }
+
   // ---- non-mutating reads (the ADVICE concurrent-heal hazard) ------
 
   test("reads during an interrupted compaction mutate NOTHING and stay correct in every window") {
@@ -126,14 +149,21 @@ class Round8Spec extends SparkSpec {
     val docs = Tables.documents(spark, sf)
     val chunk = (i: Int) => docs.filter(pmod(col("doc_id"), lit(3)) === i)
     IncrementalDedup.upsertBatch(chunk(0), root)
+    // clean batch: the crash-evidence marker was created and cleared
+    assert(!new java.io.File(s"$root/_bands_pending").exists(),
+      "marker survived a successful batch")
     IncrementalDedup.failAfterBands = true
     try intercept[RuntimeException] { IncrementalDedup.upsertBatch(chunk(1), root) }
     finally IncrementalDedup.failAfterBands = false
-    // stale band rows (chunk 1) are present before the hygiene pass
+    // stale band rows (chunk 1) + the crash-evidence marker are present
     assert((bandDocIds(root) -- docIds(root)).nonEmpty)
+    assert(new java.io.File(s"$root/_bands_pending").exists(),
+      "bands-landed crash left no evidence marker")
     IncrementalDedup.compact(spark, root)
     assert((bandDocIds(root) -- docIds(root)).isEmpty,
       "band index still holds docs that never landed")
+    assert(!new java.io.File(s"$root/_bands_pending").exists(),
+      "hygiene pass did not clear the evidence marker")
     // the dropped rows don't break parity: the retry re-bands the batch
     IncrementalDedup.upsertBatch(chunk(1), root)
     IncrementalDedup.upsertBatch(chunk(2), root)
