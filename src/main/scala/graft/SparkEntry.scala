@@ -182,6 +182,8 @@ object SparkEntry {
     "d32_pq_ann"          -> (Similarity.pqTopK _),
     // unigram-NLL quality score (perplexity proxy, top-V + OOV model)
     "d33_unigram_nll"     -> (CorpusStats.unigramNll _),
+    // template/boilerplate mining: multi-doc full-size chunks
+    "d34_template_chunks" -> (TextFns.templateChunks _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1015,6 +1017,16 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, source, n_tokens FROM c JOIN budgets USING (source)
         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+
+    "d34_template_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id,
+        |        array_to_string(list_slice(ws, k * 10 + 1, k * 10 + 20), ' ') AS chunk_text
+        |      FROM w, UNNEST(range(CAST(floor((len(ws) - 1) / 10) AS BIGINT) + 1)) AS t(k))
+        |SELECT chunk_text, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+        |FROM c WHERE len(string_split(chunk_text, ' ')) = 20
+        |GROUP BY chunk_text HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, chunk_text""".stripMargin,
 
     "d33_unigram_nll" ->
       """WITH words AS (

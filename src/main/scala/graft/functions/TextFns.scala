@@ -190,6 +190,32 @@ object TextFns {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** d34: template/boilerplate mining — full-size d18 chunks appearing
+    * in MORE THAN ONE document, with distinct-doc and occurrence
+    * counts: the pass that surfaces shared boilerplate (headers,
+    * licenses, navigation) for removal before training. Scale shape:
+    * the d1 exact-dedup hash-groupBy at chunk granularity — one
+    * map-side-combined shuffle of the chunk strings, nothing pairwise.
+    * Tail windows (< chunkSize words) are excluded: single words and
+    * fragments are not templates.
+    */
+  def templateChunks(s: SparkSession, d: String): DataFrame = {
+    val chunkSize = 20
+    val stride = 10
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, cast(floor((size(ws) - 1) / $stride) as int)),
+           |  k -> concat_ws(' ', slice(ws, k * $stride + 1, $chunkSize)))""".stripMargin))
+        .as("chunk_text"))
+      .filter(size(split(col("chunk_text"), " ")) === chunkSize)
+      .groupBy("chunk_text")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("chunk_text"))
+  }
+
   /** d10: normalized content fingerprint: lowercase, collapse runs of
     * whitespace, md5. Reference analog: scripts/scwhab_hash.py (account
     * hashing) + dedup keys in the silver layer.
