@@ -184,6 +184,8 @@ object SparkEntry {
     "d33_unigram_nll"     -> (CorpusStats.unigramNll _),
     // template/boilerplate mining: multi-doc full-size chunks
     "d34_template_chunks" -> (TextFns.templateChunks _),
+    // cross-split near-dup leakage report (d4 pairs × d28 splits)
+    "d35_split_leakage"   -> (Curation.splitLeakage _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1017,6 +1019,38 @@ object SparkEntry {
         |  FROM toks)
         |SELECT doc_id, source, n_tokens FROM c JOIN budgets USING (source)
         |WHERE cum <= budget ORDER BY doc_id""".stripMargin,
+
+    "d35_split_leakage" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, lang, source, UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, lang, source, w FROM tok0 WHERE w <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8)
+        |SELECT id_a, id_b, jaccard,
+        |  CASE WHEN ua < CAST(0.9 AS DOUBLE) THEN 'train'
+        |       WHEN ua < CAST(0.95 AS DOUBLE) THEN 'val' ELSE 'test' END AS split_a,
+        |  CASE WHEN ub < CAST(0.9 AS DOUBLE) THEN 'train'
+        |       WHEN ub < CAST(0.95 AS DOUBLE) THEN 'val' ELSE 'test' END AS split_b
+        |FROM (SELECT id_a, id_b, jaccard,
+        |        CAST(CONCAT('0x', SUBSTRING(md5(CAST(id_a AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 AS ua,
+        |        CAST(CONCAT('0x', SUBSTRING(md5(CAST(id_b AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          / 4294967296.0 AS ub
+        |      FROM pairs)
+        |WHERE (CASE WHEN ua < CAST(0.9 AS DOUBLE) THEN 'train'
+        |            WHEN ua < CAST(0.95 AS DOUBLE) THEN 'val' ELSE 'test' END) <>
+        |      (CASE WHEN ub < CAST(0.9 AS DOUBLE) THEN 'train'
+        |            WHEN ub < CAST(0.95 AS DOUBLE) THEN 'val' ELSE 'test' END)
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d34_template_chunks" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

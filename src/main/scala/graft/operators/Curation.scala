@@ -182,18 +182,38 @@ object Curation {
   def stratifiedSplit(s: SparkSession, d: String): DataFrame =
     stratifiedSplitOf(Tables.documents(s, d).select("doc_id", "source"))
 
+  /** The split label as a pure function of a doc-id column — usable
+    * anywhere a doc id appears without joining the assignment table
+    * (the property hash-based splits exist for). */
+  def splitOf(docId: org.apache.spark.sql.Column, trainUpper: Double = 0.9,
+      valUpper: Double = 0.95): org.apache.spark.sql.Column = {
+    val u = conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
+      .cast("bigint").divide(lit(4294967296.0))
+    when(u < trainUpper, "train").when(u < valUpper, "val").otherwise("test")
+  }
+
   /** Core of [[stratifiedSplit]]: keeps every input column, appends
     * `split`. */
   def stratifiedSplitOf(docs: DataFrame, trainUpper: Double = 0.9,
       valUpper: Double = 0.95): DataFrame =
     docs
-      .withColumn("u", hashU)
-      .withColumn("split",
-        when(col("u") < trainUpper, "train")
-          .when(col("u") < valUpper, "val")
-          .otherwise("test"))
-      .drop("u")
+      .withColumn("split", splitOf(col("doc_id"), trainUpper, valUpper))
       .orderBy("doc_id")
+
+  /** d35: cross-split contamination report — exact near-duplicate
+    * pairs (the d4 mining, jaccard ≥ 0.8) whose endpoints landed in
+    * DIFFERENT splits of the d28 assignment: every row is an eval
+    * example whose near-twin sits in training. Split labels are
+    * computed INLINE from each endpoint's hash (a pure function of the
+    * id — no join against a corpus-sized assignment table), so the
+    * report costs one narrow map + filter over the mined pairs. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(s, d)
+      .withColumn("split_a", splitOf(col("id_a")))
+      .withColumn("split_b", splitOf(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+      .orderBy("id_a", "id_b")
 
   /** d31: token-budget mixing — the exact-greedy twin of d26. Every
     * source gets the same TOKEN budget (targetFrac × total tokens /

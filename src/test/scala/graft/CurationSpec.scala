@@ -247,6 +247,24 @@ class CurationSpec extends SparkSpec {
     assert(SparkEntry.queries("d34_template_chunks")(spark, sf).count() > 0)
   }
 
+  test("splitLeakage: exactly the d4 pairs whose endpoints straddle the d28 split") {
+    val leak = SparkEntry.queries("d35_split_leakage")(spark, sf).cache()
+    assert(leak.filter(col("split_a") === col("split_b")).count() == 0)
+    // inline-computed labels equal the assignment-table join
+    val splits = graft.operators.Curation.stratifiedSplit(spark, sf)
+      .select("doc_id", "split")
+    val expected = SparkEntry.queries("d4_ngram_jaccard")(spark, sf)
+      .select("id_a", "id_b")
+      .join(splits.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "sa"), "id_a")
+      .join(splits.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leak.count() == expected, s"${leak.count()} vs $expected")
+    assert(leak.count() > 0, "leakage report is a no-op demo at this SF")
+    leak.unpersist()
+  }
+
   test("curation entries: registered queries run and the oracle dialect stays aligned") {
     // rows>0 over the real corpus at test SF; the exact-parity gate is
     // the driver selfcheck (run at sf0.01/sf0.1/amplified this round)
