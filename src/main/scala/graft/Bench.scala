@@ -69,8 +69,8 @@ object Bench {
     val heavyFirst = Seq("d23_incremental_dedup", "d22_dedup_pipeline",
       "d20_dup_clusters", "d19_jaccard_lsh", "d11_near_dup_cosine",
       "d6_ivf_ann", "q54_silver_import", "q53_order_legs",
-      "q49_chain_flatten", "d4_ngram_jaccard", "d32_pq_ann",
-      "d31_token_budget_mix")
+      "q49_chain_flatten", "d4_ngram_jaccard", "d35_split_leakage",
+      "d32_pq_ann", "d31_token_budget_mix")
     // a renamed/removed entry silently dropping out of LPT ordering
     // would quietly stretch the wall — fail loudly instead
     val unresolved = heavyFirst.filterNot(SparkEntry.queries.contains)

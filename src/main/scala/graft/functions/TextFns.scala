@@ -169,26 +169,43 @@ object TextFns {
       .orderBy("lang", "w")
   }
 
+  /** The d18 chunk-window generator over a split-words column — THE
+    * single definition of the chunk geometry (size 20, stride 10),
+    * shared by d18, d34, and the pipeline's chunk stage so they cannot
+    * silently diverge. */
+  private[graft] val ChunkSize = 20
+  private[graft] val ChunkStride = 10
+  private[graft] def chunkWindows(wsCol: String): Column = expr(
+    s"""transform(sequence(0, cast(floor((size($wsCol) - 1) / $ChunkStride) as int)),
+       |  k -> concat_ws(' ', slice($wsCol, k * $ChunkStride + 1, $ChunkSize)))""".stripMargin)
+
   /** d18: document chunking — overlapping word windows (size 20,
     * stride 10), the unit-of-training-example splitter every LLM data
     * pipeline runs. Chunk generation is a codegen'd transform over
     * word offsets + one explode; no UDF, no driver loop.
     */
-  def chunkDocs(s: SparkSession, d: String): DataFrame = {
-    val chunkSize = 20
-    val stride = 10
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, cast(floor((size(ws) - 1) / $stride) as int)),
-             |  k -> concat_ws(' ', slice(ws, k * $stride + 1, $chunkSize)))""".stripMargin))
-          .as(Seq("chunk_idx", "chunk_text")))
+        posexplode(chunkWindows("ws")).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("chunk_idx", col("chunk_idx").cast("long"))
       .withColumn("n_chunk_words",
         size(split(col("chunk_text"), " ")).cast("long"))
       .orderBy("doc_id", "chunk_idx")
-  }
+
+  /** d34: template/boilerplate mining over an explicit (doc_id, text)
+    * frame — see [[templateChunks]]. */
+  def templateChunksOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"), explode(chunkWindows("ws")).as("chunk_text"))
+      .filter(size(split(col("chunk_text"), " ")) === ChunkSize)
+      .groupBy("chunk_text")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("chunk_text"))
 
   /** d34: template/boilerplate mining — full-size d18 chunks appearing
     * in MORE THAN ONE document, with distinct-doc and occurrence
@@ -199,22 +216,8 @@ object TextFns {
     * Tail windows (< chunkSize words) are excluded: single words and
     * fragments are not templates.
     */
-  def templateChunks(s: SparkSession, d: String): DataFrame = {
-    val chunkSize = 20
-    val stride = 10
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, cast(floor((size(ws) - 1) / $stride) as int)),
-           |  k -> concat_ws(' ', slice(ws, k * $stride + 1, $chunkSize)))""".stripMargin))
-        .as("chunk_text"))
-      .filter(size(split(col("chunk_text"), " ")) === chunkSize)
-      .groupBy("chunk_text")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occ"))
-      .filter(col("n_docs") >= 2)
-      .orderBy(col("n_docs").desc, col("chunk_text"))
-  }
+  def templateChunks(s: SparkSession, d: String): DataFrame =
+    templateChunksOf(Tables.documents(s, d))
 
   /** d10: normalized content fingerprint: lowercase, collapse runs of
     * whitespace, md5. Reference analog: scripts/scwhab_hash.py (account

@@ -127,15 +127,12 @@ object CorpusPipeline {
       case _ => repGated
     }
 
-    // 8. chunk to training examples: overlapping word windows (d18)
-    val chunkSize = 20
-    val stride = 10
+    // 8. chunk to training examples: overlapping word windows (d18's
+    //    shared chunk geometry — one definition, cannot diverge)
     val chunks = stage("chunks", mixed
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, cast(floor((size(ws) - 1) / $stride) as int)),
-             |  k -> concat_ws(' ', slice(ws, k * $stride + 1, $chunkSize)))""".stripMargin))
+        posexplode(graft.functions.TextFns.chunkWindows("ws"))
           .as(Seq("chunk_idx", "chunk_text"))))
 
     (chunks, stats.toSeq)

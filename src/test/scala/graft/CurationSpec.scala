@@ -230,16 +230,9 @@ class CurationSpec extends SparkSpec {
       (3L, (boiler.reverse ++ Seq("z1")).mkString(" ")),          // same words reordered
       (4L, (41 to 65).map(i => s"u$i").mkString(" "))             // unrelated
     ).toDF("doc_id", "text")
-    // mirror the registered entry over an in-memory frame
-    val got = docs
-      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, cast(floor((size(ws) - 1) / 10) as int)),
-          |  k -> concat_ws(' ', slice(ws, k * 10 + 1, 20)))""".stripMargin)).as("chunk_text"))
-      .filter(size(split(col("chunk_text"), " ")) === 20)
-      .groupBy("chunk_text")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .filter(col("n_docs") >= 2)
+    // the PRODUCTION function over the in-memory frame
+    val got = graft.functions.TextFns.templateChunksOf(docs)
+      .select("chunk_text", "n_docs")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.toSeq == Seq((boiler.mkString(" "), 2L)), got.toSeq)
     // and the registered query bites on the real corpus (planted
@@ -271,7 +264,8 @@ class CurationSpec extends SparkSpec {
     Seq("d24_decontaminate", "d25_repetition_score", "d26_domain_mix",
         "d27_pii_redact", "d28_stratified_split", "d29_ngram_topk",
         "d30_vocab_coverage", "d31_token_budget_mix",
-        "d33_unigram_nll", "d34_template_chunks").foreach { k =>
+        "d33_unigram_nll", "d34_template_chunks",
+        "d35_split_leakage").foreach { k =>
       assert(SparkEntry.queries(k)(spark, sf).count() > 0, s"$k returned no rows")
       assert(SparkEntry.oracleSql.contains(k), s"$k has no oracle SQL")
     }
