@@ -221,6 +221,13 @@ object ScaleSmoke {
     time("unigram nll 1M docs") {
       operators.CorpusStats.unigramNllOf(docsBig, vocabCap = 1000).count()
     }
+    // boilerplate mining at 1M docs: the planted duplicate pairs carry
+    // identical full-size windows, so the multi-doc chunk groupBy bites
+    time("template chunks 1M docs") {
+      val n = graft.functions.TextFns.templateChunksOf(docsBig).count()
+      require(n > 0, "no template chunks found despite planted duplicates")
+      n
+    }
     // PQ at 1M×64-dim vectors: single-pass-per-iteration codebook
     // training + ADC search + re-rank, the d32 path at 1000× the test
     // embeddings table (hash-generated deterministic vectors, cached so
