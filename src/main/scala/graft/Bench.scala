@@ -66,7 +66,8 @@ object Bench {
     // 9-second pipeline behind 60 sub-second queries and stretch the
     // wall by its full latency. Names absent from the hint list keep
     // map order after the hinted ones.
-    val heavyFirst = Seq("d23_incremental_dedup", "d22_dedup_pipeline",
+    val heavyFirst = Seq("d23_incremental_dedup", "d36_corpus_pipeline",
+      "d22_dedup_pipeline",
       "d20_dup_clusters", "d19_jaccard_lsh", "d11_near_dup_cosine",
       "d6_ivf_ann", "q54_silver_import", "q53_order_legs",
       "q49_chain_flatten", "d4_ngram_jaccard", "d35_split_leakage",

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chains, CorpusStats, Curation, Dedup, Relational, Silver, Similarity, Sketches, TimeSeries}
+import graft.operators.{Chains, CorpusPipeline, CorpusStats, Curation, Dedup, Relational, Silver, Similarity, Sketches, TimeSeries}
 import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -186,6 +186,21 @@ object SparkEntry {
     "d34_template_chunks" -> (TextFns.templateChunks _),
     // cross-split near-dup leakage report (d4 pairs × d28 splits)
     "d35_split_leakage"   -> (Curation.splitLeakage _),
+    // the FLAGSHIP composed curation pipeline as one driver-visible
+    // entry: scrub → gate → exact dedup → blocked near-dup → decon →
+    // repetition gate → domain mix → chunks, reported as per-stage
+    // retention counts (rows-only: the LSH stage isn't SQL)
+    "d36_corpus_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang", "source")
+      val bench = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+      val (_, stats) = CorpusPipeline.buildTrainingCorpus(docs, minWords = 3,
+        benchmark = Some(bench), maxRepFrac = 0.9, mixTargetFrac = Some(0.5),
+        blockCols = Seq("lang", "source"))
+      stats.zipWithIndex.map { case ((st, n), i) => (i.toLong, st, n) }
+        .toDF("stage_idx", "stage", "n_rows")
+    }),
   )
 
   // Shared SQL fragments for the DuckDB oracle.

@@ -54,7 +54,8 @@ object CorpusPipeline {
       checkpointDir: Option[String] = None,
       benchmark: Option[DataFrame] = None,
       maxRepFrac: Double = 1.0,
-      mixTargetFrac: Option[Double] = None): (DataFrame, Seq[(String, Long)]) = {
+      mixTargetFrac: Option[Double] = None,
+      blockCols: Seq[String] = Seq.empty): (DataFrame, Seq[(String, Long)]) = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var prevStage: DataFrame = null
     def stage(name: String, df: DataFrame): DataFrame = {
@@ -82,10 +83,21 @@ object CorpusPipeline {
     val exact = stage("exact_dedup", quality.join(keepIds, Seq("doc_id"), "left_semi"))
 
     // 4. near-dup dedup: MinHash-LSH candidate pairs (bounded by
-    //    banding) → connected components → keep one doc per cluster (d2)
-    val words = exact.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-    val pairs = Dedup.minhashLshPairs(words)
+    //    banding) → connected components → keep one doc per cluster (d2).
+    //    With blockCols, the d19/d22 blocked + exact-verified path —
+    //    MANDATORY on corpora with dense corpus-wide similarity (the
+    //    synthetic docs are ~21% near-dup dense at sf0.1; an unblocked
+    //    miner there is output-bound, not plan-bound)
+    val pairs =
+      if (blockCols.nonEmpty)
+        Dedup.ngramJaccardViaLsh(
+          exact.select((Seq("doc_id", "text") ++ blockCols).map(col): _*),
+          blockCols = blockCols)
+      else {
+        val words = exact.select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 3)
+        Dedup.minhashLshPairs(words)
+      }
     // barrier-free bounded CC; with a checkpointDir the per-round cuts
     // are reliable (executor-loss-safe) yet still lazy — no per-round
     // driver barriers in the middle of the pipeline

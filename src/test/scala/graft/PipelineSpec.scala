@@ -64,6 +64,19 @@ class PipelineSpec extends SparkSpec {
     assert(leaked == 0, s"$leaked gram-bearing benchmark docs survived decontamination")
   }
 
+  test("d36 entry: all eight stages in pipeline order, blocked near-dup bites, chunks land") {
+    val got = SparkEntry.queries("d36_corpus_pipeline")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.map(_._2).toSeq == Seq("scrubbed", "quality_gate", "exact_dedup",
+      "near_dedup", "decontaminated", "repetition_gate", "domain_mix", "chunks"))
+    assert(got.map(_._1).toSeq == (0L to 7L), "stage_idx must be the pipeline order")
+    val m = got.map(t => t._2 -> t._3).toMap
+    assert(m("near_dedup") < m("exact_dedup"),
+      "blocked near-dup dedup dropped nothing despite planted near-dups")
+    assert(m("decontaminated") < m("near_dedup"))
+    assert(m("chunks") > m("domain_mix"), "chunking must expand rows")
+  }
+
   test("repetition gate passes sub-3-word docs unconditionally (no ANSI slice throw)") {
     import spark.implicits._
     val docs = Seq(
