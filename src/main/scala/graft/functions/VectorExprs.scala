@@ -530,6 +530,80 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** Frozen centroid table baked into [[NearestBuckets]] — flat row-major
+  * float layout (k × dim) with per-centroid Σc² precomputed, so the
+  * argmin scan is pure primitive-array arithmetic. Kilobytes at the
+  * adaptiveK cap (4096 × 64 dims × 4 B ≈ 1 MB worst case) — a plan
+  * constant, shipped once per executor with the serialized expression,
+  * NOT a join side. Ids keep the k-means c_id labels (clusters can be
+  * sparse after empty-cluster drop-out); storage is sorted by id so the
+  * scan's first-wins tie break reproduces the (distance, c_id asc)
+  * window ordering it replaced.
+  */
+final class CentroidSet(val ids: Array[Int], val flat: Array[Float], val dim: Int)
+    extends Serializable {
+  val k: Int = ids.length
+  /** Σ c_i² per centroid over the FULL centroid length — matches the
+    * dot(c,c) term of the window formulation exactly. */
+  val cc: Array[Double] = Array.tabulate(k) { j =>
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val v = flat(j * dim + i).toDouble; s += v * v; i += 1 }
+    s
+  }
+}
+
+object CentroidSet {
+  def apply(cents: Array[(Int, Array[Float])]): CentroidSet = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    val sorted = cents.sortBy(_._1)
+    val dim = sorted(0)._2.length
+    val flat = new Array[Float](sorted.length * dim)
+    var j = 0
+    while (j < sorted.length) {
+      System.arraycopy(sorted(j)._2, 0, flat, j * dim, dim)
+      j += 1
+    }
+    new CentroidSet(sorted.map(_._1), flat, dim)
+  }
+}
+
+/** Top-p nearest centroids of an array<float> vector against a baked
+  * [[CentroidSet]] → array<struct<bucket:int, score:double>> ordered
+  * best-first (p entries, fewer iff the set has fewer centroids).
+  * `cosine = false`: score = squared L2 (asc better), computed as
+  * (Σe² − 2·Σec) + Σc² — the exact FP sequence of the
+  * dot(e,e) − 2·dot(e,c) + dot(c,c) column it replaces, so assignments
+  * (and therefore k-means trajectories and every drift/recall spec
+  * number) are bit-identical. `cosine = true`: score = Σec/(‖e‖‖c‖)
+  * (desc better). Ties break to the lowest centroid id, like the
+  * (key, c_id asc) window ordering.
+  *
+  * This is the fix for the one scale-killer plan shape in the ANN
+  * family: the previous crossJoin(broadcast(cents)) +
+  * row_number().over(Window.partitionBy(vec_id)) materialized n×k
+  * expanded rows AND exchanged them (at adaptiveK's cap that exchange
+  * is 4096× corpus volume per k-means iteration). This expression does
+  * the same argmin inside the scan projection: zero expansion, zero
+  * shuffle, codegen via a static-forwarder call (IntersectCount's
+  * idiom), leaving whole-stage codegen intact.
+  */
+case class NearestBuckets(child: Expression, cents: CentroidSet, p: Int, cosine: Boolean)
+    extends UnaryExpression {
+  require(p >= 1, s"p must be >= 1, got $p")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    ExprHelpers.nearestBuckets(in.asInstanceOf[ArrayData], cents, p, cosine)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("cents", cents, classOf[CentroidSet].getName)
+      s"${ev.value} = graft.functions.ExprHelpers.nearestBuckets($a, $ref, $p, $cosine);"
+    })
+  override protected def withNewChildInternal(c: Expression): NearestBuckets = copy(child = c)
+}
+
 /** Static-forwarder targets for generated code (Scala object methods
   * compile to static methods on the companion class). */
 object ExprHelpers {
