@@ -41,6 +41,10 @@ object Tables {
     // any user-supplied table carry ordinary µs timestamps — accept both
     val ts = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)")
+      // a µs table written WITHOUT isAdjustedToUTC reads as
+      // TIMESTAMP_NTZ; with the session tz pinned to UTC this cast is
+      // the same instant DuckDB's naive TIMESTAMP sees
+      case org.apache.spark.sql.types.TimestampNTZType => col("ts").cast("timestamp")
       case _ => col("ts")
     }
     raw.withColumn("ts", ts)

@@ -558,6 +558,9 @@ object CentroidSet {
     require(cents.nonEmpty, "centroid set must be non-empty")
     val sorted = cents.sortBy(_._1)
     val dim = sorted(0)._2.length
+    require(sorted.forall(_._2.length == dim),
+      s"all centroids must share dim=$dim; got lengths " +
+        sorted.map(_._2.length).distinct.mkString(","))
     val flat = new Array[Float](sorted.length * dim)
     var j = 0
     while (j < sorted.length) {
@@ -610,6 +613,69 @@ object ExprHelpers {
   /** Shared separator for gram building (allocated once per JVM). */
   val Space: UTF8String = UTF8String.fromString(" ")
 
+  /** Top-p argmin/argmax scan behind [[NearestBuckets]]. One pass over
+    * the id-sorted centroid table; candidates are compared with
+    * java.lang.Double.compare (NaN greatest, -0.0 < 0.0 — the same
+    * total order Spark's sort uses) and only STRICT improvements
+    * displace a held slot, so equal scores keep the earlier (lower id)
+    * centroid first, reproducing the (score, c_id asc) window ordering
+    * this replaced. Insertion into the p-slot arrays is O(k·p) worst
+    * case with p ≤ a handful in every caller.
+    */
+  def nearestBuckets(in: ArrayData, cents: CentroidSet, p: Int, cosine: Boolean): ArrayData = {
+    val dim = cents.dim
+    val k = cents.k
+    val n = if (p < k) p else k
+    val flat = cents.flat
+    // Σe² over min(|e|, dim) — DotProductF's min-length contract
+    val eLen = in.numElements()
+    val dLen = if (eLen < dim) eLen else dim
+    var ee = 0.0
+    var i = 0
+    while (i < dLen) { val v = in.getFloat(i).toDouble; ee += v * v; i += 1 }
+    val bestScore = new Array[Double](n)
+    val bestIdx = new Array[Int](n)
+    var filled = 0
+    var j = 0
+    while (j < k) {
+      var ec = 0.0
+      val off = j * dim
+      var t = 0
+      while (t < dLen) { ec += in.getFloat(t).toDouble * flat(off + t).toDouble; t += 1 }
+      val score =
+        if (cosine) ec / (Math.sqrt(ee) * Math.sqrt(cents.cc(j)))
+        else (ee - 2.0 * ec) + cents.cc(j)
+      // strict-better test: asc for L2, desc for cosine
+      val beatsLast = filled < n || {
+        val c = java.lang.Double.compare(score, bestScore(filled - 1))
+        if (cosine) c > 0 else c < 0
+      }
+      if (beatsLast) {
+        var pos = if (filled < n) filled else n - 1
+        while (pos > 0 && {
+          val c = java.lang.Double.compare(score, bestScore(pos - 1))
+          if (cosine) c > 0 else c < 0
+        }) {
+          bestScore(pos) = bestScore(pos - 1)
+          bestIdx(pos) = bestIdx(pos - 1)
+          pos -= 1
+        }
+        bestScore(pos) = score
+        bestIdx(pos) = j
+        if (filled < n) filled += 1
+      }
+      j += 1
+    }
+    val rows = new Array[Any](filled)
+    var r = 0
+    while (r < filled) {
+      rows(r) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](cents.ids(bestIdx(r)), bestScore(r)))
+      r += 1
+    }
+    new GenericArrayData(rows)
+  }
+
   def intersectCount(a: ArrayData, b: ArrayData): Long = {
     var x = a
     var y = b
@@ -647,6 +713,8 @@ object VectorExprs {
     toCol(PqQueryTable(toExpr(c), cb))
   def pqAdc(codes: Column, table: Column, k: Int): Column =
     toCol(PqAdc(toExpr(codes), toExpr(table), k))
+  def nearestBuckets(c: Column, cents: CentroidSet, p: Int, cosine: Boolean): Column =
+    toCol(NearestBuckets(toExpr(c), cents, p, cosine))
 
   /** Register for SQL use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
