@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{CentroidSet, VectorExprs}
 
 /** Approximate-nearest-neighbor / similarity search over an embedding
   * column (Array[Float], 64-dim in the testdata).
@@ -26,6 +27,29 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Bake a centroid DataFrame (c_id int, c_vec array<float>) into the
+    * plan-constant [[CentroidSet]] behind [[graft.functions.NearestBuckets]].
+    * Bounded driver pull: every caller's centroid count is capped by
+    * [[adaptiveK]] (4096 × 64 dims × 4 B ≈ 1 MB) — the same rows the
+    * old formulation collected into a broadcast join side.
+    */
+  def centroidSetOf(cents: DataFrame): CentroidSet =
+    CentroidSet(cents.select("c_id", "c_vec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)))
+
+  /** Per-row top-`p` centroid buckets as an exploded (…, bucket[, score])
+    * projection — the assignment shape shared by every IVF/k-means
+    * caller. Replaces crossJoin(broadcast(cents)) + rank window: that
+    * plan materialized n×k expanded rows AND exchanged them on vec_id
+    * (at the adaptiveK cap, 4096× corpus volume per pass); this one is
+    * a narrow map inside whole-stage codegen — zero expansion, zero
+    * shuffle, bit-identical scores and tie-breaks (Round10Spec).
+    */
+  private def explodeNearest(df: DataFrame, cs: CentroidSet, p: Int,
+      cosine: Boolean, carry: Seq[String]): DataFrame =
+    df.select(carry.map(col) :+
+      explode(VectorExprs.nearestBuckets(col("embedding"), cs, p, cosine)).as("nb"): _*)
 
   /** d5: brute-force cosine top-k: first 10 vectors are the query set,
     * broadcast against the corpus; per-query top-5 via rank window.
@@ -73,13 +97,10 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val k = adaptiveK(emb.count())
     val nprobe = 2
-    val cents = kmeans(emb, k, iters = 2)
-    def assignTo(df: DataFrame, probes: Int): DataFrame = df.crossJoin(broadcast(cents))
-      .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)))
-      .filter(col("crk") <= probes)
-      .select(col("vec_id"), col("embedding"), col("c_id").as("bucket"))
+    val cs = centroidSetOf(kmeans(emb, k, iters = 2))
+    def assignTo(df: DataFrame, probes: Int): DataFrame =
+      explodeNearest(df, cs, probes, cosine = true, Seq("vec_id", "embedding"))
+        .select(col("vec_id"), col("embedding"), col("nb.bucket").as("bucket"))
     val assigned = assignTo(emb, probes = 1)
     // query side: filter FIRST, assign only the 10 query vectors — the
     // corpus-wide assignment must not be recomputed inside the
@@ -278,14 +299,12 @@ object Similarity {
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
     import spark.implicits._
     for (_ <- 1 to iters) {
-      val cdf = cents.toSeq.toDF("c_id", "c_vec")
-      val assigned = emb.crossJoin(broadcast(cdf))
-        .withColumn("d2", dot(col("embedding"), col("embedding")) -
-          lit(2.0) * dot(col("embedding"), col("c_vec")) +
-          dot(col("c_vec"), col("c_vec")))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)))
-        .filter(col("rk") === 1)
+      // argmin inside the scan projection (NearestBuckets p=1) — each
+      // iteration is ONE narrow pass + the k×dim vector-sum shuffle;
+      // the old crossJoin+window exchanged n×k expanded rows per iter
+      val assigned = emb.withColumn("c_id",
+        VectorExprs.nearestBuckets(col("embedding"), CentroidSet(cents), 1,
+          cosine = false).getItem(0).getField("bucket"))
       val means = assigned
         .groupBy("c_id")
         .agg(graft.functions.VectorAgg.vectorSum(col("embedding")).as("vsum"),
@@ -311,14 +330,8 @@ object Similarity {
     * buckets by single-assignment still collides if either's second
     * bucket is shared — at probes× the candidate volume. */
   def assignMulti(emb: DataFrame, cents: DataFrame, probes: Int): DataFrame =
-    emb.crossJoin(broadcast(cents))
-      .withColumn("d2", dot(col("embedding"), col("embedding")) -
-        lit(2.0) * dot(col("embedding"), col("c_vec")) +
-        dot(col("c_vec"), col("c_vec")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)))
-      .filter(col("rk") <= probes)
-      .select(col("vec_id"), col("c_id").as("bucket"), col("d2"))
+    explodeNearest(emb, centroidSetOf(cents), probes, cosine = false, Seq("vec_id"))
+      .select(col("vec_id"), col("nb.bucket").as("bucket"), col("nb.score").as("d2"))
 
   /** Persist an IVF ANN index: every vector assigned to its nearest
     * fixed-k centroid bucket, written as parquet PARTITIONED BY bucket.
@@ -452,13 +465,10 @@ object Similarity {
   def probeIvfIndex(s: SparkSession, path: String, cents: DataFrame,
       queries: DataFrame, topK: Int = 5, nprobe: Int = 2): DataFrame = {
     val idx = s.read.parquet(path)
-    val q = queries.crossJoin(broadcast(cents))
-      .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)))
-      .filter(col("crk") <= nprobe)
+    val q = explodeNearest(queries, centroidSetOf(cents), nprobe,
+        cosine = true, Seq("vec_id", "embedding"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("c_id").as("bucket"))
+        col("nb.bucket").as("bucket"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)
     idx.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -502,14 +512,11 @@ object Similarity {
       nprobe: Int = 2, refine: Int = 50): DataFrame = {
     import graft.functions.VectorExprs
     val k = cb(0).length
-    val q = unitEmb(queries).crossJoin(broadcast(cents))
-      .withColumn("c_cos", cosine(col("embedding"), col("c_vec")))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id").asc)))
-      .filter(col("crk") <= nprobe)
+    val q = explodeNearest(unitEmb(queries), centroidSetOf(cents), nprobe,
+        cosine = true, Seq("vec_id", "embedding"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         VectorExprs.pqQueryTable(col("embedding"), cb).as("tbl"),
-        col("c_id").as("bucket"))
+        col("nb.bucket").as("bucket"))
     val idx = s.read.parquet(path)
     val wA = Window.partitionBy("q_id").orderBy(col("approx").desc, col("vec_id").asc)
     val cand = idx.select("vec_id", "codes", "bucket")
@@ -557,18 +564,14 @@ object Similarity {
     val emb = emb0.select("vec_id", "embedding")
       .withColumn("nrm", norm(col("embedding")))
     val kk = k.getOrElse(adaptiveK(emb.count()))
-    // Inline multi-assignment carrying (embedding, nrm) through the
-    // rank window — one shuffle on vec_id, no corpus-sized join back
-    // (assignMulti returns only ids, and joining it to emb would add a
-    // second wide shuffle per self-join side).
-    val blocked = emb.crossJoin(broadcast(kmeans(emb, kk, iters = 2)))
-      .withColumn("d2", dot(col("embedding"), col("embedding")) -
-        lit(2.0) * dot(col("embedding"), col("c_vec")) +
-        dot(col("c_vec"), col("c_vec")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d2").asc, col("c_id").asc)))
-      .filter(col("rk") <= multiAssign)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id").as("bucket"))
+    // Inline multi-assignment carrying (embedding, nrm) straight
+    // through the narrow NearestBuckets projection — no corpus-sized
+    // join back (assignMulti returns only ids, and joining it to emb
+    // would add a wide shuffle per self-join side), and no shuffle at
+    // all before the bucket-blocked pair join.
+    val blocked = explodeNearest(emb, centroidSetOf(kmeans(emb, kk, iters = 2)),
+        multiAssign, cosine = false, Seq("vec_id", "embedding", "nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("nb.bucket").as("bucket"))
     val a = blocked.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("v_a"), col("nrm").as("n_a"))
     val b = blocked.select(col("bucket"), col("vec_id").as("id_b"),
