@@ -43,12 +43,20 @@ object CorpusPipeline {
     * @param mixTargetFrac when given AND docs carry a `source` column,
     *   resample toward the uniform source mixture at this corpus
     *   fraction (d26) before chunking
-    * @return (chunks, per-stage row counts in pipeline order) — stats
-    *   force evaluation stage by stage. Each stage is cached only while
-    *   its consumer materializes: once stage N+1's count lands, stage
-    *   N's cache is released (only the returned chunks frame stays
-    *   cached — the caller unpersists it when done), so executor memory
-    *   holds at most two stages at a time instead of the whole lineage.
+    * @return (chunks, per-stage row counts in pipeline order). Stage
+    *   counts ride as `Dataset.observe()` counters on the plans that
+    *   run anyway — the old per-stage cache()+count() put eight serial
+    *   driver barriers in the middle of the pipeline (measured as the
+    *   concurrent Bench's critical path). The only real
+    *   materializations left are the exact-dedup cut (eager — it is
+    *   both the branch point the near-dup miner and the main chain
+    *   share, and the action that delivers the pre-cut stage counters:
+    *   observations upstream of a lineage cut deliver ONLY with the
+    *   cut's own action, a lazy cut would leave them undelivered
+    *   forever), the CC loop's one convergence count, and the final
+    *   chunk count on the returned cached frame (the caller unpersists
+    *   it when done). Cuts are reliable checkpoints when checkpointDir
+    *   is set, localCheckpoint otherwise.
     */
   def buildTrainingCorpus(docs: DataFrame, minWords: Int = 5,
       checkpointDir: Option[String] = None,
@@ -56,31 +64,43 @@ object CorpusPipeline {
       maxRepFrac: Double = 1.0,
       mixTargetFrac: Option[Double] = None,
       blockCols: Seq[String] = Seq.empty): (DataFrame, Seq[(String, Long)]) = {
-    val stats = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    var prevStage: DataFrame = null
-    def stage(name: String, df: DataFrame): DataFrame = {
-      val c = df.cache()
-      stats += name -> c.count()
-      // the new stage is materialized; its input cache has been consumed
-      if (prevStage != null) prevStage.unpersist()
-      prevStage = c
-      c
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[(String, org.apache.spark.sql.Observation)]
+    def observed(name: String, df: DataFrame): DataFrame = {
+      val o = new org.apache.spark.sql.Observation()
+      stats += name -> o
+      df.observe(o, count(lit(1)).as("rows"))
+    }
+    def cut(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        graft.ops.Checkpoints.install(df.sparkSession.sparkContext, dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
     }
 
-    // 1. scrub: URL/email strip, whitespace collapse, lowercase (d12)
-    val scrubbed = stage("scrubbed", scrubText(docs))
+    // 1. scrub: URL/email strip, whitespace collapse, lowercase (d12).
+    //    scrubbed0/quality0 are the UN-observed twins the dedup-key
+    //    branch derives from: the keep-id aggregation re-reads the
+    //    quality rows, and routing both branches through one observe
+    //    node would put duplicate metric nodes in a single query.
+    val scrubbed0 = scrubText(docs)
+    val scrubbed = observed("scrubbed", scrubbed0)
 
     // 2. quality gate: length floor (cheap heuristics first — drop
     //    before any shuffle touches the rows)
-    val quality = stage("quality_gate",
-      scrubbed.filter(size(split(col("text"), " ")) >= minWords))
+    def lengthGate(df: DataFrame): DataFrame =
+      df.filter(size(split(col("text"), " ")) >= minWords)
+    val quality0 = lengthGate(scrubbed0)
+    val quality = observed("quality_gate", lengthGate(scrubbed))
 
-    // 3. exact dedup on the normalized fingerprint, keep smallest id (d1)
-    val keepIds = quality
+    // 3. exact dedup on the normalized fingerprint, keep smallest id
+    //    (d1), cut eagerly: the one pre-CC barrier (see @return note)
+    val keepIds = quality0
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val exact = stage("exact_dedup", quality.join(keepIds, Seq("doc_id"), "left_semi"))
+    val exact = cut(observed("exact_dedup",
+      quality.join(keepIds, Seq("doc_id"), "left_semi")))
 
     // 4. near-dup dedup: MinHash-LSH candidate pairs (bounded by
     //    banding) → connected components → keep one doc per cluster (d2).
@@ -105,7 +125,11 @@ object CorpusPipeline {
       checkpointDir = checkpointDir)
     val drop = cc.filter(col("node") =!= col("cluster_id"))
       .select(col("node").as("doc_id"))
-    val nearDeduped = stage("near_dedup", exact.join(drop, Seq("doc_id"), "left_anti"))
+    // un-observed twin for the side branches that re-read a stage's
+    // rows (decon gram mining, mix budget totals) — cheap narrow
+    // re-execution from the exact cut, never a duplicate metric node
+    val nearDeduped0 = exact.join(drop, Seq("doc_id"), "left_anti")
+    val nearDeduped = observed("near_dedup", nearDeduped0)
 
     // 5. benchmark decontamination (d24): anti-join away docs sharing
     //    any 8-gram with the eval slice — the contaminated-id list is
@@ -113,10 +137,11 @@ object CorpusPipeline {
     //    benchmark goes through the SAME scrub first: gram matching is
     //    only sound when both sides are normalized identically.
     val decon = benchmark match {
-      case Some(b) => stage("decontaminated", nearDeduped.join(
-        Curation.contaminatedIds(nearDeduped.select("doc_id", "text"),
-          benchmarkGrams(b)),
-        Seq("doc_id"), "left_anti"))
+      case Some(b) => observed("decontaminated",
+        nearDeduped.join(
+          Curation.contaminatedIds(nearDeduped0.select("doc_id", "text"),
+            benchmarkGrams(b)),
+          Seq("doc_id"), "left_anti"))
       case None => nearDeduped
     }
 
@@ -126,28 +151,37 @@ object CorpusPipeline {
     //    under ANSI if a caller set minWords < 3)
     val repGated =
       if (maxRepFrac >= 1.0) decon
-      else stage("repetition_gate", decon
+      else observed("repetition_gate", decon
         .withColumn("ws", split(col("text"), " "))
         .filter(repetitionKeep(col("ws"), maxRepFrac))
         .drop("ws"))
 
     // 7. domain mixture (d26): deterministic hash sample toward the
-    //    uniform source budget; carry-through columns survive
+    //    uniform source budget; carry-through columns survive. The mix
+    //    budget aggregates its own input (two consumers), so the mix
+    //    INPUT is the pipeline's second eager cut — it also delivers
+    //    the near_dedup/decon/repetition counters; without mixing those
+    //    ride to the final chunk count instead and no cut is taken.
     val mixed = mixTargetFrac match {
       case Some(f) if repGated.columns.contains("source") =>
-        stage("domain_mix", Curation.mixKeepFilter(repGated, f))
+        observed("domain_mix", Curation.mixKeepFilter(cut(repGated), f))
       case _ => repGated
     }
 
     // 8. chunk to training examples: overlapping word windows (d18's
     //    shared chunk geometry — one definition, cannot diverge)
-    val chunks = stage("chunks", mixed
+    val chunks = observed("chunks", mixed
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"),
         posexplode(graft.functions.TextFns.chunkWindows("ws"))
           .as(Seq("chunk_idx", "chunk_text"))))
+      .cache()
 
-    (chunks, stats.toSeq)
+    // ONE terminal action fills every remaining observation (the
+    // pre-cut ones already landed with their cut's action)
+    chunks.count()
+    (chunks, stats.toSeq.map { case (n, o) =>
+      n -> o.get("rows").asInstanceOf[Long] })
   }
 
   /** Keep predicate for the repetition gate over a split-words column.
