@@ -70,6 +70,89 @@ object Monitoring {
     }
   }
 
+  /** One sink's freshness gauge at poll time.
+    * @param lastCommitAgeMs wall-clock since the sink last committed a
+    *   micro-batch into its store (-1: never committed)
+    * @param eventLagMs wall-clock minus the max committed event time
+    *   (-1: the sink's rows carry no event-time column)
+    * @param stale this poll's verdict against the thresholds
+    */
+  case class SinkFreshness(sink: String, lastCommitAgeMs: Long,
+      eventLagMs: Long, stale: Boolean)
+
+  /** Per-sink staleness monitor for the graft streaming sinks — the
+    * reference's data-freshness watchdog re-expressed for Structured
+    * Streaming (services/schwab_stream_monitor.py:52 check_redis /
+    * :101 check_parquet: "data updated within N seconds?" per store,
+    * alert only on TWO consecutive violating polls, clear on fresh).
+    *
+    * Sinks `record` at the end of each successful foreachBatch commit
+    * — the gauge tracks the persisted STORE's freshness (the authority
+    * all graft sinks anti-join against), not raw input arrival, exactly
+    * like the reference monitors the landed parquet/redis rows rather
+    * than the feed. A monitor thread calls `poll()` on its interval:
+    * a sink is stale when its last commit is older than
+    * `maxCommitAgeMs` OR its max committed event time lags wall clock
+    * by more than `maxEventLagMs` (sinks without an event-time column
+    * gauge commit age only). `poll()` returns true — trip the alert —
+    * only when a violation repeats on consecutive polls (the
+    * reference's two-in-a-row email debounce), then re-arms; a fresh
+    * poll clears the pending violation.
+    *
+    * Thread-safe: `record` runs on stream execution threads, `poll` on
+    * the monitor thread. `clock` is injectable for tests.
+    */
+  class FreshnessMonitor(maxCommitAgeMs: Long, maxEventLagMs: Long = Long.MaxValue,
+      clock: () => Long = () => System.currentTimeMillis()) {
+    private case class SinkState(lastCommitMs: Long, maxEventMs: Option[Long])
+    private val sinks = scala.collection.mutable.LinkedHashMap.empty[String, SinkState]
+    private var pendingViolation = false
+
+    /** Register a sink so it gauges (as never-committed → stale) from
+      * stream start, not from its first commit. */
+    def register(sink: String): Unit = synchronized {
+      if (!sinks.contains(sink)) sinks += sink -> SinkState(-1L, None)
+    }
+
+    /** Record a committed micro-batch. `batchMaxEventMs`: max event
+      * time (epoch ms) among the batch's committed rows, None for
+      * event-timeless sinks or empty batches (an empty batch still
+      * proves the sink ALIVE — commit age resets, event lag doesn't). */
+    def record(sink: String, batchMaxEventMs: Option[Long] = None): Unit = synchronized {
+      val prev = sinks.get(sink)
+      val maxEv = (prev.flatMap(_.maxEventMs).toSeq ++ batchMaxEventMs.toSeq)
+        .reduceOption(_ max _)
+      sinks += sink -> SinkState(clock(), maxEv)
+    }
+
+    /** Per-sink gauges at this instant (no debounce state touched). */
+    def gauges(): Seq[SinkFreshness] = synchronized {
+      val now = clock()
+      sinks.map { case (name, st) =>
+        val commitAge = if (st.lastCommitMs < 0) -1L else now - st.lastCommitMs
+        val evLag = st.maxEventMs.map(now - _).getOrElse(-1L)
+        val stale = commitAge < 0 || commitAge > maxCommitAgeMs ||
+          (evLag >= 0 && evLag > maxEventLagMs)
+        SinkFreshness(name, commitAge, evLag, stale)
+      }.toSeq
+    }
+
+    /** One monitor tick. Returns true when the alert should fire:
+      * any-sink staleness on two CONSECUTIVE polls (then re-arms). */
+    def poll(): Boolean = synchronized {
+      val violation = gauges().exists(_.stale)
+      val fire = violation && pendingViolation
+      pendingViolation = violation && !fire
+      fire
+    }
+
+    /** The reference's single-line report, one entry per sink. */
+    def report(): String = gauges().map { g =>
+      s"${g.sink} -> commit_age=${g.lastCommitAgeMs}ms event_lag=${g.eventLagMs}ms " +
+        s"${if (g.stale) "STALE" else "fresh"}"
+    }.mkString(" | ")
+  }
+
   /** Run a (streaming or batch) body with restart-on-failure + linear
     * backoff — the stream controller's reconnect loop. Returns the
     * number of attempts used; rethrows after maxRestarts failures.

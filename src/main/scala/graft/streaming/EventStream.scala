@@ -573,13 +573,28 @@ object EventStream {
     * partition-prune contract).
     */
   def dedupInsertStream(stream: DataFrame, path: String, checkpoint: String,
-      keys: Seq[String], tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
+      keys: Seq[String], tsCol: String = "ts",
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    monitor.foreach(_.register(path))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.sources.Sinks.upsertHistoric(batch.toDF(), path, keys, tsCol)
+        // AFTER the store committed: the gauge tracks the authority's
+        // freshness, so a crash between upsert and record reads stale
+        // (safe direction) rather than fresh-but-missing
+        monitor.foreach(_.record(path, maxEventMs(batch.toDF(), tsCol)))
       }
       .start()
+  }
+
+  /** Max event time (epoch ms) of a committed micro-batch for the
+    * freshness gauge — None for an empty batch (an empty commit proves
+    * the sink alive but moves no event-time frontier). */
+  private def maxEventMs(batch: DataFrame, tsCol: String): Option[Long] =
+    Option(batch.agg(max(col(tsCol).cast("timestamp"))).head.getTimestamp(0))
+      .map(_.getTime)
 
   /** Streaming incremental NEAR-dup dedup: every micro-batch is
     * MinHash-banded against the persisted historic band index, verified
@@ -593,15 +608,21 @@ object EventStream {
     */
   def nearDupInsertStream(stream: DataFrame, root: String, checkpoint: String,
       threshold: Double = 0.8, blockCols: Seq[String] = Seq("lang", "source"),
-      buckets: Int = 64, bucketedIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      buckets: Int = 64, bucketedIndex: Boolean = false,
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    monitor.foreach(_.register(root))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.operators.IncrementalDedup.upsertBatch(
           batch.toDF(), root, threshold, blockCols, buckets,
           bucketedIndex = bucketedIndex)
+        // doc batches carry no event-time column: commit-age gauge only
+        monitor.foreach(_.record(root))
       }
       .start()
+  }
 
   /** Streaming CURATED corpus ingestion: the full training-data intake
     * path as one sink — each micro-batch runs the stateless curation
@@ -618,13 +639,16 @@ object EventStream {
       benchmark: Option[DataFrame] = None, minWords: Int = 5,
       maxRepFrac: Double = 1.0, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq("lang", "source"), buckets: Int = 64,
-      bucketedIndex: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+      bucketedIndex: Boolean = false,
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
     // materialized once; every batch closure reuses the cached grams
     val benchGrams = benchmark.map { b =>
       val g = graft.operators.CorpusPipeline.benchmarkGrams(b).cache()
       g.count()
       g
     }
+    monitor.foreach(_.register(root))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -633,6 +657,7 @@ object EventStream {
         graft.operators.IncrementalDedup.upsertBatch(
           curated, root, threshold, blockCols, buckets,
           bucketedIndex = bucketedIndex)
+        monitor.foreach(_.record(root))
       }
       .start()
   }
@@ -651,14 +676,18 @@ object EventStream {
     */
   def ivfAppendStream(stream: DataFrame, cents: DataFrame, path: String,
       checkpoint: String,
-      onDrift: graft.operators.Similarity.IvfDrift => Unit = _ => ()
-  ): org.apache.spark.sql.streaming.StreamingQuery =
+      onDrift: graft.operators.Similarity.IvfDrift => Unit = _ => (),
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    monitor.foreach(_.register(path))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         onDrift(graft.operators.Similarity.appendToIvfIndex(batch.toDF(), cents, path))
+        monitor.foreach(_.record(path))
       }
       .start()
+  }
 
   /** Convenience: run a streaming query over a bounded source into a
     * memory sink and block until drained (local smoke path). */

@@ -39,4 +39,68 @@ class MonitoringSpec extends SparkSpec {
     }
     assert(e.getMessage == "permanent" && calls == 3)
   }
+
+  test("freshness monitor: gauges, two-poll debounce, event lag, re-arm") {
+    var now = 0L
+    val m = new Monitoring.FreshnessMonitor(maxCommitAgeMs = 1000,
+      maxEventLagMs = 5000, clock = () => now)
+    // registered-but-never-committed reads stale from stream start
+    m.register("sink_a")
+    assert(m.gauges() == Seq(Monitoring.SinkFreshness("sink_a", -1L, -1L, stale = true)))
+    assert(!m.poll(), "first violating poll must only arm, not fire")
+    assert(m.poll(), "second consecutive violating poll must fire")
+    assert(!m.poll(), "after firing the debounce must re-arm")
+    // a commit with an event time makes it fresh and resets the arm
+    now = 10000L
+    m.record("sink_a", Some(9500L))
+    assert(m.gauges() == Seq(Monitoring.SinkFreshness("sink_a", 0L, 500L, stale = false)))
+    assert(!m.poll())
+    // commit age crosses the threshold -> stale again
+    now = 11500L
+    assert(m.gauges().head.stale)
+    // an EMPTY heartbeat commit proves the sink alive (commit age
+    // resets) but leaves the event-time frontier, so lag keeps growing
+    m.record("sink_a", None)
+    val g = m.gauges().head
+    assert(g.lastCommitAgeMs == 0L && g.eventLagMs == 2000L && !g.stale)
+    // frozen event frontier alone trips once lag passes maxEventLagMs
+    now = 15000L
+    m.record("sink_a", None)
+    assert(m.gauges().head.eventLagMs == 5500L && m.gauges().head.stale)
+    // one stale sink among fresh ones still violates the tick
+    m.register("sink_b")
+    m.record("sink_b", None)
+    assert(!m.poll() && m.poll(), "any-sink staleness must drive the debounce")
+  }
+
+  test("freshness monitor: frozen dedup-insert sink trips, resumed stream clears") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    var now = 1700000000000L
+    val mon = new Monitoring.FreshnessMonitor(maxCommitAgeMs = 60000,
+      clock = () => now)
+    val base = java.nio.file.Files.createTempDirectory("graft_fresh").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = graft.streaming.EventStream.dedupInsertStream(
+      input.toDF().toDF("event_id", "ts", "value"),
+      s"$base/data", s"$base/ckpt", Seq("event_id"),
+      monitor = Some(mon))
+    try {
+      input.addData((1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(!mon.gauges().head.stale, "sink just committed — must read fresh")
+      assert(!mon.poll())
+      // FREEZE: no new commits while the wall clock walks past the bound
+      now += 120000L
+      assert(mon.gauges().head.stale, "frozen sink must gauge stale")
+      assert(!mon.poll() && mon.poll(), "frozen sink trips on the second poll")
+      // RESUME: a new micro-batch commits and the gauge clears
+      input.addData((2L, java.sql.Timestamp.valueOf("2024-01-10 00:01:00"), 2.0))
+      q.processAllAvailable()
+      val g = mon.gauges().head
+      assert(!g.stale && g.lastCommitAgeMs == 0L, s"resumed sink must clear: $g")
+      assert(!mon.poll())
+    } finally q.stop()
+  }
 }
