@@ -201,6 +201,20 @@ object SparkEntry {
       stats.zipWithIndex.map { case ((st, n), i) => (i.toLong, st, n) }
         .toDF("stage_idx", "stage", "n_rows")
     }),
+    // BPE token accounting (graft.functions.Bpe): merges trained on the
+    // corpus's own word dictionary (one distributed pass + driver merge
+    // loop), encode as a codegen'd expression with the merge table as a
+    // plan constant. rows-only: a greedy merge loop isn't SQL; gated by
+    // a property spec against an independent reference encoder.
+    "d37_bpe_token_count" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{ceil, col, length, lit}
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val vocab = graft.functions.Bpe.trainFromCorpus(docs, numMerges = 200)
+      docs.select(col("doc_id"),
+        graft.functions.Bpe.tokenCount(col("text"), vocab).as("n_tokens_bpe"),
+        ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_est"))
+        .orderBy("doc_id")
+    }),
   )
 
   // Shared SQL fragments for the DuckDB oracle.

@@ -676,6 +676,25 @@ object ExprHelpers {
     new GenericArrayData(rows)
   }
 
+  /** Count hot path behind [[BpeCount]] — per word: memo-cache lookup
+    * or one greedy-merge encode; no token arrays materialized. */
+  def bpeCount(s: UTF8String, v: BpeVocab): Long = {
+    var n = 0L
+    BpeHelpers.eachWord(s.toString) { w => n += v.encodeWord(w).length }
+    n
+  }
+
+  /** Token stream behind [[BpeTokens]]. */
+  def bpeTokens(s: UTF8String, v: BpeVocab): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    BpeHelpers.eachWord(s.toString) { w =>
+      val toks = v.encodeWord(w)
+      var i = 0
+      while (i < toks.length) { out += UTF8String.fromString(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def intersectCount(a: ArrayData, b: ArrayData): Long = {
     var x = a
     var y = b

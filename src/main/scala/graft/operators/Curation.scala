@@ -234,14 +234,23 @@ object Curation {
 
   /** Core of [[tokenBudgetMix]] over an explicit (doc_id, source, text)
     * frame. checkpointDir pins the sampled range layout reliably on a
-    * real cluster (None → localCheckpoint, fine for single-JVM). */
+    * real cluster (None → localCheckpoint, fine for single-JVM).
+    * `bpeVocab` switches token accounting from whitespace words to real
+    * BPE tokenizer tokens (graft.functions.Bpe) — same plan shape, the
+    * n_tokens projection swaps one codegen'd expression for another;
+    * budgets are set in the units LLM training budgets actually use. */
   def tokenBudgetMixOf(docs: DataFrame, targetFrac: Double = 0.5,
-      partitions: Int = 32, checkpointDir: Option[String] = None): DataFrame = {
+      partitions: Int = 32, checkpointDir: Option[String] = None,
+      bpeVocab: Option[graft.functions.BpeVocab] = None): DataFrame = {
     val sc = docs.sparkSession.sparkContext
     checkpointDir.foreach(graft.ops.Checkpoints.install(sc, _))
     val reliable = checkpointDir.isDefined || graft.ops.Checkpoints.installed(sc).isDefined
+    val nTokens = bpeVocab match {
+      case Some(v) => graft.functions.Bpe.tokenCount(col("text"), v)
+      case None => size(array_remove(split(col("text"), " "), "")).cast("long")
+    }
     val toks = docs.select(col("doc_id"), col("source"),
-      size(array_remove(split(col("text"), " "), "")).cast("long").as("n_tokens"))
+      nTokens.as("n_tokens"))
       .withColumn("u", hashU)
     val counts = toks.groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
     val budgets = counts

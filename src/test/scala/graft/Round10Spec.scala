@@ -106,4 +106,110 @@ class Round10Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("dim"))
   }
+
+  // ---- BPE token accounting --------------------------------------
+
+  /** Independent reference BPE encoder (readable, slow): greedy
+    * lowest-rank merge, all occurrences left-to-right — written apart
+    * from the production loop so the property test is two
+    * implementations agreeing, not one checking itself. */
+  private def refEncode(w: String, merges: Seq[(String, String)]): List[String] = {
+    var syms: List[String] = w.map(_.toString).toList
+    var go = syms.length > 1
+    while (go) {
+      val present = syms.zip(syms.tail).distinct
+        .flatMap(p => { val r = merges.indexOf(p); if (r < 0) None else Some((r, p)) })
+      if (present.isEmpty) go = false
+      else {
+        val (_, (a, b)) = present.minBy(_._1)
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tl if x == a && y == b => out += a + b; rest = tl
+          case x :: tl => out += x; rest = tl
+          case Nil => ()
+        }
+        syms = out.toList
+        go = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  private def refCount(text: String, merges: Seq[(String, String)]): Long =
+    text.split(" ").filter(_.nonEmpty).map(refEncode(_, merges).length.toLong).sum
+
+  private lazy val bpeDocs =
+    Tables.documents(spark, sf).select("doc_id", "text")
+  private lazy val bpeVocab =
+    graft.functions.Bpe.trainFromCorpus(bpeDocs, numMerges = 120)
+
+  test("BPE: expression count agrees with the independent reference encoder on every doc") {
+    val got = bpeDocs
+      .select(col("doc_id"), col("text"),
+        graft.functions.Bpe.tokenCount(col("text"), bpeVocab).as("n"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val want = refCount(r.getString(1), bpeVocab.merges)
+      assert(r.getLong(2) == want,
+        s"doc ${r.getLong(0)}: expr ${r.getLong(2)} vs reference $want")
+    }
+  }
+
+  test("BPE: tokens round-trip to the text, compress vs chars, floor at word count") {
+    val rows = bpeDocs.limit(30)
+      .select(col("text"),
+        graft.functions.Bpe.tokens(col("text"), bpeVocab).as("toks"),
+        graft.functions.Bpe.tokenCount(col("text"), bpeVocab).as("n"))
+      .collect()
+    var totalToks = 0L
+    var totalChars = 0L
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val toks = r.getSeq[String](1)
+      assert(toks.length.toLong == r.getLong(2), "tokens and count must agree")
+      // concatenated tokens reproduce the text minus spaces: merges
+      // never invent, drop, or cross-word-join characters
+      assert(toks.mkString == text.replace(" ", ""))
+      val words = text.split(" ").count(_.nonEmpty)
+      assert(toks.length >= words, "every word is at least one token")
+      totalToks += toks.length
+      totalChars += text.replace(" ", "").length
+    }
+    assert(totalToks < totalChars,
+      s"merges must compress: $totalToks tokens for $totalChars chars")
+  }
+
+  test("BPE: training is deterministic and handles dirty spacing") {
+    val again = graft.functions.Bpe.trainFromCorpus(bpeDocs, numMerges = 120)
+    assert(again.merges == bpeVocab.merges)
+    val spark2 = spark
+    import spark2.implicits._
+    val dirty = Seq((1L, "  a  bb   "), (2L, ""), (3L, " ")).toDF("doc_id", "text")
+    val got = dirty.select(col("doc_id"),
+      graft.functions.Bpe.tokenCount(col("text"), bpeVocab).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 0L && got(3L) == 0L)
+    assert(got(1L) == refCount("a bb", bpeVocab.merges))
+  }
+
+  test("d31 bpe mode: same plan shape as whitespace mode, budgets in BPE tokens") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    val ws = graft.operators.Curation.tokenBudgetMixOf(docs)
+    val bpe = graft.operators.Curation.tokenBudgetMixOf(docs,
+      bpeVocab = Some(bpeVocab))
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange"))
+    assert(exchanges(bpe) == exchanges(ws),
+      "swapping the token expression must not change the plan shape")
+    val got = bpe.collect()
+    assert(got.nonEmpty)
+    // n_tokens really are BPE counts
+    val byId = bpeDocs.select(col("doc_id"),
+      graft.functions.Bpe.tokenCount(col("text"), bpeVocab).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(r.getLong(2) == byId(r.getLong(0))))
+  }
 }
