@@ -241,6 +241,19 @@ object ScaleSmoke {
       operators.Similarity.pqTopKOf(vecsBig,
         vecsBig.filter(col("vec_id") < 5), refine = 100).count()
     }
+    // IVF coarse quantizer at 1M×64 (k = √n = 1000): k-means + 2-probe
+    // multi-assign on the NearestBuckets in-projection path. The
+    // assignment plan must carry NO exchange at all — the replaced
+    // crossJoin+window shape exchanged n×k expanded rows per pass
+    // (1000× corpus volume here, per k-means iteration).
+    time("ivf kmeans+assign 1M vecs") {
+      val cents = operators.Similarity.kmeans(vecsBig, k = 1000, iters = 2)
+      val assigned = operators.Similarity.assignMulti(vecsBig, cents, probes = 2)
+      val plan = assigned.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"assignment must stay a narrow projection, got:\n$plan")
+      assigned.count()
+    }
     vecsBig.unpersist()
 
     // Market-data end-to-end chain, the tick-side twin of the corpus

@@ -68,6 +68,34 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** [[embedTopK]]'s scale formulation: per-query top-k via the
+    * bounded [[graft.functions.TopKByScore]] partial aggregate instead
+    * of a rank window. The window plan exchanges every scored candidate
+    * row and sorts per partition (WindowGroupLimit prunes partials to k
+    * first, but the exchanged data is still row-shaped); the aggregate
+    * moves one ≤k-entry state per (query, partition) — the TakeOrdered
+    * shape that holds when the query set outgrows the 10-vector demo.
+    * Row-for-row equal to the window formulation (Round10Spec).
+    */
+  def embedTopKAgg(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    embedTopKAggOf(emb, queries)
+  }
+
+  /** Core of [[embedTopKAgg]] over explicit corpus/query frames. */
+  def embedTopKAggOf(emb: DataFrame, queries: DataFrame, topK: Int = 5): DataFrame =
+    emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("embedding")))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topKByScore(
+        struct(col("cos"), col("vec_id")), topK).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("neighbor_id"),
+        col("t.score").as("cos"), (col("pos") + 1).cast("int").as("rk"))
+      .orderBy("q_id", "rk")
+
   /** Default IVF bucket count for an n-vector corpus: k ≈ √n, capped.
     * √n balances the two costs that bound bucketed pairwise/probe work —
     * bucket COUNT (centroid broadcast + k-means driver traffic, O(k))

@@ -107,6 +107,18 @@ class Round10Spec extends SparkSpec {
     assert(e.getMessage.contains("dim"))
   }
 
+  test("embedTopKAgg equals the window-formulated d5 baseline row for row") {
+    val viaWindow = Similarity.embedTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaAgg = Similarity.embedTopKAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaAgg == viaWindow)
+    // plan contract: the aggregate formulation carries NO Window/Sort
+    // over the scored candidates — partial top-k states only
+    val plan = Similarity.embedTopKAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "agg variant must not plan a window")
+  }
+
   // ---- BPE token accounting --------------------------------------
 
   /** Independent reference BPE encoder (readable, slow): greedy
