@@ -148,6 +148,29 @@ object Silver {
       .drop("_pid", "_rk", "_off")
   }
 
+  // Per-(contract, minute) merge: best rank wins, MAX(mark) within it,
+  // in ONE aggregation — shared by the batch import and the streaming
+  // silverSeries twin. Formulated with ALL-PRIMITIVE aggregation
+  // buffers: q_rank's domain is {1..5}, so "the winning rank's mark" is
+  // five conditional min(-mark) slots + element_at by best_rank. The
+  // obvious min(struct(q_rank, -mark)) computes the same values but a
+  // struct-buffered min falls back to SortAggregate — TWO full sorts of
+  // the fact table around the exchange (measured at 10× sf0.1: q54 warm
+  // 15.3 s → the sorts dominate); primitive buffers keep HashAggregate.
+  // The negate ROUND TRIP (min of -mark, then negate back) is kept
+  // deliberately: -(-0.0) = +0.0 in both engines, exactly like the
+  // struct formulation and the DuckDB oracle's MIN({'r':…,'m':-mark}).
+  private val QRanks = 1 to 5
+
+  private[graft] def bestMarkAggs: Seq[org.apache.spark.sql.Column] =
+    (min(col("q_rank")).as("best_rank") +:
+      QRanks.map(r => min(when(col("q_rank") === r, negate(col("mark")))).as(s"_m$r"))) :+
+      count(lit(1)).as("n_obs")
+
+  /** Post-aggregation extraction of the winning rank's mark. */
+  private[graft] def bestMark: org.apache.spark.sql.Column =
+    negate(element_at(array(QRanks.map(r => col(s"_m$r")): _*), col("best_rank")))
+
   def silverImport(s: SparkSession, d: String): DataFrame = {
     val parsed = parseStaged(stagedFromEvents(Tables.events(s, d)))
 
@@ -158,17 +181,13 @@ object Silver {
       .select("strike", "cp", "expiry").distinct(),
       Seq("expiry", "cp", "strike"), "opt_id")
 
-    // Per-(contract, minute) merge: best rank wins, MAX(mark) within
-    // it. min(struct(q_rank, -mark)) computes both in the SAME single
-    // aggregation — one shuffle, map-side combined.
+    val aggs = bestMarkAggs
     val series = gateAndRank(parsed)
       .groupBy(col("strike"), col("cp"), col("expiry"),
         date_trunc("minute", col("ts")).as("t"))
-      .agg(min(struct(col("q_rank").as("r"), negate(col("mark")).as("m"))).as("best"),
-        count(lit(1)).as("n_obs"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("strike"), col("cp"), col("expiry"), col("t"),
-        col("best.r").as("best_rank"), negate(col("best.m")).as("mark"),
-        col("n_obs"))
+        col("best_rank"), bestMark.as("mark"), col("n_obs"))
 
     series.join(broadcast(dim), Seq("strike", "cp", "expiry"))
       .select("opt_id", "strike", "cp", "expiry", "t", "best_rank", "mark", "n_obs")

@@ -524,14 +524,16 @@ object EventStream {
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val parsed = graft.operators.Silver.gateAndRank(
       graft.operators.Silver.parseStaged(staged.withWatermark("ts", watermarkDelay)))
+    // shared all-primitive-buffer aggregation (Silver.bestMarkAggs) —
+    // one definition with the batch import, cannot diverge
+    val aggs = graft.operators.Silver.bestMarkAggs
     parsed
       .groupBy(window(col("ts"), "1 minute"),
         col("strike"), col("cp"), col("expiry"))
-      .agg(min(struct(col("q_rank").as("r"), negate(col("mark")).as("m"))).as("best"),
-        count(lit(1)).as("n_obs"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("strike"), col("cp"), col("expiry"),
         col("window.start").as("t"),
-        col("best.r").as("best_rank"), negate(col("best.m")).as("mark"),
+        col("best_rank"), graft.operators.Silver.bestMark.as("mark"),
         col("n_obs"))
   }
 
