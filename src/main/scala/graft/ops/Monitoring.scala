@@ -153,6 +153,76 @@ object Monitoring {
     }.mkString(" | ")
   }
 
+  /** The reference controller's service loop for Structured Streaming
+    * sinks (services/schwab_stream_controller.py:248-262: per check
+    * interval, restart a service that CRASHED; the freshness monitor
+    * rides alongside and flags WEDGED-but-alive services). Each stream
+    * is registered with a FACTORY — how to (re)start it against the
+    * SAME checkpoint location, so a restart resumes exactly where the
+    * dead query stopped, and the graft sinks' replay idempotence
+    * absorbs any at-least-once re-delivery across the restart.
+    *
+    * `tick()` (call it on the controller's poll interval) restarts a
+    * stream when its query is no longer active (crash/wedge-kill) or
+    * when the freshness monitor fires its two-poll staleness alert and
+    * the stream's sink gauges stale — stop-then-factory, the
+    * controller's systemctl stop/start pair. A stream that exhausts
+    * `maxRestarts` is left down and reported on every subsequent tick
+    * (the reference pages the operator rather than hot-looping a
+    * broken service). Single-threaded by design: call tick from ONE
+    * monitor thread.
+    */
+  class StreamController(monitor: Option[FreshnessMonitor] = None,
+      maxRestarts: Int = 3) {
+    import org.apache.spark.sql.streaming.StreamingQuery
+    private case class Entry(name: String, sink: Option[String],
+        factory: () => StreamingQuery, var q: StreamingQuery,
+        var restarts: Int, var givenUp: Boolean)
+    private val entries = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+
+    /** Start (via the factory) and manage a stream. `sinkKey` links the
+      * stream to its FreshnessMonitor sink (the store path the sink
+      * registered) so a staleness alert restarts the right stream. */
+    def register(name: String, factory: () => StreamingQuery,
+        sinkKey: Option[String] = None): StreamingQuery = synchronized {
+      val q = factory()
+      entries += name -> Entry(name, sinkKey, factory, q, 0, givenUp = false)
+      q
+    }
+
+    def query(name: String): Option[org.apache.spark.sql.streaming.StreamingQuery] =
+      synchronized(entries.get(name).map(_.q))
+
+    /** One controller pass; returns the actions taken (for the log). */
+    def tick(): Seq[String] = synchronized {
+      val fired = monitor.exists(_.poll())
+      val staleSinks: Set[String] =
+        if (fired) monitor.get.gauges().filter(_.stale).map(_.sink).toSet
+        else Set.empty
+      entries.values.toSeq.flatMap { e =>
+        val crashed = !e.q.isActive
+        val stale = fired && e.sink.exists(staleSinks.contains)
+        if (e.givenUp) Seq(s"down ${e.name} (gave up after ${e.restarts} restarts)")
+        else if (crashed || stale) {
+          val why = if (crashed) "crashed" else "stale"
+          try e.q.stop() catch { case _: Throwable => () }
+          if (e.restarts < maxRestarts) {
+            e.q = e.factory()
+            e.restarts += 1
+            Seq(s"restarted ${e.name} ($why, attempt ${e.restarts})")
+          } else {
+            e.givenUp = true
+            Seq(s"gave up ${e.name} ($why after $maxRestarts restarts)")
+          }
+        } else Nil
+      }
+    }
+
+    def stopAll(): Unit = synchronized {
+      entries.values.foreach(e => try e.q.stop() catch { case _: Throwable => () })
+    }
+  }
+
   /** Run a (streaming or batch) body with restart-on-failure + linear
     * backoff — the stream controller's reconnect loop. Returns the
     * number of attempts used; rethrows after maxRestarts failures.

@@ -73,6 +73,52 @@ class MonitoringSpec extends SparkSpec {
     assert(!m.poll() && m.poll(), "any-sink staleness must drive the debounce")
   }
 
+  test("stream controller: restarts a wedged stream on the staleness alert; store stays exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    var now = 1700000000000L
+    val mon = new Monitoring.FreshnessMonitor(maxCommitAgeMs = 60000, clock = () => now)
+    val base = java.nio.file.Files.createTempDirectory("graft_ctl").toString
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val ctl = new Monitoring.StreamController(Some(mon), maxRestarts = 2)
+    def start() = graft.streaming.EventStream.dedupInsertStream(
+      input.toDF().toDF("event_id", "ts", "value"),
+      s"$base/data", s"$base/ckpt", Seq("event_id"), monitor = Some(mon))
+    val q0 = ctl.register("silver_ingest", () => start(), sinkKey = Some(s"$base/data"))
+    try {
+      input.addData((1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 1.0))
+      q0.processAllAvailable()
+      assert(ctl.tick().isEmpty, "healthy stream must not be touched")
+      // WEDGE: the query is alive but the store goes stale past the
+      // bound — first tick arms the debounce, second fires and restarts
+      now += 120000L
+      assert(ctl.tick().isEmpty)
+      val actions = ctl.tick()
+      assert(actions == Seq("restarted silver_ingest (stale, attempt 1)"), actions.toString)
+      val q1 = ctl.query("silver_ingest").get
+      assert(q1.isActive && q1.runId != q0.runId,
+        "restart must produce a NEW run resuming the same checkpoint")
+      // the restarted run resumes the checkpoint: overlapping re-sent
+      // rows are absorbed by the store guard, new rows land exactly once
+      input.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), 1.0),
+        (2L, java.sql.Timestamp.valueOf("2024-01-10 00:01:00"), 2.0))
+      q1.processAllAvailable()
+      val got = spark.read.parquet(s"$base/data").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L), s"store must hold exactly {1,2}, got $got")
+      assert(ctl.tick().isEmpty, "fresh after restart — no action")
+      // CRASH path: a dead query restarts without any monitor involvement
+      q1.stop()
+      assert(ctl.tick() == Seq("restarted silver_ingest (crashed, attempt 2)"))
+      // restart budget exhausted: next failure gives up, later ticks report down
+      ctl.query("silver_ingest").get.stop()
+      assert(ctl.tick().head.startsWith("gave up silver_ingest"))
+      assert(ctl.tick() == Seq("down silver_ingest (gave up after 2 restarts)"))
+    } finally ctl.stopAll()
+  }
+
   test("freshness monitor: frozen dedup-insert sink trips, resumed stream clears") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
