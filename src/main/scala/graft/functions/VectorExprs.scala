@@ -540,6 +540,16 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
   * scan's first-wins tie break reproduces the (distance, c_id asc)
   * window ordering it replaced.
   */
+/** NOTE on expression canonicalization: CentroidSet keeps reference
+  * identity (arrays, no structural equals/hashCode), so two
+  * [[NearestBuckets]] built from SEPARATELY COLLECTED copies of the
+  * same centroid table never canonicalize equal and cannot be merged
+  * by subexpression elimination. This is deliberate: every call site
+  * collects its table once and shares the instance across its branches
+  * (where dedup works via identity), and structural equality over a
+  * k×dim float array would make every plan-canonicalization pass pay
+  * an O(k·dim) compare against a case that doesn't occur in practice.
+  */
 final class CentroidSet(val ids: Array[Int], val flat: Array[Float], val dim: Int)
     extends Serializable {
   val k: Int = ids.length
