@@ -201,6 +201,12 @@ object SparkEntry {
       stats.zipWithIndex.map { case ((st, n), i) => (i.toLong, st, n) }
         .toDF("stage_idx", "stage", "n_rows")
     }),
+    // semantic decontamination: embedding-space eval-leakage report —
+    // the paraphrase complement of d24's gram decon; one NearestBuckets
+    // projection against the broadcast benchmark set (rows-only:
+    // float cosine thresholds aren't oracle-stable; spec-gated against
+    // the brute-force formulation)
+    "d38_semantic_decon"  -> (Similarity.semanticDecon _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a

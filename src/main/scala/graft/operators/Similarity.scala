@@ -565,6 +565,54 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** d38: semantic decontamination — the embedding-space complement of
+    * d24's 8-gram benchmark decontamination: an eval item PARAPHRASED
+    * into the training corpus shares no 8-gram, but its embedding sits
+    * next to the eval item's. Reports every corpus vector whose cosine
+    * to its nearest benchmark vector reaches `threshold` (the leakage
+    * report — the caller anti-joins the ids away, exactly like d24's
+    * contaminated-id list).
+    *
+    * Scale shape: eval suites are TINY and static, so the benchmark
+    * embeds as a plan constant inside ONE NearestBuckets projection —
+    * the whole operator is a narrow map over the corpus (zero
+    * expansion, zero shuffle, no candidate generation needed at all);
+    * at 100 TB it rides the same scan as the rest of the curation
+    * gates. Ties between equal-cosine benchmark vectors resolve to the
+    * smallest benchmark id, like every assignment in this family.
+    */
+  def semanticDecon(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    semanticDeconOf(emb, emb.filter(col("vec_id") % 97 === 0))
+  }
+
+  /** Core of [[semanticDecon]]. Benchmark ids are mapped onto dense
+    * CentroidSet slots in id order (the set's ids are Int; benchmark
+    * ids stay Long end to end) and translated back via a tiny
+    * broadcast join. */
+  def semanticDeconOf(corpus: DataFrame, bench: DataFrame,
+      threshold: Double = 0.80): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val bvs = bench.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(bvs.nonEmpty, "semantic decontamination needs a non-empty benchmark")
+    val cs = CentroidSet(bvs.zipWithIndex.map { case ((_, v), i) => (i, v) })
+    val slots = bvs.zipWithIndex.map { case ((id, _), i) => (i, id) }.toSeq
+      .toDF("slot", "bench_vec_id")
+    corpus
+      .select(col("vec_id"),
+        VectorExprs.nearestBuckets(col("embedding"), cs, 1, cosine = true)
+          .getItem(0).as("nb"))
+      .select(col("vec_id"), col("nb.bucket").as("slot"),
+        col("nb.score").as("bench_cos"))
+      .filter(col("bench_cos") >= threshold)
+      .join(broadcast(slots), "slot")
+      .select("vec_id", "bench_vec_id", "bench_cos")
+      .orderBy("vec_id")
+  }
+
   /** d11: embedding-cosine near-duplicate pairs, blocked by the
     * operator's OWN IVF buckets (the d6 quantizer) — self-contained:
     * no reliance on a pre-existing cluster column. k defaults to

@@ -119,6 +119,32 @@ class Round10Spec extends SparkSpec {
     assert(!plan.contains("Window"), "agg variant must not plan a window")
   }
 
+  test("d38 semantic decon equals the brute-force max-cosine formulation") {
+    val corpus = emb
+    val bench = emb.filter(col("vec_id") % 97 === 0)
+    val got = Similarity.semanticDeconOf(corpus, bench, threshold = 0.30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: every (corpus, bench) cosine, keep each corpus
+    // vector's best (cos desc, bench id asc), filter by the threshold
+    val b = bench.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val w = Window.partitionBy("vec_id").orderBy(col("c").desc, col("b_id").asc)
+    val want = corpus.crossJoin(broadcast(b))
+      .withColumn("c", Similarity.cosine(col("embedding"), col("b_vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("c") >= 0.30)
+      .select("vec_id", "b_id", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "threshold 0.30 must catch something on this corpus")
+    // a benchmark vector inside the corpus reports itself at cosine 1
+    val self = got.filter(t => t._1 == t._2)
+    assert(self.nonEmpty && self.forall(_._3 >= 0.9999))
+    // the plan is one narrow projection: no exchange before the report
+    val plan = Similarity.semanticDeconOf(corpus, bench, 0.30)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "semantic decon must not plan a window")
+  }
+
   // ---- BPE token accounting --------------------------------------
 
   /** Independent reference BPE encoder (readable, slow): greedy
