@@ -207,6 +207,20 @@ object SparkEntry {
     // float cosine thresholds aren't oracle-stable; spec-gated against
     // the brute-force formulation)
     "d38_semantic_decon"  -> (Similarity.semanticDecon _),
+    // token-budget chunking: context-length packing in BPE tokens —
+    // first-fit word-atomic chunks of ≤64 tokens (rows-only: greedy
+    // packing isn't SQL; spec-gated vs an independent reference packer)
+    "d39_bpe_chunks"      -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode}
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val vocab = graft.functions.Bpe.trainFromCorpus(docs, numMerges = 200)
+      docs.select(col("doc_id"),
+          posexplode(graft.functions.Bpe.tokenChunks(col("text"), vocab, 64))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"),
+          graft.functions.Bpe.tokenCount(col("chunk_text"), vocab).as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a

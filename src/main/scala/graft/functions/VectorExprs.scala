@@ -705,6 +705,28 @@ object ExprHelpers {
     new GenericArrayData(out.toArray)
   }
 
+  /** Word-atomic first-fit packing behind [[BpeTokenChunks]]. */
+  def bpeTokenChunks(s: UTF8String, v: BpeVocab, budget: Int): GenericArrayData = {
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val open = new java.lang.StringBuilder()
+    var used = 0L
+    def close(): Unit = if (open.length > 0) {
+      chunks += UTF8String.fromString(open.toString)
+      open.setLength(0); used = 0L
+    }
+    BpeHelpers.eachWord(s.toString) { w =>
+      val n = v.encodeWord(w).length
+      if (used > 0 && used + n > budget) close()
+      if (open.length > 0) open.append(' ')
+      open.append(w)
+      used += n
+      // a single over-budget word fills its own chunk
+      if (used >= budget) close()
+    }
+    close()
+    new GenericArrayData(chunks.toArray)
+  }
+
   def intersectCount(a: ArrayData, b: ArrayData): Long = {
     var x = a
     var y = b

@@ -232,6 +232,43 @@ class Round10Spec extends SparkSpec {
     assert(got(1L) == refCount("a bb", bpeVocab.merges))
   }
 
+  test("BPE token chunks: first-fit packing matches a reference packer; round-trips; budget holds") {
+    val budget = 24
+    /** Independent greedy word-atomic packer. */
+    def refPack(text: String): Seq[String] = {
+      val words = text.split(" ").filter(_.nonEmpty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      var used = 0L
+      words.foreach { w =>
+        val n = refEncode(w, bpeVocab.merges).length
+        if (cur.nonEmpty && used + n > budget) { out += cur.reverse; cur = Nil; used = 0 }
+        cur = w :: cur
+        used += n
+        if (used >= budget) { out += cur.reverse; cur = Nil; used = 0 }
+      }
+      if (cur.nonEmpty) out += cur.reverse
+      out.map(_.mkString(" ")).toSeq
+    }
+    val rows = bpeDocs.limit(40)
+      .select(col("text"),
+        graft.functions.Bpe.tokenChunks(col("text"), bpeVocab, budget).as("ch"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val got = r.getSeq[String](1)
+      assert(got == refPack(text), s"packing diverged for: ${text.take(60)}")
+      // chunks round-trip the word sequence exactly
+      assert(got.mkString(" ") == text.split(" ").filter(_.nonEmpty).mkString(" "))
+      // every chunk fits the budget unless it is one oversized word
+      got.foreach { c =>
+        val n = refCount(c, bpeVocab.merges)
+        assert(n <= budget || !c.contains(" "),
+          s"chunk over budget ($n > $budget) and not a single word: ${c.take(60)}")
+      }
+    }
+  }
+
   test("d31 bpe mode: same plan shape as whitespace mode, budgets in BPE tokens") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
     val ws = graft.operators.Curation.tokenBudgetMixOf(docs)
