@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ParseProbes {
 
-  val names: Seq[String] = Seq("q49_parse", "q53_parse")
+  val names: Seq[String] = Seq("q49_parse", "q53_parse", "q54_parse")
 
   /** Materialize the scaffold payloads under a temp dir and return the
     * parse-only frame factories keyed by probe name. Only the REQUESTED
@@ -40,6 +40,14 @@ object ParseProbes {
         graft.operators.Chains.orderPayloads(s, sfDir)
           .write.mode("overwrite").parquet(s"$dir/orders")
         () => graft.operators.Chains.parseOrderPayloads(s.read.parquet(s"$dir/orders"))._1
+      }),
+      // q54's scaffold is the OCC-symbol synth from events (string
+      // build + date_format per row); at 100 TB staged rows arrive
+      // from the landing tables and only parse→dim→series runs
+      "q54_parse" -> (() => {
+        graft.operators.Silver.stagedFromEvents(graft.Tables.events(s, sfDir))
+          .write.mode("overwrite").parquet(s"$dir/staged")
+        () => graft.operators.Silver.silverImportFrom(s.read.parquet(s"$dir/staged"))
       }))
     which.flatMap(n => builders.get(n).map(b => n -> b())).toMap
   }

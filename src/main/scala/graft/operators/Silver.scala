@@ -171,8 +171,15 @@ object Silver {
   private[graft] def bestMark: org.apache.spark.sql.Column =
     negate(element_at(array(QRanks.map(r => col(s"_m$r")): _*), col("best_rank")))
 
-  def silverImport(s: SparkSession, d: String): DataFrame = {
-    val parsed = parseStaged(stagedFromEvents(Tables.events(s, d)))
+  def silverImport(s: SparkSession, d: String): DataFrame =
+    silverImportFrom(stagedFromEvents(Tables.events(s, d)))
+
+  /** The engine side of q54 over an already-staged (symbol, source,
+    * mark, ts) frame — what actually runs at 100 TB, where staged rows
+    * arrive from the landing tables instead of the entry's synth
+    * scaffold (ParseProbes exposes this as q54_parse). */
+  def silverImportFrom(staged: DataFrame): DataFrame = {
+    val parsed = parseStaged(staged)
 
     // OPT master: distinct valid contracts with two-level surrogate ids
     // (dense_rank semantics, no single-partition exchange).
