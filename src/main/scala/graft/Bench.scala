@@ -39,9 +39,11 @@ import org.apache.spark.sql.SparkSession
   * fixed-cost calibration run at capture time; `ext_cores` is the
   * external CPU load integrated over the warm pass (/proc jiffy
   * deltas minus this JVM's — the gauge a bursty external load can't
-  * dodge between probes); and `contended` makes the call explicit —
-  * when either gauge trips, the warm suite re-runs once and the
-  * less-contended capture is kept.
+  * dodge between probes — compared against a persisted quiet-machine
+  * baseline, see below); and `contended` makes the call explicit —
+  * when any gauge trips (cal above 1.3× the machine's quiet baseline,
+  * external cores, or a warm pass that ran >= 0.9× the cold wall), the
+  * warm suite re-runs once and the less-contended capture is kept.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -149,27 +151,55 @@ object Bench {
     // Self-defense against contended captures: round 7's official
     // artifact read a 76s wall with cal 0.983 (vs 0.22-0.36 quiet) —
     // external load, not a regression, but the number entered the
-    // record. Two gauges: `cal` (point-in-time fixed-cost probe) and
-    // `ext_cores` (external CPU integrated over the warm pass — the
-    // one a bursty load can't dodge). If either trips, re-run the warm
-    // suite ONCE and keep the less-contended capture; either way the
-    // line carries `contended` so downstream tooling never mistakes a
-    // loaded snapshot for a measurement.
+    // record. Round 10's was worse: wall 43.3s with warm == cold and
+    // cal 0.392 — under the old absolute 0.5 trip, and ext_cores read
+    // 0.0 because the thief wasn't visible as /proc jiffies (cgroup
+    // throttling or I/O). Three gauges now:
+    //   - `cal` vs a PERSISTED quiet-machine baseline (best prior quiet
+    //     capture, tiny JSON next to the bench): trips at 1.3× the
+    //     machine's own quiet number instead of an absolute 0.5 that a
+    //     4×-inflated capture can sit under. Absolute 0.5 stays as the
+    //     no-baseline fallback/upper bound.
+    //   - `ext_cores` integrated over the warm pass (bursty loads).
+    //   - warm >= 0.9× cold: a warm pass that learned NOTHING from the
+    //     cold pass's planning/codegen/page-cache warmup is itself
+    //     evidence the window was stolen (quiet captures run ~0.5×).
+    // If any gauge trips, re-run the warm suite ONCE and keep the
+    // less-contended capture; either way the line carries `contended`
+    // so downstream tooling never mistakes a loaded snapshot for a
+    // measurement.
     val CalThreshold = 0.5
     val ExtCoresThreshold = 2.0
-    def loaded(c: Double, e: Double) = c > CalThreshold || e > ExtCoresThreshold
-    if (loaded(cal, ext)) {
+    val baselinePath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_CAL_BASELINE", "tools/bench_cal_baseline.json"))
+    val calBaseline: Option[Double] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+        """"cal"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(s).map(_.group(1).toDouble)
+      } catch { case _: Throwable => None }
+    def calTrip(c: Double): Boolean = c >= 0 && (calBaseline match {
+      case Some(b) if b > 0 => c > 1.3 * b || c > CalThreshold
+      case _                => c > CalThreshold
+    })
+    def warmAnomaly(w: Double): Boolean = wallCold > 0 && w >= 0.9 * wallCold
+    def loaded(c: Double, e: Double, w: Double) =
+      calTrip(c) || e > ExtCoresThreshold || warmAnomaly(w)
+    if (loaded(cal, ext, wallWarm)) {
       val (warm2, wallWarm2, ext2) = runSuite()
       val cal2 = calOnce(spark)
       // "less contended" judged on whichever gauge can actually compare
       // the two captures: ext when both sides measured it and they
-      // differ meaningfully, else cal (a cal-only trip — or a platform
-      // with no /proc — must still be able to accept a cleaner re-run),
-      // else prefer the capture that HAS an ext reading at all.
+      // differ meaningfully; else the warm wall itself when one side is
+      // meaningfully faster (the direct evidence for a warm-anomaly
+      // trip); else cal (a cal-only trip — or a platform with no /proc
+      // — must still be able to accept a cleaner re-run); else prefer
+      // the capture that HAS an ext reading at all.
       val extComparable = ext >= 0 && ext2 >= 0 && math.abs(ext2 - ext) > 0.1
+      val wallComparable = math.abs(wallWarm2 - wallWarm) > 0.05 * math.max(wallWarm, wallWarm2)
       val calComparable = cal >= 0 && cal2 >= 0
       val keepRerun =
         if (extComparable) ext2 < ext
+        else if (wallComparable) wallWarm2 < wallWarm
         else if (calComparable) cal2 < cal
         else ext2 >= 0 && ext < 0
       if (keepRerun) {
@@ -178,7 +208,16 @@ object Bench {
         if (cal2 >= 0) cal = cal2
       }
     }
-    val contended = loaded(cal, ext)
+    val contended = loaded(cal, ext, wallWarm)
+    // A quiet capture updates the persisted baseline (best = lowest cal
+    // ever seen on this machine); a contended one must not poison it.
+    if (!contended && cal >= 0)
+      try {
+        val best = math.min(cal, calBaseline.getOrElse(cal))
+        if (baselinePath.getParent != null) java.nio.file.Files.createDirectories(baselinePath.getParent)
+        java.nio.file.Files.write(baselinePath,
+          s"""{"cal":${"%.3f".formatLocal(java.util.Locale.ROOT, best)}}""".getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
     val errs = (cold ++ warm).collect { case (k, _, false) => "\"" + k + "\"" }
       .distinct.mkString("[", ",", "]")
     spark.stop()
