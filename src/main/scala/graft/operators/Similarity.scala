@@ -594,9 +594,18 @@ object Similarity {
       threshold: Double = 0.80): DataFrame = {
     val s = corpus.sparkSession
     import s.implicits._
-    val bvs = bench.select("vec_id", "embedding").collect()
+    // The benchmark is a driver pull that becomes a per-task plan
+    // constant (k×dim floats), so it must be eval-suite sized — the
+    // same 4096 discipline as adaptiveK's cap. Fail fast with the
+    // contract spelled out instead of a silent driver OOM when someone
+    // passes a corpus-sized frame as `bench`.
+    val cap = 4096
+    val bvs = bench.select("vec_id", "embedding").limit(cap + 1).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    require(bvs.length <= cap,
+      s"semanticDeconOf: benchmark has >$cap vectors — it is collected to the " +
+        "driver and baked into every task's plan; pass the eval suite, not a corpus")
     require(bvs.nonEmpty, "semantic decontamination needs a non-empty benchmark")
     val cs = CentroidSet(bvs.zipWithIndex.map { case ((_, v), i) => (i, v) })
     val slots = bvs.zipWithIndex.map { case ((id, _), i) => (i, id) }.toSeq

@@ -99,6 +99,17 @@ object Monitoring {
     * reference's two-in-a-row email debounce), then re-arms; a fresh
     * poll clears the pending violation.
     *
+    * Like the reference watchdog, the gauges assume a CONTINUOUSLY
+    * FLOWING feed: commit age and event lag are both measured against
+    * wall clock, so a healthy-but-idle source is indistinguishable
+    * from a wedged stream once the quiet stretch outlasts the bounds.
+    * Size `maxCommitAgeMs` / `maxEventLagMs` above the feed's longest
+    * expected quiet gap (market-closed windows etc.), or gate the
+    * monitor off outside trading sessions the way the reference's cron
+    * does. The StreamController stamps [[reset]] on every restart so a
+    * quiet feed at least gets a full grace window per attempt instead
+    * of hot-looping the restart budget away.
+    *
     * Thread-safe: `record` runs on stream execution threads, `poll` on
     * the monitor thread. `clock` is injectable for tests.
     */
@@ -119,6 +130,17 @@ object Monitoring {
       * event-timeless sinks or empty batches (an empty batch still
       * proves the sink ALIVE — commit age resets, event lag doesn't). */
     def record(sink: String, batchMaxEventMs: Option[Long] = None): Unit = synchronized {
+      recordCommit(sink, batchMaxEventMs)
+    }
+
+    /** Synthetic commit — the StreamController stamps this when it
+      * restarts a stream, granting the restarted run a full
+      * `maxCommitAgeMs` grace window before it can gauge stale again
+      * (without it a quiet feed restarts every other poll: the restart
+      * itself never resets the store's gauge because no data flowed). */
+    def reset(sink: String): Unit = synchronized { recordCommit(sink, None) }
+
+    private def recordCommit(sink: String, batchMaxEventMs: Option[Long]): Unit = {
       val prev = sinks.get(sink)
       val maxEv = (prev.flatMap(_.maxEventMs).toSeq ++ batchMaxEventMs.toSeq)
         .reduceOption(_ max _)
@@ -209,6 +231,10 @@ object Monitoring {
           if (e.restarts < maxRestarts) {
             e.q = e.factory()
             e.restarts += 1
+            // full grace window for the restarted run — else a quiet
+            // feed's gauge is still stale next poll and the controller
+            // hot-loops restarts into the give-up budget
+            for (m <- monitor; s <- e.sink) m.reset(s)
             Seq(s"restarted ${e.name} ($why, attempt ${e.restarts})")
           } else {
             e.givenUp = true

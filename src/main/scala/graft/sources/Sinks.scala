@@ -71,8 +71,13 @@ object Sinks {
     * appends (parquet has no table-level PK to catch the race) —
     * serialize writers per historic table.
     */
+  /** @return the batch's event-time frontier (max `tsCol`, epoch ms)
+    *   for the freshness gauge — computed in the SAME bounds pass the
+    *   upsert already runs, so streaming sinks don't pay a second
+    *   batch-source scan per commit; None for an empty/fully-null batch
+    */
   def upsertHistoric(batch: DataFrame, path: String, keys: Seq[String],
-      tsCol: String = "ts", filesPerDay: Int = 8): Unit = {
+      tsCol: String = "ts", filesPerDay: Int = 8): Option[Long] = {
     val spark = batch.sparkSession
     // Null event time is rejected OUTRIGHT (quarantining is the
     // caller's concern): a null-ts row has no day partition, so it
@@ -85,8 +90,9 @@ object Sinks {
     // nonexistent path would create a schemaless directory that
     // poisons every subsequent read.
     val b = fresh0.agg(min(to_date(col(tsCol))).as("lo"),
-      max(to_date(col(tsCol))).as("hi")).head()
-    if (b.isNullAt(0)) return // nothing to insert
+      max(to_date(col(tsCol))).as("hi"),
+      max(col(tsCol).cast("timestamp")).as("frontier")).head()
+    if (b.isNullAt(0)) return None // nothing to insert
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
@@ -94,6 +100,7 @@ object Sinks {
       else fresh0.join(guardScan(spark, path, b.getDate(0), b.getDate(1), keys),
         keys, "left_anti")
     writeDaily(fresh, tsCol, path, filesPerDay = filesPerDay)
+    Some(b.getTimestamp(2).getTime)
   }
 
   /** The historic-side guard scan of [[upsertHistoric]], exposed so the

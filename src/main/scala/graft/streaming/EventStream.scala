@@ -582,21 +582,17 @@ object EventStream {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.sources.Sinks.upsertHistoric(batch.toDF(), path, keys, tsCol)
+        // the upsert's own bounds pass returns the event-time frontier
+        // (no second scan of the micro-batch source per commit; None
+        // for an empty batch — proves the sink alive, moves no frontier)
+        val frontier = graft.sources.Sinks.upsertHistoric(batch.toDF(), path, keys, tsCol)
         // AFTER the store committed: the gauge tracks the authority's
         // freshness, so a crash between upsert and record reads stale
         // (safe direction) rather than fresh-but-missing
-        monitor.foreach(_.record(path, maxEventMs(batch.toDF(), tsCol)))
+        monitor.foreach(_.record(path, frontier))
       }
       .start()
   }
-
-  /** Max event time (epoch ms) of a committed micro-batch for the
-    * freshness gauge — None for an empty batch (an empty commit proves
-    * the sink alive but moves no event-time frontier). */
-  private def maxEventMs(batch: DataFrame, tsCol: String): Option[Long] =
-    Option(batch.agg(max(col(tsCol).cast("timestamp"))).head.getTimestamp(0))
-      .map(_.getTime)
 
   /** Streaming incremental NEAR-dup dedup: every micro-batch is
     * MinHash-banded against the persisted historic band index, verified

@@ -73,6 +73,27 @@ class MonitoringSpec extends SparkSpec {
     assert(!m.poll() && m.poll(), "any-sink staleness must drive the debounce")
   }
 
+  test("freshness monitor reset: synthetic commit grants a grace window, keeps the event frontier") {
+    var now = 0L
+    val m = new Monitoring.FreshnessMonitor(maxCommitAgeMs = 1000,
+      maxEventLagMs = 5000, clock = () => now)
+    m.register("sink_a")
+    m.record("sink_a", Some(0L))
+    // quiet feed: commit age crosses the bound
+    now = 2000L
+    assert(m.gauges().head.stale)
+    // the controller's restart stamp: full commit-age grace, but the
+    // event-time frontier is NOT forged forward (lag keeps gauging)
+    m.reset("sink_a")
+    val g = m.gauges().head
+    assert(g.lastCommitAgeMs == 0L && g.eventLagMs == 2000L && !g.stale)
+    // without reset a quiet feed would re-trip every other poll; with
+    // it the next trip needs the grace window to elapse again
+    assert(!m.poll())
+    now = 3500L
+    assert(!m.poll() && m.poll(), "stale again only after the full grace window")
+  }
+
   test("stream controller: restarts a wedged stream on the staleness alert; store stays exact") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
