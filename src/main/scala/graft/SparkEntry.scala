@@ -221,6 +221,10 @@ object SparkEntry {
           graft.functions.Bpe.tokenCount(col("chunk_text"), vocab).as("n_tokens"))
         .orderBy("doc_id", "chunk_idx")
     }),
+    // C4-style duplicate-span removal: keep the corpus-wide FIRST
+    // occurrence of every span, rebuild docs from their kept spans —
+    // the operator that strips boilerplate from otherwise-kept docs
+    "d40_span_dedup"      -> (TextFns.spanDedup _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1110,6 +1114,29 @@ object SparkEntry {
         |FROM c WHERE len(string_split(chunk_text, ' ')) = 20
         |GROUP BY chunk_text HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, chunk_text""".stripMargin,
+
+    "d40_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, k AS span_idx,
+        |        array_to_string(list_slice(ws, k * 10 + 1, k * 10 + 10), ' ') AS span_text
+        |      FROM w, UNNEST(range(CAST(floor((len(ws) - 1) / 10) AS BIGINT) + 1)) AS t(k)),
+        |f AS (SELECT span_text, MIN(doc_id * 1048576 + span_idx) AS keep_key
+        |      FROM s WHERE len(string_split(span_text, ' ')) = 10
+        |      GROUP BY span_text),
+        |kept AS (
+        |  SELECT keep_key // 1048576 AS doc_id, keep_key % 1048576 AS span_idx, span_text
+        |  FROM f
+        |  UNION ALL
+        |  SELECT doc_id, span_idx, span_text FROM s
+        |  WHERE len(string_split(span_text, ' ')) < 10),
+        |r AS (SELECT doc_id, string_agg(span_text, ' ' ORDER BY span_idx) AS clean_text,
+        |        COUNT(*) AS n_kept
+        |      FROM kept GROUP BY doc_id)
+        |SELECT doc_id, clean_text,
+        |  CAST(floor((len(string_split(d.text, ' ')) - 1) / 10) AS BIGINT) + 1 AS n_spans,
+        |  n_kept
+        |FROM documents d JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "d33_unigram_nll" ->
       """WITH words AS (

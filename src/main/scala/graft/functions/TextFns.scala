@@ -219,6 +219,97 @@ object TextFns {
   def templateChunks(s: SparkSession, d: String): DataFrame =
     templateChunksOf(Tables.documents(s, d))
 
+  /** d40 span geometry: NON-overlapping word windows (overlap would
+    * make removal+rebuild ambiguous — a removed word can't half-belong
+    * to a kept window). Size = the d18/d34 stride so the two chunk
+    * families tile the same offsets. */
+  private[graft] val SpanSize = 10
+
+  /** Packed (doc_id, span_idx) occurrence key: a PRIMITIVE long, so the
+    * keep-first min aggregates in a HashAggregate (a min over
+    * struct(doc_id, span_idx) falls back to SortAggregate — two full
+    * sorts of the span table, see Silver.bestMarkAggs). Bounds: span_idx
+    * < 2^20 (docs up to ~10M words) and doc_id < 2^43; under ANSI a
+    * violation THROWS (overflow) instead of silently corrupting keys. */
+  private val SpanPack = 1L << 20
+
+  /** Rebuild core of d40: per-doc (clean_text, n_kept) after corpus-
+    * wide keep-first span removal. Docs whose every span was removed
+    * are ABSENT (callers inner-join, which drops them). */
+  private[graft] def spanRebuilt(docs: DataFrame): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast((size(ws) - 1) div $SpanSize as int)),
+           |  k -> concat_ws(' ', slice(ws, k * $SpanSize + 1, $SpanSize)))""".stripMargin))
+        .as(Seq("span_idx", "span_text")))
+    val full = size(split(col("span_text"), " ")) === SpanSize
+    // keep-first needs NO join-back: every span group keeps exactly its
+    // min occurrence, so the min-key aggregate IS the kept set — decode
+    // (doc_id, span_idx) straight from the packed key. One shuffle on
+    // span_text, map-side combined, primitive buffer.
+    val firsts = spans.filter(full)
+      .groupBy("span_text")
+      .agg(min(col("doc_id") * SpanPack + col("span_idx")).as("keep_key"))
+      .select(expr(s"keep_key div $SpanPack").as("doc_id"),
+        pmod(col("keep_key"), lit(SpanPack)).cast("int").as("span_idx"),
+        col("span_text"))
+    // sub-size tail spans are EXEMPT from dedup (a 2-word tail is not
+    // boilerplate, and removing it corpus-wide would gut short docs —
+    // the d34 tail-window discipline applied to removal)
+    val kept = firsts.unionByName(
+      spans.filter(!full).select("doc_id", "span_idx", "span_text"))
+    kept.groupBy("doc_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(" +
+          "struct(span_idx, span_text))), x -> x.span_text), ' ')").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /** d40 as an in-pipeline transform: `text` replaced by the span-
+    * deduped rebuild, every carry-through column preserved, fully-
+    * removed docs dropped. The CorpusPipeline's opt-in boilerplate-
+    * strip stage. */
+  def spanScrub(docs: DataFrame): DataFrame =
+    spanScrubWith(docs, spanRebuilt(docs))
+
+  /** [[spanScrub]] against a pre-computed [[spanRebuilt]] frame — lets
+    * the pipeline apply one rebuild to both an observed and an
+    * un-observed branch of the same stage. */
+  private[graft] def spanScrubWith(docs: DataFrame, rebuilt: DataFrame): DataFrame =
+    docs.join(rebuilt.select("doc_id", "clean_text"), Seq("doc_id"))
+      .withColumn("text", col("clean_text")).drop("clean_text")
+
+  /** d40: C4-style duplicate-span removal over an explicit
+    * (doc_id, text) frame — see [[spanDedup]]. */
+  def spanDedupOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (expr(s"(size(split(text, ' ')) - 1) div $SpanSize") + 1)
+          .cast("long").as("n_spans"))
+      .join(spanRebuilt(docs), Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_spans"), col("n_kept"))
+      .orderBy("doc_id")
+
+  /** d40: C4-style duplicate-span removal (Raffel et al. 2020 §2.2's
+    * "discard all but one of any three-sentence span occurring more
+    * than once", re-expressed on the corpus's word-window spans): hash
+    * every non-overlapping [[SpanSize]]-word span, keep exactly the
+    * FIRST occurrence corpus-wide (min (doc_id, span_idx)), and REBUILD
+    * each document from its kept spans in order. d1 drops whole
+    * duplicate docs and d34 only *reports* shared chunks — this is the
+    * operator that strips duplicated boilerplate out of documents that
+    * are otherwise kept. Docs whose every span was removed drop out
+    * (nothing left to train on).
+    *
+    * Scale shape: span explode → ONE map-side-combined hash-groupBy on
+    * span text (primitive packed-key min, no window, no join-back) →
+    * per-doc rebuild groupBy → co-partitioned doc_id join for the
+    * original span counts. Never pairwise; at 100 TB each shuffle key
+    * is a ≤[[SpanSize]]-word string or a doc id.
+    */
+  def spanDedup(s: SparkSession, d: String): DataFrame =
+    spanDedupOf(Tables.documents(s, d))
+
   /** d10: normalized content fingerprint: lowercase, collapse runs of
     * whitespace, md5. Reference analog: scripts/scwhab_hash.py (account
     * hashing) + dedup keys in the silver layer.

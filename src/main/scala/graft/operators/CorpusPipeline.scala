@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
   * data team actually ships, assembled from the individual operators:
   *
   *   raw docs → scrub → quality gate → exact dedup → near-dup dedup
-  *            → [decontaminate] → repetition gate → [domain mix]
-  *            → chunked training examples
+  *            → [span dedup] → [decontaminate] → repetition gate
+  *            → [domain mix] → chunked training examples
   *
   * Each stage is the same declarative transform its standalone query
   * uses (d12 scrub, d8-style gates, d1 exact dedup, d2 LSH + connected
@@ -63,7 +63,8 @@ object CorpusPipeline {
       benchmark: Option[DataFrame] = None,
       maxRepFrac: Double = 1.0,
       mixTargetFrac: Option[Double] = None,
-      blockCols: Seq[String] = Seq.empty): (DataFrame, Seq[(String, Long)]) = {
+      blockCols: Seq[String] = Seq.empty,
+      spanDedup: Boolean = false): (DataFrame, Seq[(String, Long)]) = {
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[(String, org.apache.spark.sql.Observation)]
     def observed(name: String, df: DataFrame): DataFrame = {
@@ -131,6 +132,23 @@ object CorpusPipeline {
     val nearDeduped0 = exact.join(drop, Seq("doc_id"), "left_anti")
     val nearDeduped = observed("near_dedup", nearDeduped0)
 
+    // 4b (opt-in). C4-style duplicate-span removal (d40): strip
+    //    corpus-wide repeated spans out of the KEPT docs — near-dup
+    //    dedup drops whole documents, this removes the boilerplate the
+    //    survivors still share. The rebuild mines spans from the
+    //    un-observed twin and is applied to both branches via
+    //    spanScrubWith, so no metric node duplicates; downstream gates
+    //    then see the de-boilerplated text (grams of removed spans
+    //    can't re-contaminate).
+    val (spanned0, spanned) =
+      if (spanDedup) {
+        val rb = graft.functions.TextFns.spanRebuilt(
+          nearDeduped0.select("doc_id", "text"))
+        (graft.functions.TextFns.spanScrubWith(nearDeduped0, rb),
+          observed("span_dedup",
+            graft.functions.TextFns.spanScrubWith(nearDeduped, rb)))
+      } else (nearDeduped0, nearDeduped)
+
     // 5. benchmark decontamination (d24): anti-join away docs sharing
     //    any 8-gram with the eval slice — the contaminated-id list is
     //    tiny (broadcast gram join inside decontaminateOf). The
@@ -138,11 +156,11 @@ object CorpusPipeline {
     //    only sound when both sides are normalized identically.
     val decon = benchmark match {
       case Some(b) => observed("decontaminated",
-        nearDeduped.join(
-          Curation.contaminatedIds(nearDeduped0.select("doc_id", "text"),
+        spanned.join(
+          Curation.contaminatedIds(spanned0.select("doc_id", "text"),
             benchmarkGrams(b)),
           Seq("doc_id"), "left_anti"))
-      case None => nearDeduped
+      case None => spanned
     }
 
     // 6. repetition gate (d25): per-row duplicate-3-gram fraction.
