@@ -228,6 +228,15 @@ object ScaleSmoke {
       require(n > 0, "no template chunks found despite planted duplicates")
       n
     }
+    // exact substring dedup (d41) at 1M docs: planted duplicate pairs
+    // are whole-doc copies, so each of the ~10k dup docs reports ONE
+    // maximal 30-token run (11 consecutive shared 20-gram positions);
+    // random 20-gram collisions over the 10k vocab are ~impossible
+    time("exact substr runs 1M docs") {
+      val n = operators.Dedup.exactSubstrRunsOf(docsBig, 20).count()
+      require(n >= 10000 && n < 20000, s"unexpected duplicated-run count $n")
+      n
+    }
     // PQ at 1M×64-dim vectors: single-pass-per-iteration codebook
     // training + ADC search + re-rank, the d32 path at 1000× the test
     // embeddings table (hash-generated deterministic vectors, cached so

@@ -225,6 +225,10 @@ object SparkEntry {
     // occurrence of every span, rebuild docs from their kept spans —
     // the operator that strips boilerplate from otherwise-kept docs
     "d40_span_dedup"      -> (TextFns.spanDedup _),
+    // exact substring dedup (Lee et al.): maximal ≥20-token duplicated
+    // runs at any offset, via shared-N-gram position islands — the
+    // arbitrary-offset complement of d40's fixed spans
+    "d41_exact_substr"    -> ((s, d) => Dedup.exactSubstrRuns(s, d)),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1137,6 +1141,19 @@ object SparkEntry {
         |  n_kept
         |FROM documents d JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "d41_exact_substr" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+19], ' ') AS gram
+        |      FROM w, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)),
+        |shared AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |sp AS (SELECT doc_id, pos,
+        |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |       FROM g JOIN shared USING (gram))
+        |SELECT doc_id, MIN(pos) AS start_tok,
+        |  MAX(pos) - MIN(pos) + 20 AS n_tokens
+        |FROM sp GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_tok""".stripMargin,
 
     "d33_unigram_nll" ->
       """WITH words AS (

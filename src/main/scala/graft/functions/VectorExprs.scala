@@ -744,6 +744,75 @@ object ExprHelpers {
   }
 }
 
+/** Per-position k-gram hashes over an array<string> of words →
+  * array<long> (one xxhash64 per gram, same seed-42 gram hashing as the
+  * rest of the family). Fused: the d41 substring-dedup position explode
+  * needs ONLY the 8-byte hash per position — materializing the k-word
+  * gram strings through WordNgrams first would push O(tokens × k) bytes
+  * through the explode and the shuffle. Fewer than k words → empty.
+  */
+case class NgramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = arr.getUTF8String(i); i += 1 }
+    val sep = ExprHelpers.Space
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      val slice = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { slice(j) = words(i + j); j += 1 }
+      out(i) = XxHash64Function.hash(UTF8String.concatWs(sep, slice: _*), StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): NgramHashes = copy(child = c)
+}
+
+/** Merge a SORTED array<int> of shared k-gram positions into maximal
+  * runs → array<struct<start_tok int, n_tokens int>>: consecutive
+  * positions p, p+1 overlap as k-grams, so a maximal consecutive
+  * stretch [p0..p1] is one duplicated token run covering
+  * p1 - p0 + k tokens (Lee et al. 2021's duplicated-substring spans,
+  * at k-gram resolution). The gaps-and-islands step of d41 as one tight
+  * loop per doc — no window, no interpreted per-element lambda.
+  */
+case class IslandRuns(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start_tok", IntegerType, nullable = false),
+    StructField("n_tokens", IntegerType, nullable = false))), containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = arr.getInt(0)
+    var prev = start
+    var i = 1
+    while (i <= n) {
+      val p = if (i < n) arr.getInt(i) else Int.MinValue
+      if (i == n || p != prev + 1) {
+        out += InternalRow(start, prev - start + k)
+        if (i < n) { start = p; prev = p }
+      } else prev = p
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): IslandRuns = copy(child = c)
+}
+
 object VectorExprs {
   def dotF(a: Column, b: Column): Column = toCol(DotProductF(toExpr(a), toExpr(b)))
   def dotI8(a: Column, b: Column): Column = toCol(DotProductI8(toExpr(a), toExpr(b)))
@@ -757,6 +826,8 @@ object VectorExprs {
     toCol(MinHashShingleSig(toExpr(c), k, perms))
   def wordNgrams(c: Column, k: Int): Column = toCol(WordNgrams(toExpr(c), k))
   def ngramStats(c: Column, k: Int): Column = toCol(NgramStats(toExpr(c), k))
+  def ngramHashes(c: Column, k: Int): Column = toCol(NgramHashes(toExpr(c), k))
+  def islandRuns(c: Column, k: Int): Column = toCol(IslandRuns(toExpr(c), k))
   def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))
   def pqEncode(c: Column, cb: Array[Array[Array[Float]]]): Column =
     toCol(PqEncode(toExpr(c), cb))

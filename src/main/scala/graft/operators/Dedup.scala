@@ -16,6 +16,61 @@ import graft.Tables
   */
 object Dedup {
 
+  /** d41: exact substring dedup at ≥N tokens (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * their suffix-array ExactSubstr, re-expressed at N-gram resolution
+    * as the scale-honest Spark shape): report every MAXIMAL token run
+    * that also occurs elsewhere in the corpus (another doc OR another
+    * offset of the same doc). A duplicated run of L ≥ N tokens is
+    * exactly a maximal consecutive stretch of positions whose N-gram
+    * occurs ≥ 2 times corpus-wide, so:
+    *
+    *   1. per-position N-gram xxhash64 ([[graft.functions.NgramHashes]]
+    *      — only 8 bytes per position ever leave the scan),
+    *   2. occurrence counts by gram hash (ONE map-side-combined
+    *      shuffle), shared = count ≥ 2,
+    *   3. join positions back on the hash (co-partitioned — the count
+    *      and the join shuffle on the same key),
+    *   4. per-doc merge of consecutive shared positions into maximal
+    *      runs ([[graft.functions.IslandRuns]] — a tight loop over the
+    *      doc's sorted positions, no window).
+    *
+    * Approximation vs a true suffix array (documented, standard for
+    * distributed dedup): runs are N-gram-resolution (a duplicated run
+    * shorter than N is invisible), adjacent positions shared with
+    * DIFFERENT partners chain into one reported run, and two grams
+    * colliding in 64-bit hash space could fuse groups (≪ 1e-8 at
+    * corpus scale). Complements d40: fixed-boundary whole-span removal
+    * there, arbitrary-offset duplicated-run DETECTION here (the report
+    * a C4/RefinedWeb-style pipeline feeds into span clipping).
+    *
+    * Oracle-expressible: DuckDB mirrors it with a gaps-and-islands
+    * window over the gram STRINGS (no hashing) — the Spark side stays
+    * window-free, the oracle proves run-for-run equality.
+    */
+  def exactSubstrRuns(s: SparkSession, d: String, minTokens: Int = 20): DataFrame =
+    exactSubstrRunsOf(Tables.documents(s, d), minTokens)
+
+  /** Core of [[exactSubstrRuns]] over an explicit (doc_id, text) frame. */
+  def exactSubstrRunsOf(docs: DataFrame, minTokens: Int): DataFrame = {
+    import graft.functions.VectorExprs
+    val pos = docs
+      .select(col("doc_id"), posexplode(
+        VectorExprs.ngramHashes(split(col("text"), " "), minTokens))
+        .as(Seq("pos", "h")))
+    val shared = pos.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    pos.join(shared, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"),
+        explode(VectorExprs.islandRuns(col("ps"), minTokens)).as("run"))
+      .select(col("doc_id"),
+        col("run.start_tok").cast("long").as("start_tok"),
+        col("run.n_tokens").cast("long").as("n_tokens"))
+      .orderBy("doc_id", "start_tok")
+  }
+
   /** d1: exact dedup by content hash, keep the smallest id per group. */
   def exactDedup(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

@@ -73,6 +73,67 @@ class Round11Spec extends SparkSpec {
     } finally chunks.unpersist()
   }
 
+  /** Independent brute-force reference for d41: gram occurrence counts
+    * by STRING (no hashing), shared positions, maximal runs by a
+    * per-doc linear scan. */
+  private def bruteRuns(docs: Seq[(Long, String)], n: Int): Set[(Long, Long, Long)] = {
+    val grams = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      (0 to ws.length - n).map(p => (id, p, ws.slice(p, p + n).mkString(" ")))
+    }
+    val counts = grams.groupBy(_._3).map { case (g, os) => g -> os.size }
+    val runs = Set.newBuilder[(Long, Long, Long)]
+    docs.foreach { case (id, t) =>
+      val ws = t.split(" ")
+      val shared = (0 to ws.length - n).filter(p =>
+        counts(ws.slice(p, p + n).mkString(" ")) >= 2)
+      var i = 0
+      while (i < shared.length) {
+        var j = i
+        while (j + 1 < shared.length && shared(j + 1) == shared(j) + 1) j += 1
+        runs += ((id, shared(i).toLong, (shared(j) - shared(i) + n).toLong))
+        i = j + 1
+      }
+    }
+    runs.result()
+  }
+
+  test("d41 exactSubstrRuns: run-for-run equal to a brute-force suffix scan on a planted corpus") {
+    val shared25 = (1 to 25).map(i => s"s$i").mkString(" ")
+    val rep5 = (1 to 5).map(i => s"r$i").mkString(" ")
+    def noise(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      // cross-doc: the same 25-token run at different offsets
+      (0L, s"${noise("a", 7)} $shared25 ${noise("b", 4)}"),
+      (1L, s"$shared25 ${noise("c", 9)}"),
+      // within-doc: a 5-gram repeated at two offsets in ONE doc
+      (2L, s"$rep5 ${noise("d", 6)} $rep5"),
+      // chaining: doc 3 holds t1..t8; doc 4 covers its grams at pos
+      // 0-1 (t1..t6), doc 5 covers pos 2-3 (t3..t8) — every one of
+      // doc 3's grams is shared with SOME partner, so the whole 8
+      // tokens merge into one run no single partner contains
+      (3L, s"${noise("t", 8)} ${noise("e", 3)}"),
+      (4L, (1 to 6).map(i => s"t$i").mkString(" ")),
+      (5L, (3 to 8).map(i => s"t$i").mkString(" ")),
+      // too short for any 5-gram
+      (6L, "one two three four")
+    )
+    val got = operators.Dedup.exactSubstrRunsOf(docs.toDF("doc_id", "text"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = bruteRuns(docs, 5)
+    assert(got == want, s"got $got\nwant $want")
+    // sanity on the planted shapes: doc 2 reports BOTH repeat offsets,
+    // doc 3 merges the chained partner coverage into ONE 8-token run
+    assert(want.count(_._1 == 2L) == 2)
+    assert(want((3L, 0L, 8L)))
+  }
+
+  test("d41 plan: no Window on the Spark side") {
+    val plan = operators.Dedup.exactSubstrRuns(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "substring dedup must stay window-free")
+  }
+
   test("d40 spanDedup plan: no Window, keep-first min is a HashAggregate") {
     val plan = TextFns.spanDedup(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "span dedup must not plan a window")
