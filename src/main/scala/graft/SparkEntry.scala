@@ -82,7 +82,9 @@ object SparkEntry {
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
     "d3_simhash"          -> (Dedup.simhash _),
     "d4_ngram_jaccard"    -> (Dedup.ngramJaccard _),
-    "d5_embed_topk"       -> (Similarity.embedTopK _),
+    // registered as the bounded-aggregate formulation (no rank window;
+    // the window twin stays as the spec baseline, proven row-equal)
+    "d5_embed_topk"       -> (Similarity.embedTopKAgg _),
     "d6_ivf_ann"          -> (Similarity.ivfAnn _),
     "d7_lang_id"          -> (TextFns.langId _),
     "d8_quality_score"    -> (TextFns.qualityScore _),

@@ -134,6 +134,50 @@ class Round11Spec extends SparkSpec {
     assert(!plan.contains("Window"), "substring dedup must stay window-free")
   }
 
+  test("ANN registered entries plan no Window (bounded TopKByScore states instead)") {
+    for (name <- Seq("d5_embed_topk", "d6_ivf_ann", "d16_quantized_ann",
+        "d17_hamming_ann", "d32_pq_ann")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name still plans a window")
+    }
+  }
+
+  test("d16/d17 aggregate top-k is row-equal to the rank-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // windowed reference for d16 (score desc) and d17 (hd asc),
+    // re-derived here exactly as the pre-round-11 entries planned it
+    val emb16 = Tables.embeddings(spark, sf)
+      .withColumn("qv", operators.Similarity.quantize8(col("embedding")))
+      .select(col("vec_id"), col("qv.q").as("q"), col("qv.scale").as("qscale"))
+    val qs16 = emb16.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("q").as("q_q"), col("qscale").as("q_scale"))
+    val w16 = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+    val want16 = emb16.join(broadcast(qs16), col("vec_id") =!= col("q_id"))
+      .withColumn("score", graft.functions.VectorExprs.dotI8(col("q"), col("q_q"))
+        .cast("double") * col("qscale") * col("q_scale") / (127.0 * 127.0))
+      .withColumn("rk", row_number().over(w16)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("score"), col("rk"))
+      .orderBy("q_id", "rk").collect().toSeq
+    assert(operators.Similarity.quantizedTopK(spark, sf).collect().toSeq == want16)
+
+    val emb17 = Tables.embeddings(spark, sf)
+      .withColumn("bits", operators.Similarity.packSigns("embedding"))
+      .select("vec_id", "bits")
+    val qs17 = emb17.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
+    val w17 = Window.partitionBy("q_id").orderBy(col("hd").asc, col("vec_id").asc)
+    val want17 = emb17.join(broadcast(qs17), col("vec_id") =!= col("q_id"))
+      .withColumn("hd", bit_count(col("bits").bitwiseXOR(col("q_bits"))))
+      .withColumn("rk", row_number().over(w17)).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("hd"), col("rk"))
+      .orderBy("q_id", "rk").collect().toSeq
+    val got17 = operators.Similarity.hammingTopK(spark, sf).collect().toSeq
+    assert(got17 == want17)
+    assert(operators.Similarity.hammingTopK(spark, sf).schema("hd").dataType ==
+      org.apache.spark.sql.types.IntegerType, "hd dtype must survive the negate round-trip")
+  }
+
   test("d40 spanDedup plan: no Window, keep-first min is a HashAggregate") {
     val plan = TextFns.spanDedup(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "span dedup must not plan a window")
