@@ -215,7 +215,10 @@ object SparkEntry {
     "d39_bpe_chunks"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode}
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val vocab = graft.functions.Bpe.trainFromCorpus(docs, numMerges = 200)
+      // train-once/reuse: the persisted vocab artifact (or the in-JVM
+      // memo shared with d37) replaces a per-run wordDict scan + merge
+      // loop; identical merges, spec'd round-trip (Round11Spec)
+      val vocab = graft.functions.Bpe.corpusVocab(s, d, numMerges = 200)
       docs.select(col("doc_id"),
           posexplode(graft.functions.Bpe.tokenChunks(col("text"), vocab, 64))
             .as(Seq("chunk_idx", "chunk_text")))
@@ -239,7 +242,7 @@ object SparkEntry {
     "d37_bpe_token_count" -> ((s, d) => {
       import org.apache.spark.sql.functions.{ceil, col, length, lit}
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val vocab = graft.functions.Bpe.trainFromCorpus(docs, numMerges = 200)
+      val vocab = graft.functions.Bpe.corpusVocab(s, d, numMerges = 200)
       docs.select(col("doc_id"),
         graft.functions.Bpe.tokenCount(col("text"), vocab).as("n_tokens_bpe"),
         ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_est"))

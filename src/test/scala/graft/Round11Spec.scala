@@ -178,6 +178,36 @@ class Round11Spec extends SparkSpec {
       org.apache.spark.sql.types.IntegerType, "hd dtype must survive the negate round-trip")
   }
 
+  test("BPE vocab artifact: train → persist → load → byte-identical encodes; foreign/torn artifacts fail fast") {
+    import graft.functions.Bpe
+    val docs = Seq(
+      (0L, "lower lower lowest low low low slower slow"),
+      (1L, "newer new newest news lower slowest slows"),
+      (2L, "window windows widen wide wider widest")
+    ).toDF("doc_id", "text")
+    val v = Bpe.trainFromCorpus(docs, numMerges = 60)
+    assert(v.merges.nonEmpty, "corpus must earn merges for the round-trip to mean anything")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_rt").toString
+    Bpe.saveVocab(spark, v, s"$dir/vocab")
+    val loaded = Bpe.loadVocab(spark, s"$dir/vocab")
+    assert(loaded.merges == v.merges, "persisted merge table must reload in order")
+    for (w <- Seq("lower", "slowest", "windowing", "unseen", "w"))
+      assert(loaded.encodeWord(w).toSeq == v.encodeWord(w).toSeq,
+        s"encode of '$w' must be byte-identical through the artifact")
+    // un-committed artifact (no _layout marker) must not load
+    intercept[IllegalArgumentException] {
+      Bpe.loadVocab(spark, s"$dir/nothere")
+    }
+    // foreign layout version must not load
+    val p = new org.apache.hadoop.fs.Path(s"$dir/vocab/_layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("bpe-v999\nmerges=1\n".getBytes("UTF-8")) finally out.close()
+    intercept[IllegalArgumentException] {
+      Bpe.loadVocab(spark, s"$dir/vocab")
+    }
+  }
+
   test("d40 spanDedup plan: no Window, keep-first min is a HashAggregate") {
     val plan = TextFns.spanDedup(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "span dedup must not plan a window")
