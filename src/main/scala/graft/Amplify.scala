@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * o_orderkey / l_orderkey, so uniqueness — and every deterministic
   * row_number tie-break built on it — survives) and event timestamps
   * nudged 1 ms per copy (distinct rows, near-identical distribution);
-  * dimension tables are byte-copied verbatim. Spark and DuckDB then
-  * read the SAME amplified parquet, so oracle parity is still exact —
-  * only the data volume changes.
+  * dimension tables and embeddings are byte-copied verbatim; the
+  * documents corpus is SYNTHESIZED to N× (fresh ids, rotated word
+  * order, deterministic word-level substitution at controlled
+  * near-dup rates — see the inline note), so the oracle-checkable
+  * d-entries get an N×-scale selfcheck with an honest density instead
+  * of the all-copies-are-dups pathology byte copies would plant.
+  * Spark and DuckDB then read the SAME amplified parquet, so oracle
+  * parity is still exact — only the data volume changes.
   *
   * events is written as ordinary µs timestamps (Tables.events accepts
   * both that and the driver's TIMESTAMP(NANOS)); DuckDB's
@@ -43,11 +48,11 @@ object Amplify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(out).mkdirs()
 
-    // dims (and the doc/embedding corpora, whose d-queries the probe
-    // keeps at 1×): verbatim byte copies — identical files, identical
-    // reads in both engines
+    // dims (and the embeddings corpus, whose d-queries stay 1×):
+    // verbatim byte copies — identical files, identical reads in both
+    // engines
     Seq("region", "nation", "customer", "supplier", "part",
-      "documents", "embeddings").foreach { t =>
+      "embeddings").foreach { t =>
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$src/$t.parquet"),
         java.nio.file.Paths.get(s"$out/$t.parquet"),
@@ -83,6 +88,41 @@ object Amplify {
     writeOne(amplified(lineitem) { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOffset))
     }, "lineitem")
+
+    // documents: SYNTHESIZED copies, not byte copies — a copied doc
+    // corpus is a pathological all-dup near-dup input (every copy is a
+    // perfect duplicate of its source, so near-dup stats measure the
+    // amplifier, not the operator). Copy 0 is the original corpus; copy
+    // i>0 gets fresh doc_ids, a word-order rotation (kills exact/byte
+    // dups and fixed-boundary span identity), and a DETERMINISTIC
+    // word-level substitution (hash(word, doc_id, copy) — every
+    // occurrence of a word inside one doc shares its fate, so the
+    // word-SET jaccard vs the source doc is exactly (1-p)/(1+p)):
+    //   copy 1: p = 5%  -> j ≈ 0.90  (planted near-dups, 1 per source
+    //           doc — a known, controlled rate ABOVE the 0.8 threshold)
+    //   copies 2..9: p = 50% -> j ≈ 0.33 (background, well below it)
+    // Cross-copy substitutions are doc-independent (P(both) = p²), so
+    // background cross-doc similarity THINS vs the source corpus rather
+    // than multiplying. Both engines read the same parquet — oracle
+    // parity is untouched; only the density story changes, and it is
+    // now honest: ~n_docs planted pairs at j≈0.9, not all-pairs-dup.
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    writeOne(amplified(docs) { (df, i) =>
+      if (i == 0) df
+      else {
+        val pct = if (i == 1) 5 else 50
+        df.withColumn("doc_id", col("doc_id") + lit(i * KeyOffset))
+          .withColumn("ws", split(col("text"), " "))
+          .withColumn("ws", expr(
+            s"""transform(ws, w -> IF(pmod(xxhash64(w, doc_id, $i), 100) < $pct,
+               |  concat(w, '_c$i'), w))""".stripMargin))
+          .withColumn("rot", pmod(lit(i * 7), size(col("ws"))))
+          .withColumn("text", concat_ws(" ",
+            expr("concat(slice(ws, rot + 1, size(ws) - rot), slice(ws, 1, rot))")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .drop("ws", "rot")
+      }
+    }, "documents")
 
     // events via Tables.events (ns-long → µs truncation, the exact
     // representation every query sees); copies nudge ts by 1 ms so no

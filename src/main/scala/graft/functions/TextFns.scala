@@ -156,14 +156,18 @@ object TextFns {
     * heavy-hitters aggregate (graft.functions.HeavyHittersAgg, a custom
     * TypedImperativeAggregate). Capacity exceeds the vocabulary here so
     * the sketch is exact — the DuckDB oracle is the plain GROUP BY the
-    * sketch replaces at scale.
+    * sketch replaces at scale. 1024 covers the synthesized 10× corpus
+    * too (its per-copy word tags multiply per-lang vocab ~10×; 64 was
+    * sized to the 1× corpus and silently left the exact regime there —
+    * caught by the 10× selfcheck). Sketch state stays O(capacity) per
+    * (lang, partition) regardless.
     */
   def heavyTokens(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
     tok.groupBy(col("lang"))
-      .agg(graft.functions.HeavyHitters.heavyHitters(col("w"), 64).as("hh"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("w"), 1024).as("hh"))
       .select(col("lang"), explode(col("hh")).as("h"))
       .select(col("lang"), col("h.item").as("w"), col("h.est_count").as("n"))
       .orderBy("lang", "w")
