@@ -237,6 +237,14 @@ object ScaleSmoke {
       require(n >= 10000 && n < 20000, s"unexpected duplicated-run count $n")
       n
     }
+    // the removal half at 1M docs: each planted whole-doc duplicate is
+    // one 30-token non-first run -> fully covered -> drops out, so
+    // survivors ≈ 1M - 5k and almost no doc is partially clipped
+    time("exact substr clip 1M docs") {
+      val n = operators.Dedup.exactSubstrClipOf(docsBig, 20).count()
+      require(n >= 990000 && n < 1000000, s"unexpected survivor count $n")
+      n
+    }
     // PQ at 1M×64-dim vectors: single-pass-per-iteration codebook
     // training + ADC search + re-rank, the d32 path at 1000× the test
     // embeddings table (hash-generated deterministic vectors, cached so

@@ -234,6 +234,10 @@ object SparkEntry {
     // runs at any offset, via shared-N-gram position islands — the
     // arbitrary-offset complement of d40's fixed spans
     "d41_exact_substr"    -> ((s, d) => Dedup.exactSubstrRuns(s, d)),
+    // the removal half: cut every non-first duplicated run occurrence
+    // out of the kept docs and splice the remainder (keep-first at
+    // gram granularity, token-level anti-join rebuild)
+    "d42_substr_clip"     -> ((s, d) => Dedup.exactSubstrClip(s, d)),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1159,6 +1163,36 @@ object SparkEntry {
         |  MAX(pos) - MIN(pos) + 20 AS n_tokens
         |FROM sp GROUP BY doc_id, grp
         |ORDER BY doc_id, start_tok""".stripMargin,
+
+    "d42_substr_clip" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+19], ' ') AS gram
+        |      FROM w, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)),
+        |st AS (SELECT gram, COUNT(*) AS c, MIN(doc_id * 1048576 + pos) AS first_key
+        |       FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |rm AS (SELECT doc_id, pos FROM g JOIN st USING (gram)
+        |       WHERE doc_id * 1048576 + pos <> first_key),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM rm),
+        |runs AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 19 AS e
+        |         FROM isl GROUP BY doc_id, grp),
+        |rmtok AS (SELECT DISTINCT doc_id, t.tok
+        |          FROM runs, UNNEST(generate_series(s, e)) AS t(tok)),
+        |tok AS (SELECT doc_id, i - 1 AS tok, ws[i] AS wd
+        |        FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)),
+        |kept AS (SELECT tok.doc_id, tok.tok, tok.wd
+        |         FROM tok LEFT JOIN rmtok
+        |           ON tok.doc_id = rmtok.doc_id AND tok.tok = rmtok.tok
+        |         WHERE rmtok.doc_id IS NULL),
+        |r AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY tok) AS clean_text,
+        |        COUNT(*) AS n_kept
+        |      FROM kept GROUP BY doc_id)
+        |SELECT doc_id, clean_text,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - n_kept AS n_removed
+        |FROM documents d JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "d33_unigram_nll" ->
       """WITH words AS (

@@ -71,6 +71,71 @@ object Dedup {
       .orderBy("doc_id", "start_tok")
   }
 
+  /** d42: exact substring CLIP — the removal half of Lee et al. 2021
+    * (their tool cuts every duplicated substring occurrence but one;
+    * [[exactSubstrRuns]] only reports them). Keep-first at N-gram
+    * granularity, the d40 discipline applied at arbitrary offsets:
+    *
+    *   - a shared gram occurrence (count ≥ 2) is KEPT iff it is the
+    *     corpus-wide first occurrence of that gram (min packed
+    *     (doc_id, pos) — same primitive group-min as d40, no window,
+    *     no second pass),
+    *   - every token covered by a NON-first shared occurrence is
+    *     removed ([[graft.functions.IslandRuns]] merges removable
+    *     positions, then the ranges explode to token indices),
+    *   - documents rebuild from their kept tokens in order (splicing
+    *     across cuts, exactly like the reference tools); docs whose
+    *     every token was covered drop out.
+    *
+    * Deterministic corpus-order keep-first (documented approximation:
+    * where a first-occurrence run overlaps a non-first run of a
+    * DIFFERENT gram, the overlap tokens are removed — one occurrence
+    * of every duplicated ≥N-token run survives at gram granularity,
+    * possibly clipped at its edges). Scale shape: the d41 pipeline
+    * plus one token-level anti-join — all hash-partitioned, nothing
+    * pairwise, no window on the Spark side.
+    */
+  def exactSubstrClip(s: SparkSession, d: String, minTokens: Int = 20): DataFrame =
+    exactSubstrClipOf(Tables.documents(s, d), minTokens)
+
+  /** Core of [[exactSubstrClip]] over an explicit (doc_id, text) frame. */
+  def exactSubstrClipOf(docs: DataFrame, minTokens: Int): DataFrame = {
+    import graft.functions.VectorExprs
+    val Pack = 1L << 20 // doc_id < 2^43, pos < 2^20; ANSI throws on violation
+    val pos = docs
+      .select(col("doc_id"), posexplode(
+        VectorExprs.ngramHashes(split(col("text"), " "), minTokens))
+        .as(Seq("pos", "h")))
+    val stats = pos.groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(col("doc_id") * Pack + col("pos")).as("first_key"))
+      .filter(col("c") >= 2)
+      .select("h", "first_key")
+    val removable = pos.join(stats, Seq("h"))
+      .filter(col("doc_id") * Pack + col("pos") =!= col("first_key"))
+    val removedToks = removable
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .select(col("doc_id"),
+        explode(VectorExprs.islandRuns(col("ps"), minTokens)).as("run"))
+      .select(col("doc_id"), explode(
+        expr("sequence(run.start_tok, run.start_tok + run.n_tokens - 1)")).as("tok"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("tok", "w")))
+    val rebuilt = toks.join(removedToks, Seq("doc_id", "tok"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("array_join(transform(sort_array(collect_list(struct(tok, w))), " +
+          "x -> x.w), ' ')").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_tokens"),
+        (col("n_tokens") - col("n_kept")).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** d1: exact dedup by content hash, keep the smallest id per group. */
   def exactDedup(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)

@@ -128,6 +128,53 @@ class Round11Spec extends SparkSpec {
     assert(want((3L, 0L, 8L)))
   }
 
+  /** Independent brute-force reference for d42: gram-string counts,
+    * keep-first by (doc order, pos), coverage removal, splice. */
+  private def bruteClip(docs: Seq[(Long, String)], n: Int): Map[Long, (String, Long, Long)] = {
+    val occs = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      (0 to ws.length - n).map(p => (ws.slice(p, p + n).mkString(" "), id, p))
+    }
+    val byGram = occs.groupBy(_._1)
+    val firstKey = byGram.collect { case (g, os) if os.size >= 2 =>
+      g -> os.map { case (_, id, p) => id * 1048576L + p }.min }
+    val out = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ")
+      val removed = Array.fill(ws.length)(false)
+      (0 to ws.length - n).foreach { p =>
+        val g = ws.slice(p, p + n).mkString(" ")
+        firstKey.get(g).foreach { fk =>
+          if (id * 1048576L + p != fk)
+            (p until p + n).foreach(removed(_) = true)
+        }
+      }
+      val kept = ws.indices.filterNot(removed).map(ws)
+      if (kept.isEmpty) None
+      else Some(id -> ((kept.mkString(" "), ws.length.toLong,
+        removed.count(identity).toLong)))
+    }
+    out.toMap
+  }
+
+  test("d42 exactSubstrClip: splice-for-splice equal to a brute-force reference; first occurrence survives") {
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ")
+    def noise(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"${noise("a", 4)} $shared ${noise("b", 3)}"),     // first occurrence: kept whole
+      (1L, s"${noise("c", 6)} $shared ${noise("d", 5)}"),     // run cut, noise spliced
+      (2L, shared),                                           // nothing left -> drops out
+      (3L, noise("e", 40))                                    // untouched
+    )
+    val got = operators.Dedup.exactSubstrClipOf(docs.toDF("doc_id", "text"), 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = bruteClip(docs, 5)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(0L)._3 == 0L, "first occurrence must survive uncut")
+    assert(got(1L)._1 == s"${noise("c", 6)} ${noise("d", 5)}", "doc 1 splices around the cut")
+    assert(!got.contains(2L), "fully-duplicated doc must drop out")
+    assert(got(3L) == ((noise("e", 40), 40L, 0L)))
+  }
+
   test("d41 plan: no Window on the Spark side") {
     val plan = operators.Dedup.exactSubstrRuns(spark, sf)
       .queryExecution.executedPlan.toString
