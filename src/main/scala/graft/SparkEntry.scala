@@ -238,6 +238,19 @@ object SparkEntry {
     // out of the kept docs and splice the remainder (keep-first at
     // gram granularity, token-level anti-join rebuild)
     "d42_substr_clip"     -> ((s, d) => Dedup.exactSubstrClip(s, d)),
+    // Gopher char-weighted repetition rules (top-{2,3,4}-gram and
+    // duplicated-{5,6,8,10}-gram char fractions + keep flag): seven
+    // per-row gram maps in ONE narrow projection — no explode, no
+    // shuffle; oracle-exact
+    "d43_gopher_repetition" -> (Curation.gopherRepetition _),
+    // bigram-LM corpus NLL: CCNet-style conditional-perplexity filter
+    // signal (add-one smoothing, corpus-trained counts); oracle-exact
+    // under the d33 decimal-sum discipline
+    "d44_bigram_lm"       -> (Curation.bigramNll _),
+    // SemDeDup: embedding near-dup groups keep ONE least-prototypical
+    // member (bucket-blocked pairs + CC + centroid-cosine argmin;
+    // rows-only: spec-gated brute-force parity + keep-rule)
+    "d45_semdedup"        -> (Similarity.semDedup _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1207,6 +1220,63 @@ object SparkEntry {
         |           THEN c / total ELSE CAST(0.5 AS DOUBLE) / total END), 9)
         |         AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS nll
         |FROM words LEFT JOIN top USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Gopher char-weighted repetition: per k, (doc, gram) counts →
+    // struct-max picks the same (count, gram) winner as GopherStats'
+    // (count, gram) lexicographic scan; LEFT JOIN + COALESCE mirrors
+    // the (0,0) short-doc case. Generated over the shared k list so the
+    // two dialects can never drift on which ks are measured.
+    "d43_gopher_repetition" -> {
+      val topKs = graft.operators.Curation.GopherTopThresholds
+      val dupKs = graft.operators.Curation.GopherDupThresholds
+      val ctes = (topKs ++ dupKs).map(_._1).map { k =>
+        s"""g$k AS (SELECT doc_id, array_to_string(ws[i:i+${k - 1}], ' ') AS ng
+           |  FROM docs, UNNEST(generate_series(1, len(ws) - ${k - 1})) AS t(i)
+           |  WHERE len(ws) >= $k),
+           |a$k AS (SELECT doc_id, MAX({'c': c, 'ng': ng}) AS best,
+           |    SUM(CASE WHEN c >= 2 THEN c * LEN(ng) ELSE 0 END) AS dup
+           |  FROM (SELECT doc_id, ng, COUNT(*) AS c FROM g$k GROUP BY doc_id, ng)
+           |  GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      val joins = (topKs ++ dupKs).map(_._1)
+        .map(k => s"LEFT JOIN a$k ON d.doc_id = a$k.doc_id").mkString("\n")
+      val topCols = topKs.map { case (k, _) =>
+        s"""CAST(COALESCE(struct_extract(a$k.best, 'c')
+           |    * LEN(struct_extract(a$k.best, 'ng')), 0) AS DOUBLE)
+           |  / LEN(d.text) AS top${k}_frac""".stripMargin
+      }
+      val dupCols = dupKs.map { case (k, _) =>
+        s"CAST(COALESCE(a$k.dup, 0) AS DOUBLE) / LEN(d.text) AS dup${k}_frac"
+      }
+      val keep = (topKs.map { case (k, t) => s"top${k}_frac < $t" } ++
+        dupKs.map { case (k, t) => s"dup${k}_frac < $t" }).mkString(" AND ")
+      s"""WITH docs AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |$ctes,
+         |base AS (SELECT d.doc_id, LEN(d.text) AS n_chars,
+         |${(topCols ++ dupCols).mkString(",\n")}
+         |FROM docs d
+         |$joins)
+         |SELECT doc_id, n_chars,
+         |  ${(topKs.map(k => s"top${k._1}_frac") ++ dupKs.map(k => s"dup${k._1}_frac")).mkString(", ")},
+         |  ($keep) AS keep
+         |FROM base ORDER BY doc_id""".stripMargin
+    },
+
+    "d44_bigram_lm" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS ng, ws[i] AS w1
+        |  FROM docs, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |cb AS (SELECT ng, COUNT(*) AS cb FROM grams GROUP BY ng),
+        |words AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |cu AS (SELECT w, COUNT(*) AS cu FROM words GROUP BY w),
+        |v AS (SELECT COUNT(*) AS v FROM cu)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(cb + 1 AS DOUBLE) / (cu + v)), 9)
+        |        AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS nll2
+        |FROM grams JOIN cb USING (ng) JOIN cu ON grams.w1 = cu.w CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d26_domain_mix" ->

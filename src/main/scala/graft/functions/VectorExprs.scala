@@ -404,6 +404,64 @@ case class NgramStats(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): NgramStats = copy(child = c)
 }
 
+/** Char-weighted gram repetition stats over an array<string> of words →
+  * struct(top_chars long, dup_chars long): the two numerators of the
+  * Gopher-style repetition rules (Rae et al. 2021 §A1.1, public) —
+  * `top_chars` = occurrences × char-length of the single most frequent
+  * k-gram (ties to the lexicographically GREATEST gram, matching the
+  * oracle's MAX({'c': c, 'ng': ng}) struct-max), `dup_chars` = the char
+  * mass of every k-gram occurring at least twice (occurrences ×
+  * char-length, overlap-ignoring — the standard published accounting).
+  * One per-row hash-map pass, no gram-array materialization, no
+  * shuffle: per-doc quality rules stay a narrow map at any corpus size.
+  * Char counts are UTF8String.numChars — identical to DuckDB LEN() on
+  * varchar. Fewer than k words → (0, 0).
+  */
+case class GopherStats(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false)))
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val m = n - k + 1
+    if (m <= 0) return InternalRow(0L, 0L)
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = arr.getUTF8String(i); i += 1 }
+    val sep = ExprHelpers.Space
+    val counts = new java.util.HashMap[UTF8String, Int](m * 2)
+    i = 0
+    while (i < m) {
+      val slice = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { slice(j) = words(i + j); j += 1 }
+      counts.merge(UTF8String.concatWs(sep, slice: _*), 1, Integer.sum _)
+      i += 1
+    }
+    var bestCnt = 0
+    var bestNg: UTF8String = null
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val ng = e.getKey
+      val c = e.getValue
+      // (count, gram) lexicographic max — same total order as the
+      // DuckDB struct-max the oracle writes
+      if (c > bestCnt || (c == bestCnt && (bestNg == null || ng.compareTo(bestNg) > 0))) {
+        bestCnt = c; bestNg = ng
+      }
+      if (c >= 2) dup += c.toLong * ng.numChars()
+    }
+    val top = if (bestNg == null) 0L else bestCnt.toLong * bestNg.numChars()
+    InternalRow(top, dup)
+  }
+  override protected def withNewChildInternal(c: Expression): GopherStats = copy(child = c)
+}
+
 /** L2-normalize an array<float> vector in one tight loop (norm floored
   * at 1e-30 so a zero vector maps to zeros, not NaN). The
   * transform(x -> x / nrm) HOF formulation runs interpreted per
@@ -826,6 +884,7 @@ object VectorExprs {
     toCol(MinHashShingleSig(toExpr(c), k, perms))
   def wordNgrams(c: Column, k: Int): Column = toCol(WordNgrams(toExpr(c), k))
   def ngramStats(c: Column, k: Int): Column = toCol(NgramStats(toExpr(c), k))
+  def gopherStats(c: Column, k: Int): Column = toCol(GopherStats(toExpr(c), k))
   def ngramHashes(c: Column, k: Int): Column = toCol(NgramHashes(toExpr(c), k))
   def islandRuns(c: Column, k: Int): Column = toCol(IslandRuns(toExpr(c), k))
   def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))

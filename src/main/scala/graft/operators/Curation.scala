@@ -303,4 +303,103 @@ object Curation {
       .filter(col("u") < col("keep_rate"))
       .drop("u", "keep_rate")
   }
+
+  /** Top-gram ks and their max allowed char fractions (Rae et al. 2021
+    * §A1.1, public): fraction of characters inside occurrences of the
+    * single most frequent k-gram. */
+  val GopherTopThresholds: Seq[(Int, Double)] =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+
+  /** Duplicate-gram ks and max allowed char fractions: characters inside
+    * k-grams that occur 2+ times (overlap-ignoring, the published
+    * accounting). */
+  val GopherDupThresholds: Seq[(Int, Double)] =
+    Seq(5 -> 0.15, 6 -> 0.14, 8 -> 0.12, 10 -> 0.10)
+
+  /** d43: Gopher-style char-weighted repetition rules — the quality
+    * filter family d25's count-based gauge doesn't cover. For each doc:
+    * the char fraction of the most frequent {2,3,4}-gram and of all
+    * duplicated {5,6,8,10}-grams, plus the combined keep flag at the
+    * published thresholds. All seven gram maps are per-row hash passes
+    * inside one narrow projection ([[graft.functions.GopherStats]]) —
+    * no explode, no shuffle, the cheapest scale shape (same as d25).
+    * Fractions are integer/integer double divisions, so both engines
+    * produce identical bits and the thresholds are shared literals.
+    */
+  def gopherRepetition(s: SparkSession, d: String): DataFrame =
+    gopherRepetitionOf(Tables.documents(s, d).select("doc_id", "text"))
+
+  /** Core of [[gopherRepetition]] over an explicit (doc_id, text)
+    * frame. Docs shorter than k words contribute zero mass for that k
+    * (GopherStats returns (0,0)), mirroring the oracle's LEFT JOIN +
+    * COALESCE(0). */
+  def gopherRepetitionOf(docs: DataFrame): DataFrame = {
+    val ks = (GopherTopThresholds ++ GopherDupThresholds).map(_._1)
+    val base = ks.foldLeft(
+      docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        split(col("text"), " ").as("ws"))) { (df, k) =>
+      df.withColumn(s"g$k", graft.functions.VectorExprs.gopherStats(col("ws"), k))
+    }
+    val topFracs = GopherTopThresholds.map { case (k, _) =>
+      (col(s"g$k.top_chars").cast("double") / col("n_chars")).as(s"top${k}_frac")
+    }
+    val dupFracs = GopherDupThresholds.map { case (k, _) =>
+      (col(s"g$k.dup_chars").cast("double") / col("n_chars")).as(s"dup${k}_frac")
+    }
+    val keep = (GopherTopThresholds.map { case (k, t) =>
+      col(s"top${k}_frac") < lit(t)
+    } ++ GopherDupThresholds.map { case (k, t) =>
+      col(s"dup${k}_frac") < lit(t)
+    }).reduce(_ && _)
+    base
+      .select(col("doc_id") +: col("n_chars") +: (topFracs ++ dupFracs): _*)
+      .withColumn("keep", keep)
+      .orderBy("doc_id")
+  }
+
+  /** d44: bigram-LM corpus NLL (the CCNet-style LM-perplexity filter
+    * signal, public) — per doc, the mean negative log of the add-one-
+    * smoothed conditional bigram probability under the corpus's OWN
+    * counts: term(w1,w2) = -ln((c(w1 w2) + 1) / (c(w1) + V)), V = the
+    * corpus's distinct-word count. Complements d33 (unigram, top-V
+    * truncated): conditional structure scores word ORDER, so shuffled
+    * boilerplate that fools a unigram model stands out.
+    *
+    * Scale shape: gram rows shuffle twice on string keys (bigram and
+    * unigram count tables, both map-side combined) and join back on the
+    * same keys — the canonical count-join shape AQE handles at any
+    * corpus size; V rides as one broadcast scalar. Cross-engine float
+    * parity uses the d33 discipline: per-term round to 9 dp (absorbs
+    * ≤1-ulp ln() differences), order-independent DECIMAL(18,9) sum,
+    * final mean rounded to 6 dp.
+    */
+  def bigramNll(s: SparkSession, d: String): DataFrame =
+    bigramNllOf(Tables.documents(s, d).select("doc_id", "text"))
+
+  /** Core of [[bigramNll]] over an explicit (doc_id, text) frame. Docs
+    * with fewer than 2 words have no bigrams and drop out (same rows
+    * the oracle's join produces). */
+  def bigramNllOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExprs.wordNgrams(split(col("text"), " "), 2))
+          .as("ng"))
+      .withColumn("w1", substring_index(col("ng"), " ", 1))
+    val cb = grams.groupBy("ng").agg(count(lit(1)).as("cb"))
+    val words = docs.select(
+      explode(split(col("text"), " ")).as("w"))
+    val cu = words.groupBy("w").agg(count(lit(1)).as("cu"))
+    val v = cu.agg(count(lit(1)).as("v"))
+    grams
+      .join(cb, "ng")
+      .join(cu, col("w1") === col("w"))
+      .crossJoin(broadcast(v))
+      .withColumn("term",
+        round(-log((col("cb") + lit(1)).cast("double") / (col("cu") + col("v"))), 9)
+          .cast("decimal(18,9)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6).as("nll2"))
+      .orderBy("doc_id")
+  }
 }

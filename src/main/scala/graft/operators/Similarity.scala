@@ -699,4 +699,76 @@ object Similarity {
       .agg(min(col("bucket")).as("bucket"), max(col("cos")).as("cos"))
       .select("bucket", "id_a", "id_b", "cos")
   }
+
+  /** d45: SemDeDup-style semantic dedup (Abbas et al. 2023, public) —
+    * embedding near-duplicate GROUPS resolved to one kept
+    * representative each. Candidate pairs come from the d11
+    * bucket-blocked cosine join (multi-assigned k-means buckets, never
+    * corpus²), groups from size-gated connected components, and within
+    * each group every vector is dropped except the one LEAST similar
+    * to its k-means centroid — the paper's keep-rule: the least
+    * prototypical member carries the most marginal information.
+    * Deterministic end to end (hash-seeded k-means, argmin tie-break
+    * on vec_id), so a re-run keeps exactly the same vectors.
+    * rows-only: gated by the k=1 brute-force parity + keep-rule specs
+    * (Round11Spec) instead of a SQL oracle.
+    */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupOf(Tables.embeddings(s, d).select("vec_id", "embedding"))
+      .orderBy("vec_id")
+
+  /** Core of [[semDedup]] over any (vec_id, embedding) frame.
+    * @param threshold minimum cosine for two vectors to be semantic
+    *   duplicates
+    * @param k bucket count; None → [[adaptiveK]](corpus size)
+    * @param multiAssign buckets per vector for pair recall (see
+    *   [[nearDupCosinePairs]])
+    * Output: every vec_id with its duplicate group (own id when it has
+    * no near-dup), the keep decision, and its centroid cosine.
+    */
+  def semDedupOf(emb0: DataFrame, threshold: Double = 0.30,
+      k: Option[Int] = None, multiAssign: Int = 2): DataFrame = {
+    val emb = emb0.select("vec_id", "embedding")
+      .withColumn("nrm", norm(col("embedding")))
+    val kk = k.getOrElse(adaptiveK(emb.count()))
+    val cs = centroidSetOf(kmeans(emb, kk, iters = 2))
+    // The keep-rule's centroid cosine rides the same narrow projection
+    // that feeds pair blocking — one corpus scan, no assignment join.
+    val withCos = emb.withColumn("cent_cos",
+      VectorExprs.nearestBuckets(col("embedding"), cs, 1, cosine = true)
+        .getItem(0).getField("score"))
+    val blocked = explodeNearest(withCos, cs, multiAssign, cosine = false,
+        Seq("vec_id", "embedding", "nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("nb.bucket").as("bucket"))
+    val a = blocked.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("v_a"), col("nrm").as("n_a"))
+    val b = blocked.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("v_b"), col("nrm").as("n_b"))
+    val pairs = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")) >= lit(threshold))
+      .select("id_a", "id_b").distinct()
+    val comps = Dedup.connectedComponentsAuto(pairs)
+    val members = withCos.select("vec_id", "cent_cos")
+      .join(comps, col("vec_id") === col("node"))
+      .select(col("vec_id"), col("cent_cos"), col("cluster_id"))
+    // argmin by (cent_cos, vec_id): struct-min falls back to
+    // SortAggregate, but `members` is only the duplicate-group rows —
+    // bounded by true near-dup density, not corpus size — so the sort
+    // is over a tiny frame (the q54 primitive-buffer rule targets
+    // fact-table aggregations, not this).
+    val reps = members.groupBy("cluster_id")
+      .agg(min(struct(col("cent_cos"), col("vec_id"))).as("best"))
+      .select(col("cluster_id"), col("best.vec_id").as("rep_id"))
+    val flagged = members.join(reps, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"),
+        (col("vec_id") === col("rep_id")).as("kept"))
+    withCos.select("vec_id", "cent_cos")
+      .join(flagged, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("group_id"),
+        coalesce(col("kept"), lit(true)).as("kept"),
+        col("cent_cos"))
+  }
 }
