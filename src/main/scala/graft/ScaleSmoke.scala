@@ -221,6 +221,31 @@ object ScaleSmoke {
     time("unigram nll 1M docs") {
       operators.CorpusStats.unigramNllOf(docsBig, vocabCap = 1000).count()
     }
+    // Gopher char-weighted rules (d43): seven per-row gram maps, no
+    // shuffle — the stage demonstrates the narrow shape holds at 1M;
+    // hash-random 30-word docs essentially never trip the char cuts
+    time("gopher rules 1M docs") {
+      val n = operators.Curation.gopherRepetitionOf(docsBig)
+        .filter(col("keep")).count()
+      require(n > 900000, s"unexpected gopher keep count $n")
+      n
+    }
+    time("corpus report 1M docs") {
+      operators.CorpusStats.corpusReportOf(docsBig
+        .withColumn("lang", lit("en"))
+        .withColumn("source", expr("concat('src', doc_id % 10)"))).count()
+    }
+    // bigram-LM NLL (d44) at 1M docs / ~29M bigrams: the count-join
+    // shape — two map-side-combined shuffles over gram keys + joins
+    // back; linear in gram volume, no pairwise anything
+    time("bigram lm 1M docs") {
+      operators.Curation.bigramNllOf(docsBig).count()
+    }
+    // DSIR weights (d46) at 1M docs vs a ~1k-doc target slice
+    time("dsir weights 1M docs") {
+      operators.Curation.dsirWeightsOf(docsBig,
+        docsBig.filter(col("doc_id") % 997 === 0)).count()
+    }
     // boilerplate mining at 1M docs: the planted duplicate pairs carry
     // identical full-size windows, so the multi-doc chunk groupBy bites
     time("template chunks 1M docs") {
@@ -272,6 +297,27 @@ object ScaleSmoke {
       assigned.count()
     }
     vecsBig.unpersist()
+
+    // SemDeDup (d45) at 200k×64 vectors with ~200-vector clusters
+    // (k = n/200): pair volume is Σ bucket-size² — bounded by cluster
+    // size, the shape that holds when n grows with k scaled along.
+    // Planted identical pairs (i, i+1 for i%100==0) are the only
+    // cos ≥ 0.99 groups among hash-random vectors ⇒ exactly one member
+    // of each of the 2000 pairs must drop.
+    time("semdedup 200k vecs") {
+      val semVecs = spark.range(200000).select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63),
+               |  i -> cast(pmod(xxhash64((if(id % 100 < 2, (id div 2) * 2, id)) * 64 + i),
+               |                 2000) / 1000.0 - 1.0 as float))""".stripMargin)
+          .as("embedding")).cache()
+      semVecs.count()
+      val dropped = operators.Similarity
+        .semDedupOf(semVecs, threshold = 0.99, k = Some(1000))
+        .filter(!col("kept")).count()
+      semVecs.unpersist()
+      require(dropped == 2000, s"unexpected dropped count $dropped")
+      dropped
+    }
 
     // Market-data end-to-end chain, the tick-side twin of the corpus
     // pipeline above (reference /root/reference/docs/services_flow.mmd:

@@ -251,6 +251,13 @@ object SparkEntry {
     // member (bucket-blocked pairs + CC + centroid-cosine argmin;
     // rows-only: spec-gated brute-force parity + keep-rule)
     "d45_semdedup"        -> (Similarity.semDedup _),
+    // DSIR importance weights: mean target-vs-raw unigram log-ratio
+    // per doc (add-one over the union vocab, benchmark-slice target);
+    // oracle-exact under the d33 decimal-sum discipline
+    "d46_dsir_weights"    -> (Curation.dsirWeights _),
+    // per-(lang, source) corpus health report: volume, size, exact-dup
+    // rate, short-doc and duplicate-3-gram fractions; oracle-exact
+    "d47_corpus_report"   -> (CorpusStats.corpusReport _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1222,28 +1229,39 @@ object SparkEntry {
         |FROM words LEFT JOIN top USING (w) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // Gopher char-weighted repetition: per k, (doc, gram) counts →
-    // struct-max picks the same (count, gram) winner as GopherStats'
-    // (count, gram) lexicographic scan; LEFT JOIN + COALESCE mirrors
-    // the (0,0) short-doc case. Generated over the shared k list so the
-    // two dialects can never drift on which ks are measured.
+    // Gopher char-weighted repetition: per k, (doc, gram) counts → the
+    // (count, gram)-lexicographic winner GopherStats picks, derived in
+    // TWO phases (max count per doc, then string-max gram among the
+    // tied rows) — measured 5× faster and far lighter than a struct
+    // MAX({'c','ng'}) over the full gram-count table, with an
+    // identical winner by construction. LEFT JOIN + COALESCE mirrors
+    // the (0,0) short-doc case. Generated over the shared k/threshold
+    // lists so the two dialects can never drift on what is measured.
     "d43_gopher_repetition" -> {
       val topKs = graft.operators.Curation.GopherTopThresholds
       val dupKs = graft.operators.Curation.GopherDupThresholds
+      val topSet = topKs.map(_._1).toSet
       val ctes = (topKs ++ dupKs).map(_._1).map { k =>
-        s"""g$k AS (SELECT doc_id, array_to_string(ws[i:i+${k - 1}], ' ') AS ng
-           |  FROM docs, UNNEST(generate_series(1, len(ws) - ${k - 1})) AS t(i)
-           |  WHERE len(ws) >= $k),
-           |a$k AS (SELECT doc_id, MAX({'c': c, 'ng': ng}) AS best,
-           |    SUM(CASE WHEN c >= 2 THEN c * LEN(ng) ELSE 0 END) AS dup
-           |  FROM (SELECT doc_id, ng, COUNT(*) AS c FROM g$k GROUP BY doc_id, ng)
-           |  GROUP BY doc_id)""".stripMargin
+        val base =
+          s"""g$k AS (SELECT doc_id, array_to_string(ws[i:i+${k - 1}], ' ') AS ng
+             |  FROM docs, UNNEST(generate_series(1, len(ws) - ${k - 1})) AS t(i)
+             |  WHERE len(ws) >= $k),
+             |s$k AS (SELECT doc_id, ng, COUNT(*) AS c FROM g$k GROUP BY doc_id, ng),
+             |a$k AS (SELECT doc_id, MAX(c) AS mc,
+             |    SUM(CASE WHEN c >= 2 THEN c * LEN(ng) ELSE 0 END) AS dup
+             |  FROM s$k GROUP BY doc_id)""".stripMargin
+        if (!topSet(k)) base else base +
+          s""",
+             |t$k AS (SELECT s$k.doc_id AS doc_id, MAX(s$k.ng) AS bng
+             |  FROM s$k JOIN a$k ON s$k.doc_id = a$k.doc_id AND s$k.c = a$k.mc
+             |  GROUP BY s$k.doc_id)""".stripMargin
       }.mkString(",\n")
       val joins = (topKs ++ dupKs).map(_._1)
-        .map(k => s"LEFT JOIN a$k ON d.doc_id = a$k.doc_id").mkString("\n")
+        .map(k => s"LEFT JOIN a$k ON d.doc_id = a$k.doc_id" +
+          (if (topSet(k)) s" LEFT JOIN t$k ON d.doc_id = t$k.doc_id" else ""))
+        .mkString("\n")
       val topCols = topKs.map { case (k, _) =>
-        s"""CAST(COALESCE(struct_extract(a$k.best, 'c')
-           |    * LEN(struct_extract(a$k.best, 'ng')), 0) AS DOUBLE)
+        s"""CAST(COALESCE(a$k.mc * LEN(t$k.bng), 0) AS DOUBLE)
            |  / LEN(d.text) AS top${k}_frac""".stripMargin
       }
       val dupCols = dupKs.map { case (k, _) =>
@@ -1278,6 +1296,51 @@ object SparkEntry {
         |        AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS nll2
         |FROM grams JOIN cb USING (ng) JOIN cu ON grams.w1 = cu.w CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR: the three double divisions and the LN are parenthesized
+    // exactly as the Spark side computes them; totals stay integral
+    // (CAST(SUM AS BIGINT) — DuckDB SUM(BIGINT) is HUGEINT) so every
+    // input to the float math is exact in both engines.
+    "d46_dsir_weights" ->
+      """WITH raw_words AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |tgt_words AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |cr AS (SELECT w, COUNT(*) AS cr FROM raw_words GROUP BY w),
+        |ct AS (SELECT w, COUNT(*) AS ct FROM tgt_words GROUP BY w),
+        |scal AS (
+        |  SELECT (SELECT COUNT(*) FROM (SELECT w FROM cr UNION SELECT w FROM ct)) AS v,
+        |    (SELECT CAST(SUM(cr) AS BIGINT) FROM cr) AS tr,
+        |    (SELECT CAST(SUM(ct) AS BIGINT) FROM ct) AS tt)
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |  ROUND(CAST(SUM(CAST(ROUND(LN(
+        |      (CAST(COALESCE(ct, 0) + 1 AS DOUBLE) / (tt + v)) /
+        |      (CAST(cr + 1 AS DOUBLE) / (tr + v))), 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS dsir_w
+        |FROM raw_words JOIN cr USING (w) LEFT JOIN ct USING (w) CROSS JOIN scal
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d47_corpus_report" ->
+      """WITH per AS (
+        |  SELECT lang, source, text, len(ws) AS nw, LEN(text) AS nc,
+        |    CASE WHEN len(ws) >= 3 THEN len(ngs) ELSE 0 END AS n_ng,
+        |    CASE WHEN len(ws) >= 3 THEN len(ngs) - len(list_distinct(ngs))
+        |         ELSE 0 END AS dup_ng
+        |  FROM (SELECT lang, source, text, ws,
+        |      list_transform(generate_series(1, len(ws) - 2),
+        |                     i -> array_to_string(ws[i:i+2], ' ')) AS ngs
+        |    FROM (SELECT lang, source, text, string_split(text, ' ') AS ws
+        |          FROM documents)))
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(nw) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(SUM(nc) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+        |  CAST(COUNT(*) - COUNT(DISTINCT text) AS DOUBLE) / COUNT(*) AS dup_rate,
+        |  CAST(SUM(CASE WHEN nw < 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS short_frac,
+        |  CASE WHEN SUM(n_ng) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(SUM(dup_ng) AS DOUBLE) / SUM(n_ng) END AS rep3_frac
+        |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "d26_domain_mix" ->
       """WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),

@@ -64,7 +64,8 @@ object CorpusPipeline {
       maxRepFrac: Double = 1.0,
       mixTargetFrac: Option[Double] = None,
       blockCols: Seq[String] = Seq.empty,
-      spanDedup: Boolean = false): (DataFrame, Seq[(String, Long)]) = {
+      spanDedup: Boolean = false,
+      gopherGate: Boolean = false): (DataFrame, Seq[(String, Long)]) = {
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[(String, org.apache.spark.sql.Observation)]
     def observed(name: String, df: DataFrame): DataFrame = {
@@ -174,6 +175,18 @@ object CorpusPipeline {
         .filter(repetitionKeep(col("ws"), maxRepFrac))
         .drop("ws"))
 
+    // 6b (opt-in). Gopher char-weighted repetition rules (d43): the
+    //    published top-gram / duplicated-gram char-fraction cuts as a
+    //    second per-row gate — catches boilerplate-heavy docs whose
+    //    3-gram COUNT fraction passes step 6 but whose char mass is
+    //    dominated by a few repeated long grams. Same narrow shape as
+    //    step 6 (seven per-row hash passes, no shuffle).
+    val gophered =
+      if (!gopherGate) repGated
+      else observed("gopher_gate", repGated
+        .filter(Curation.gopherKeep(split(col("text"), " "),
+          length(col("text")).cast("long"))))
+
     // 7. domain mixture (d26): deterministic hash sample toward the
     //    uniform source budget; carry-through columns survive. The mix
     //    budget aggregates its own input (two consumers), so the mix
@@ -181,9 +194,9 @@ object CorpusPipeline {
     //    the near_dedup/decon/repetition counters; without mixing those
     //    ride to the final chunk count instead and no cut is taken.
     val mixed = mixTargetFrac match {
-      case Some(f) if repGated.columns.contains("source") =>
-        observed("domain_mix", Curation.mixKeepFilter(cut(repGated), f))
-      case _ => repGated
+      case Some(f) if gophered.columns.contains("source") =>
+        observed("domain_mix", Curation.mixKeepFilter(cut(gophered), f))
+      case _ => gophered
     }
 
     // 8. chunk to training examples: overlapping word windows (d18's

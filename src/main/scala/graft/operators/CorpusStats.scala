@@ -112,4 +112,52 @@ object CorpusStats {
         (sum(col("n_occ")).over(ord) / col("total")).as("cum_frac"))
       .orderBy("rnk")
   }
+
+  /** d47: per-(lang, source) corpus health report — the observability
+    * aggregate a pipeline owner reads between curation runs: volume
+    * (docs, whitespace tokens), mean document size, exact-duplicate
+    * rate, short-doc fraction, and the corpus-level duplicate-3-gram
+    * fraction (the d25 numerators summed before dividing, so big docs
+    * weigh proportionally). Scale shape: per-row narrow stats into ONE
+    * hash aggregation keyed by the inherently low-cardinality
+    * (lang, source) — no join, no window; countDistinct adds the usual
+    * Expand double-pass, still map-side combined. All ratios are
+    * exact-integer double divisions (cross-engine bit parity).
+    */
+  def corpusReport(s: SparkSession, d: String): DataFrame =
+    corpusReportOf(Tables.documents(s, d).select("lang", "source", "text"))
+
+  /** Core of [[corpusReport]] over an explicit (lang, source, text)
+    * frame. Docs under 3 words contribute zero 3-gram mass, mirroring
+    * the oracle's CASE guard. */
+  def corpusReportOf(docs: DataFrame): DataFrame = {
+    val st = graft.functions.VectorExprs.ngramStats(col("ws"), 3)
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("nc", length(col("text")).cast("long"))
+      .withColumn("n_ng",
+        when(col("nw") >= 3, st.getField("n_ngrams")).otherwise(lit(0L)))
+      .withColumn("dup_ng",
+        when(col("nw") >= 3, st.getField("n_ngrams") - st.getField("n_distinct"))
+          .otherwise(lit(0L)))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_tokens"),
+        countDistinct(col("text")).as("n_unique"),
+        sum(col("nc")).as("sum_chars"),
+        sum(when(col("nw") < lit(20), lit(1L)).otherwise(lit(0L))).as("n_short"),
+        sum(col("n_ng")).as("sum_ng"),
+        sum(col("dup_ng")).as("sum_dup_ng"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 6).as("avg_chars"),
+        ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        (col("n_short").cast("double") / col("n_docs")).as("short_frac"),
+        when(col("sum_ng") === 0, lit(0.0))
+          .otherwise(col("sum_dup_ng").cast("double") / col("sum_ng"))
+          .as("rep3_frac"))
+      .orderBy("lang", "source")
+  }
 }

@@ -357,6 +357,20 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The combined Gopher keep predicate as a pure Column over a word
+    * array and a char count — the d43 rules usable as a pipeline
+    * filter without materializing the report columns (still one
+    * narrow projection: seven GopherStats hash passes per row). */
+  def gopherKeep(ws: org.apache.spark.sql.Column,
+      nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (GopherTopThresholds.map { case (k, t) =>
+      graft.functions.VectorExprs.gopherStats(ws, k).getField("top_chars")
+        .cast("double") / nChars < lit(t)
+    } ++ GopherDupThresholds.map { case (k, t) =>
+      graft.functions.VectorExprs.gopherStats(ws, k).getField("dup_chars")
+        .cast("double") / nChars < lit(t)
+    }).reduce(_ && _)
+
   /** d44: bigram-LM corpus NLL (the CCNet-style LM-perplexity filter
     * signal, public) — per doc, the mean negative log of the add-one-
     * smoothed conditional bigram probability under the corpus's OWN
@@ -400,6 +414,56 @@ object Curation {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("term")).cast("double") / count(lit(1)), 6).as("nll2"))
+      .orderBy("doc_id")
+  }
+
+  /** d46: DSIR-style importance weights (Xie et al. 2023, public) —
+    * per raw doc, the mean log-ratio of target-domain vs raw-corpus
+    * unigram probability, add-one smoothed over the UNION vocabulary:
+    * the score importance-resampling pipelines rank raw web data by to
+    * match a target domain. The registered entry targets the
+    * deterministic benchmark slice (doc_id % 7 == 0 — the d36/d38
+    * convention). Positive = looks more like the target than the raw
+    * corpus.
+    *
+    * Scale shape: two count shuffles (map-side combined) + a count
+    * join on word keys + one broadcast totals scalar — d44's shape. At
+    * 100 TB the published method replaces raw words with HASHED
+    * n-gram buckets to bound the feature table; the plan is unchanged,
+    * only the key becomes `xxhash64(w) % buckets`. Cross-engine float
+    * parity: d33 discipline (per-term 9 dp round, DECIMAL(18,9) sum,
+    * 6 dp mean).
+    */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    dsirWeightsOf(docs, docs.filter(col("doc_id") % 7 === 0))
+  }
+
+  /** Core of [[dsirWeights]]: weight every `raw` doc against the
+    * `target` sample's unigram distribution. */
+  def dsirWeightsOf(raw: DataFrame, target: DataFrame): DataFrame = {
+    val rawWords = raw.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+    val cr = rawWords.groupBy("w").agg(count(lit(1)).as("cr"))
+    val ct = target.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    // union vocabulary size + both totals as ONE broadcast scalar row
+    val scal = cr.select("w").union(ct.select("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+      .crossJoin(cr.agg(sum(col("cr")).as("tr")))
+      .crossJoin(ct.agg(sum(col("ct")).as("tt")))
+    rawWords
+      .join(cr, "w")
+      .join(ct, Seq("w"), "left")
+      .crossJoin(broadcast(scal))
+      .withColumn("term",
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") / (col("tt") + col("v"))) /
+            ((col("cr") + lit(1)).cast("double") / (col("tr") + col("v")))), 9)
+          .cast("decimal(18,9)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6).as("dsir_w"))
       .orderBy("doc_id")
   }
 }

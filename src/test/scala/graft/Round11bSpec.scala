@@ -186,4 +186,87 @@ class Round11bSpec extends SparkSpec {
     assert(groupOf(10L) == groupOf(11L))
     assert(a.count(_._3 == false) == 3, s"expected 3 dropped vectors in $a")
   }
+
+  /** Independent DSIR reference: add-one log-ratio over the union
+    * vocab, with the engines' exact rounding discipline. */
+  private def bruteDsir(raw: Seq[(Long, String)], target: Seq[String])
+      : Map[Long, (Long, Double)] = {
+    val rawWords = raw.flatMap(_._2.split(" ", -1))
+    val cr = rawWords.groupBy(identity).map { case (w, o) => w -> o.size }
+    val tgtWords = target.flatMap(_.split(" ", -1))
+    val ct = tgtWords.groupBy(identity).map { case (w, o) => w -> o.size }
+    val v = (cr.keySet ++ ct.keySet).size
+    val tr = rawWords.size
+    val tt = tgtWords.size
+    raw.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val terms = ws.map { w =>
+        val x = ((ct.getOrElse(w, 0) + 1).toDouble / (tt + v)) /
+          ((cr(w) + 1).toDouble / (tr + v))
+        BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      id -> (ws.length.toLong,
+        BigDecimal(terms.sum.toDouble / ws.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+  }
+
+  test("d46 dsirWeights: equal to the independent reference; target-like docs score above off-target docs") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "stocks bonds options trading desk"),
+      (2L, "cats dogs birds fish hamsters"),
+      (3L, "stocks bonds cats dogs mixed"),
+      (4L, "options trading stocks bonds desk"))
+    val target = Seq("stocks bonds trading", "options desk trading stocks")
+    val got = Curation.dsirWeightsOf(raw.toDF("doc_id", "text"),
+        target.zipWithIndex.map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val want = bruteDsir(raw, target)
+    assert(got == want, s"got $got\nwant $want")
+    // finance docs look like the finance target; pet docs do not
+    assert(got(1L)._2 > got(2L)._2 && got(4L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
+  }
+
+  test("d47 corpusReport: volumes, dup rate, short fraction, corpus rep3 on a planted two-group corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "srcA", "x y z x y z x y z w"),   // 8 grams, 4 distinct
+      ("en", "srcA", "x y z x y z x y z w"),   // exact duplicate
+      ("en", "srcA", "p q"),                   // short, no grams
+      ("fr", "srcB", (1 to 25).map(i => s"w$i").mkString(" ")) // clean, 25 words
+    ).toDF("lang", "source", "text")
+    val got = operators.CorpusStats.corpusReportOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    val lenA = "x y z x y z x y z w".length.toLong // 19
+    val enA = got(("en", "srcA"))
+    assert(enA._1 == 3L && enA._2 == 22L)
+    assert(enA._3 == BigDecimal((2 * lenA + 3).toDouble / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(enA._4 == 1.0 / 3)                     // one exact duplicate
+    assert(enA._5 == 1.0)                         // all three under 20 words
+    assert(enA._6 == 8.0 / 16)                    // (4+4) dup grams / (8+8)
+    val frB = got(("fr", "srcB"))
+    val lenB = (1 to 25).map(i => s"w$i").mkString(" ").length.toLong
+    assert(frB == ((1L, 25L, lenB.toDouble, 0.0, 0.0, 0.0)))
+  }
+
+  test("d43 in-pipeline: gopher_gate drops char-heavy boilerplate, counter rides") {
+    import spark.implicits._
+    val docs = ((0L to 9L).map { i =>
+      (i, (1 to 30).map(j => s"w${i}_$j").mkString(" "), "en", s"src${i % 2}")
+    } :+ ((100L, Seq.fill(15)("lorem ipsum").mkString(" "), "en", "src0")))
+      .toDF("doc_id", "text", "lang", "source")
+    val (chunks, stats) = operators.CorpusPipeline.buildTrainingCorpus(
+      docs, minWords = 3, gopherGate = true)
+    try {
+      val m = stats.toMap
+      assert(m.contains("gopher_gate"), s"stage counter missing: $stats")
+      assert(m("gopher_gate") == 10L, s"boilerplate doc must drop: $stats")
+      val ids = chunks.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(100L), "doc 100 survived the gopher gate")
+    } finally chunks.unpersist()
+  }
 }
