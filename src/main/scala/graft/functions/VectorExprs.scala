@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.{toCol, toExpr}
 import org.apache.spark.sql.types._
@@ -462,6 +462,82 @@ case class GopherStats(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): GopherStats = copy(child = c)
 }
 
+/** All Gopher char-weighted repetition fractions + the combined keep
+  * flag in ONE expression evaluation: the per-k [[GopherStats]]
+  * formulation pays an interpreted pass (including its inlined
+  * `split`) per k AND per consuming projection — project collapse
+  * duplicated each of the 7 stats columns into the frac select and
+  * the keep predicate, measured 29 µs/doc at 1 M docs. Here the word
+  * array is read once and the 7 gram-map scans run back to back in one
+  * eval; the caller materializes the struct through `inline(array(…))`
+  * so downstream field extraction cannot re-trigger the scan. Output
+  * fields: top{k}_frac for each (k, t) in topKs, dup{k}_frac for each
+  * in dupKs, then keep = AND of frac < t. Fractions are plain double
+  * divisions of exact longs (bit-equal to the Column-level cast/divide
+  * they replace); a doc shorter than k words contributes 0 for that k.
+  */
+case class GopherAll(left: Expression, right: Expression,
+    topKs: Seq[(Int, Double)], dupKs: Seq[(Int, Double)])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(
+    (topKs.map { case (k, _) => StructField(s"top${k}_frac", DoubleType, nullable = false) } ++
+      dupKs.map { case (k, _) => StructField(s"dup${k}_frac", DoubleType, nullable = false) }) :+
+      StructField("keep", BooleanType, nullable = false))
+  override def nullSafeEval(wsIn: Any, ncIn: Any): Any = {
+    val arr = wsIn.asInstanceOf[ArrayData]
+    val nChars = ncIn.asInstanceOf[Long]
+    val n = arr.numElements()
+    val words = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { words(i) = arr.getUTF8String(i); i += 1 }
+    // one (top_chars, dup_chars) scan per k — the same (count, gram)
+    // lexicographic winner and >=2-count char mass as GopherStats
+    def scan(k: Int): (Long, Long) = {
+      val m = n - k + 1
+      if (m <= 0) return (0L, 0L)
+      val sep = ExprHelpers.Space
+      val counts = new java.util.HashMap[UTF8String, Int](m * 2)
+      var i = 0
+      while (i < m) {
+        val slice = new Array[UTF8String](k)
+        var j = 0
+        while (j < k) { slice(j) = words(i + j); j += 1 }
+        counts.merge(UTF8String.concatWs(sep, slice: _*), 1, Integer.sum _)
+        i += 1
+      }
+      var bestCnt = 0
+      var bestNg: UTF8String = null
+      var dup = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val ng = e.getKey
+        val c = e.getValue
+        if (c > bestCnt || (c == bestCnt && (bestNg == null || ng.compareTo(bestNg) > 0))) {
+          bestCnt = c; bestNg = ng
+        }
+        if (c >= 2) dup += c.toLong * ng.numChars()
+      }
+      (if (bestNg == null) 0L else bestCnt.toLong * bestNg.numChars(), dup)
+    }
+    val out = new Array[Any](topKs.size + dupKs.size + 1)
+    var keep = true
+    var idx = 0
+    topKs.foreach { case (k, t) =>
+      val frac = scan(k)._1.toDouble / nChars
+      out(idx) = frac; keep &&= frac < t; idx += 1
+    }
+    dupKs.foreach { case (k, t) =>
+      val frac = scan(k)._2.toDouble / nChars
+      out(idx) = frac; keep &&= frac < t; idx += 1
+    }
+    out(idx) = keep
+    new GenericInternalRow(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GopherAll =
+    copy(left = l, right = r)
+}
+
 /** L2-normalize an array<float> vector in one tight loop (norm floored
   * at 1e-30 so a zero vector maps to zeros, not NaN). The
   * transform(x -> x / nrm) HOF formulation runs interpreted per
@@ -871,6 +947,46 @@ case class IslandRuns(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): IslandRuns = copy(child = c)
 }
 
+/** Greedy sequential packing of a SORTED array<struct<doc_id long,
+  * n_tok int>> into training sequences of at most `capacity` tokens
+  * (T5/LLM-pretraining sequence packing): walk the docs in order,
+  * accumulate token counts, start a new sequence when the next doc
+  * would overflow; a doc longer than the capacity gets a sequence of
+  * its own. Output array<struct<doc_id, n_tok, seq_id, tok_offset>>
+  * with seq_id 1-based within the input array. The scan is inherently
+  * sequential, which is exactly why the caller bounds it to a
+  * (source, shard) group — one tight loop per group, never a window
+  * or driver pass over the corpus.
+  */
+case class PackSeqs(child: Expression, capacity: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("seq_id", IntegerType, nullable = false),
+    StructField("tok_offset", IntegerType, nullable = false))), containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var seq = 0
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      val id = row.getLong(0)
+      val nt = row.getInt(1)
+      if (i == 0 || acc + nt > capacity) { seq += 1; acc = 0 }
+      out(i) = InternalRow(id, nt, seq, acc)
+      acc += nt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): PackSeqs = copy(child = c)
+}
+
 object VectorExprs {
   def dotF(a: Column, b: Column): Column = toCol(DotProductF(toExpr(a), toExpr(b)))
   def dotI8(a: Column, b: Column): Column = toCol(DotProductI8(toExpr(a), toExpr(b)))
@@ -885,6 +1001,9 @@ object VectorExprs {
   def wordNgrams(c: Column, k: Int): Column = toCol(WordNgrams(toExpr(c), k))
   def ngramStats(c: Column, k: Int): Column = toCol(NgramStats(toExpr(c), k))
   def gopherStats(c: Column, k: Int): Column = toCol(GopherStats(toExpr(c), k))
+  def gopherAll(ws: Column, nChars: Column,
+      topKs: Seq[(Int, Double)], dupKs: Seq[(Int, Double)]): Column =
+    toCol(GopherAll(toExpr(ws), toExpr(nChars), topKs, dupKs))
   def ngramHashes(c: Column, k: Int): Column = toCol(NgramHashes(toExpr(c), k))
   def islandRuns(c: Column, k: Int): Column = toCol(IslandRuns(toExpr(c), k))
   def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))

@@ -334,42 +334,29 @@ object Curation {
     * (GopherStats returns (0,0)), mirroring the oracle's LEFT JOIN +
     * COALESCE(0). */
   def gopherRepetitionOf(docs: DataFrame): DataFrame = {
-    val ks = (GopherTopThresholds ++ GopherDupThresholds).map(_._1)
-    val base = ks.foldLeft(
-      docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        split(col("text"), " ").as("ws"))) { (df, k) =>
-      df.withColumn(s"g$k", graft.functions.VectorExprs.gopherStats(col("ws"), k))
-    }
-    val topFracs = GopherTopThresholds.map { case (k, _) =>
-      (col(s"g$k.top_chars").cast("double") / col("n_chars")).as(s"top${k}_frac")
-    }
-    val dupFracs = GopherDupThresholds.map { case (k, _) =>
-      (col(s"g$k.dup_chars").cast("double") / col("n_chars")).as(s"dup${k}_frac")
-    }
-    val keep = (GopherTopThresholds.map { case (k, t) =>
-      col(s"top${k}_frac") < lit(t)
-    } ++ GopherDupThresholds.map { case (k, t) =>
-      col(s"dup${k}_frac") < lit(t)
-    }).reduce(_ && _)
-    base
-      .select(col("doc_id") +: col("n_chars") +: (topFracs ++ dupFracs): _*)
-      .withColumn("keep", keep)
+    // ONE GopherAll eval per row, materialized through inline(array(…))
+    // so the frac columns and keep flag are plain field reads — the
+    // per-k GopherStats + project-collapse formulation re-ran the whole
+    // interpreted scan (split included) once per consuming column,
+    // measured 29 µs/doc at 1 M docs vs ~4 µs for the fused pass.
+    docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("n_chars"),
+        inline(array(graft.functions.VectorExprs.gopherAll(
+          col("ws"), col("n_chars"), GopherTopThresholds, GopherDupThresholds))))
       .orderBy("doc_id")
   }
 
   /** The combined Gopher keep predicate as a pure Column over a word
     * array and a char count — the d43 rules usable as a pipeline
-    * filter without materializing the report columns (still one
-    * narrow projection: seven GopherStats hash passes per row). */
+    * filter without materializing the report columns. A single
+    * getField on one GopherAll eval: one fused scan per row. */
   def gopherKeep(ws: org.apache.spark.sql.Column,
       nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (GopherTopThresholds.map { case (k, t) =>
-      graft.functions.VectorExprs.gopherStats(ws, k).getField("top_chars")
-        .cast("double") / nChars < lit(t)
-    } ++ GopherDupThresholds.map { case (k, t) =>
-      graft.functions.VectorExprs.gopherStats(ws, k).getField("dup_chars")
-        .cast("double") / nChars < lit(t)
-    }).reduce(_ && _)
+    graft.functions.VectorExprs
+      .gopherAll(ws, nChars, GopherTopThresholds, GopherDupThresholds)
+      .getField("keep")
 
   /** d44: bigram-LM corpus NLL (the CCNet-style LM-perplexity filter
     * signal, public) — per doc, the mean negative log of the add-one-

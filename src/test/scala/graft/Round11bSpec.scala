@@ -64,12 +64,45 @@ class Round11bSpec extends SparkSpec {
     assert(got(3L).getBoolean(9) == true)
   }
 
-  test("d43 plan: one narrow projection — no explode, no gram-row shuffle") {
+  test("d43 plan: one narrow pass — no gram explode, no gram-row shuffle") {
     val plan = SparkEntry.queries("d43_gopher_repetition")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Generate"), s"gram explode crept in:\n$plan")
-    // the only exchange allowed is the final presentation orderBy
+    // the ONLY generator allowed is the single-row inline(array(…))
+    // that materializes the fused GopherAll struct — never a per-gram
+    // explode (which would multiply rows ~30×)
+    assert(!plan.contains("Generate explode"), s"gram explode crept in:\n$plan")
+    assert(plan.contains("Generate inline"), s"fused GopherAll inline missing:\n$plan")
     assert(!plan.contains("HashAggregate"), s"gram-count aggregation crept in:\n$plan")
+  }
+
+  test("d43 GopherAll: fused fracs+keep bit-equal to the per-k GopherStats formulation") {
+    import spark.implicits._
+    val docs = (Seq(
+      "a b a b a b", "x y z x y z x y z w", "q r s t u v w", "only",
+      "aa bb aa bb cc aa bb aa bb cc dd") ++
+      (0 until 50).map(i => (1 to 30).map(j => s"t${(i * j) % 17}").mkString(" ")))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val fused = Curation.gopherRepetitionOf(docs).collect().map(_.toSeq)
+    val perK = {
+      val base = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"), split(col("text"), " ").as("ws"))
+      val fracs = Curation.GopherTopThresholds.map { case (k, _) =>
+        (graft.functions.VectorExprs.gopherStats(col("ws"), k).getField("top_chars")
+          .cast("double") / col("n_chars")).as(s"top${k}_frac")
+      } ++ Curation.GopherDupThresholds.map { case (k, _) =>
+        (graft.functions.VectorExprs.gopherStats(col("ws"), k).getField("dup_chars")
+          .cast("double") / col("n_chars")).as(s"dup${k}_frac")
+      }
+      val keep = (Curation.GopherTopThresholds.map { case (k, t) =>
+        col(s"top${k}_frac") < lit(t)
+      } ++ Curation.GopherDupThresholds.map { case (k, t) =>
+        col(s"dup${k}_frac") < lit(t)
+      }).reduce(_ && _)
+      base.select(col("doc_id") +: col("n_chars") +: fracs: _*)
+        .withColumn("keep", keep).orderBy("doc_id")
+        .collect().map(_.toSeq)
+    }
+    assert(fused.toSeq == perK.toSeq)
   }
 
   /** Independent bigram-NLL reference with the exact cross-engine
