@@ -246,6 +246,28 @@ object ScaleSmoke {
       operators.Curation.dsirWeightsOf(docsBig,
         docsBig.filter(col("doc_id") % 997 === 0)).count()
     }
+    // BM25 (d48) at 1M docs: 5 queries over the synthetic vocab — the
+    // literal-IN postings prune touches ~0.3% of the word stream
+    time("bm25 1M docs") {
+      val qs = Seq(1 -> Seq("w17", "w2345", "w999"), 2 -> Seq("w1", "w8888"),
+        3 -> Seq("w42", "w4242"), 4 -> Seq("w7", "w77", "w777"),
+        5 -> Seq("w3141", "w5926"))
+      val n = operators.Retrieval.bm25SearchOf(docsBig, qs).count()
+      require(n == 50, s"unexpected bm25 hit count $n")
+      n
+    }
+    // sequence packing (d49) at 1M docs: one shuffle to ~2k bounded
+    // (source, shard) groups, a tight loop each
+    time("sequence pack 1M docs") {
+      operators.Curation.sequencePackOf(docsBig
+        .withColumn("source", expr("concat('src', doc_id % 10)")),
+        capacity = 256, shardSize = 512).count()
+    }
+    // unigram KL drift (d50) at 1M docs: 10 sources x 10k vocab grid
+    time("unigram drift 1M docs") {
+      operators.CorpusStats.unigramDriftOf(docsBig
+        .withColumn("source", expr("concat('src', doc_id % 10)"))).count()
+    }
     // boilerplate mining at 1M docs: the planted duplicate pairs carry
     // identical full-size windows, so the multi-doc chunk groupBy bites
     time("template chunks 1M docs") {

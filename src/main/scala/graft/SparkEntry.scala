@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chains, CorpusPipeline, CorpusStats, Curation, Dedup, Relational, Silver, Similarity, Sketches, TimeSeries}
+import graft.operators.{Chains, CorpusPipeline, CorpusStats, Curation, Dedup, Relational, Retrieval, Silver, Similarity, Sketches, TimeSeries}
 import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -258,6 +258,18 @@ object SparkEntry {
     // per-(lang, source) corpus health report: volume, size, exact-dup
     // rate, short-doc and duplicate-3-gram fractions; oracle-exact
     "d47_corpus_report"   -> (CorpusStats.corpusReport _),
+    // BM25 retrieval: fixed query workload scored against corpus
+    // statistics — literal-IN-pruned postings, broadcast scalars,
+    // TopKByScore per-query top-k (no rank window); oracle-exact
+    "d48_bm25"            -> (Retrieval.bm25Search _),
+    // greedy training-sequence packing bounded per (source, shard):
+    // one shuffle + a tight loop per <=512-doc group; oracle-exact vs
+    // a DuckDB recursive-CTE twin
+    "d49_sequence_pack"   -> (Curation.sequencePack _),
+    // per-source unigram KL drift vs the corpus distribution (add-one
+    // over the full vocab grid); oracle-exact under the d33 decimal-
+    // sum discipline
+    "d50_unigram_drift"   -> (CorpusStats.unigramDrift _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1341,6 +1353,96 @@ object SparkEntry {
         |  CASE WHEN SUM(n_ng) = 0 THEN CAST(0.0 AS DOUBLE)
         |       ELSE CAST(SUM(dup_ng) AS DOUBLE) / SUM(n_ng) END AS rep3_frac
         |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // BM25: the VALUES list is generated from Retrieval.BmQueries (the
+    // dialects cannot drift on the workload); every float literal is
+    // CAST to DOUBLE (bare DuckDB decimals would run decimal math);
+    // ranking compares the EXACT decimal sums, ties break on doc_id —
+    // the same (score desc, id asc) order TopKByScore maintains.
+    "d48_bm25" -> {
+      val vals = graft.operators.Retrieval.BmQueries
+        .flatMap { case (qid, ws) => ws.map(w => s"($qid, '$w')") }.mkString(", ")
+      val terms = graft.operators.Retrieval.BmQueries.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |words AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, UNNEST(ws) AS w
+         |  FROM docs),
+         |scal AS (SELECT COUNT(*) AS n, CAST(SUM(CAST(len(ws) AS BIGINT)) AS BIGINT) AS sdl
+         |  FROM docs),
+         |qt(query_id, qw) AS (VALUES $vals),
+         |tf AS (SELECT doc_id, w, MAX(dl) AS dl, COUNT(*) AS tf FROM words
+         |  WHERE w IN ($terms) GROUP BY doc_id, w),
+         |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |per AS (SELECT qt.query_id AS query_id, tf.doc_id AS doc_id,
+         |    CAST(ROUND(
+         |      LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+         |         (tf + CAST(1.2 AS DOUBLE) *
+         |          (0.25 + CAST(0.75 AS DOUBLE) * dl / (CAST(sdl AS DOUBLE) / n))))
+         |    , 9) AS DECIMAL(18,9)) AS term
+         |  FROM tf JOIN dfreq USING (w) JOIN qt ON tf.w = qt.qw CROSS JOIN scal),
+         |sc AS (SELECT query_id, doc_id, SUM(term) AS s FROM per
+         |  GROUP BY query_id, doc_id),
+         |ranked AS (SELECT query_id, doc_id, s,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+         |  FROM sc)
+         |SELECT CAST(query_id AS INT) AS query_id, CAST(rnk AS INT) AS rnk,
+         |  doc_id, ROUND(CAST(s AS DOUBLE), 6) AS score
+         |FROM ranked WHERE rnk <= ${graft.operators.Retrieval.TopK}
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    // Sequence packing: a per-(source, shard) recursive CTE replays the
+    // SAME greedy reset-accumulator walk PackSeqs runs as a tight loop —
+    // recursion advances all groups one row per iteration, so depth is
+    // the max group size (<= shardSize), never the corpus.
+    "d49_sequence_pack" -> {
+      val c = graft.operators.Curation.PackCapacity
+      val sh = graft.operators.Curation.PackShard
+      s"""WITH RECURSIVE base AS (
+         |  SELECT source, doc_id // $sh AS shard, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source, doc_id // $sh
+         |                            ORDER BY doc_id) AS INT) AS i
+         |  FROM documents),
+         |rec AS (
+         |  SELECT source, shard, doc_id, n_tok, i,
+         |    1 AS seq_id, 0 AS tok_offset, n_tok AS acc
+         |  FROM base WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.source, b.shard, b.doc_id, b.n_tok, b.i,
+         |    CASE WHEN r.acc + b.n_tok <= $c THEN r.seq_id ELSE r.seq_id + 1 END,
+         |    CASE WHEN r.acc + b.n_tok <= $c THEN r.acc ELSE 0 END,
+         |    CASE WHEN r.acc + b.n_tok <= $c THEN r.acc + b.n_tok ELSE b.n_tok END
+         |  FROM rec r JOIN base b
+         |    ON b.source = r.source AND b.shard = r.shard AND b.i = r.i + 1)
+         |SELECT source, shard, doc_id, n_tok, seq_id, tok_offset
+         |FROM rec ORDER BY source, shard, doc_id""".stripMargin
+    },
+
+    // KL drift: corpus counts are the rollup of per-source counts in
+    // BOTH dialects; the smoothed probabilities divide a double-cast
+    // integral numerator by an integral (ts + v) exactly as the Spark
+    // side does, and the per-term 9 dp round + decimal sum gives the
+    // order-independent total.
+    "d50_unigram_drift" ->
+      """WITH words AS (
+        |  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |cs AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY source, w),
+        |cc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS ccnt FROM cs GROUP BY w),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ts, COUNT(*) AS nd
+        |  FROM cs GROUP BY source),
+        |tot AS (SELECT CAST(SUM(ccnt) AS BIGINT) AS tc, COUNT(*) AS v FROM cc)
+        |SELECT st.source AS source, MAX(ts) AS n_tokens, MAX(nd) AS n_distinct,
+        |  ROUND(CAST(SUM(CAST(ROUND(
+        |      (CAST(COALESCE(c, 0) + 1 AS DOUBLE) / (ts + v)) *
+        |      LN((CAST(COALESCE(c, 0) + 1 AS DOUBLE) / (ts + v)) /
+        |         (CAST(ccnt + 1 AS DOUBLE) / (tc + v)))
+        |    , 9) AS DECIMAL(18,9))) AS DOUBLE), 6) AS kl
+        |FROM cc CROSS JOIN st
+        |LEFT JOIN cs ON cs.source = st.source AND cs.w = cc.w
+        |CROSS JOIN tot
+        |GROUP BY st.source ORDER BY source""".stripMargin,
 
     "d26_domain_mix" ->
       """WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),

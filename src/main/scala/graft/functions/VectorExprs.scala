@@ -1006,6 +1006,7 @@ object VectorExprs {
     toCol(GopherAll(toExpr(ws), toExpr(nChars), topKs, dupKs))
   def ngramHashes(c: Column, k: Int): Column = toCol(NgramHashes(toExpr(c), k))
   def islandRuns(c: Column, k: Int): Column = toCol(IslandRuns(toExpr(c), k))
+  def packSeqs(c: Column, capacity: Int): Column = toCol(PackSeqs(toExpr(c), capacity))
   def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))
   def pqEncode(c: Column, cb: Array[Array[Array[Float]]]): Column =
     toCol(PqEncode(toExpr(c), cb))

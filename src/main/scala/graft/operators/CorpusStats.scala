@@ -113,6 +113,48 @@ object CorpusStats {
       .orderBy("rnk")
   }
 
+  /** d50: per-source unigram distribution drift vs the whole corpus —
+    * KL(P_source ‖ P_corpus) with add-one smoothing over the corpus
+    * vocabulary. The contrast gauge data-mixing work reads to spot a
+    * source whose token distribution has drifted from the pool (a new
+    * crawl snapshot, a broken extractor, an injected spam burst);
+    * pairs with [[corpusReport]] as the between-runs observability
+    * readout. Absent words carry the smoothed floor mass, so the sum
+    * runs over the FULL vocab × source grid.
+    *
+    * Scale shape: one (source, word) count shuffle; corpus counts are
+    * its second-level rollup (no second corpus pass); the grid is
+    * vocab × sources via a broadcast of the per-source totals (source
+    * cardinality is inherently low); totals ride one broadcast scalar.
+    * At 100 TB the published trick bounds the vocab axis by hashing
+    * words into 2^20 buckets — the plan is unchanged, only the key
+    * becomes a hash. Float parity: d33 discipline (9 dp per-term round,
+    * DECIMAL(18,9) sum, 6 dp final).
+    */
+  def unigramDrift(s: SparkSession, d: String): DataFrame =
+    unigramDriftOf(Tables.documents(s, d).select("source", "text"))
+
+  /** Core of [[unigramDrift]] over an explicit (source, text) frame. */
+  def unigramDriftOf(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val cs = words.groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val cc = cs.groupBy("w").agg(sum(col("c")).as("ccnt"))
+    val st = cs.groupBy("source").agg(sum(col("c")).as("ts"),
+      count(lit(1)).as("nd"))
+    val tot = cc.agg(sum(col("ccnt")).as("tc"), count(lit(1)).as("v"))
+    val ps = (coalesce(col("c"), lit(0L)) + lit(1)).cast("double") /
+      (col("ts") + col("v"))
+    val pc = (col("ccnt") + lit(1)).cast("double") / (col("tc") + col("v"))
+    cc.crossJoin(broadcast(st))
+      .join(cs, Seq("source", "w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", round(ps * log(ps / pc), 9).cast("decimal(18,9)"))
+      .groupBy("source")
+      .agg(max(col("ts")).as("n_tokens"), max(col("nd")).as("n_distinct"),
+        round(sum(col("term")).cast("double"), 6).as("kl"))
+      .orderBy("source")
+  }
+
   /** d47: per-(lang, source) corpus health report — the observability
     * aggregate a pipeline owner reads between curation runs: volume
     * (docs, whitespace tokens), mean document size, exact-duplicate

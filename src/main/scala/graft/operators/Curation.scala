@@ -358,6 +358,45 @@ object Curation {
       .gopherAll(ws, nChars, GopherTopThresholds, GopherDupThresholds)
       .getField("keep")
 
+  /** d49: greedy training-sequence packing (the T5/LLM-pretraining
+    * "packing" step, public): docs in doc_id order are packed into
+    * sequences of at most `capacity` whitespace tokens — accumulate
+    * until the next doc would overflow, then start a new sequence; a
+    * doc longer than the capacity gets a sequence of its own. Packing
+    * runs independently per (source, shard) where shard = doc_id div
+    * `shardSize`: the greedy scan is inherently sequential, so the
+    * 100 TB-honest formulation BOUNDS each sequential unit to a
+    * deterministic shard (exactly what published packers do per data
+    * shard) instead of pretending a corpus-wide serial scan scales.
+    *
+    * Scale shape: ONE shuffle to (source, shard) — groups of at most
+    * `shardSize` docs — then the [[graft.functions.PackSeqs]] tight
+    * loop per group and an explode back to rows. No window, no driver
+    * pass. Output: (source, shard, doc_id, n_tok, seq_id 1-based in
+    * the shard, tok_offset within its sequence).
+    */
+  /** Packing geometry, shared with the d49 oracle SQL generator. */
+  val PackCapacity = 256
+  val PackShard = 512
+
+  def sequencePack(s: SparkSession, d: String): DataFrame =
+    sequencePackOf(Tables.documents(s, d).select("doc_id", "text", "source"),
+      capacity = PackCapacity, shardSize = PackShard)
+
+  /** Core of [[sequencePack]]. */
+  def sequencePackOf(docs: DataFrame, capacity: Int, shardSize: Int): DataFrame =
+    docs
+      .select(col("source"), expr(s"doc_id DIV $shardSize").as("shard"),
+        col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy("source", "shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tok")))).as("items"))
+      .select(col("source"), col("shard"),
+        explode(graft.functions.VectorExprs.packSeqs(col("items"), capacity)).as("p"))
+      .select(col("source"), col("shard"), col("p.doc_id").as("doc_id"),
+        col("p.n_tok").as("n_tok"), col("p.seq_id").as("seq_id"),
+        col("p.tok_offset").as("tok_offset"))
+      .orderBy("source", "shard", "doc_id")
+
   /** d44: bigram-LM corpus NLL (the CCNet-style LM-perplexity filter
     * signal, public) — per doc, the mean negative log of the add-one-
     * smoothed conditional bigram probability under the corpus's OWN

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusStats, Curation, Retrieval}
+
+/** Round 11 (cont. 2): BM25 retrieval (d48), greedy sequence packing
+  * (d49), and per-source unigram KL drift (d50) — each checked against
+  * an independent Scala re-derivation, plus the plan shapes that keep
+  * them 100 TB-safe. */
+class Round11cSpec extends SparkSpec {
+
+  /** Independent BM25 with the engines' exact rounding discipline. */
+  private def bruteBm25(docs: Seq[(Long, String)],
+      queries: Seq[(Int, Seq[String])], topK: Int): Seq[(Int, Int, Long, Double)] = {
+    val split = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val n = docs.size
+    val avgdl = split.map(_._2.size).sum.toDouble / n
+    val dfm = split.flatMap(_._2.distinct).groupBy(identity).map { case (w, o) => w -> o.size }
+    queries.flatMap { case (qid, qws) =>
+      val scored = split.flatMap { case (id, ws) =>
+        val dl = ws.size
+        val terms = qws.flatMap { w =>
+          val tf = ws.count(_ == w)
+          if (tf == 0) None
+          else {
+            val df = dfm(w)
+            val idf = math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+            val t = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+            Some(BigDecimal(t).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+          }
+        }
+        if (terms.isEmpty) None else Some((id, terms.sum))
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(topK).zipWithIndex.map {
+        case ((id, s), i) =>
+          (qid, i + 1, id,
+            BigDecimal(s.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+
+  test("d48 bm25: equal to the independent reference on a planted corpus; rare terms dominate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join merge hash hash"),        // tf-heavy on q1 terms
+      (2L, "hash join merge sort window"),
+      (3L, "dup dup dup table row"),            // the only dup-heavy doc
+      (4L, "table row table row table row"),
+      (5L, "fast vector query fast"),
+      (6L, "slow scan filter slow scan"),
+      (7L, "filler words only here nothing"),
+      (8L, "join hash " + (1 to 30).map(_ => "pad").mkString(" "))) // long doc, dampened
+    val got = Retrieval.bm25SearchOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = bruteBm25(docs, Retrieval.BmQueries, Retrieval.TopK)
+    assert(got == want, s"got\n${got.mkString("\n")}\nwant\n${want.mkString("\n")}")
+    // the rare term "dup" makes doc 3 the top hit for query 3
+    assert(got.filter(_._1 == 3).head._3 == 3L)
+    // doc 8 has the same q1 tf as doc 2-ish but 8x the length — ranks below doc 1
+    assert(got.filter(_._1 == 1).head._3 == 1L)
+  }
+
+  test("d48 plan: no rank window; dictionary/scalar joins broadcast") {
+    val plan = SparkEntry.queries("d48_bm25")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"dictionary join didn't broadcast:\n$plan")
+  }
+
+  /** Independent greedy packer. */
+  private def brutePack(items: Seq[(Long, Int)], cap: Int): Seq[(Long, Int, Int, Int)] = {
+    var seq = 0; var acc = 0
+    items.sortBy(_._1).zipWithIndex.map { case ((id, nt), i) =>
+      if (i == 0 || acc + nt > cap) { seq += 1; acc = 0 }
+      val off = acc
+      acc += nt
+      (id, nt, seq, off)
+    }
+  }
+
+  test("d49 packSeqs: greedy fill, exact-boundary fit, oversized isolation, shard/source independence") {
+    import spark.implicits._
+    // capacity 10: docs of sizes 4,4,2 fill one sequence EXACTLY; a
+    // 15-token doc must sit alone; groups pack independently
+    val docs = Seq(
+      (0L, 4, "srcA"), (1L, 4, "srcA"), (2L, 2, "srcA"), (3L, 5, "srcA"),
+      (4L, 15, "srcA"), (5L, 3, "srcA"),
+      (600L, 9, "srcA"),               // different shard (shardSize 512)
+      (6L, 9, "srcB"), (7L, 2, "srcB") // different source, same shard
+    ).map { case (id, nt, src) => (id, (1 to nt).map(_ => "w").mkString(" "), src) }
+      .toDF("doc_id", "text", "source")
+    val got = Curation.sequencePackOf(docs, capacity = 10, shardSize = 512)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getInt(5)))
+    val wantA0 = brutePack(Seq((0L, 4), (1L, 4), (2L, 2), (3L, 5), (4L, 15), (5L, 3)), 10)
+      .map { case (id, nt, sq, off) => ("srcA", 0L, id, nt, sq, off) }
+    val wantA1 = Seq(("srcA", 1L, 600L, 9, 1, 0))
+    val wantB = brutePack(Seq((6L, 9), (7L, 2)), 10)
+      .map { case (id, nt, sq, off) => ("srcB", 0L, id, nt, sq, off) }
+    assert(got.toSeq == (wantA0 ++ wantA1 ++ wantB))
+    // the exact-boundary triple landed in ONE sequence, offsets 0/4/8
+    val a = got.filter(r => r._1 == "srcA" && r._2 == 0L)
+    assert(a.take(3).map(r => (r._5, r._6)).toSeq == Seq((1, 0), (1, 4), (1, 8)))
+    // the oversized doc sits alone in its own sequence at offset 0
+    val over = a.find(_._3 == 4L).get
+    assert(over._5 != a.find(_._3 == 3L).get._5 && over._6 == 0)
+  }
+
+  test("d49 plan: one shuffle to (source, shard) groups, no window") {
+    val plan = SparkEntry.queries("d49_sequence_pack")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept in:\n$plan")
+    // aggregation to bounded groups + the presentation sort = 2 exchanges max
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 3, s"unexpected exchange count $exchanges:\n$plan")
+  }
+
+  /** Independent KL with the engines' rounding discipline. */
+  private def bruteDrift(docs: Seq[(String, String)]): Map[String, (Long, Long, Double)] = {
+    val words = docs.map { case (s, t) => s -> t.split(" ", -1).toSeq }
+    val cs = words.flatMap { case (s, ws) => ws.map(s -> _) }
+      .groupBy(identity).map { case (k, o) => k -> o.size.toLong }
+    val cc = cs.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val v = cc.size
+    val tc = cc.values.sum
+    docs.map(_._1).distinct.map { s =>
+      val ts = cs.collect { case ((`s`, _), c) => c }.sum
+      val nd = cs.keys.count(_._1 == s).toLong
+      val terms = cc.map { case (w, ccnt) =>
+        val c = cs.getOrElse((s, w), 0L)
+        val psv = (c + 1).toDouble / (ts + v)
+        val pcv = (ccnt + 1).toDouble / (tc + v)
+        BigDecimal(psv * math.log(psv / pcv))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      s -> (ts, nd,
+        BigDecimal(terms.sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+  }
+
+  test("d50 unigramDrift: equal to the independent reference; drifted source scores above a typical one") {
+    import spark.implicits._
+    val typical = (1 to 8).map(i => ("common", s"alpha beta gamma delta word$i"))
+    val drifted = Seq(("weird", "zzz zzz zzz qqq qqq xxx"))
+    val docs = (typical ++ drifted ++ Seq(("common2", "alpha beta gamma delta epsilon")))
+      .toDF("source", "text")
+    val got = CorpusStats.unigramDriftOf(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val want = bruteDrift(typical ++ drifted ++ Seq(("common2", "alpha beta gamma delta epsilon")))
+    assert(got == want, s"got $got\nwant $want")
+    assert(got("weird")._3 > got("common")._3 && got("weird")._3 > got("common2")._3)
+  }
+}
