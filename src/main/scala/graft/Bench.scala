@@ -70,10 +70,11 @@ object Bench {
     // map order after the hinted ones.
     val heavyFirst = Seq("d23_incremental_dedup", "d36_corpus_pipeline",
       "d22_dedup_pipeline",
-      "d20_dup_clusters", "d19_jaccard_lsh", "d11_near_dup_cosine",
-      "d6_ivf_ann", "q54_silver_import", "q53_order_legs",
-      "q49_chain_flatten", "d4_ngram_jaccard", "d35_split_leakage",
-      "d32_pq_ann", "d31_token_budget_mix")
+      "d20_dup_clusters", "q54_silver_import", "d4_ngram_jaccard",
+      "q53_order_legs", "d42_substr_clip", "q49_chain_flatten",
+      "d45_semdedup", "d32_pq_ann", "d35_split_leakage",
+      "d19_jaccard_lsh", "d11_near_dup_cosine",
+      "d6_ivf_ann", "d41_exact_substr", "d31_token_budget_mix")
     // a renamed/removed entry silently dropping out of LPT ordering
     // would quietly stretch the wall — fail loudly instead
     val unresolved = heavyFirst.filterNot(SparkEntry.queries.contains)

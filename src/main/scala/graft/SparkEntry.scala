@@ -270,6 +270,10 @@ object SparkEntry {
     // over the full vocab grid); oracle-exact under the d33 decimal-
     // sum discipline
     "d50_unigram_drift"   -> (CorpusStats.unigramDrift _),
+    // corpus snapshot diff: per-source added/removed/changed/unchanged
+    // between two snapshots (one full-outer PK join + source hash agg);
+    // oracle-exact
+    "d51_snapshot_diff"   -> (CorpusStats.snapshotDiff _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1443,6 +1447,24 @@ object SparkEntry {
         |LEFT JOIN cs ON cs.source = st.source AND cs.w = cc.w
         |CROSS JOIN tot
         |GROUP BY st.source ORDER BY source""".stripMargin,
+
+    // Snapshot diff: the same deterministic old/new slices; counts of
+    // nullable keys use COUNT(col) (skips nulls) in both dialects.
+    "d51_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 10 < 9),
+        |n AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 5 THEN text || ' EDITED' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 > 0)
+        |SELECT COALESCE(o.source, n.source) AS source,
+        |  COUNT(o.doc_id) AS n_old, COUNT(n.doc_id) AS n_new,
+        |  CAST(SUM(CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+        |  CAST(SUM(CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+        |  CAST(SUM(CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+        |           AND o.text <> n.text THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |  CAST(SUM(CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+        |           AND o.text = n.text THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |GROUP BY COALESCE(o.source, n.source) ORDER BY source""".stripMargin,
 
     "d26_domain_mix" ->
       """WITH counts AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),

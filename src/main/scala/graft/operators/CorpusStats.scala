@@ -155,6 +155,56 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** d51: corpus snapshot diff — the reconciliation readout between
+    * two crawl/ingest snapshots: per source, how many docs were added,
+    * removed, changed (same doc_id, different content) or unchanged.
+    * The ops tool an incremental corpus pipeline reads after every
+    * refresh (and the precondition check before re-running dedup on a
+    * delta). The registered entry derives the two snapshots
+    * deterministically from the documents table (old = doc_id%10 < 9,
+    * new = doc_id%10 > 0 with %10==5 docs edited) so both engines see
+    * the same inputs; production calls [[snapshotDiffOf]] with two real
+    * snapshot frames.
+    *
+    * Scale shape: one full-outer shuffle join on doc_id (AQE-splittable,
+    * no skew — doc_id is the PK both sides) into a hash agg on the
+    * low-cardinality source key. Content comparison is raw text
+    * equality here; at 100 TB both sides carry a precomputed content
+    * hash column and the same plan compares hashes — semantics
+    * unchanged, bytes moved per row bounded.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    snapshotDiffOf(
+      docs.filter(pmod(col("doc_id"), lit(10)) < 9),
+      docs.filter(pmod(col("doc_id"), lit(10)) > 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 5,
+          concat(col("text"), lit(" EDITED"))).otherwise(col("text"))))
+  }
+
+  /** Core of [[snapshotDiff]] over explicit (doc_id, source, text)
+    * old/new snapshot frames. */
+  def snapshotDiffOf(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id").as("o_id"), col("source").as("o_src"),
+      col("text").as("o_text"))
+    val n = newSnap.select(col("doc_id").as("n_id"), col("source").as("n_src"),
+      col("text").as("n_text"))
+    o.join(n, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("o_src"), col("n_src")).as("source"),
+        col("o_id"), col("n_id"), col("o_text"), col("n_text"))
+      .groupBy("source")
+      .agg(
+        count(col("o_id")).as("n_old"),
+        count(col("n_id")).as("n_new"),
+        sum(when(col("o_id").isNull, lit(1L)).otherwise(lit(0L))).as("added"),
+        sum(when(col("n_id").isNull, lit(1L)).otherwise(lit(0L))).as("removed"),
+        sum(when(col("o_id").isNotNull && col("n_id").isNotNull &&
+          col("o_text") =!= col("n_text"), lit(1L)).otherwise(lit(0L))).as("changed"),
+        sum(when(col("o_id").isNotNull && col("n_id").isNotNull &&
+          col("o_text") === col("n_text"), lit(1L)).otherwise(lit(0L))).as("unchanged"))
+      .orderBy("source")
+  }
+
   /** d47: per-(lang, source) corpus health report — the observability
     * aggregate a pipeline owner reads between curation runs: volume
     * (docs, whitespace tokens), mean document size, exact-duplicate

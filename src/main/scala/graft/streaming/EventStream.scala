@@ -687,6 +687,59 @@ object EventStream {
       .start()
   }
 
+  case class DocIn(doc_id: Long, source: String, n_tok: Int)
+  case class PackedDoc(source: String, doc_id: Long, n_tok: Int,
+      seq_id: Int, tok_offset: Int)
+  case class PackState(seq: Int, acc: Int)
+
+  /** Streaming greedy sequence packer — the stateful twin of batch d49
+    * ([[graft.operators.Curation.sequencePackOf]]): incoming docs are
+    * packed into ≤capacity-token training sequences PER SOURCE in
+    * arrival order. Same greedy rule as the batch packer (accumulate
+    * until the next doc would overflow, oversized docs isolate), but
+    * the packing group is the source key and the packing order is
+    * arrival order — streaming has no shard boundary, and a sequence
+    * left open at batch end is CONTINUED by the next micro-batch, so
+    * sequences never waste capacity at batch seams. State per source is
+    * O(1): the open sequence's (seq_id, fill) pair. seq_id is 1-based
+    * per source over the stream's lifetime. Requires the RocksDB state
+    * store provider (transformWithState); TimeMode.None — settles under
+    * processAllAvailable.
+    */
+  class PackProcessor(capacity: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DocIn, PackedDoc] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[PackState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[PackState]("pack",
+        org.apache.spark.sql.Encoders.product[PackState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(source: String, docs: Iterator[DocIn],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[PackedDoc] = {
+      var (seq, acc) =
+        if (st.exists()) { val s = st.get(); (s.seq, s.acc) } else (0, 0)
+      // materialize before the state write — a lazy iterator would
+      // persist the PRE-batch (seq, acc) and replay-shift every later
+      // batch's sequence ids
+      val out = docs.map { d =>
+        if (seq == 0 || acc + d.n_tok > capacity) { seq += 1; acc = 0 }
+        val off = acc
+        acc += d.n_tok
+        PackedDoc(source, d.doc_id, d.n_tok, seq, off)
+      }.toArray
+      st.update(PackState(seq, acc))
+      out.iterator
+    }
+  }
+
+  /** See [[PackProcessor]]. */
+  def packStream(stream: Dataset[DocIn], capacity: Int): Dataset[PackedDoc] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.source)
+      .transformWithState(new PackProcessor(capacity),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Convenience: run a streaming query over a bounded source into a
     * memory sink and block until drained (local smoke path). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

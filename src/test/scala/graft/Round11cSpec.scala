@@ -153,4 +153,55 @@ class Round11cSpec extends SparkSpec {
     assert(got == want, s"got $got\nwant $want")
     assert(got("weird")._3 > got("common")._3 && got("weird")._3 > got("common2")._3)
   }
+
+  test("d51 snapshotDiff: added/removed/changed/unchanged on planted snapshots") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a", "t1"), (2L, "a", "t2"), (3L, "b", "t3"))
+      .toDF("doc_id", "source", "text")
+    val newSnap = Seq((2L, "a", "t2x"), (3L, "b", "t3"), (4L, "b", "t4"))
+      .toDF("doc_id", "source", "text")
+    val got = CorpusStats.snapshotDiffOf(oldSnap, newSnap).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got("a") == ((2L, 1L, 0L, 1L, 1L, 0L)))  // doc1 removed, doc2 changed
+    assert(got("b") == ((1L, 2L, 1L, 0L, 0L, 1L)))  // doc4 added, doc3 unchanged
+  }
+
+  test("packStream: arrival-order packing with O(1) per-source state; open sequences continue across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import EventStream.{DocIn, PackedDoc}
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[DocIn]
+      val q = EventStream.packStream(in.toDS(), capacity = 10)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("packed11c").start()
+      in.addData(DocIn(1, "a", 4), DocIn(2, "a", 4), DocIn(3, "a", 5),
+        DocIn(10, "b", 9))
+      q.processAllAvailable()
+      in.addData(DocIn(4, "a", 2), DocIn(11, "b", 2), DocIn(12, "b", 15))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("packed11c").as[PackedDoc].collect()
+        .map(p => (p.source, p.doc_id) -> ((p.n_tok, p.seq_id, p.tok_offset))).toMap
+      assert(got(("a", 1L)) == ((4, 1, 0)))
+      assert(got(("a", 2L)) == ((4, 1, 4)))
+      assert(got(("a", 3L)) == ((5, 2, 0)))   // 4+4+5 > 10 → new sequence
+      // the open seq 2 (fill 5) absorbs batch 2's 2-token doc: no
+      // capacity wasted at the micro-batch seam
+      assert(got(("a", 4L)) == ((2, 2, 5)))
+      assert(got(("b", 10L)) == ((9, 1, 0)))
+      assert(got(("b", 11L)) == ((2, 2, 0)))  // 9+2 > 10 → new sequence
+      assert(got(("b", 12L)) == ((15, 3, 0))) // oversized doc isolates
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
