@@ -331,6 +331,63 @@ case class IntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** A small fixed token vocabulary as a plan constant (the CentroidSet
+  * discipline: identity equality, built once on the driver, shipped
+  * into codegen'd expressions via addReferenceObj). Wraps the sorted
+  * word list with a lazy UTF8String→bit-index map. */
+final class TokenVocab(val words: Array[String]) extends Serializable {
+  val nTokens: Int = words.length
+  /** 64-bit words needed for a bitset over this vocabulary. */
+  val nLongs: Int = (nTokens + 63) / 64
+  @transient private lazy val idx: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](nTokens * 2)
+    var i = 0
+    while (i < nTokens) { m.put(UTF8String.fromString(words(i)), Integer.valueOf(i)); i += 1 }
+    m
+  }
+  def indexOf(w: UTF8String): Int = {
+    val v = idx.get(w)
+    if (v == null) -1 else v.intValue()
+  }
+}
+
+/** array<string> token set → fixed-width bitset (array<long>) against a
+  * plan-constant [[TokenVocab]]. The exact-similarity join then moves
+  * nLongs longs per doc instead of the token strings, and intersection
+  * becomes AND+popcount ([[BitsetIntersect]]) — the small-vocabulary
+  * fast path for exact all-pairs jaccard (d4/d20/d35): byte-identical
+  * counts to the HashSet intersect over the string arrays. A token
+  * absent from the vocabulary throws — the caller builds the vocab
+  * from the same corpus, so a miss is a bug, and silently dropping a
+  * bit would undercount n_inter. */
+case class TokenBitset(child: Expression, vocab: TokenVocab)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    ExprHelpers.tokenBitset(in.asInstanceOf[ArrayData], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("vocab", vocab, classOf[TokenVocab].getName)
+      s"${ev.value} = graft.functions.ExprHelpers.tokenBitset($a, $ref);"
+    })
+  override protected def withNewChildInternal(c: Expression): TokenBitset = copy(child = c)
+}
+
+/** Popcount of the AND of two equal-width bitsets — the [[TokenBitset]]
+  * counterpart of [[IntersectCount]], real codegen via the same
+  * static-forwarder idiom. */
+case class BitsetIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.bitsetIntersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ExprHelpers.bitsetIntersect($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitsetIntersect =
+    copy(left = l, right = r)
+}
+
 /** Word k-grams of an array<string> column as array<string> — the
   * gram strings the reference curation queries join/count on,
   * byte-identical to array_join(slice(ws,i,k), ' ') but built in one
@@ -861,6 +918,32 @@ object ExprHelpers {
     new GenericArrayData(chunks.toArray)
   }
 
+  def tokenBitset(a: ArrayData, vocab: TokenVocab): ArrayData = {
+    val out = new Array[Long](vocab.nLongs)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val w = a.getUTF8String(i)
+      val j = vocab.indexOf(w)
+      if (j < 0)
+        throw new IllegalArgumentException(s"token not in vocabulary: $w")
+      out(j >> 6) |= 1L << (j & 63)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bitsetIntersect(a: ArrayData, b: ArrayData): Long = {
+    var c = 0L
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      c += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i))
+      i += 1
+    }
+    c
+  }
+
   def intersectCount(a: ArrayData, b: ArrayData): Long = {
     var x = a
     var y = b
@@ -996,6 +1079,8 @@ object VectorExprs {
   def simhash64(c: Column): Column = toCol(SimHash64(toExpr(c)))
   def minhashSig(c: Column, k: Int): Column = toCol(MinHashSig(toExpr(c), k))
   def intersectCount(a: Column, b: Column): Column = toCol(IntersectCount(toExpr(a), toExpr(b)))
+  def tokenBitset(c: Column, vocab: TokenVocab): Column = toCol(TokenBitset(toExpr(c), vocab))
+  def bitsetIntersect(a: Column, b: Column): Column = toCol(BitsetIntersect(toExpr(a), toExpr(b)))
   def minhashShingleSig(c: Column, k: Int, perms: Int): Column =
     toCol(MinHashShingleSig(toExpr(c), k, perms))
   def wordNgrams(c: Column, k: Int): Column = toCol(WordNgrams(toExpr(c), k))

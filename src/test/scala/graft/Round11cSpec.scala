@@ -167,6 +167,29 @@ class Round11cSpec extends SparkSpec {
     assert(got("b") == ((1L, 2L, 1L, 0L, 0L, 1L)))  // doc4 added, doc3 unchanged
   }
 
+  test("d4 bitset fast path: row-identical to the string-array formulation (incl. jaccard doubles)") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    // vocabCap 0 forces the open-vocabulary string-array path; the
+    // default picks the bitset dictionary on this 31-word corpus
+    val arrPath = Dedup.ngramJaccardOf(docs, vocabCap = 0).collect().map(_.toSeq)
+    val bitPath = Dedup.ngramJaccardOf(docs).collect().map(_.toSeq)
+    assert(bitPath.nonEmpty, "fixture mined no pairs — fixture rot")
+    assert(bitPath.toSeq == arrPath.toSeq)
+  }
+
+  test("d4 bitset: unknown token fails loudly (a silent miss would undercount n_inter)") {
+    val vocab = new graft.functions.TokenVocab(Array("a", "b"))
+    import spark.implicits._
+    val df = Seq(Seq("a", "zzz")).toDF("ws")
+      .select(graft.functions.VectorExprs.tokenBitset(col("ws"), vocab))
+    val e = intercept[Exception] { df.collect() }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("not in vocabulary")),
+      s"unexpected error: $e")
+  }
+
   test("packStream: arrival-order packing with O(1) per-source state; open sequences continue across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream
