@@ -274,6 +274,10 @@ object SparkEntry {
     // between two snapshots (one full-outer PK join + source hash agg);
     // oracle-exact
     "d51_snapshot_diff"   -> (CorpusStats.snapshotDiff _),
+    // CCNet perplexity buckets: head/middle/tail rank-thirds over the
+    // d44 NLL + deterministic 10% tail sample (two-level rank, no
+    // value-quantile knife edge); oracle-exact
+    "d52_ccnet_buckets"   -> (Curation.ccnetBuckets _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -293,6 +297,24 @@ object SparkEntry {
   // Shared SQL fragments for the DuckDB oracle.
   private val DEC = "DECIMAL(18,4)"
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS $DEC)) AS DOUBLE)"
+
+  /** The d44 bigram-NLL oracle, shared verbatim with d52's CTE so the
+    * bucket ranking can never drift from the score it ranks. */
+  private val D44Sql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS ng, ws[i] AS w1
+      |  FROM docs, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+      |  WHERE len(ws) >= 2),
+      |cb AS (SELECT ng, COUNT(*) AS cb FROM grams GROUP BY ng),
+      |words AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |cu AS (SELECT w, COUNT(*) AS cu FROM words GROUP BY w),
+      |v AS (SELECT COUNT(*) AS v FROM cu)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(cb + 1 AS DOUBLE) / (cu + v)), 9)
+      |        AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS nll2
+      |FROM grams JOIN cb USING (ng) JOIN cu ON grams.w1 = cu.w CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
@@ -1297,21 +1319,25 @@ object SparkEntry {
          |FROM base ORDER BY doc_id""".stripMargin
     },
 
-    "d44_bigram_lm" ->
-      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |grams AS (
-        |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS ng, ws[i] AS w1
-        |  FROM docs, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
-        |  WHERE len(ws) >= 2),
-        |cb AS (SELECT ng, COUNT(*) AS cb FROM grams GROUP BY ng),
-        |words AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
-        |cu AS (SELECT w, COUNT(*) AS cu FROM words GROUP BY w),
-        |v AS (SELECT COUNT(*) AS v FROM cu)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        |  ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(cb + 1 AS DOUBLE) / (cu + v)), 9)
-        |        AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS nll2
-        |FROM grams JOIN cb USING (ng) JOIN cu ON grams.w1 = cu.w CROSS JOIN v
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d44_bigram_lm" -> D44Sql,
+
+    // CCNet buckets: rank thirds over the EXACT d44 NLL (embedded as a
+    // subquery so the two entries can never drift) — integer bucket
+    // math, ROW_NUMBER over the tie-free (nll2, doc_id) order, the d26
+    // md5 hash rule for the tail sample.
+    "d52_ccnet_buckets" ->
+      s"""WITH nll AS ($D44Sql),
+         |n AS (SELECT COUNT(*) AS c FROM nll),
+         |r AS (SELECT doc_id, nll2,
+         |    ROW_NUMBER() OVER (ORDER BY nll2, doc_id) AS rn FROM nll)
+         |SELECT doc_id, nll2,
+         |  CAST(((rn - 1) * 3) // c AS INT) AS bucket,
+         |  CASE ((rn - 1) * 3) // c WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |       ELSE 'tail' END AS tier,
+         |  (((rn - 1) * 3) // c < 2) OR
+         |    (CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |          / 4294967296.0 < CAST(0.1 AS DOUBLE)) AS keep
+         |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin,
 
     // DSIR: the three double divisions and the LN are parenthesized
     // exactly as the Spark side computes them; totals stay integral

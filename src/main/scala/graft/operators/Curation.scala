@@ -443,6 +443,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** d52: CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * public): rank every doc by the d44 bigram-LM NLL and split the
+    * corpus into head/middle/tail THIRDS by rank (low NLL = most
+    * fluent = head); keep head+middle whole plus a deterministic 10%
+    * hash sample of the tail — the standard LM-filtered training mix.
+    * Rank thirds rather than value quantiles on purpose: bucket
+    * boundaries are integer-exact in both engines (no cross-engine
+    * percentile-interpolation knife edge — the q40 lesson) and ties
+    * are impossible because doc_id joins the sort key.
+    *
+    * Scale shape: d44's count shuffles/joins + the two-level
+    * surrogate-id rank (Silver.surrogateIds — no single-partition
+    * window), one broadcast total, hash-replayable tail sample.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBucketsOf(Tables.documents(s, d).select("doc_id", "text"))
+
+  /** Core of [[ccnetBuckets]]. */
+  def ccnetBucketsOf(docs: DataFrame, tailKeep: Double = 0.1): DataFrame = {
+    val nll = bigramNllOf(docs).select("doc_id", "nll2")
+    val ranked = Silver.surrogateIds(nll, Seq("nll2", "doc_id"), "rnk")
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket", expr("cast(((rnk - 1) * 3) div n as int)"))
+      .withColumn("tier",
+        element_at(lit(Array("head", "middle", "tail")), col("bucket") + 1))
+      .withColumn("keep", col("bucket") < 2 || hashU < lit(tailKeep))
+      .select("doc_id", "nll2", "bucket", "tier", "keep")
+      .orderBy("doc_id")
+  }
+
   /** d46: DSIR-style importance weights (Xie et al. 2023, public) —
     * per raw doc, the mean log-ratio of target-domain vs raw-corpus
     * unigram probability, add-one smoothed over the UNION vocabulary:

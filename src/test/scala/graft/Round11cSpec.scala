@@ -167,6 +167,29 @@ class Round11cSpec extends SparkSpec {
     assert(got("b") == ((1L, 2L, 1L, 0L, 0L, 1L)))  // doc4 added, doc3 unchanged
   }
 
+  test("d52 ccnetBuckets: rank-thirds are exact, repeated fluent text lands in head, singleton word salad in tail; keep rule deterministic") {
+    import spark.implicits._
+    // 9 rankable docs → thirds of exactly 3. Docs built from a SHARED
+    // repeated phrase rank fluent (high bigram counts → low NLL); docs
+    // of unique-word salad rank tail.
+    val fluent = (1L to 3L).map(i => (i, "the market opened higher today and " +
+      "the market opened higher today"))
+    val mid = (4L to 6L).map(i => (i, s"the market w${i}a w${i}b opened w${i}c higher w${i}d"))
+    val salad = (7L to 9L).map(i => (i, (1 to 8).map(j => s"z${i}_$j").mkString(" ")))
+    val docs = (fluent ++ mid ++ salad).toDF("doc_id", "text")
+    val got = Curation.ccnetBucketsOf(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(got.size == 9)
+    (1L to 3L).foreach(i => assert(got(i)._2 == "head", s"doc $i: ${got(i)}"))
+    (4L to 6L).foreach(i => assert(got(i)._2 == "middle", s"doc $i: ${got(i)}"))
+    (7L to 9L).foreach(i => assert(got(i)._2 == "tail", s"doc $i: ${got(i)}"))
+    // head+middle always kept; tail keep is the deterministic md5 rule
+    (1L to 6L).foreach(i => assert(got(i)._3))
+    val again = Curation.ccnetBucketsOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    (7L to 9L).foreach(i => assert(got(i)._3 == again(i), "tail sample must replay"))
+  }
+
   test("d4 bitset fast path: row-identical to the string-array formulation (incl. jaccard doubles)") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
