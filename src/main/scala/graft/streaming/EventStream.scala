@@ -687,6 +687,36 @@ object EventStream {
       .start()
   }
 
+  /** Streaming corpus-health monitor: each micro-batch of docs is
+    * rolled up by the d47 report (volumes, mean size, exact-dup rate,
+    * short-doc and duplicate-3-gram fractions per (lang, source)) and
+    * appended to a stats table partitioned by batch_id. Replay-
+    * idempotent the partition-overwrite way: the report is a pure
+    * function of the batch, and a replayed batch OVERWRITES its own
+    * batch_id partition (dynamic partition overwrite), so restarts
+    * never duplicate stats rows. The between-runs d47 readout, live —
+    * wire the per-batch frame into alerting by reading the latest
+    * batch_id partition.
+    */
+  def corpusHealthStream(stream: DataFrame, path: String, checkpoint: String,
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    monitor.foreach(_.register(path))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val report = graft.operators.CorpusStats
+          .corpusReportOf(batch.toDF().select("lang", "source", "text"))
+          .withColumn("batch_id", lit(batchId))
+        report.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // report is group-cardinality tiny; one file per partition dir
+        report.repartition(col("batch_id"))
+          .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+        monitor.foreach(_.record(path))
+      }
+      .start()
+  }
+
   case class DocIn(doc_id: Long, source: String, n_tok: Int)
   case class PackedDoc(source: String, doc_id: Long, n_tok: Int,
       seq_id: Int, tok_offset: Int)
