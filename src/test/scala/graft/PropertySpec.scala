@@ -161,4 +161,90 @@ class PropertySpec extends SparkSpec {
     assert(df(0) == 16, "identical docs must agree on every permutation")
     assert(df(1) <= 2, s"disjoint docs agreed on ${df(1)}/16 permutations")
   }
+
+  test("PackSeqs equals the greedy reference on random items/capacities; capacity invariant holds") {
+    import spark.implicits._
+    val itemGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(1, 30)))
+      .map(_.distinctBy(_._1))
+    samples(Gen.zip(itemGen, Gen.chooseNum(5, 60)), 12).foreach { case (items0, cap) =>
+      val items = items0.sortBy(_._1)
+      if (items.nonEmpty) {
+        val got = Seq(items.map { case (id, nt) => (id, nt) })
+          .toDF("items")
+          .select(explode(graft.functions.VectorExprs.packSeqs(
+            expr("transform(items, x -> struct(x._1 as doc_id, x._2 as n_tok))"), cap)).as("p"))
+          .select("p.doc_id", "p.n_tok", "p.seq_id", "p.tok_offset")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+        // greedy reference
+        var seq = 0; var acc = 0
+        val want = items.zipWithIndex.map { case ((id, nt), i) =>
+          if (i == 0 || acc + nt > cap) { seq += 1; acc = 0 }
+          val off = acc; acc += nt; (id, nt, seq, off)
+        }
+        assert(got == want, s"cap=$cap items=$items")
+        // invariant: every sequence holding 2+ docs fits the capacity
+        got.groupBy(_._3).foreach { case (s, ds) =>
+          val tot = ds.map(_._2).sum
+          assert(ds.size == 1 || tot <= cap, s"seq $s overflows: $tot > $cap")
+        }
+        // invariant: seq ids are contiguous from 1
+        val ids = got.map(_._3).distinct.sorted
+        assert(ids == (1 to ids.size).toList)
+      }
+    }
+  }
+
+  test("TokenBitset/BitsetIntersect equal reference set intersection over a shared vocabulary") {
+    import spark.implicits._
+    val vocabWords = ('a' to 'z').map(c => s"w_$c").toArray
+    val vocab = new graft.functions.TokenVocab(vocabWords)
+    val wGen = Gen.oneOf(vocabWords.toSeq)
+    val setGen = Gen.listOfN(15, wGen).map(_.distinct)
+    samples(Gen.listOfN(25, Gen.zip(setGen, setGen)), 4).foreach { pairs =>
+      if (pairs.nonEmpty) {
+        val got = pairs.toDF("a", "b")
+          .select(graft.functions.VectorExprs.bitsetIntersect(
+            graft.functions.VectorExprs.tokenBitset(col("a"), vocab),
+            graft.functions.VectorExprs.tokenBitset(col("b"), vocab)).as("n"))
+          .collect().map(_.getLong(0)).toSeq
+        val want = pairs.map { case (a, b) => a.toSet.intersect(b.toSet).size.toLong }
+        assert(got == want)
+      }
+    }
+  }
+
+  test("GopherAll equals the brute-force char-mass scan on random word arrays") {
+    import spark.implicits._
+    val topKs = graft.operators.Curation.GopherTopThresholds
+    val dupKs = graft.operators.Curation.GopherDupThresholds
+    def brute(ws: Seq[String], k: Int): (Long, Long) = {
+      if (ws.length < k) return (0L, 0L)
+      val counts = ws.sliding(k).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+      val (bg, bc) = counts.maxBy { case (g, c) => (c, g) }
+      (bc.toLong * bg.length,
+        counts.collect { case (g, c) if c >= 2 => c.toLong * g.length }.sum)
+    }
+    val docGen = Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, word))
+    samples(Gen.listOfN(20, docGen), 5).foreach { docs =>
+      if (docs.nonEmpty) {
+        val texts = docs.map(_.mkString(" "))
+        val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+          .select(col("doc_id"), inline(array(graft.functions.VectorExprs.gopherAll(
+            split(col("text"), " "), length(col("text")).cast("long"), topKs, dupKs))))
+          .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+        texts.zipWithIndex.foreach { case (t, i) =>
+          val ws = t.split(" ", -1).toSeq
+          val nc = t.length.toDouble
+          val fr = topKs.map { case (k, _) => brute(ws, k)._1 / nc } ++
+            dupKs.map { case (k, _) => brute(ws, k)._2 / nc }
+          val keep = (topKs.map(_._2) ++ dupKs.map(_._2)).zip(fr).forall {
+            case (t0, f) => f < t0
+          }
+          assert(got(i.toLong) == (fr :+ keep), s"doc $i '$t'")
+        }
+      }
+    }
+  }
 }
