@@ -55,8 +55,6 @@ object Retrieval {
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
     // N and Σdl as ONE broadcast scalar row
     val scal = withDl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
-    val qterms = queries.flatMap { case (qid, ws) => ws.map(qid -> _) }
-      .toDF("query_id", "qw")
     val termSet = queries.flatMap(_._2).distinct
     // postings for queried terms only: the literal IN prunes the word
     // stream BEFORE the (doc, term) count shuffle. The posting table is
@@ -71,6 +69,18 @@ object Retrieval {
       .filter(col("w").isin(termSet: _*))
       .groupBy("doc_id", "w").agg(max("dl").as("dl"), count(lit(1)).as("tf"))
       .localCheckpoint(false)
+    bm25Score(tf, scal, queries)
+  }
+
+  /** Shared BM25 scoring tail over a (doc_id, w, dl, tf) posting frame
+    * and a one-row (n, sdl) corpus-stats frame — the query-time plan
+    * both the corpus-scan path and the persisted-index path run. */
+  private def bm25Score(tf: DataFrame, scal: DataFrame,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, ws) => ws.map(qid -> _) }
+      .toDF("query_id", "qw")
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val denom = col("tf") +
       lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))
@@ -93,5 +103,117 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("col.id").as("doc_id"), round(col("col.score"), 6).as("score"))
       .orderBy("query_id", "rnk")
+  }
+
+  // ---- persisted inverted index --------------------------------------
+  // The build-once/query-many artifact (the IVF-index / BpeVocab store
+  // discipline applied to term search): postings (doc_id, w, dl, tf)
+  // land partitioned by (batch_id, bucket = pmod(hash(w), buckets)) so
+  // query time reads ONLY the buckets its terms hash into (partition-
+  // dir pruning, never a corpus scan), and corpus stats (n docs, Σdl)
+  // land as one row per batch, summed at query time. Appends are
+  // replay-idempotent the partition-overwrite way: a batch is a pure
+  // function of its input docs and overwrites its own batch_id
+  // partitions (same contract as corpusHealthStream; batches must
+  // carry disjoint doc sets, which the streaming intake guarantees by
+  // construction). A _layout marker pins `buckets` — querying or
+  // appending with a different bucket count fails loudly
+  // (IncrementalDedup's marker discipline).
+
+  private def postingsPath(root: String) = s"$root/postings"
+  private def statsPath(root: String) = s"$root/stats"
+  private def layoutPath(root: String) = new org.apache.hadoop.fs.Path(s"$root/_layout")
+
+  private def writeLayout(spark: SparkSession, root: String, buckets: Int): Unit = {
+    val fs = layoutPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(layoutPath(root))) {
+      val out = fs.create(layoutPath(root), true)
+      out.write(s"buckets=$buckets\n".getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  private def checkLayout(spark: SparkSession, root: String, buckets: Int): Unit = {
+    val fs = layoutPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(layoutPath(root))) {
+      val in = fs.open(layoutPath(root))
+      val txt = scala.io.Source.fromInputStream(in).mkString
+      in.close()
+      val stored = txt.linesIterator.collectFirst {
+        case l if l.startsWith("buckets=") => l.stripPrefix("buckets=").trim.toInt
+      }
+      require(stored.contains(buckets),
+        s"term index at $root was built with buckets=${stored.getOrElse("?")}, got $buckets")
+    }
+  }
+
+  /** Build (or rebuild) the base index from a (doc_id, text) frame.
+    * The base lands as batch_id = -1; streaming appends use their
+    * micro-batch ids (≥ 0). */
+  def buildTermIndex(docs: DataFrame, root: String, buckets: Int = 64): Unit = {
+    writeLayout(docs.sparkSession, root, buckets)
+    writeIndexBatch(docs, root, batchId = -1L, buckets)
+  }
+
+  private[graft] def writeIndexBatch(docs: DataFrame, root: String,
+      batchId: Long, buckets: Int): Unit = {
+    val spark = docs.sparkSession
+    checkLayout(spark, root, buckets)
+    val withDl = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    val postings = withDl
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(max("dl").as("dl"), count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(hash(col("w")), lit(buckets)))
+      .withColumn("batch_id", lit(batchId))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // repartition on the partition columns first or every task opens a
+    // file per (batch, bucket) dir (the tiny-files lesson)
+    postings.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("batch_id", "bucket")
+      .parquet(postingsPath(root))
+    withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(statsPath(root))
+  }
+
+  /** Query the persisted index: reads ONLY the buckets the query terms
+    * hash into plus the tiny stats table — no corpus scan. */
+  def bm25SearchIndexed(spark: SparkSession, root: String,
+      queries: Seq[(Int, Seq[String])] = BmQueries,
+      buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    checkLayout(spark, root, buckets)
+    val termSet = queries.flatMap(_._2).distinct
+    // bucket ids for the query terms, via the SAME hash the writer used
+    // (bounded driver pull: one row per distinct term)
+    val qBuckets = termSet.toDF("w")
+      .select(pmod(hash(col("w")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tf = spark.read.parquet(postingsPath(root))
+      .filter(col("bucket").isin(qBuckets: _*) && col("w").isin(termSet: _*))
+      .select("doc_id", "w", "dl", "tf")
+    val scal = spark.read.parquet(statsPath(root))
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sdl"))
+    bm25Score(tf, scal, queries)
+  }
+
+  /** Streaming index maintenance: each micro-batch of (doc_id, text)
+    * docs is appended as its own batch_id partition set — replay
+    * overwrites in place (see the layout note above). */
+  def termIndexAppendStream(stream: DataFrame, root: String, checkpoint: String,
+      buckets: Int = 64,
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    writeLayout(stream.sparkSession, root, buckets)
+    monitor.foreach(_.register(root))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        writeIndexBatch(batch.toDF().select("doc_id", "text"), root, batchId, buckets)
+        monitor.foreach(_.record(root))
+      }
+      .start()
   }
 }

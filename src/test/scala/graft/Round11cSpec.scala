@@ -248,6 +248,38 @@ class Round11cSpec extends SparkSpec {
       "replayed batch duplicated stats rows")
   }
 
+  test("bm25 persisted index: indexed query equals the corpus-scan path; streamed appends compose; replay overwrites in place") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bm25idx_ck").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // base = ids % 3 == 0; two streamed batches carry the rest
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    Retrieval.buildTermIndex(base, root)
+    val in = MemoryStream[(Long, String)]
+    val q = Retrieval.termIndexAppendStream(
+      in.toDF().toDF("doc_id", "text"), root, ckpt)
+    val rest = docs.filter(col("doc_id") % 3 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rest.partition(_._1 % 3 == 1)
+    in.addData(b1.toSeq: _*); q.processAllAvailable()
+    in.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val fromIndex = Retrieval.bm25SearchIndexed(spark, root).collect().map(_.toSeq)
+    val fromScan = Retrieval.bm25SearchOf(docs).collect().map(_.toSeq)
+    assert(fromIndex.nonEmpty && fromIndex.toSeq == fromScan.toSeq)
+    // replay batch 0 (same docs, same id): pure overwrite, same answer
+    Retrieval.writeIndexBatch(b1.toSeq.toDF("doc_id", "text"), root, 0L, 64)
+    val replayed = Retrieval.bm25SearchIndexed(spark, root).collect().map(_.toSeq)
+    assert(replayed.toSeq == fromScan.toSeq, "replayed batch changed the index")
+    // layout marker: a mismatched bucket count fails loudly
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25SearchIndexed(spark, root, buckets = 32)
+    }
+  }
+
   test("packStream: arrival-order packing with O(1) per-source state; open sequences continue across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.EventStream
