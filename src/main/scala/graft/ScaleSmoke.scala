@@ -256,6 +256,22 @@ object ScaleSmoke {
       require(n == 50, s"unexpected bm25 hit count $n")
       n
     }
+    // persisted term index at 1M docs: build once (corpus pass), then
+    // the indexed query reads ONLY the buckets its terms hash into —
+    // the query stage must run in milliseconds-to-seconds independent
+    // of corpus size
+    val bmQs = Seq(1 -> Seq("w17", "w2345", "w999"), 2 -> Seq("w1", "w8888"),
+      3 -> Seq("w42", "w4242"), 4 -> Seq("w7", "w77", "w777"),
+      5 -> Seq("w3141", "w5926"))
+    val idxRoot = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    time("bm25 index build 1M docs") {
+      operators.Retrieval.buildTermIndex(docsBig, idxRoot); 1L
+    }
+    time("bm25 indexed query") {
+      val n = operators.Retrieval.bm25SearchIndexed(spark, idxRoot, bmQs).count()
+      require(n == 50, s"unexpected indexed bm25 hit count $n")
+      n
+    }
     // sequence packing (d49) at 1M docs: one shuffle to ~2k bounded
     // (source, shard) groups, a tight loop each
     time("sequence pack 1M docs") {
