@@ -278,6 +278,11 @@ object SparkEntry {
     // d44 NLL + deterministic 10% tail sample (two-level rank, no
     // value-quantile knife edge); oracle-exact
     "d52_ccnet_buckets"   -> (Curation.ccnetBuckets _),
+    // score docs against a FROZEN reference bigram LM (trained on the
+    // benchmark slice): the real CCNet filter shape — unseen grams
+    // carry the smoothing floor via left joins; persistable artifact
+    // (saveBigramLm/loadBigramLm); oracle-exact
+    "d53_lm_score"        -> (Curation.lmScore _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1338,6 +1343,30 @@ object SparkEntry {
          |    (CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
          |          / 4294967296.0 < CAST(0.1 AS DOUBLE)) AS keep
          |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
+    // Frozen-LM scoring: the reference slice's counts via LEFT joins +
+    // COALESCE floors, otherwise the d44 term verbatim.
+    "d53_lm_score" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS ng, ws[i] AS w1
+        |  FROM docs, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |ref AS (SELECT doc_id, ws FROM docs WHERE doc_id % 7 = 0),
+        |tcb AS (SELECT ng, COUNT(*) AS cb FROM (
+        |  SELECT array_to_string(ws[i:i+1], ' ') AS ng
+        |  FROM ref, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 2) GROUP BY ng),
+        |tcu AS (SELECT w, COUNT(*) AS cu
+        |  FROM (SELECT UNNEST(ws) AS w FROM ref) GROUP BY w),
+        |tv AS (SELECT COUNT(*) AS v FROM tcu)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(CAST(SUM(CAST(ROUND(-LN(CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
+        |        / (COALESCE(cu, 0) + v)), 9)
+        |        AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS nll_lm
+        |FROM grams LEFT JOIN tcb USING (ng) LEFT JOIN tcu ON grams.w1 = tcu.w
+        |CROSS JOIN tv
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // DSIR: the three double divisions and the LN are parenthesized
     // exactly as the Spark side computes them; totals stay integral

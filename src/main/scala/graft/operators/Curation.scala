@@ -443,6 +443,86 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** A frozen bigram LM: the count tables [[bigramNllOf]] computes
+    * in-flight, as reusable frames — `cu` (w, cu), `cb` (ng, cb), and
+    * the one-row vocab size `v`. Train once on a REFERENCE corpus,
+    * score any stream of raw docs against it (the real CCNet shape:
+    * the filter LM is trained on clean text, not on the data it
+    * filters). Persistable via [[saveBigramLm]]/[[loadBigramLm]] with
+    * a layout marker — the BpeVocab/IVF-store artifact discipline. */
+  case class BigramLm(cu: DataFrame, cb: DataFrame, v: DataFrame)
+
+  /** Train the frozen LM's count tables from a (doc_id, text) frame —
+    * the EXACT counts d44 derives (same gram expression, same keys). */
+  def trainBigramLmOf(ref: DataFrame): BigramLm = {
+    val grams = ref.select(
+      explode(graft.functions.VectorExprs.wordNgrams(split(col("text"), " "), 2)).as("ng"))
+    val cb = grams.groupBy("ng").agg(count(lit(1)).as("cb"))
+    val cu = ref.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    BigramLm(cu, cb, cu.agg(count(lit(1)).as("v")))
+  }
+
+  def saveBigramLm(lm: BigramLm, path: String): Unit = {
+    lm.cu.write.mode("overwrite").parquet(s"$path/cu")
+    lm.cb.write.mode("overwrite").parquet(s"$path/cb")
+    lm.v.coalesce(1).write.mode("overwrite").parquet(s"$path/v")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
+    val fs = p.getFileSystem(lm.cu.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("graft-bigram-lm v1\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  def loadBigramLm(s: SparkSession, path: String): BigramLm = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no bigram-LM layout marker at $path — not a trained store")
+    BigramLm(s.read.parquet(s"$path/cu"), s.read.parquet(s"$path/cb"),
+      s.read.parquet(s"$path/v"))
+  }
+
+  /** d53: score docs against a FROZEN bigram LM — add-one smoothed
+    * like d44, but unseen grams/words carry the smoothing floor
+    * (LEFT join + coalesce 0) instead of being impossible: the scored
+    * corpus need not overlap the training corpus at all. Scored
+    * against its own training corpus this reduces exactly to
+    * [[bigramNllOf]] (every join hits — spec-gated). Docs with fewer
+    * than 2 words drop, as in d44.
+    *
+    * Scale shape: the LM tables are vocab/gram-bounded (broadcast
+    * when small, shuffle joins on gram keys when not — the same d44
+    * plan with the count side read from the artifact instead of
+    * recomputed), one broadcast scalar, d33 float discipline.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    // the benchmark slice (the d36/d38/d46 convention) stands in for
+    // the clean reference corpus the filter LM is trained on
+    lmScoreOf(docs, trainBigramLmOf(docs.filter(col("doc_id") % 7 === 0)))
+  }
+
+  /** Core of [[lmScore]]: per-doc mean NLL of `docs` under `lm`. */
+  def lmScoreOf(docs: DataFrame, lm: BigramLm): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExprs.wordNgrams(split(col("text"), " "), 2))
+          .as("ng"))
+      .withColumn("w1", substring_index(col("ng"), " ", 1))
+    grams
+      .join(lm.cb, Seq("ng"), "left")
+      .join(lm.cu, col("w1") === col("w"), "left")
+      .crossJoin(broadcast(lm.v))
+      .withColumn("term",
+        round(-log((coalesce(col("cb"), lit(0L)) + lit(1)).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v"))), 9)
+          .cast("decimal(18,9)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("term")).cast("double") / count(lit(1)), 6).as("nll_lm"))
+      .orderBy("doc_id")
+  }
+
   /** d52: CCNet-style perplexity bucketing (Wenzek et al. 2020,
     * public): rank every doc by the d44 bigram-LM NLL and split the
     * corpus into head/middle/tail THIRDS by rank (low NLL = most
