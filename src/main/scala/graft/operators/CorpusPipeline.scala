@@ -238,9 +238,9 @@ object CorpusPipeline {
     * Every gate is row-deterministic (or batch-local for the decon
     * semi-join), so a REPLAYED micro-batch re-derives the identical
     * keep set: the property the streaming sink's replay idempotence
-    * rests on. `benchGrams` is the pre-scrubbed distinct 8-gram set of
-    * the eval suite (tiny → broadcast), computed once at stream start,
-    * not per batch. */
+    * rests on. `benchGrams` is the pre-scrubbed distinct 8-gram HASH
+    * set of the eval suite ([[benchmarkGrams]]; tiny → broadcast),
+    * computed once at stream start, not per batch. */
   def curateBatch(docs: DataFrame, benchGrams: Option[DataFrame] = None,
       minWords: Int = 5, maxRepFrac: Double = 1.0): DataFrame = {
     val scrubbed = scrubText(docs)
@@ -262,10 +262,15 @@ object CorpusPipeline {
 
   /** The benchmark side of [[curateBatch]]'s decontamination gate:
     * scrub (identically to the corpus) and collect the distinct word
-    * 8-grams. Call once on the static eval suite, pass the result to
-    * every batch. */
+    * 8-gram xxhash64 HASHES (see Curation.contaminatedIds for why the
+    * gate compares hashes). Call once on the static eval suite, pass
+    * the result to every batch. */
   def benchmarkGrams(benchmark: DataFrame, n: Int = 8): DataFrame =
-    Curation.explodedNgrams(scrubText(benchmark), n).select("ng").distinct()
+    scrubText(benchmark)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= n)
+      .select(explode(graft.functions.VectorExprs.ngramHashes(col("ws"), n)).as("ngh"))
+      .distinct()
 
   /** Write training examples as partitioned parquet shards — the
     * pipeline's terminal sink. Discipline (measured, see build notes):

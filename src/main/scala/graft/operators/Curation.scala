@@ -61,14 +61,25 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  /** The contaminated doc_id SET against a pre-built distinct gram
+  /** The contaminated doc_id SET against a pre-built distinct gram-HASH
     * frame — the single decontamination-gate implementation shared by
     * CorpusPipeline.buildTrainingCorpus and curateBatch (one broadcast
-    * semi-join + distinct; no per-doc scoring aggregation). */
+    * semi-join + distinct; no per-doc scoring aggregation). The gate
+    * compares 64-bit xxhash64 gram hashes (the fused NgramHashes
+    * expression), not gram strings: the corpus side explodes one long
+    * per position instead of a ~50-char string, and the broadcast
+    * hashed relation shrinks ~6×. A hash collision (≈2⁻⁶⁴ per candidate
+    * pair) could at worst drop one extra doc from a GATING path — the
+    * oracle-exact d24 report ([[decontaminateOf]]) stays string-exact. */
   private[operators] def contaminatedIds(training: DataFrame,
-      benchGrams: DataFrame, n: Int = 8): DataFrame =
-    explodedNgrams(training, n)
-      .join(broadcast(benchGrams), "ng")
+      benchGramHashes: DataFrame, n: Int = 8): DataFrame =
+    training
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= n)
+      .withColumn("ngh",
+        explode(graft.functions.VectorExprs.ngramHashes(col("ws"), n)))
+      .select("doc_id", "ngh")
+      .join(broadcast(benchGramHashes), "ngh")
       .select("doc_id").distinct()
 
   /** d25: Gopher-style repetition gauge — the fraction of a document's
