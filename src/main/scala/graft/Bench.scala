@@ -108,10 +108,35 @@ object Bench {
         Some((busyAll, self(13).toLong + self(14).toLong)) // utime + stime
       } catch { case _: Throwable => None }
 
-    def runSuite(): (Seq[(String, Double, Boolean)], Double, Double) = {
+    // IO-pressure gauge (PSI): /proc/pressure/io "full" total is the
+    // µs in which NO runnable task made IO progress — the gauge that
+    // catches the thief the other three can't: page-cache writeback /
+    // disk contention steals wall time while cal reads quiet (a single
+    // CPU core is free), ext_cores reads 0 (no external jiffies), and
+    // warm still learns from cold. Measured: a capture right after an
+    // 8 GB parquet generation read wall 25.6 s vs 11 s quiet with every
+    // other gauge green. Our own shuffle IO barely registers on "full"
+    // (some task is almost always compute-runnable), so a high
+    // fraction over the pass is external pressure.
+    def psiFullUs(kind: String): Option[Long] =
+      try {
+        scala.io.Source.fromFile(s"/proc/pressure/$kind").getLines()
+          .find(_.startsWith("full")).flatMap(_.split("\\s+")
+            .find(_.startsWith("total=")).map(_.stripPrefix("total=").toLong))
+      } catch { case _: Throwable => None }
+    // io + memory full-stall combined: reclaim churn after a big write
+    // shows up as memory pressure, not io
+    def psiIoFullUs(): Option[Long] =
+      (psiFullUs("io"), psiFullUs("memory")) match {
+        case (Some(a), Some(b)) => Some(a + b)
+        case (a, b)             => a.orElse(b)
+      }
+
+    def runSuite(): (Seq[(String, Double, Boolean)], Double, Double, Double) = {
       val pool = Executors.newFixedThreadPool(conc)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val busy0 = procBusy()
+      val io0 = psiIoFullUs()
       val wall0 = System.nanoTime()
       val futures = ordered.map { case (name, fn) =>
         Future {
@@ -131,7 +156,11 @@ object Bench {
           math.max(0.0, ((a1 - a0) - (s1 - s0)) / (100.0 * wall))
         case _ => -1.0
       }
-      (results, wall, extCores)
+      val ioStall = (io0, psiIoFullUs()) match {
+        case (Some(a), Some(b)) => math.max(0.0, (b - a) / 1e6 / wall)
+        case _ => -1.0
+      }
+      (results, wall, extCores, ioStall)
     }
 
     // Fixed-cost calibration, measured AT CAPTURE TIME: a driver-local
@@ -151,8 +180,8 @@ object Bench {
         }.min
       } catch { case _: Throwable => -1.0 }
 
-    val (cold, wallCold, _) = runSuite()
-    var (warm, wallWarm, ext) = runSuite()
+    val (cold, wallCold, _, _) = runSuite()
+    var (warm, wallWarm, ext, io) = runSuite()
     var cal = calOnce(spark)
     // Self-defense against contended captures: round 7's official
     // artifact read a 76s wall with cal 0.983 (vs 0.22-0.36 quiet) —
@@ -178,6 +207,11 @@ object Bench {
     //   - warm >= 0.9× cold: a warm pass that learned NOTHING from the
     //     cold pass's planning/codegen/page-cache warmup is itself
     //     evidence the window was stolen (quiet captures run ~0.5×).
+    //   - `io_stall` (PSI full-IO fraction over the warm pass): the
+    //     invisible-theft gauge — writeback/disk pressure inflates the
+    //     wall while cal stays quiet, ext reads 0 and warm still
+    //     learns (measured 25.6 s vs 11 s quiet with the other three
+    //     green, right after a multi-GB parquet generation).
     // If any gauge trips, re-run the warm suite ONCE and keep the
     // less-contended capture; either way the line carries `contended`
     // so downstream tooling never mistakes a loaded snapshot for a
@@ -205,11 +239,13 @@ object Bench {
       case Some(b) if b > 0 => c > 1.3 * b || c > CalThreshold
       case _                => c > CalThreshold
     })
+    val IoStallThreshold = 0.10
     def warmAnomaly(w: Double): Boolean = wallCold > 0 && w >= 0.9 * wallCold
-    def loaded(c: Double, e: Double, w: Double) =
-      calTrip(c) || e > ExtCoresThreshold || warmAnomaly(w)
-    if (loaded(cal, ext, wallWarm)) {
-      val (warm2, wallWarm2, ext2) = runSuite()
+    def loaded(c: Double, e: Double, w: Double, i: Double) =
+      calTrip(c) || e > ExtCoresThreshold || warmAnomaly(w) ||
+        i > IoStallThreshold
+    if (loaded(cal, ext, wallWarm, io)) {
+      val (warm2, wallWarm2, ext2, io2) = runSuite()
       val cal2 = calOnce(spark)
       // "less contended" judged on whichever gauge can actually compare
       // the two captures: ext when both sides measured it and they
@@ -219,10 +255,12 @@ object Bench {
       // — must still be able to accept a cleaner re-run); else prefer
       // the capture that HAS an ext reading at all.
       val extComparable = ext >= 0 && ext2 >= 0 && math.abs(ext2 - ext) > 0.1
+      val ioComparable = io >= 0 && io2 >= 0 && math.abs(io2 - io) > 0.05
       val wallComparable = math.abs(wallWarm2 - wallWarm) > 0.05 * math.max(wallWarm, wallWarm2)
       val calComparable = cal >= 0 && cal2 >= 0
       val keepRerun =
         if (extComparable) ext2 < ext
+        else if (ioComparable) io2 < io
         else if (wallComparable) wallWarm2 < wallWarm
         else if (calComparable) cal2 < cal
         else ext2 >= 0 && ext < 0
@@ -230,9 +268,10 @@ object Bench {
         warm = warm2; wallWarm = wallWarm2
         if (ext2 >= 0) ext = ext2
         if (cal2 >= 0) cal = cal2
+        if (io2 >= 0) io = io2
       }
     }
-    val contended = loaded(cal, ext, wallWarm)
+    val contended = loaded(cal, ext, wallWarm, io)
     // The history appends on ABSOLUTE quiet (ext clean, warm learned
     // from cold, cal under the hard 0.5) — deliberately not on the
     // relative cal gauge, or a stale-low history could never recover:
@@ -241,7 +280,8 @@ object Bench {
     // the absolute gauges), and one mildly-inflated entry moves an
     // 8-deep median by at most one rank.
     val absoluteQuiet = cal >= 0 && cal <= CalThreshold &&
-      ext <= ExtCoresThreshold && !warmAnomaly(wallWarm)
+      ext <= ExtCoresThreshold && !warmAnomaly(wallWarm) &&
+      io <= IoStallThreshold
     if (absoluteQuiet)
       try {
         val hist = (calHistory :+ cal).takeRight(8)
@@ -303,6 +343,6 @@ object Bench {
       .mkString("{", ",", "}")
     // `wall` (warm) is repeated as the LAST field: the driver captures
     // the tail of long lines and the headline must survive truncation.
-    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"ext_cores":${f3(ext)},"contended":$contended,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
+    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"ext_cores":${f3(ext)},"io_stall":${f3(io)},"contended":$contended,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
   }
 }
