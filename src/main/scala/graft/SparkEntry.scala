@@ -974,6 +974,27 @@ object SparkEntry {
         |SELECT node, LEAST(node, MIN(other)) AS cluster_id
         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
 
+    // d5 exact cosine top-k: the independent anchor for the whole ANN
+    // recall ladder (d6/d16/d17/d32 gate against this truth).
+    // Bit-exact cross-engine: DuckDB list_inner_product on DOUBLE[]
+    // accumulates sequentially in double, identical to DotProductF's
+    // float→double loop; sqrt / * / / are IEEE correctly-rounded, so
+    // the cosine doubles (and hence the (cos desc, vec_id asc)
+    // ranking) match Spark bit-for-bit with NO rounding needed.
+    "d5_embed_topk" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS q_vec, nrm AS q_nrm FROM n WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id AS neighbor_id,
+        |         list_inner_product(q.q_vec, c.v) / (q.q_nrm * c.nrm) AS cos
+        |  FROM n c JOIN q ON c.vec_id <> q.q_id)
+        |SELECT q_id, neighbor_id, cos, CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        |      FROM scored)
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
+
     "d7_lang_id" -> {
       def cnt(tok: String) = s"CAST((length(t) - length(replace(t, '$tok', ''))) / ${tok.length} AS BIGINT)"
       s"""WITH scored AS (

@@ -388,6 +388,31 @@ case class BitsetIntersect(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** array<string> token set → fixed-width HASHED bitset (array<long>,
+  * numBits/64 longs): bit xxhash64(w) & (numBits-1) per word. The
+  * open-vocabulary counterpart of [[TokenBitset]] — no dictionary, no
+  * cap, but collisions mean popcount(AND) only BOUNDS the true
+  * intersection instead of equalling it: for token sets A, B with an
+  * intersection of m words, bits(A∩B) ⊆ bits(A)∩bits(B) and removing
+  * the |A|−m words of A∖B clears at most |A|−m bits, so
+  * popcount(sig_a & sig_b) ≥ popcount(sig_a) − (|A|−m)  (and
+  * symmetrically for B). Candidate pruning on that bound is therefore
+  * SOUND (never drops a pair whose true jaccard meets the threshold);
+  * survivors get an exact string-set verify. numBits must be a power
+  * of two. */
+case class HashBitset(child: Expression, numBits: Int)
+    extends UnaryExpression {
+  require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+    s"numBits must be a power of two, got $numBits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(in: Any): Any =
+    ExprHelpers.hashBitset(in.asInstanceOf[ArrayData], numBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ExprHelpers.hashBitset($a, $numBits);")
+  override protected def withNewChildInternal(c: Expression): HashBitset = copy(child = c)
+}
+
 /** Word k-grams of an array<string> column as array<string> — the
   * gram strings the reference curation queries join/count on,
   * byte-identical to array_join(slice(ws,i,k), ' ') but built in one
@@ -933,6 +958,19 @@ object ExprHelpers {
     new GenericArrayData(out)
   }
 
+  def hashBitset(a: ArrayData, numBits: Int): ArrayData = {
+    val out = new Array[Long](numBits >> 6)
+    val mask = numBits - 1
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      val j = (XxHash64Function.hash(a.getUTF8String(i), StringType, 42L) & mask).toInt
+      out(j >> 6) |= 1L << (j & 63)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def bitsetIntersect(a: ArrayData, b: ArrayData): Long = {
     var c = 0L
     val n = a.numElements()
@@ -1080,6 +1118,7 @@ object VectorExprs {
   def minhashSig(c: Column, k: Int): Column = toCol(MinHashSig(toExpr(c), k))
   def intersectCount(a: Column, b: Column): Column = toCol(IntersectCount(toExpr(a), toExpr(b)))
   def tokenBitset(c: Column, vocab: TokenVocab): Column = toCol(TokenBitset(toExpr(c), vocab))
+  def hashBitset(c: Column, numBits: Int): Column = toCol(HashBitset(toExpr(c), numBits))
   def bitsetIntersect(a: Column, b: Column): Column = toCol(BitsetIntersect(toExpr(a), toExpr(b)))
   def minhashShingleSig(c: Column, k: Int, perms: Int): Column =
     toCol(MinHashShingleSig(toExpr(c), k, perms))

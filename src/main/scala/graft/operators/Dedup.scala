@@ -571,53 +571,112 @@ object Dedup {
     ngramJaccardOf(Tables.documents(s, d))
   }
 
-  /** Core of [[ngramJaccard]]. Adaptive token representation: when the
-    * corpus vocabulary fits `vocabCap` distinct words, each doc's token
-    * set becomes a fixed-width BITSET against a driver-collected
-    * plan-constant dictionary (TokenBitset) — the candidate join then
-    * moves ceil(V/64) longs per doc instead of the token strings, and
-    * the per-pair exact intersection is AND+popcount (BitsetIntersect)
-    * instead of a HashSet build over UTF8Strings. Byte-identical
-    * output; measured 10×-dir latency for the d4/d20/d35 family
-    * dropped ~5× (the synthesized corpus has a 310-word vocabulary, so
-    * 8.5 M surviving candidates each paid string-array materialization
-    * + hashing). Above the cap (real open-vocabulary corpora) the
-    * string-array path below runs unchanged — and at that scale d19's
-    * LSH mining is the intended tool anyway (see ngramJaccardViaLsh). */
+  /** Core of [[ngramJaccard]]. Adaptive token representation, three
+    * tiers, byte-identical output:
+    *
+    *  - vocab ≤ `vocabCap` distinct words: each doc's token set becomes
+    *    a fixed-width BITSET against a driver-collected plan-constant
+    *    dictionary (TokenBitset) — the candidate join moves ceil(V/64)
+    *    longs per doc instead of the token strings and the per-pair
+    *    exact intersection is AND+popcount (BitsetIntersect). Measured
+    *    10×-dir latency for the d4/d20/d35 family dropped ~5× when this
+    *    landed (8.5 M surviving candidates each paid string-array
+    *    materialization + hashing on the string path).
+    *  - open vocabulary (`hashedBits` > 0, the default): token sets
+    *    become fixed `hashedBits`-bit HASHED bitsets
+    *    ([[graft.functions.HashBitset]] — no dictionary, no cap).
+    *    popcount(AND) lower-bounds within (sz − m) of the true
+    *    intersection m, so the ib ≥ bits − sz + ⌈4(sz_a+sz_b)/9⌉
+    *    two-sided test below is a SOUND j ≥ 0.8 prune; survivors (true
+    *    pairs + hash-collision false positives) join BACK to the token
+    *    strings for the exact HashSet verify. AND/popcount speed at any
+    *    vocabulary — the former >vocabCap cliff (string arrays shipped
+    *    through the banded join, the shape behind the 241.9 s 10× wall)
+    *    is gone.
+    *  - `hashedBits` == 0: the plain string-array path, kept as the
+    *    parity reference for both bitset tiers (Round11cSpec). */
   private[graft] def ngramJaccardOf(docs: DataFrame,
-      vocabCap: Int = 1024): DataFrame = {
+      vocabCap: Int = 1024, hashedBits: Int = 4096): DataFrame = {
+    // One materialization feeds the vocab probe AND the pair join
+    // (lazy local checkpoint fills at the probe's collect): TokenBitset
+    // hard-throws on a token the probe never saw, so probe and main
+    // query must see the SAME rows even for a non-deterministic input
+    // frame — and the tokenization pass runs once instead of twice.
     val toksRaw = docs
       .select(col("doc_id"), col("lang"), col("source"),
         array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
       .withColumn("sz", size(col("ws")).cast("long"))
       .withColumn("band", exactSizeBand(col("sz")))
+      .localCheckpoint(false)
     // bounded driver pull: at most vocabCap+1 sorted words decide the path
     val vocabWords = toksRaw.select(explode(col("ws")).as("w")).distinct()
       .orderBy("w").limit(vocabCap + 1).collect().map(_.getString(0))
-    val (toks, interOf): (DataFrame, (Column, Column) => Column) =
-      if (vocabWords.length <= vocabCap && vocabWords.nonEmpty) {
-        val vocab = new graft.functions.TokenVocab(vocabWords)
-        (toksRaw.withColumn("ws",
-          graft.functions.VectorExprs.tokenBitset(col("ws"), vocab)),
-          graft.functions.VectorExprs.bitsetIntersect)
-      } else (toksRaw, graft.functions.VectorExprs.intersectCount)
-    val a = toks.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-      col("ws").as("ws_a"), col("sz").as("sz_a"),
-      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
-    val b = toks.select(col("lang"), col("source"), col("band"),
-      col("doc_id").as("id_b"), col("ws").as("ws_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("lang", "source", "band"))
-      // exact size-ratio prune: jaccard >= 0.8 requires 5*min >= 4*max
-      // (bands are coarse; this is the precise integer test)
-      .filter(col("id_a") < col("id_b") &&
-        col("sz_a") * 5 >= col("sz_b") * 4 && col("sz_b") * 5 >= col("sz_a") * 4)
-      .withColumn("n_inter", interOf(col("ws_a"), col("ws_b")))
+
+    // Banded self-join: size band is part of the JOIN key (see
+    // ngramJaccard's scaladoc) and the precise integer 4:5 size-ratio
+    // test prunes before any per-pair set work. `payload` is the
+    // per-doc representation the pair predicate needs (bitset or
+    // strings), suffixed _a/_b.
+    def banded(toks: DataFrame, payload: Seq[String]): DataFrame = {
+      val a = toks.select(Seq(col("lang"), col("source"), col("doc_id").as("id_a"),
+        col("sz").as("sz_a")) ++ payload.map(c => col(c).as(c + "_a")) :+
+        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"): _*)
+      val b = toks.select(Seq(col("lang"), col("source"), col("band"),
+        col("doc_id").as("id_b"), col("sz").as("sz_b")) ++
+        payload.map(c => col(c).as(c + "_b")): _*)
+      a.join(b, Seq("lang", "source", "band"))
+        // exact size-ratio prune: jaccard >= 0.8 requires 5*min >= 4*max
+        // (bands are coarse; this is the precise integer test)
+        .filter(col("id_a") < col("id_b") &&
+          col("sz_a") * 5 >= col("sz_b") * 4 && col("sz_b") * 5 >= col("sz_a") * 4)
+    }
+    def finish(withInter: DataFrame): DataFrame = withInter
       .filter(col("n_inter") > 0)
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("sz_a") + col("sz_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.8)
       .select("id_a", "id_b", "n_inter", "jaccard")
       .orderBy("id_a", "id_b")
+
+    if (vocabWords.length <= vocabCap && vocabWords.nonEmpty) {
+      val vocab = new graft.functions.TokenVocab(vocabWords)
+      val toks = toksRaw.withColumn("bs",
+        graft.functions.VectorExprs.tokenBitset(col("ws"), vocab))
+        .drop("ws")
+      finish(banded(toks, Seq("bs")).withColumn("n_inter",
+        graft.functions.VectorExprs.bitsetIntersect(col("bs_a"), col("bs_b"))))
+    } else if (hashedBits > 0) {
+      val toks = toksRaw
+        .withColumn("sig", graft.functions.VectorExprs.hashBitset(col("ws"), hashedBits))
+        // per-doc set-bit count = popcount(sig AND sig)
+        .withColumn("bits", graft.functions.VectorExprs.bitsetIntersect(col("sig"), col("sig")))
+        .drop("ws")
+      // m_min = ceil(4(sz_a+sz_b)/9): j = m/(sa+sb-m) >= 0.8 ⇔ 9m >= 4(sa+sb).
+      // Integer-exact via floor((4s+8)/9): the double division can only
+      // land on an integer boundary when 9 | (4s+8), where the exact
+      // quotient is representable and IEEE division returns it.
+      val mMin = floor(((col("sz_a") + col("sz_b")) * 4 + 8) / 9.0)
+      val cand = banded(toks, Seq("sig", "bits"))
+        .withColumn("ib",
+          graft.functions.VectorExprs.bitsetIntersect(col("sig_a"), col("sig_b")))
+        // SOUND prune (HashBitset scaladoc): a true j>=0.8 pair has
+        // ib >= bits_x - (sz_x - m) >= bits_x - sz_x + m_min on BOTH sides
+        .filter(col("ib") >= col("bits_a") - col("sz_a") + mMin &&
+          col("ib") >= col("bits_b") - col("sz_b") + mMin)
+        .select("id_a", "id_b", "sz_a", "sz_b")
+      // exact verify: only survivors fetch token strings (two equi-joins
+      // on doc_id — candidate volume is bounded by true near-dup density
+      // plus the hash-collision false-positive rate, never corpus²)
+      val strs = toksRaw.select(col("doc_id"), col("ws"))
+      finish(cand
+        .join(strs.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+        .join(strs.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+        .withColumn("n_inter",
+          graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b"))))
+    } else {
+      finish(banded(toksRaw, Seq("ws")).withColumn("n_inter",
+        graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b"))))
+    }
   }
 
   /** Scale-safe n-gram Jaccard: candidate pairs from MinHash-LSH banding

@@ -226,15 +226,28 @@ class Round11cSpec extends SparkSpec {
     }
   }
 
-  test("d4 bitset fast path: row-identical to the string-array formulation (incl. jaccard doubles)") {
+  test("d4 bitset fast paths: vocab-bitset AND hashed-bitset row-identical to the string-array formulation (incl. jaccard doubles)") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
-    // vocabCap 0 forces the open-vocabulary string-array path; the
-    // default picks the bitset dictionary on this 31-word corpus
-    val arrPath = Dedup.ngramJaccardOf(docs, vocabCap = 0).collect().map(_.toSeq)
+    // (vocabCap 0, hashedBits 0) forces the string-array reference path;
+    // vocabCap 0 alone forces the open-vocabulary HASHED prune+verify
+    // path; the default picks the bitset dictionary on this 31-word
+    // corpus. All three must be row-identical.
+    val arrPath = Dedup.ngramJaccardOf(docs, vocabCap = 0, hashedBits = 0)
+      .collect().map(_.toSeq)
+    val hashPath = Dedup.ngramJaccardOf(docs, vocabCap = 0).collect().map(_.toSeq)
     val bitPath = Dedup.ngramJaccardOf(docs).collect().map(_.toSeq)
     assert(bitPath.nonEmpty, "fixture mined no pairs — fixture rot")
     assert(bitPath.toSeq == arrPath.toSeq)
+    assert(hashPath.toSeq == arrPath.toSeq,
+      "hashed prune+verify path must lose no pair vs the exact reference")
+    // narrow hashed space (64 bits over a 31-word vocab → dense
+    // collisions): the prune must STAY sound — exact verify only ever
+    // removes false positives, never true pairs
+    val tiny = Dedup.ngramJaccardOf(docs, vocabCap = 0, hashedBits = 64)
+      .collect().map(_.toSeq)
+    assert(tiny.toSeq == arrPath.toSeq,
+      "collision-dense hashed path dropped true pairs — prune bound is unsound")
   }
 
   test("d4 bitset: unknown token fails loudly (a silent miss would undercount n_inter)") {
