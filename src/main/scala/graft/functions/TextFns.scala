@@ -154,20 +154,44 @@ object TextFns {
 
   /** d15: per-language frequent tokens via the SpaceSaving
     * heavy-hitters aggregate (graft.functions.HeavyHittersAgg, a custom
-    * TypedImperativeAggregate). Capacity exceeds the vocabulary here so
-    * the sketch is exact — the DuckDB oracle is the plain GROUP BY the
-    * sketch replaces at scale. 1024 covers the synthesized 10× corpus
-    * too (its per-copy word tags multiply per-lang vocab ~10×; 64 was
-    * sized to the 1× corpus and silently left the exact regime there —
-    * caught by the 10× selfcheck). Sketch state stays O(capacity) per
-    * (lang, partition) regardless.
+    * TypedImperativeAggregate). The oracle is the plain GROUP BY the
+    * sketch replaces at scale, so the sketch must stay in its EXACT
+    * regime (capacity ≥ per-group distinct items) — a fixed constant
+    * silently leaves it when the corpus vocabulary outgrows it (64 was
+    * sized to the 1× corpus and broke at 10×; 1024 was one synthetic
+    * vocab doubling from breaking at 30×). Capacity is therefore
+    * AUTO-SIZED from an exact per-lang distinct-count probe (one
+    * map-side-combined aggregate over the token stream, a bounded
+    * n_langs-row driver pull), rounded up to the next power of two with
+    * a 1024 floor so it stays stable across small corpus growth. At
+    * true open-vocabulary scale you'd pin a capacity and accept the
+    * sketch's ±n/capacity estimates — the exact regime is the
+    * correctness-gate contract, not the 100 TB one. Sketch state stays
+    * O(capacity) per (lang, partition) regardless.
     */
-  def heavyTokens(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  def heavyTokens(s: SparkSession, d: String): DataFrame =
+    heavyTokensOf(Tables.documents(s, d))
+
+  /** Core of [[heavyTokens]] over any (lang, text) frame. */
+  private[graft] def heavyTokensOf(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
+    val maxDistinct = tok.groupBy("lang")
+      .agg(countDistinct(col("w")).as("v"))
+      .agg(coalesce(max(col("v")), lit(0L))).collect()(0).getLong(0)
+    // next power of two ≥ maxDistinct, floored at 1024, capped at 2^20
+    // (beyond that a per-group exact roster is no longer sketch-sized —
+    // fail loudly rather than silently approximate against an exact oracle)
+    val nextPow2 =
+      if (maxDistinct <= 1L) 1L
+      else java.lang.Long.highestOneBit(maxDistinct - 1) << 1
+    require(nextPow2 <= (1L << 20),
+      s"d15 exact-regime capacity $maxDistinct exceeds 2^20 — corpus is " +
+        "open-vocabulary; pin a capacity and gate with a recall spec instead")
+    val cap = math.max(1024L, nextPow2).toInt
     tok.groupBy(col("lang"))
-      .agg(graft.functions.HeavyHitters.heavyHitters(col("w"), 1024).as("hh"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(col("w"), cap).as("hh"))
       .select(col("lang"), explode(col("hh")).as("h"))
       .select(col("lang"), col("h.item").as("w"), col("h.est_count").as("n"))
       .orderBy("lang", "w")

@@ -343,7 +343,14 @@ object Curation {
   /** Core of [[gopherRepetition]] over an explicit (doc_id, text)
     * frame. Docs shorter than k words contribute zero mass for that k
     * (GopherStats returns (0,0)), mirroring the oracle's LEFT JOIN +
-    * COALESCE(0). */
+    * COALESCE(0).
+    *
+    * Empty-text docs (n_chars = 0): every frac is 0/0 = NaN and the
+    * keep flag is false — identically in BOTH engines (IEEE NaN
+    * comparisons are false in Spark and DuckDB alike), so oracle parity
+    * holds. Semantically that classifies an empty doc as a drop, which
+    * is the behavior a quality filter wants; callers needing NaN-free
+    * report columns should pre-filter length(text) > 0. */
   def gopherRepetitionOf(docs: DataFrame): DataFrame = {
     // ONE GopherAll eval per row, materialized through inline(array(…))
     // so the frac columns and keep flag are plain field reads — the

@@ -149,9 +149,17 @@ object Retrieval {
 
   /** Build (or rebuild) the base index from a (doc_id, text) frame.
     * The base lands as batch_id = -1; streaming appends use their
-    * micro-batch ids (≥ 0). */
+    * micro-batch ids (≥ 0). A REBUILD deletes the whole root first:
+    * dynamic partition overwrite only replaces the base's own
+    * batch_id=-1 partitions, so stale streaming-append partitions from
+    * a prior run would otherwise survive and double-count their docs
+    * in both postings and the summed (n, avgdl) stats. */
   def buildTermIndex(docs: DataFrame, root: String, buckets: Int = 64): Unit = {
-    writeLayout(docs.sparkSession, root, buckets)
+    val spark = docs.sparkSession
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    writeLayout(spark, root, buckets)
     writeIndexBatch(docs, root, batchId = -1L, buckets)
   }
 
@@ -166,16 +174,20 @@ object Retrieval {
       .groupBy("doc_id", "w").agg(max("dl").as("dl"), count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(hash(col("w")), lit(buckets)))
       .withColumn("batch_id", lit(batchId))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // dynamic overwrite scoped to THESE writes via the writer option —
+    // a session-wide conf.set would silently change overwrite semantics
+    // for every later partitioned write in the same session
     // repartition on the partition columns first or every task opens a
     // file per (batch, bucket) dir (the tiny-files lesson)
     postings.repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("batch_id", "bucket")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "bucket")
       .parquet(postingsPath(root))
     withDl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("batch_id", lit(batchId))
       .coalesce(1)
-      .write.mode("overwrite").partitionBy("batch_id").parquet(statsPath(root))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(statsPath(root))
   }
 
   /** Query the persisted index: reads ONLY the buckets the query terms

@@ -22,7 +22,9 @@ object Sinks {
   def writeDaily(df: DataFrame, tsCol: String, path: String,
       overwriteDays: Boolean = false, filesPerDay: Int = 8): Unit = {
     val mode = if (overwriteDays) SaveMode.Overwrite else SaveMode.Append
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // dynamic overwrite is scoped to this write via the writer option
+    // below — a session conf.set would leak changed overwrite semantics
+    // to every later partitioned write in the session
     // Repartition on (day, salt), not day alone: hashing only the day
     // would funnel an entire day — at 100 TB, terabytes — through ONE
     // writer task. The salt fans each day out to `filesPerDay` writers
@@ -40,6 +42,7 @@ object Sinks {
       .sortWithinPartitions(col("day"), col(tsCol))
       .drop("_w")
       .write.mode(mode)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .option("compression", "snappy")
       .parquet(path)

@@ -708,10 +708,12 @@ object EventStream {
         val report = graft.operators.CorpusStats
           .corpusReportOf(batch.toDF().select("lang", "source", "text"))
           .withColumn("batch_id", lit(batchId))
-        report.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // dynamic overwrite scoped to this write (a session conf.set
+        // would leak changed overwrite semantics to later writes);
         // report is group-cardinality tiny; one file per partition dir
         report.repartition(col("batch_id"))
-          .write.mode("overwrite").partitionBy("batch_id").parquet(path)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(path)
         monitor.foreach(_.record(path))
       }
       .start()
