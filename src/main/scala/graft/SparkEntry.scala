@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chains, CorpusPipeline, CorpusStats, Curation, Dedup, Relational, Retrieval, Silver, Similarity, Sketches, TimeSeries}
+import graft.operators.{Chains, CorpusPipeline, CorpusStats, Curation, Dedup, Relational, Retrieval, Silver, Similarity, Sketches, SkewOps, TimeSeries}
 import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -77,6 +77,7 @@ object SparkEntry {
     "q52_quality_merge"   -> (Relational.qualityMerge _),
     "q53_order_legs"      -> (Chains.orderLegsNormalize _),
     "q54_silver_import"   -> (Silver.silverImport _),
+    "q55_skew_join"       -> (SkewOps.skewJoinDemo _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -929,6 +930,22 @@ object SparkEntry {
         |FROM series s JOIN dim d
         |  ON d.strike = s.strike AND d.cp = s.cp AND d.expiry = s.expiry
         |ORDER BY opt_id, t""".stripMargin,
+
+    // q55: the oracle runs the PLAIN join — salting must be a pure
+    // execution-strategy change with zero row-set effect
+    "q55_skew_join" ->
+      s"""WITH f AS (
+         |  SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey END AS jk,
+         |         l_orderkey, l_linenumber
+         |  FROM lineitem),
+         |cohorts AS (
+         |  SELECT CASE WHEN o_orderkey % 10 < 7 THEN 0 ELSE o_orderkey END AS jk,
+         |         COUNT(*) AS cohort_orders,
+         |         ${dsum("o_totalprice")} AS cohort_value
+         |  FROM orders GROUP BY 1)
+         |SELECT jk, l_orderkey, l_linenumber, cohort_orders, cohort_value
+         |FROM f JOIN cohorts USING (jk)
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt

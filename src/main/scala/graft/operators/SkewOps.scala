@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Skew-mitigation utilities (SURVEY §5). AQE's skew-join handles most
   * runtime skew; these are the explicit-salting forms for the cases AQE
@@ -43,6 +45,45 @@ object SkewOps {
       .withColumn("_salts",
         when(isHotD, sequence(lit(0), lit(buckets - 1))).otherwise(array(lit(0))))
       .withColumn("_salt", explode(col("_salts"))).drop("_salts")
-    saltedFacts.join(saltedDim, Seq(key, "_salt")).drop("_salt")
+    // salting only matters when the dim side is broadcast-INeligible
+    // (a broadcast join has no hot reduce partition to split), so pin
+    // the shuffled strategy — at demo scale the optimizer would happily
+    // broadcast the exploded dim and silently skip the very machinery
+    // this operator exists to exercise
+    saltedFacts.join(saltedDim.hint("merge"), Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** q55: skewed fact⋈fact join, salted. Lineitems are enriched with
+    * the aggregate of their order COHORT, where ~70 % of rows collapse
+    * onto one catch-all cohort key (jk = 0 for l_orderkey % 10 < 7 —
+    * the bot-user / null-key / default-bucket shape that is the most
+    * common production failure at 100 TB: one reduce partition gets 70 %
+    * of the fact table while 31 idle). [[skewJoin]] spreads the hot key
+    * over `buckets` salts — every reduce partition gets ~1/buckets of
+    * the hot rows — and replicates only the HOT dim rows buckets×
+    * (non-hot keys join 1:1), so dim-side inflation is O(|hot|·buckets),
+    * not |dim|·buckets. Output rows are independent of the
+    * (nondeterministic) per-row salt draw: each fact row matches exactly
+    * the one replica of its cohort row carrying its salt, so the joined
+    * row SET — and the DuckDB oracle, which runs the plain unsalted
+    * join — is deterministic. Round12Spec asserts the physical plan
+    * kept the salt in the join keys and stayed shuffle-side (no
+    * BroadcastHashJoin), i.e. the skew handling actually engaged.
+    */
+  def skewJoinDemo(s: SparkSession, d: String): DataFrame = {
+    val facts = Tables.lineitem(s, d).select(
+      when(pmod(col("l_orderkey"), lit(10)) < 7, lit(0L))
+        .otherwise(col("l_orderkey")).as("jk"),
+      col("l_orderkey"), col("l_linenumber"))
+    val cohorts = Tables.orders(s, d).select(
+      when(pmod(col("o_orderkey"), lit(10)) < 7, lit(0L))
+        .otherwise(col("o_orderkey")).as("jk"),
+      col("o_totalprice"))
+      .groupBy("jk")
+      .agg(count(lit(1)).as("cohort_orders"),
+        Relational.dsum(col("o_totalprice")).as("cohort_value"))
+    skewJoin(facts, cohorts, "jk", hotKeys = Seq(0L), buckets = 32)
+      .select("jk", "l_orderkey", "l_linenumber", "cohort_orders", "cohort_value")
+      .orderBy("l_orderkey", "l_linenumber")
   }
 }
