@@ -150,16 +150,19 @@ object SparkEntry {
       graft.operators.IncrementalDedup.corpus(s, root).orderBy("doc_id")
     }),
     // multimodal decode pipeline (media-as-binary → partition-local
-    // feature extraction); codec stubbed (not in this container), the
-    // Spark plumbing — schema, mapPartitions batch shape, no shuffle —
-    // is the real thing. rows-only: byte-level features aren't
-    // SQL-expressible in the oracle (ascii() is codepoints, not bytes).
+    // feature extraction). Image decode is REAL (javax.imageio via
+    // Multimodal.ImageIoDecoder); the demo corpus's text-byte payloads
+    // take the per-row byte-stub fallback, and MultimodalSpec proves
+    // the ImageIO path on generated PNGs (exact dims + pixel stats).
+    // rows-only: byte-level features aren't SQL-expressible in the
+    // oracle (ascii() is codepoints, not bytes).
     "d21_media_features"  -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, element_at}
       val m = graft.multimodal.Multimodal
       import s.implicits._
-      m.decodeStub(m.asMediaTable(s, d).as[m.MediaRow]).toDF()
+      m.decodeAuto(m.asMediaTable(s, d).as[m.MediaRow]).toDF()
         .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("decoder"),
           element_at(col("histogram"), 1).as("hist0"), col("checksum"))
         .orderBy("doc_id")
     }),

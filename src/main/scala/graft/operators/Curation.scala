@@ -432,26 +432,31 @@ object Curation {
     * final mean rounded to 6 dp.
     */
   def bigramNll(s: SparkSession, d: String): DataFrame =
-    bigramNllOf(Tables.documents(s, d).select("doc_id", "text"))
+    bigramNllWithLm(Tables.documents(s, d).select("doc_id", "text"),
+      corpusBigramCounts(s, d))
 
   /** Core of [[bigramNll]] over an explicit (doc_id, text) frame. Docs
     * with fewer than 2 words have no bigrams and drop out (same rows
     * the oracle's join produces). */
-  def bigramNllOf(docs: DataFrame): DataFrame = {
+  def bigramNllOf(docs: DataFrame): DataFrame =
+    bigramNllWithLm(docs, trainBigramLmOf(docs))
+
+  /** [[bigramNllOf]] with the count tables supplied — INNER joins, so
+    * with `lm` trained on `docs` itself (the d44 semantics: every join
+    * hits) the result is byte-identical to the inlined-count
+    * formulation this replaces. Factored out so d44 and d52 can share
+    * one materialization of the two count shuffles per corpus
+    * ([[corpusBigramCounts]]) instead of each paying them. */
+  private def bigramNllWithLm(docs: DataFrame, lm: BigramLm): DataFrame = {
     val grams = docs
       .select(col("doc_id"),
         explode(graft.functions.VectorExprs.wordNgrams(split(col("text"), " "), 2))
           .as("ng"))
       .withColumn("w1", substring_index(col("ng"), " ", 1))
-    val cb = grams.groupBy("ng").agg(count(lit(1)).as("cb"))
-    val words = docs.select(
-      explode(split(col("text"), " ")).as("w"))
-    val cu = words.groupBy("w").agg(count(lit(1)).as("cu"))
-    val v = cu.agg(count(lit(1)).as("v"))
     grams
-      .join(cb, "ng")
-      .join(cu, col("w1") === col("w"))
-      .crossJoin(broadcast(v))
+      .join(lm.cb, "ng")
+      .join(lm.cu, col("w1") === col("w"))
+      .crossJoin(broadcast(lm.v))
       .withColumn("term",
         round(-log((col("cb") + lit(1)).cast("double") / (col("cu") + col("v"))), 9)
           .cast("decimal(18,9)"))
@@ -460,6 +465,26 @@ object Curation {
         round(sum(col("term")).cast("double") / count(lit(1)), 6).as("nll2"))
       .orderBy("doc_id")
   }
+
+  /** Per-(session, sf-dir) memo of the corpus's own bigram-LM count
+    * tables, lazily localCheckpointed: whichever of the registered
+    * d44/d52 entries runs first materializes the two count shuffles
+    * (plus the one-row V) ONCE; the other — and every warm re-run —
+    * reuses the cut. Bounded: counts are vocabulary/gram-table-sized
+    * (the artifact d53 persists to parquet), one entry per sf dir.
+    * The *Of cores stay pure (explicit-frame callers are not memoized —
+    * a DataFrame is not a safe cache key). */
+  private val corpusLmCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), BigramLm]()
+
+  private def corpusBigramCounts(s: SparkSession, d: String): BigramLm =
+    corpusLmCache.computeIfAbsent((s, d), { _ =>
+      val lm = trainBigramLmOf(Tables.documents(s, d).select("doc_id", "text"))
+      val cu = lm.cu.localCheckpoint(false)
+      val cb = lm.cb.localCheckpoint(false)
+      // V from the CHECKPOINTED cu so it rides the same materialization
+      BigramLm(cu, cb, cu.agg(count(lit(1)).as("v")))
+    })
 
   /** A frozen bigram LM: the count tables [[bigramNllOf]] computes
     * in-flight, as reusable frames — `cu` (w, cu), `cb` (ng, cb), and
@@ -556,11 +581,19 @@ object Curation {
     * window), one broadcast total, hash-replayable tail sample.
     */
   def ccnetBuckets(s: SparkSession, d: String): DataFrame =
-    ccnetBucketsOf(Tables.documents(s, d).select("doc_id", "text"))
+    // share the corpus's memoized count tables with d44 — the ranking
+    // input is the same NLL frame either way (inner joins, own corpus)
+    ccnetBucketsFromNll(bigramNllWithLm(
+      Tables.documents(s, d).select("doc_id", "text"), corpusBigramCounts(s, d)))
 
-  /** Core of [[ccnetBuckets]]. */
-  def ccnetBucketsOf(docs: DataFrame, tailKeep: Double = 0.1): DataFrame = {
-    val nll = bigramNllOf(docs).select("doc_id", "nll2")
+  /** Core of [[ccnetBuckets]] over an explicit (doc_id, text) frame. */
+  def ccnetBucketsOf(docs: DataFrame, tailKeep: Double = 0.1): DataFrame =
+    ccnetBucketsFromNll(bigramNllOf(docs), tailKeep)
+
+  /** Bucketing stage of [[ccnetBuckets]] over a precomputed d44 NLL
+    * frame (doc_id, …, nll2). */
+  private def ccnetBucketsFromNll(nllIn: DataFrame, tailKeep: Double = 0.1): DataFrame = {
+    val nll = nllIn.select("doc_id", "nll2")
     val ranked = Silver.surrogateIds(nll, Seq("nll2", "doc_id"), "rnk")
     val tot = ranked.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(tot))

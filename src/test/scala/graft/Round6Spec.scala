@@ -257,7 +257,7 @@ class Round6Spec extends SparkSpec {
         var x = 0L
         r.payload.foreach(b => x ^= (b & 0xffL))
         Multimodal.MediaFeatures(r.doc_id, r.media_type,
-          r.payload.length.toLong, Array.fill(16)(x), x)
+          r.payload.length.toLong, r.width, r.height, Array.fill(16)(x), x, "xor")
       }
     }
     val media = Multimodal.asMediaTable(spark, sf).as[Multimodal.MediaRow]
