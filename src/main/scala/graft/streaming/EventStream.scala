@@ -537,6 +537,165 @@ object EventStream {
         col("n_obs"))
   }
 
+  case class VertOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+      net: Double, o: Double, avg_r: Double)
+  case class VertBuf(event_id: Long, ts_us: Long, value: Double)
+  case class VertPend(event_id: Long, ts_us: Long, net: Double,
+      avg_pre: Double, has_pre: Boolean, fol_sum4: Long, fol_cnt: Int)
+  case class VertCore(frontier: Long, cutoff: Long, prev_val: Double,
+      has_prev: Boolean, pre_nets4: Array[Long], roll_o4: Array[Long])
+
+  /** Streaming verticals pipeline — the stateful twin of batch q28
+    * (TimeSeries.verticalsOf: pair→net→outlier filter→clamp→rolling
+    * avg). The batch query is ROW-window shaped (lag 1, 5-preceding /
+    * 5-FOLLOWING means, 10-row rolling over survivors), so no
+    * watermarked aggregate expresses it: the 5-FOLLOWING lookahead
+    * means a row's outlier verdict is only decidable after 5 later
+    * rows exist. Like funnelStream, the processor runs TimeMode.None
+    * with a SELF-MANAGED per-key event-time frontier (Spark's
+    * event-time mode would drop mildly-late ticks before the processor
+    * sees them): arrivals buffer until they fall `maxLateness` behind
+    * the key's own frontier, then settle in exact (ts, event_id) order
+    * through the same arithmetic as the batch windows —
+    *  - lag-1 pairing against the last settled value,
+    *  - avg_pre from a ≤5 ring of scaled-DECIMAL(18,4) nets,
+    *  - a FIFO of paired rows each accumulating its ≤5 following nets;
+    *    a row finalizes (emits or drops) when its 5th follower settles,
+    *  - survivors clamp to [0, 10] and average over a ≤10 ring of
+    *    surviving o's.
+    * All means use the batch's exact decimal discipline (HALF_UP scale-4
+    * longs, exact sum, decimal→double, one double division), and the
+    * outlier test replicates SQL three-valued logic at window edges —
+    * Round12Spec proves byte-exact row parity against verticalsOf on
+    * replayed (and mildly reordered) ticks.
+    *
+    * Contract: ticks later than `maxLateness` behind the key's frontier
+    * are DROPPED (the funnel lateness trade); an `event_type == "flush"`
+    * sentinel settles everything buffered and finalizes pending rows
+    * with their partial followers — batch end-of-input semantics —
+    * and terminates the key's timeline. State per key is bounded by
+    * the tick density inside one lateness window + the ≤6-deep pending
+    * FIFO + the two fixed rings.
+    */
+  class VertProcessor(latenessUs: Long, threshold: Double = 50.0,
+      wClamp: Double = 10.0)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, VertOut] {
+    @transient private var core: org.apache.spark.sql.streaming.ValueState[VertCore] = _
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[VertBuf] = _
+    @transient private var pend: org.apache.spark.sql.streaming.ListState[VertPend] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val none = org.apache.spark.sql.streaming.TTLConfig.NONE
+      core = getHandle.getValueState[VertCore]("core",
+        org.apache.spark.sql.Encoders.product[VertCore], none)
+      buf = getHandle.getListState[VertBuf]("buf",
+        org.apache.spark.sql.Encoders.product[VertBuf], none)
+      pend = getHandle.getListState[VertPend]("pend",
+        org.apache.spark.sql.Encoders.product[VertPend], none)
+    }
+
+    // Spark's double→DECIMAL(18,4) cast: BigDecimal.valueOf (shortest
+    // decimal repr) then HALF_UP — replicated exactly, so the scaled
+    // longs sum to the same decimal the batch exchange accumulates.
+    private def scale4(d: Double): Long =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    private def dec4(sum: Long): Double =
+      java.math.BigDecimal.valueOf(sum, 4).doubleValue()
+
+    // SQL three-valued logic for the edge-row outlier test (null
+    // avg_pre/avg_fol), matching the batch coalesce(..., false) keep
+    private def and3(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      if (a.contains(false) || b.contains(false)) Some(false)
+      else if (a.isEmpty || b.isEmpty) None else Some(true)
+    private def or3(a: Option[Boolean], b: Option[Boolean]): Option[Boolean] =
+      if (a.contains(true) || b.contains(true)) Some(true)
+      else if (a.isEmpty || b.isEmpty) None else Some(false)
+
+    override def handleInputRows(user: Long, ticks: Iterator[Tick],
+        tv0: org.apache.spark.sql.streaming.TimerValues): Iterator[VertOut] = {
+      val evs = ticks.toArray
+      val isFlush = evs.exists(_.event_type == "flush")
+      val incoming = evs.filter(_.event_type != "flush")
+        .map(t => VertBuf(t.event_id, tsToUs(t.ts), t.value))
+      var c = if (core.exists()) core.get()
+        else VertCore(Long.MinValue, Long.MinValue, 0.0, has_prev = false,
+          Array.empty, Array.empty)
+      val front = (c.frontier +: incoming.map(_.ts_us)).max
+      // cutoff is monotone; guard the no-rows-yet underflow
+      val cut =
+        if (isFlush) Long.MaxValue
+        else if (front == Long.MinValue) Long.MinValue
+        else math.max(front - latenessUs, c.cutoff)
+      // rows at or behind the PREVIOUS cutoff arrived over-late: dropped
+      val live = (buf.get().map(identity).toArray ++ incoming)
+        .filter(_.ts_us > c.cutoff)
+      val (settle, stay) = live.partition(_.ts_us <= cut)
+      val pq = scala.collection.mutable.ArrayDeque.from(pend.get().map(identity))
+      val out = scala.collection.mutable.ArrayBuffer.empty[VertOut]
+
+      def finalizeRow(p: VertPend): Unit = {
+        val avgPre = if (p.has_pre) Some(p.avg_pre) else None
+        val avgFol = if (p.fol_cnt > 0) Some(dec4(p.fol_sum4) / p.fol_cnt) else None
+        val outlier = or3(
+          and3(avgPre.map(_ - p.net > threshold), avgFol.map(_ - p.net > threshold)),
+          and3(avgPre.map(p.net - _ > threshold), avgFol.map(p.net - _ > threshold))
+        ).getOrElse(false)
+        if (!outlier) {
+          val o = math.min(math.max(p.net, 0.0), wClamp)
+          val win = c.roll_o4 :+ scale4(o)
+          val avgR = dec4(win.sum) / win.length
+          c = c.copy(roll_o4 = win.takeRight(10))
+          out += VertOut(p.event_id, user, usToTs(p.ts_us), p.net, o, avgR)
+        }
+      }
+
+      settle.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+        if (c.has_prev) {
+          val net = r.value - c.prev_val
+          val avgPre =
+            if (c.pre_nets4.nonEmpty) dec4(c.pre_nets4.sum) / c.pre_nets4.length
+            else 0.0
+          // feed this net to every waiting row, THEN enqueue it: fol_cnt
+          // is monotone non-increasing along the FIFO, so completions
+          // always pop from the head in paired order
+          val n4 = scale4(net)
+          for (i <- pq.indices)
+            pq(i) = pq(i).copy(fol_sum4 = pq(i).fol_sum4 + n4,
+              fol_cnt = pq(i).fol_cnt + 1)
+          pq.append(VertPend(r.event_id, r.ts_us, net,
+            avgPre, has_pre = c.pre_nets4.nonEmpty, 0L, 0))
+          while (pq.nonEmpty && pq.head.fol_cnt >= 5)
+            finalizeRow(pq.removeHead())
+          c = c.copy(pre_nets4 = (c.pre_nets4 :+ n4).takeRight(5))
+        }
+        c = c.copy(prev_val = r.value, has_prev = true)
+      }
+      if (isFlush) {
+        // batch end-of-input: finalize with however many followers exist
+        pq.foreach(finalizeRow)
+        pq.clear()
+      }
+
+      core.update(c.copy(frontier = front, cutoff = cut))
+      def putList[T](st: org.apache.spark.sql.streaming.ListState[T],
+          a: Array[T]): Unit = if (a.isEmpty) st.clear() else st.put(a)
+      putList(buf, stay)
+      putList(pend, pq.toArray)
+      out.iterator
+    }
+  }
+
+  /** See [[VertProcessor]]. */
+  def verticalsStream(stream: Dataset[Tick],
+      maxLateness: java.time.Duration = java.time.Duration.ofMinutes(10)
+  ): Dataset[VertOut] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .transformWithState(new VertProcessor(maxLateness.toMillis * 1000L),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id within the
     * watermark horizon (at-least-once source → effectively-once sink).
     * State = seen ids inside the watermark window, evicted as event

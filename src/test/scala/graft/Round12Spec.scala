@@ -68,4 +68,100 @@ class Round12Spec extends SparkSpec {
     val hotFrac = salted.count(_.head == 0L).toDouble / salted.length
     assert(hotFrac > 0.6 && hotFrac < 0.8, s"hot fraction $hotFrac out of band")
   }
+
+  // ---- q28 streaming twin -------------------------------------------------
+
+  private def batchVerts(): Seq[(Long, Long, java.sql.Timestamp, Double, Double, Double)] =
+    graft.operators.TimeSeries.verticalsOf(Tables.events(spark, sf))
+      .select("event_id", "user_id", "ts", "net", "o", "avg_r")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1).toSeq
+
+  private def runVertStream(
+      chunks: Seq[Seq[graft.streaming.EventStream.Tick]],
+      lateness: java.time.Duration, queryName: String): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[EventStream.Tick]
+    val q = EventStream.verticalsStream(input.toDS(), lateness).toDF()
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(queryName).start()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+  }
+
+  private def collectVerts(queryName: String): Seq[(Long, Long, java.sql.Timestamp, Double, Double, Double)] =
+    spark.table(queryName)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1).toSeq
+
+  private def withRocksDb(body: => Unit): Unit = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  private def vertTicks(): Seq[graft.streaming.EventStream.Tick] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[graft.streaming.EventStream.Tick].collect().toSeq
+  }
+
+  private def flushTicks(ticks: Seq[graft.streaming.EventStream.Tick]) =
+    ticks.map(_.user_id).distinct.map(u =>
+      graft.streaming.EventStream.Tick(-1L,
+        new java.sql.Timestamp(4102444800000L), u, "flush", 0.0))
+
+  test("verticalsStream: ARBITRARY arrival order + flush == batch q28 rows byte-exact") {
+    withRocksDb {
+      // deterministic full shuffle — every per-key ordering violated;
+      // a huge lateness buffers everything until the flush settles it
+      val ticks = vertTicks().sortBy(t => graft.sources.TickSource.mix(42L, t.event_id))
+      runVertStream(
+        Seq(ticks.take(ticks.size / 2), ticks.drop(ticks.size / 2), flushTicks(ticks)),
+        java.time.Duration.ofDays(3650), "verts_shuffled")
+      val got = collectVerts("verts_shuffled")
+      val want = batchVerts()
+      assert(want.nonEmpty, "batch fixture produced no rows — fixture rot")
+      assert(got == want, s"streamed rows != batch rows (got ${got.size}, want ${want.size})")
+    }
+  }
+
+  test("verticalsStream: in-order chunks settle INCREMENTALLY (rows emit before the flush), final parity holds") {
+    withRocksDb {
+      import graft.streaming.EventStream
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      val ticks = vertTicks().sortBy(t => (t.ts.getTime, t.event_id))
+      val third = ticks.size / 3
+      val input = MemoryStream[EventStream.Tick]
+      val q = EventStream.verticalsStream(input.toDS(),
+        java.time.Duration.ofMinutes(10)).toDF()
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("verts_inorder").start()
+      input.addData(ticks.take(third)); q.processAllAvailable()
+      input.addData(ticks.slice(third, 2 * third)); q.processAllAvailable()
+      val beforeFlush = spark.table("verts_inorder").count()
+      input.addData(ticks.drop(2 * third)); q.processAllAvailable()
+      input.addData(flushTicks(ticks)); q.processAllAvailable()
+      q.stop()
+      assert(beforeFlush > 0,
+        "no rows settled before the flush — the frontier never advanced")
+      assert(collectVerts("verts_inorder") == batchVerts())
+    }
+  }
 }
