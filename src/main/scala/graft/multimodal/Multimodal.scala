@@ -9,9 +9,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL: [[ImageIoDecoder]] runs javax.imageio (ships
   * in the JDK — PNG/JPEG/BMP/GIF, zero external deps, offline) and
-  * extracts true pixel dimensions + luminance stats. Payloads that are
-  * not a decodable image (the demo corpus carries text bytes standing
-  * in for media, and audio/video codecs genuinely aren't in this
+  * extracts true pixel dimensions + luminance stats. AUDIO decode is
+  * REAL: [[WavDecoder]] runs javax.sound.sampled (also in the JDK —
+  * WAV/AIFF/AU PCM) and extracts true frame/channel counts + amplitude
+  * stats. FRAME SAMPLING is real for animated GIFs ([[decodeFrames]] —
+  * ImageIO's gif reader exposes every frame of a multi-frame payload).
+  * Payloads none of those handle (the demo corpus carries text bytes
+  * standing in for media; genuine video codecs aren't in this
   * container) fall back per row to the deterministic
   * [[ByteHistogramDecoder]] stub. The Spark side (schema, batching,
   * partition-local execution, output shape) is identical either way;
@@ -99,6 +103,45 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec: javax.sound.sampled (in the JDK — no external
+    * deps, offline). Parses the payload's audio container (WAV/AIFF/AU),
+    * converts to 16-bit signed PCM, and extracts true per-channel frame
+    * count + channel count + a 16-bin amplitude histogram + a rolling
+    * sample checksum. The generic [[MediaFeatures]] fields are
+    * modality-mapped: `width` = frames per channel, `height` = channels
+    * (documented here, asserted in MultimodalSpec). Throws on a payload
+    * the JDK audio stack cannot parse (pair with [[WithFallback]]). */
+  object WavDecoder extends MediaDecoder {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    def decode(r: MediaRow): MediaFeatures = {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val src = raw.getFormat
+      // normalize to 16-bit signed little-endian PCM so the feature
+      // arithmetic is one fixed loop regardless of source encoding
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getSampleRate, 16, src.getChannels,
+        src.getChannels * 2, src.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, raw)
+      try {
+        val bytes = pcm.readAllBytes()
+        val channels = target.getChannels
+        val nSamples = bytes.length / 2
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var i = 0
+        while (i < nSamples) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+          hist((s + 32768) >> 12) += 1
+          sum = sum * 31 + s
+          i += 1
+        }
+        MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+          nSamples / channels, channels, hist, sum, "wav_pcm")
+      } finally pcm.close()
+    }
+  }
+
   /** Per-row codec fallback: try `primary`, take `fallback` on any
     * decode failure. The `decoder` output column records which ran. */
   case class WithFallback(primary: MediaDecoder, fallback: MediaDecoder)
@@ -116,14 +159,71 @@ object Multimodal {
     media.mapPartitions(_.map(decoder.decode))
   }
 
-  /** The registered d21 path: real ImageIO decode with the byte stub
-    * as per-row fallback for non-image payloads. */
+  /** The registered d21 path: real ImageIO decode, then real JDK audio
+    * decode, with the byte stub as the final per-row fallback for
+    * payloads neither real codec handles (the demo corpus's text
+    * bytes). */
   def decodeAuto(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
-    decodeWith(media, WithFallback(ImageIoDecoder, ByteHistogramDecoder))
+    decodeWith(media,
+      WithFallback(ImageIoDecoder, WithFallback(WavDecoder, ByteHistogramDecoder)))
 
   /** [[decodeWith]] + the stub codec only (spec baseline). */
   def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
     decodeWith(media, ByteHistogramDecoder)
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, lum_mean: Double, frame_fp: Long)
+
+  /** REAL frame sampling: decode every frame of a multi-frame payload
+    * (animated GIF — the one multi-frame container the JDK decodes
+    * offline; the execution shape is identical for a video codec) and
+    * emit one row per sampled frame with true dimensions, mean
+    * luminance, and a deterministic per-frame luminance fingerprint
+    * (the stand-in for a per-frame embedding). `stride` keeps every
+    * stride-th frame — the frame-rate decimation knob of a video
+    * pipeline. Partition-local, one reader per payload, no shuffle. */
+  def decodeFrames(media: Dataset[MediaRow], stride: Int = 1): Dataset[FrameRow] = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload)))
+        val n = reader.getNumImages(true)
+        (0 until n by stride).iterator.map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          var lumSum = 0L
+          var fp = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+              lumSum += lum
+              fp = fp * 31 + lum
+              x += 1
+            }
+            y += 1
+          }
+          FrameRow(r.doc_id, i, w, h, lumSum.toDouble / (w.toLong * h), fp)
+        }.toArray.iterator
+      } finally reader.dispose()
+    })
+  }
+
+  /** Per-asset rollup of [[decodeFrames]] output — the "per-frame
+    * model → per-asset aggregate" tail of a video pipeline, over REAL
+    * decoded frames. */
+  def frameReport(frames: Dataset[FrameRow]): DataFrame =
+    frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("frame_fp")).as("n_distinct_frames"),
+        max(col("width")).as("width"), max(col("height")).as("height"),
+        avg(col("lum_mean")).as("lum_mean"))
 
   /** Per-frame feature pipeline: explode sampled frames, fingerprint
     * each (stub for a per-frame embedding), aggregate back per doc —
