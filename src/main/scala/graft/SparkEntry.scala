@@ -287,6 +287,11 @@ object SparkEntry {
     // carry the smoothing floor via left joins; persistable artifact
     // (saveBigramLm/loadBigramLm); oracle-exact
     "d53_lm_score"        -> (Curation.lmScore _),
+    // frequency-threshold boilerplate removal (RefinedWeb line-dedup
+    // shape): drop EVERY occurrence of any 3-word block appearing in
+    // >=5 distinct docs (d40 keeps first occurrences; d34 only
+    // reports), rebuild docs from kept blocks; oracle-exact
+    "d54_boilerplate"     -> (Curation.boilerplateScrub _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1384,6 +1389,33 @@ object SparkEntry {
          |    (CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
          |          / 4294967296.0 < CAST(0.1 AS DOUBLE)) AS keep
          |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
+    // Boilerplate scrub: same non-overlapping 3-word block geometry
+    // (1-based i here, 0-based block_idx in Spark — the slice windows
+    // coincide), fullb arithmetic identical, string_agg ORDER BY
+    // block_idx ≡ sort_array over (block_idx, blk) structs, COALESCE
+    // for all-boiler docs (string_agg over zero rows is NULL, Spark's
+    // array_join over an empty array is ''). `fullb` not `full`:
+    // FULL is reserved in the oracle dialect.
+    "d54_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, i AS block_idx,
+        |         array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' ') AS blk,
+        |         len(ws) - (i-1)*3 >= 3 AS fullb
+        |  FROM toks,
+        |       LATERAL (SELECT unnest(generate_series(1,
+        |                  CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS i)),
+        |boiler AS (SELECT blk FROM blocks WHERE fullb
+        |           GROUP BY blk HAVING count(DISTINCT doc_id) >= 5),
+        |marked AS (SELECT b.doc_id, b.block_idx, b.blk,
+        |                  b.fullb AND b.blk IN (SELECT blk FROM boiler) AS is_b
+        |           FROM blocks b)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       coalesce(string_agg(CASE WHEN NOT is_b THEN blk END,
+        |                           ' ' ORDER BY block_idx), '') AS text_clean
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Frozen-LM scoring: the reference slice's counts via LEFT joins +
     // COALESCE floors, otherwise the d44 term verbatim.

@@ -654,4 +654,63 @@ object Curation {
         round(sum(col("term")).cast("double") / count(lit(1)), 6).as("dsir_w"))
       .orderBy("doc_id")
   }
+
+  /** d54 block geometry: NON-overlapping 3-word windows (the removal
+    * ambiguity argument of TextFns.SpanSize, at the granularity the
+    * line-frequency filters of RefinedWeb/CCNet run at — their "line"
+    * is this corpus's short word block). */
+  private[graft] val BoilerBlockSize = 3
+  /** A full block appearing in at least this many DISTINCT docs is
+    * boilerplate. */
+  private[graft] val BoilerMinDocs = 5
+
+  /** d54: frequency-threshold boilerplate removal (the RefinedWeb
+    * line-dedup / CCNet line-filter shape): drop EVERY occurrence of
+    * any full-size block that appears in ≥ [[BoilerMinDocs]] distinct
+    * documents — unlike d40 (keep-FIRST span occurrence) and d34
+    * (mining report only), a block frequent enough to be boilerplate
+    * is presumed template noise everywhere, including its first
+    * occurrence. Sub-size tail blocks are exempt from removal (the d40
+    * tail discipline: a 1-word tail is not a template, and dropping
+    * high-frequency single words corpus-wide would gut the text).
+    * Per doc: total blocks, dropped blocks, and the rebuilt text.
+    *
+    * Scale shape: block explode → ONE map-side-combined hash-groupBy
+    * on block text for the boilerplate set (bounded by boilerplate
+    * density, so AQE broadcasts the probe join at any corpus size) →
+    * mark via left join → per-doc rebuild groupBy. Never pairwise. The
+    * exploded block table feeds both the frequency agg and the probe
+    * side, so it is lazily localCheckpointed once (the d48 shared-
+    * branch discipline — a broadcast branch re-executes its subtree).
+    */
+  def boilerplateScrub(s: SparkSession, d: String): DataFrame =
+    boilerplateScrubOf(Tables.documents(s, d).select("doc_id", "text"))
+
+  /** Core of [[boilerplateScrub]] over an explicit (doc_id, text)
+    * frame. */
+  def boilerplateScrubOf(docs: DataFrame,
+      minDocs: Int = BoilerMinDocs): DataFrame = {
+    val bs = BoilerBlockSize
+    val blocks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n_ws"), posexplode(expr(
+        s"""transform(sequence(0, cast((size(ws) - 1) div $bs as int)),
+           |  k -> concat_ws(' ', slice(ws, k * $bs + 1, $bs)))""".stripMargin))
+        .as(Seq("block_idx", "blk")))
+      .withColumn("fullb", col("n_ws") - col("block_idx") * bs >= bs)
+      .localCheckpoint(false)
+    val boiler = blocks.filter(col("fullb"))
+      .groupBy("blk").agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("blk"), lit(true).as("hit"))
+    blocks.join(boiler, Seq("blk"), "left")
+      .withColumn("is_b", col("fullb") && col("hit").isNotNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n_boiler"),
+        expr("array_join(transform(sort_array(collect_list(" +
+          "case when not is_b then struct(block_idx, blk) end)), " +
+          "x -> x.blk), ' ')").as("text_clean"))
+      .orderBy("doc_id")
+  }
 }

@@ -258,6 +258,39 @@ class CurationSpec extends SparkSpec {
     leak.unpersist()
   }
 
+  test("boilerplateScrub: frequent blocks dropped EVERYWHERE incl. first occurrence, tails exempt") {
+    import spark.implicits._
+    val boiler = "click here now"                // the planted template
+    val docs = Seq(
+      // 5 docs carry the boiler block at block offset 0 (>= minDocs=3)
+      (1L, s"$boiler a b c"),
+      (2L, s"$boiler d e f"),
+      (3L, s"$boiler g h i"),
+      // doc 4 is ONLY the boiler block → rebuilt text must be empty
+      (4L, boiler),
+      // doc 5 carries it at a LATER aligned offset
+      (5L, s"j k l $boiler"),
+      // doc 6: same words but straddling a block boundary → NOT aligned,
+      // so its blocks are unique and survive
+      (6L, s"m click here now n o"),
+      // doc 7: 2-word tail equal to a frequent prefix pair would still
+      // be exempt (tails are never boilerplate)
+      (7L, s"p q r click here")
+    ).toDF("doc_id", "text")
+    val got = Curation.boilerplateScrubOf(docs, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 1L, "a b c")), s"doc1: ${got(1L)}")
+    assert(got(4L) == ((1L, 1L, "")), s"all-boiler doc must rebuild to '': ${got(4L)}")
+    assert(got(5L) == ((2L, 1L, "j k l")), s"late-offset occurrence must drop too: ${got(5L)}")
+    assert(got(6L) == ((2L, 0L, "m click here now n o")),
+      s"unaligned lookalike must survive: ${got(6L)}")
+    assert(got(7L) == ((2L, 0L, "p q r click here")), s"tail exempt: ${got(7L)}")
+    // contrast with d40 keep-first: EVERY occurrence is gone, including
+    // the corpus-wide first (doc 1's)
+    assert(got.values.count(_._3.contains(boiler)) == 0 ||
+      got(6L)._3.contains(boiler), "only the unaligned doc may still contain the words")
+  }
+
   test("curation entries: registered queries run and the oracle dialect stays aligned") {
     // rows>0 over the real corpus at test SF; the exact-parity gate is
     // the driver selfcheck (run at sf0.01/sf0.1/amplified this round)
@@ -265,7 +298,7 @@ class CurationSpec extends SparkSpec {
         "d27_pii_redact", "d28_stratified_split", "d29_ngram_topk",
         "d30_vocab_coverage", "d31_token_budget_mix",
         "d33_unigram_nll", "d34_template_chunks",
-        "d35_split_leakage").foreach { k =>
+        "d35_split_leakage", "d54_boilerplate").foreach { k =>
       assert(SparkEntry.queries(k)(spark, sf).count() > 0, s"$k returned no rows")
       assert(SparkEntry.oracleSql.contains(k), s"$k has no oracle SQL")
     }
