@@ -292,6 +292,11 @@ object SparkEntry {
     // >=5 distinct docs (d40 keeps first occurrences; d34 only
     // reports), rebuild docs from kept blocks; oracle-exact
     "d54_boilerplate"     -> (Curation.boilerplateScrub _),
+    // URL/domain curation (C4/RefinedWeb stage 1): normalize planted
+    // provenance URLs (case/www/default-port/utm/trailing-slash),
+    // extract domain, blocklist filter, keep-min URL dedup;
+    // oracle-exact
+    "d55_url_filter"      -> (Curation.urlFilter _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
@@ -1416,6 +1421,48 @@ object SparkEntry {
         |       coalesce(string_agg(CASE WHEN NOT is_b THEN blk END,
         |                           ' ' ORDER BY block_idx), '') AS text_clean
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // URL curation: planting CASEs mirror Curation.withUrls verbatim;
+    // the normalization chain is the same regex sequence (RE2 '\1'
+    // backrefs here vs Java '$1' in Spark; the 'g' flag on the utm
+    // strip because this dialect replaces only the first match by
+    // default, Spark replaces all); dedup via min/count windows.
+    "d55_url_filter" ->
+      """WITH urls0 AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END ||
+        |     CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |     source || '.EXAMPLE.com' ||
+        |     CASE WHEN doc_id % 14 = 0 THEN ':443' ELSE '' END ||
+        |     '/page/' ||
+        |     CASE WHEN doc_id % 9 = 0 THEN 'dup' ELSE CAST(doc_id AS VARCHAR) END ||
+        |     CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END ||
+        |     CASE WHEN doc_id % 4 = 0
+        |          THEN '?utm_source=feed&utm_id=' || CAST(doc_id % 10 AS VARCHAR)
+        |          ELSE '' END) AS url
+        |  FROM documents),
+        |n1 AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^([^/]*//[^/?]*)', 1)),
+        |      '^(https?://)www\.', '\1'),
+        |      '^(https://[^/:?]*):443$', '\1'),
+        |      '^(http://[^/:?]*):80$', '\1') AS pre,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      substring(url, length(regexp_extract(url, '^([^/]*//[^/?]*)', 1)) + 1),
+        |      '[?&]utm_[^&]*', '', 'g'),
+        |      '^([^?&]*)&', '\1?'),
+        |      '/$', '') AS rest
+        |  FROM urls0),
+        |urls AS (
+        |  SELECT doc_id, url, pre || rest AS url_norm,
+        |    regexp_extract(pre || rest, '^[a-z]+://([^/:?]+)', 1) AS domain
+        |  FROM n1)
+        |SELECT doc_id, url, url_norm, domain,
+        |  count(*) OVER (PARTITION BY url_norm) AS n_dups,
+        |  (domain NOT IN ('src3.example.com', 'src11.example.com')
+        |   AND doc_id = min(doc_id) OVER (PARTITION BY url_norm)) AS keep
+        |FROM urls ORDER BY doc_id""".stripMargin,
 
     // Frozen-LM scoring: the reference slice's counts via LEFT joins +
     // COALESCE floors, otherwise the d44 term verbatim.

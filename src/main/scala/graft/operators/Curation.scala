@@ -655,6 +655,76 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** d55 blocklist: registrable domains whose docs are dropped
+    * outright (the C4/RefinedWeb stage-1 URL filter's blocklist seam —
+    * a production deployment swaps in the real list). */
+  private[graft] val UrlBlocklist = Seq("src3.example.com", "src11.example.com")
+
+  /** Deterministic URL planting for the d55 entry (the [[dirtyDocs]]
+    * discipline — the synthetic corpus carries no provenance URLs):
+    * scheme case / www prefix / explicit default port / tracking query
+    * / trailing slash all vary on doc_id residues so normalization has
+    * real work, and doc_id % 9 == 0 docs share a 'dup' path so URL
+    * dedup has real collisions. Mirrored verbatim in the oracle SQL. */
+  private[graft] def withUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(
+      when(col("doc_id") % 2 === 0, "HTTPS://").otherwise("http://"),
+      when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+      col("source"), lit(".EXAMPLE.com"),
+      when(col("doc_id") % 14 === 0, ":443").otherwise(""),
+      lit("/page/"),
+      when(col("doc_id") % 9 === 0, lit("dup")).otherwise(col("doc_id").cast("string")),
+      when(col("doc_id") % 6 === 0, "/").otherwise(""),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=feed&utm_id="), (col("doc_id") % 10).cast("string")))
+        .otherwise(lit(""))).as("url"))
+
+  /** d55: URL/domain curation — the stage-1 pass of every published
+    * web-corpus pipeline (C4 §2.1, RefinedWeb §3.1): normalize each
+    * doc's provenance URL (lowercase scheme+host, strip `www.`,
+    * strip explicit default ports, strip `utm_*` tracking params
+    * re-anchoring any surviving query, strip the trailing slash),
+    * extract the domain, drop blocklisted domains, and URL-dedup
+    * (keep the min-doc_id holder of each normalized URL — C4 keeps
+    * one page per URL). Emits the audit row per doc: raw + normalized
+    * URL, domain, duplicate count, keep flag.
+    *
+    * Scale shape: the normalization is a per-row codegen'd regex chain
+    * (no shuffle); the dedup is ONE hash-groupBy on url_norm (min +
+    * count, primitive buffers) and a co-partitioned equi-join back —
+    * never pairwise, shuffle keys are single URLs. Blocklist is a
+    * literal IN (a production list becomes a broadcast anti-join). */
+  def urlFilter(s: SparkSession, d: String): DataFrame =
+    urlFilterOf(withUrls(Tables.documents(s, d).select("doc_id", "source")),
+      UrlBlocklist)
+
+  /** Core of [[urlFilter]] over an explicit (doc_id, url) frame. */
+  def urlFilterOf(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
+    val urls = docs
+      // scheme://host[:port] prefix, lowercased; path+query untouched
+      .withColumn("pre", lower(regexp_extract(col("url"), "^([^/]*//[^/?]*)", 1)))
+      .withColumn("rest", expr("substring(url, length(pre) + 1)"))
+      .withColumn("pre", regexp_replace(col("pre"), "^(https?://)www\\.", "$1"))
+      .withColumn("pre", regexp_replace(col("pre"), "^(https://[^/:?]*):443$", "$1"))
+      .withColumn("pre", regexp_replace(col("pre"), "^(http://[^/:?]*):80$", "$1"))
+      // strip tracking params; if the leading param was stripped,
+      // re-anchor the survivors ('/p&id=1' → '/p?id=1')
+      .withColumn("rest", regexp_replace(col("rest"), "[?&]utm_[^&]*", ""))
+      .withColumn("rest", regexp_replace(col("rest"), "^([^?&]*)&", "$1?"))
+      .withColumn("rest", regexp_replace(col("rest"), "/$", ""))
+      .withColumn("url_norm", concat(col("pre"), col("rest")))
+      .withColumn("domain", regexp_extract(col("url_norm"), "^[a-z]+://([^/:?]+)", 1))
+      .select("doc_id", "url", "url_norm", "domain")
+    val stats = urls.groupBy("url_norm")
+      .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_dups"))
+    urls.join(stats, "url_norm")
+      .select(col("doc_id"), col("url"), col("url_norm"), col("domain"),
+        col("n_dups"),
+        (!col("domain").isInCollection(blocklist) &&
+          col("doc_id") === col("canon_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** d54 block geometry: NON-overlapping 3-word windows (the removal
     * ambiguity argument of TextFns.SpanSize, at the granularity the
     * line-frequency filters of RefinedWeb/CCNet run at — their "line"

@@ -291,6 +291,41 @@ class CurationSpec extends SparkSpec {
       got(6L)._3.contains(boiler), "only the unaligned doc may still contain the words")
   }
 
+  test("urlFilter: normalization collapses case/www/default-port/utm/slash variants; blocklist and keep-min dedup") {
+    import spark.implicits._
+    val docs = Seq(
+      // all five normalize to http://foo.com/a → one group, doc 1 kept
+      (1L, "HTTP://WWW.Foo.COM:80/a/"),
+      (2L, "http://foo.com/a"),
+      (3L, "http://www.foo.com/a?utm_source=x"),
+      (4L, "http://FOO.com/a/?utm_id=7"),
+      (5L, "http://foo.com:80/a"),
+      // https default port stripped; NON-default port kept distinct
+      (6L, "HTTPS://bar.com:443/b"),
+      (7L, "https://bar.com:8443/b"),
+      // utm strip re-anchors a surviving query; param order irrelevant
+      (8L, "https://baz.com/c?utm_x=1&id=2"),
+      (9L, "https://baz.com/c?id=2&utm_x=1"),
+      // blocklisted domain: dropped even though unique
+      (10L, "https://spam.example/z")
+    ).toDF("doc_id", "url")
+    val got = Curation.urlFilterOf(docs, Seq("spam.example")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    (1L to 5L).foreach { i =>
+      assert(got(i)._1 == "http://foo.com/a", s"doc $i: ${got(i)}")
+      assert(got(i)._3 == 5L, s"doc $i dup count: ${got(i)}")
+      assert(got(i)._4 == (i == 1L), s"only the min doc keeps the URL: $i ${got(i)}")
+    }
+    assert(got(6L)._1 == "https://bar.com/b" && got(6L)._4)
+    assert(got(7L)._1 == "https://bar.com:8443/b" && got(7L)._4,
+      s"non-default port must stay distinct: ${got(7L)}")
+    assert(got(8L)._1 == "https://baz.com/c?id=2", s"re-anchored query: ${got(8L)}")
+    assert(got(9L)._1 == "https://baz.com/c?id=2" && !got(9L)._4)
+    assert(got(10L)._2 == "spam.example" && !got(10L)._4,
+      s"blocklisted domain must be dropped: ${got(10L)}")
+  }
+
   test("curation entries: registered queries run and the oracle dialect stays aligned") {
     // rows>0 over the real corpus at test SF; the exact-parity gate is
     // the driver selfcheck (run at sf0.01/sf0.1/amplified this round)
@@ -298,7 +333,7 @@ class CurationSpec extends SparkSpec {
         "d27_pii_redact", "d28_stratified_split", "d29_ngram_topk",
         "d30_vocab_coverage", "d31_token_budget_mix",
         "d33_unigram_nll", "d34_template_chunks",
-        "d35_split_leakage", "d54_boilerplate").foreach { k =>
+        "d35_split_leakage", "d54_boilerplate", "d55_url_filter").foreach { k =>
       assert(SparkEntry.queries(k)(spark, sf).count() > 0, s"$k returned no rows")
       assert(SparkEntry.oracleSql.contains(k), s"$k has no oracle SQL")
     }
