@@ -230,6 +230,32 @@ object ScaleSmoke {
       require(n > 900000, s"unexpected gopher keep count $n")
       n
     }
+    // d54 boilerplate scrub at 1M docs / 10M+ blocks: 1% of docs carry
+    // a planted 3-word template header, so the boiler set is non-empty
+    // (~1 block) while random 3-word blocks over the 10k vocab never
+    // collide — the frequency agg, broadcast probe, and per-doc rebuild
+    // all run at full volume
+    time("boilerplate scrub 1M docs") {
+      val templ = docsBig.select(col("doc_id"),
+        expr("if(doc_id % 100 = 0, concat('tm1 tm2 tm3 ', text), text)").as("text"))
+      val out = operators.Curation.boilerplateScrubOf(templ)
+      val dropped = out.agg(sum(col("n_boiler"))).head.getLong(0)
+      require(dropped >= 10000, s"planted template must be scrubbed: $dropped")
+      out.count()
+    }
+    // d55 URL curation at 1M docs: per-row regex normalization chain +
+    // one url_norm groupBy/join-back; 0.5% planted shared-path dups
+    time("url filter 1M docs") {
+      val urls = spark.range(1000000).select(col("id").as("doc_id"),
+        expr("""concat(if(id % 2 = 0, 'HTTPS://WWW.', 'http://'),
+               |  'host', cast(id % 1000 as string), '.example.com/p/',
+               |  if(id % 200 = 0, 'dup', cast(id as string)),
+               |  if(id % 4 = 0, '?utm_source=x', ''))""".stripMargin).as("url"))
+      val out = operators.Curation.urlFilterOf(urls, Seq("host7.example.com"))
+      val kept = out.filter(col("keep")).count()
+      require(kept < 1000000 && kept > 900000, s"unexpected url keep count $kept")
+      kept
+    }
     time("corpus report 1M docs") {
       operators.CorpusStats.corpusReportOf(docsBig
         .withColumn("lang", lit("en"))
