@@ -159,13 +159,38 @@ object Multimodal {
     media.mapPartitions(_.map(decoder.decode))
   }
 
-  /** The registered d21 path: real ImageIO decode, then real JDK audio
-    * decode, with the byte stub as the final per-row fallback for
-    * payloads neither real codec handles (the demo corpus's text
-    * bytes). */
+  /** Container sniff + dispatch: route each payload by its magic bytes
+    * (PNG/JPEG/GIF/BMP → ImageIO, RIFF-WAVE/AIFF/AU → PCM decode,
+    * anything else → byte stub) so non-media payloads never enter a
+    * codec. Exception-driven probing instead of this O(1) sniff
+    * measured 0.34 → 9.8 s on the 10× bench's 500 k text-byte payloads
+    * (ImageIO reader scan + audio provider scan, two thrown-and-caught
+    * fallbacks per row). A payload whose magic LIES (valid header,
+    * corrupt body) still falls back per row via [[WithFallback]]. */
+  object AutoDecoder extends MediaDecoder {
+    private def m(p: Array[Byte], i: Int, c: Char): Boolean = p(i) == c.toByte
+    private def looksImage(p: Array[Byte]): Boolean = p.length >= 4 && (
+      (p(0) == 0x89.toByte && m(p, 1, 'P') && m(p, 2, 'N') && m(p, 3, 'G')) ||
+      (p(0) == 0xff.toByte && p(1) == 0xd8.toByte) ||
+      (m(p, 0, 'G') && m(p, 1, 'I') && m(p, 2, 'F')) ||
+      (m(p, 0, 'B') && m(p, 1, 'M')))
+    private def looksAudio(p: Array[Byte]): Boolean = p.length >= 12 && (
+      (m(p, 0, 'R') && m(p, 1, 'I') && m(p, 2, 'F') && m(p, 3, 'F') &&
+        m(p, 8, 'W') && m(p, 9, 'A') && m(p, 10, 'V') && m(p, 11, 'E')) ||
+      (m(p, 0, 'F') && m(p, 1, 'O') && m(p, 2, 'R') && m(p, 3, 'M')) ||
+      (m(p, 0, '.') && m(p, 1, 's') && m(p, 2, 'n') && m(p, 3, 'd')))
+    private val image = WithFallback(ImageIoDecoder, ByteHistogramDecoder)
+    private val audio = WithFallback(WavDecoder, ByteHistogramDecoder)
+    def decode(r: MediaRow): MediaFeatures =
+      if (looksImage(r.payload)) image.decode(r)
+      else if (looksAudio(r.payload)) audio.decode(r)
+      else ByteHistogramDecoder.decode(r)
+  }
+
+  /** The registered d21 path: magic-byte dispatch to the real ImageIO /
+    * JDK-audio codecs, byte stub for everything else. */
   def decodeAuto(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
-    decodeWith(media,
-      WithFallback(ImageIoDecoder, WithFallback(WavDecoder, ByteHistogramDecoder)))
+    decodeWith(media, AutoDecoder)
 
   /** [[decodeWith]] + the stub codec only (spec baseline). */
   def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] =
