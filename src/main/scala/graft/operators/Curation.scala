@@ -698,23 +698,29 @@ object Curation {
     urlFilterOf(withUrls(Tables.documents(s, d).select("doc_id", "source")),
       UrlBlocklist)
 
+  /** The d55 normalization chain over a frame carrying a `url` column
+    * — appends url_norm + domain. Narrow per-row ops only, so it
+    * composes unchanged into the streaming twin
+    * (graft.streaming.UrlStream). */
+  private[graft] def normalizeUrlCols(docs: DataFrame): DataFrame = docs
+    // scheme://host[:port] prefix, lowercased; path+query untouched
+    .withColumn("pre", lower(regexp_extract(col("url"), "^([^/]*//[^/?]*)", 1)))
+    .withColumn("rest", expr("substring(url, length(pre) + 1)"))
+    .withColumn("pre", regexp_replace(col("pre"), "^(https?://)www\\.", "$1"))
+    .withColumn("pre", regexp_replace(col("pre"), "^(https://[^/:?]*):443$", "$1"))
+    .withColumn("pre", regexp_replace(col("pre"), "^(http://[^/:?]*):80$", "$1"))
+    // strip tracking params; if the leading param was stripped,
+    // re-anchor the survivors ('/p&id=1' → '/p?id=1')
+    .withColumn("rest", regexp_replace(col("rest"), "[?&]utm_[^&]*", ""))
+    .withColumn("rest", regexp_replace(col("rest"), "^([^?&]*)&", "$1?"))
+    .withColumn("rest", regexp_replace(col("rest"), "/$", ""))
+    .withColumn("url_norm", concat(col("pre"), col("rest")))
+    .withColumn("domain", regexp_extract(col("url_norm"), "^[a-z]+://([^/:?]+)", 1))
+    .drop("pre", "rest")
+
   /** Core of [[urlFilter]] over an explicit (doc_id, url) frame. */
   def urlFilterOf(docs: DataFrame, blocklist: Seq[String]): DataFrame = {
-    val urls = docs
-      // scheme://host[:port] prefix, lowercased; path+query untouched
-      .withColumn("pre", lower(regexp_extract(col("url"), "^([^/]*//[^/?]*)", 1)))
-      .withColumn("rest", expr("substring(url, length(pre) + 1)"))
-      .withColumn("pre", regexp_replace(col("pre"), "^(https?://)www\\.", "$1"))
-      .withColumn("pre", regexp_replace(col("pre"), "^(https://[^/:?]*):443$", "$1"))
-      .withColumn("pre", regexp_replace(col("pre"), "^(http://[^/:?]*):80$", "$1"))
-      // strip tracking params; if the leading param was stripped,
-      // re-anchor the survivors ('/p&id=1' → '/p?id=1')
-      .withColumn("rest", regexp_replace(col("rest"), "[?&]utm_[^&]*", ""))
-      .withColumn("rest", regexp_replace(col("rest"), "^([^?&]*)&", "$1?"))
-      .withColumn("rest", regexp_replace(col("rest"), "/$", ""))
-      .withColumn("url_norm", concat(col("pre"), col("rest")))
-      .withColumn("domain", regexp_extract(col("url_norm"), "^[a-z]+://([^/:?]+)", 1))
-      .select("doc_id", "url", "url_norm", "domain")
+    val urls = normalizeUrlCols(docs).select("doc_id", "url", "url_norm", "domain")
     val stats = urls.groupBy("url_norm")
       .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_dups"))
     urls.join(stats, "url_norm")

@@ -125,6 +125,60 @@ class Round12Spec extends SparkSpec {
       graft.streaming.EventStream.Tick(-1L,
         new java.sql.Timestamp(4102444800000L), u, "flush", 0.0))
 
+  private def urlStreamFinal(table: String): Map[Long, (String, String, String, Long, Boolean)] =
+    spark.table(table).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5)))
+      .groupBy(_._1)
+      // n_dups is strictly monotone per key, so the max-n row IS the
+      // latest emission for the doc (the documented consumer contract)
+      .map { case (id, rows) =>
+        val last = rows.maxBy(_._5)
+        id -> ((last._2, last._3, last._4, last._5, last._6))
+      }
+
+  test("urlFilterStream: shuffled micro-batch replay == batch urlFilterOf; canonical handoff corrects") {
+    withRocksDb {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      val batchIn = graft.operators.Curation.withUrls(
+        Tables.documents(spark, sf).select("doc_id", "source"))
+      val want = graft.operators.Curation.urlFilterOf(batchIn,
+          graft.operators.Curation.UrlBlocklist).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4), r.getBoolean(5)))).toMap
+      // deterministic shuffle: min-doc canonicals arrive in arbitrary
+      // positions, so later batches must demote earlier winners
+      val rows = batchIn.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy { case (id, _) => graft.sources.TickSource.mix(7L, id) }.toSeq
+      val third = rows.size / 3
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.UrlStream.urlFilterStream(
+          input.toDS().toDF("doc_id", "url"),
+          graft.operators.Curation.UrlBlocklist).toDF()
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("url_stream").start()
+      input.addData(rows.take(third)); q.processAllAvailable()
+      input.addData(rows.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(rows.drop(2 * third)); q.processAllAvailable()
+      q.stop()
+      val got = urlStreamFinal("url_stream")
+      assert(want.nonEmpty && got.size == want.size,
+        s"row count: got ${got.size}, want ${want.size}")
+      assert(got == want, "streamed final state != batch urlFilterOf")
+      // the correction actually happened: some doc was emitted keep=true
+      // in an early batch and is keep=false in the final state
+      val all = spark.table("url_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getBoolean(5)))
+      val demoted = all.exists { case (id, n, keep) =>
+        keep && !got(id)._5 && n < got(id)._4
+      }
+      assert(demoted,
+        "shuffle never exercised a canonical handoff — fixture too weak")
+    }
+  }
+
   test("verticalsStream: ARBITRARY arrival order + flush == batch q28 rows byte-exact") {
     withRocksDb {
       // deterministic full shuffle — every per-key ordering violated;
