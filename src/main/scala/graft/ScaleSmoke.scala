@@ -256,6 +256,22 @@ object ScaleSmoke {
       require(kept < 1000000 && kept > 900000, s"unexpected url keep count $kept")
       kept
     }
+    // d56 classifier training at 1M docs / 2^15 hashed buckets: the
+    // full-batch GD loop — checkpointed posting+forward frames, narrow
+    // plan-constant margin pass, one fused 32k-row collect per iter.
+    // The label is synthetic (parity of doc_id — the stage measures
+    // the loop's scale shape, not learnability; ClassifierSpec owns
+    // the learnability gates)
+    time("classifier train 1M docs") {
+      val labels = docsBig.select(col("doc_id"),
+        (col("doc_id") % 2).cast("double").as("y"))
+      val m = operators.Classifier.trainLogistic(docsBig, labels, 32768,
+        iters = 3, lr = 10.0)
+      require(m.losses.size == 3, s"expected 3 loss points, got ${m.losses.size}")
+      require(m.losses.forall(l => !l.isNaN && !l.isInfinite),
+        s"loss diverged: ${m.losses}")
+      1000000L
+    }
     time("corpus report 1M docs") {
       operators.CorpusStats.corpusReportOf(docsBig
         .withColumn("lang", lit("en"))

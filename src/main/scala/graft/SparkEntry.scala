@@ -297,6 +297,12 @@ object SparkEntry {
     // extract domain, blocklist filter, keep-min URL dedup;
     // oracle-exact
     "d55_url_filter"      -> (Curation.urlFilter _),
+    // trained quality classifier (the CCNet/fastText filter family):
+    // hashed-unigram logistic regression trained IN-ENGINE against the
+    // d33 perplexity teacher, deterministic via decimal-sum gradients.
+    // rows-only: a gradient loop isn't SQL; spec-gated on planted
+    // separable classes + bit-reproducible retrain + teacher agreement
+    "d56_quality_classifier" -> (operators.Classifier.qualityClassifier _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a

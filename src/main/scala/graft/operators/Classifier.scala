@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.{toCol, toExpr}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+
+import graft.Tables
+
+/** d56: model-based quality filtering — the third filter family of
+  * published LLM data pipelines, alongside the heuristic rules (d8,
+  * d43) and the LM-perplexity scores (d33/d44/d52/d53): a TRAINED
+  * linear classifier over hashed bag-of-words features (the
+  * fastText-style architecture of the CCNet / LLaMA "looks like a
+  * wiki reference" filter), trained inside the engine with plain
+  * DataFrame aggregations.
+  *
+  * Scale shape (the reason this trains at 100 TB):
+  *  - Features are HASHED unigram tf (`pmod(xxhash64(w), buckets)`):
+  *    vocabulary-unbounded, linear in corpus token volume. The
+  *    gradient-side posting table (doc_id, bucket, x) is built ONCE,
+  *    doc_id-partitioned, and lazily localCheckpointed (the
+  *    iterative-lazy-plan lesson: without the cut every iteration
+  *    would re-run tokenization).
+  *  - The FORWARD pass per iteration is a NARROW codegen'd expression
+  *    ([[HashedMargin]]) with the weight vector baked in as a plan
+  *    constant — the CentroidSet/BpeVocab discipline: kilobytes
+  *    shipped with the plan, no weight-table join, no broadcast job,
+  *    no shuffle to compute margins.
+  *  - The BACKWARD pass is one co-partitioned join of per-doc
+  *    residuals onto the postings, one per-bucket aggregate, and ONE
+  *    bounded collect per iteration carrying gradients, bias gradient,
+  *    and loss together (sentinel buckets −1/−2). No windows, nothing
+  *    pairwise, `iters` linear passes total.
+  *  - DETERMINISTIC training despite float math: per-doc margins are
+  *    sequential loops (order fixed by the doc's own word order),
+  *    residuals are rounded to 9 dp, and every distributed sum
+  *    follows the d33 discipline (9 dp terms summed as DECIMAL(18,9)
+  *    — order-independent), so gradients, weights, and scores are
+  *    bit-reproducible run to run. The spec asserts train-twice ⇒
+  *    identical weights.
+  *
+  * The registered entry is the CCNet architecture end-to-end: the
+  * perplexity signal (d33 unigram NLL) is the TEACHER — label 1 =
+  * NLL in the lower (better) half by deterministic rank — and the
+  * fast hashed-linear student is trained to reproduce it, then
+  * scores every doc. Spec
+  * gates (rows-only entry — a gradient loop isn't SQL): exact
+  * separation on planted separable classes, monotone loss descent,
+  * bit-identical retraining, and teacher agreement on the corpus.
+  */
+object Classifier {
+
+  case class Model(weights: Array[Double], bias: Double, losses: Seq[Double])
+
+  /** Hashed-unigram tf features for the GRADIENT side: (doc_id,
+    * bucket, x) with x = count/doc_len rounded to 9 dp (the rounding
+    * is what makes the gradient's decimal sums order-independent). */
+  def postingsOf(docs: DataFrame, buckets: Int): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val lens = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    words
+      .groupBy(col("doc_id"), pmod(xxhash64(col("w")), lit(buckets)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .join(lens, "doc_id")
+      .select(col("doc_id"), col("bucket"),
+        round(col("c").cast("double") / col("n_words"), 9).as("x"))
+  }
+
+  /** mean-tf margin of one doc under the frozen weight vector:
+    * (Σ_w weights[pmod(xxhash64(w), B)]) / n_words — the whole forward
+    * pass as one narrow per-row loop, weights a plan constant. */
+  def hashedMargin(words: Column, weights: Array[Double]): Column =
+    toCol(HashedMargin(toExpr(words), weights))
+
+  private def dec(c: Column) = round(c, 9).cast("decimal(18,9)")
+
+  /** Full-batch logistic regression over (doc_id, text) + labels
+    * (doc_id, y ∈ {0.0, 1.0}). Returns the model and the
+    * per-iteration mean log-loss (monotone under a sane lr). */
+  def trainLogistic(docs: DataFrame, labels: DataFrame, buckets: Int,
+      iters: Int = 8, lr: Double = 10.0, l2: Double = 1e-6): Model = {
+    // both sides of the loop pinned once: the tokenized+labeled frame
+    // for forward passes, the posting table for gradients — same
+    // doc_id layout so the residual join stays co-partitioned
+    val docsY = docs.join(labels, "doc_id")
+      .select(col("doc_id"), col("y"),
+        array_remove(split(col("text"), " "), "").as("ws"))
+      .repartition(col("doc_id")).localCheckpoint(false)
+    val px = postingsOf(docs, buckets)
+      .repartition(col("doc_id")).localCheckpoint(false)
+    val n = labels.count().toDouble
+    require(n > 0, "trainLogistic needs at least one labeled doc")
+    val w = new Array[Double](buckets)
+    var bias = 0.0
+    val losses = Vector.newBuilder[Double]
+    var it = 0
+    while (it < iters) {
+      val margins = docsY
+        .withColumn("p", lit(1.0) /
+          (lit(1.0) + exp(-(hashedMargin(col("ws"), w.clone()) + bias))))
+        // clamp before log: a saturated sigmoid would hand log() a zero
+        .withColumn("pc", greatest(least(col("p"), lit(1.0 - 1e-12)), lit(1e-12)))
+        .select(col("doc_id"),
+          round(col("p") - col("y"), 9).as("r"),
+          dec(-col("y") * log(col("pc"))
+            - (lit(1.0) - col("y")) * log(lit(1.0) - col("pc"))).as("l"))
+        // one narrow materialization feeds all three collect branches —
+        // measured 6.7 s vs 9.7 s warm at sf0.1 without the cut (the
+        // grads join + two agg branches each re-ran the margin pass)
+        .localCheckpoint(false)
+      // gradients, bias gradient (bucket −1), and loss (bucket −2) in
+      // ONE bounded collect
+      val rows = px.join(margins.select("doc_id", "r"), "doc_id")
+        .groupBy("bucket").agg(sum(dec(col("r") * col("x"))).as("g"))
+        .unionByName(margins.agg(sum(dec(col("r"))).as("g"))
+          .select(lit(-1L).as("bucket"), col("g")))
+        .unionByName(margins.agg(sum(col("l")).as("g"))
+          .select(lit(-2L).as("bucket"), col("g")))
+        .collect()
+      var i = 0
+      while (i < w.length) { w(i) -= lr * l2 * w(i); i += 1 }
+      rows.foreach { row =>
+        val b = row.getLong(0)
+        val v = if (row.isNullAt(1)) 0.0 else row.getDecimal(1).doubleValue()
+        if (b == -1L) bias -= lr * v / n
+        else if (b == -2L) losses += v / n
+        else w(b.toInt) -= lr * v / n
+      }
+      it += 1
+    }
+    Model(w, bias, losses.result())
+  }
+
+  /** Score (doc_id, text) under a trained model — the same narrow
+    * plan-constant forward pass as training: (doc_id, score, pred). */
+  def scoreOf(docs: DataFrame, model: Model): DataFrame =
+    docs.select(col("doc_id"),
+      round(lit(1.0) / (lit(1.0) + exp(-(hashedMargin(
+        array_remove(split(col("text"), " "), ""), model.weights) + model.bias))),
+        6).as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("boolean"))
+
+  private[operators] val QcBuckets = 4096
+
+  /** The registered d56 entry: CCNet end-to-end — teacher = d33
+    * unigram NLL, split at the MEDIAN by the deterministic two-level
+    * rank (the d52 discipline — a mean cut measured 94% positive at
+    * sf0.1 and the student degenerated to majority-class; rank gives
+    * an exact balanced split, ties broken on doc_id), student = the
+    * hashed-linear model above, output = every doc's teacher label,
+    * student score, and prediction. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    val nll = CorpusStats.unigramNllOf(docs, vocabCap = 1000)
+      .select("doc_id", "nll")
+    val ranked = Silver.surrogateIds(nll, Seq("nll", "doc_id"), "rnk")
+    val tot = ranked.agg(count(lit(1)).as("n"))
+    val labels = ranked.crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("rnk") * 2 <= col("n"), 1.0).otherwise(0.0).as("y"))
+    val model = trainLogistic(docs, labels, QcBuckets, iters = 8, lr = 10.0)
+    scoreOf(docs, model)
+      .join(labels, "doc_id")
+      .select(col("doc_id"), col("y").cast("int").as("label"),
+        col("score"), col("pred"))
+      .orderBy("doc_id")
+  }
+}
+
+/** Forward pass of the hashed-linear classifier as a codegen'd
+  * expression: mean over the doc's words of the frozen weight at
+  * `pmod(xxhash64(word), buckets)` — hash identical to the SQL
+  * `pmod(xxhash64(w), B)` the gradient-side posting table uses. The
+  * weight vector rides the plan as a reference object (the
+  * CentroidSet discipline); empty docs score 0 (the bias alone
+  * decides them). */
+case class HashedMargin(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(in: Any): Any =
+    HashedMarginHelper.eval(in.asInstanceOf[ArrayData], weights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("qcWeights", weights, "double[]")
+      s"${ev.value} = graft.operators.HashedMarginHelper.eval($s, $ref);"
+    })
+  override protected def withNewChildInternal(c: Expression): HashedMargin =
+    copy(child = c)
+}
+
+object HashedMarginHelper {
+  def eval(arr: ArrayData, weights: Array[Double]): Double = {
+    val n = arr.numElements()
+    if (n == 0) return 0.0
+    val b = weights.length
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      val m = (h % b).toInt
+      sum += weights(if (m < 0) m + b else m)
+      i += 1
+    }
+    sum / n
+  }
+}
