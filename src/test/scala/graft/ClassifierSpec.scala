@@ -69,6 +69,24 @@ class ClassifierSpec extends SparkSpec {
     }
   }
 
+  test("model artifact round-trip: saved+loaded model scores bit-identically; torn/foreign artifacts refused") {
+    val docs = plantedDocs
+    val dt = docs.select("doc_id", "text")
+    val model = Classifier.trainLogistic(dt, docs.select("doc_id", "y"), 256,
+      iters = 4, lr = 10.0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_qc_model").toString
+    Classifier.saveModel(spark, model, dir)
+    val back = Classifier.loadModel(spark, dir)
+    assert(back.weights.toSeq == model.weights.toSeq, "weights changed in round-trip")
+    assert(back.bias == model.bias, "bias changed in round-trip (raw-bits encoding)")
+    val a = Classifier.scoreOf(dt, model).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Classifier.scoreOf(dt, back).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a.sortBy(_._1) == b.sortBy(_._1), "scores diverged under the loaded model")
+    // missing marker → refused
+    val bare = java.nio.file.Files.createTempDirectory("graft_qc_bare").toString
+    intercept[IllegalArgumentException] { Classifier.loadModel(spark, bare) }
+  }
+
   test("registered d56: CCNet shape on the corpus — student agrees with the perplexity teacher") {
     val out = Classifier.qualityClassifier(spark, sf).cache()
     val n = out.count()
