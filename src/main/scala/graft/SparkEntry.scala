@@ -297,6 +297,11 @@ object SparkEntry {
     // extract domain, blocklist filter, keep-min URL dedup;
     // oracle-exact
     "d55_url_filter"      -> (Curation.urlFilter _),
+    // deterministic weighted sampling without replacement per source
+    // (Efraimidis–Spirakis keys over the replayable md5 uniform,
+    // weight = n_chars, k smallest per source via TopKByScore — no
+    // per-source window); oracle-exact
+    "d57_weighted_sample" -> (Curation.weightedSample _),
     // trained quality classifier (the CCNet/fastText filter family):
     // hashed-unigram logistic regression trained IN-ENGINE against the
     // d33 perplexity teacher, deterministic via decimal-sum gradients.
@@ -1400,6 +1405,22 @@ object SparkEntry {
          |    (CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
          |          / 4294967296.0 < CAST(0.1 AS DOUBLE)) AS keep
          |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
+    // Weighted sample: hex-parse pairing (CAST('0x…') ↔ conv(…,16,10)),
+    // 9 dp key round absorbs ln() ulp differences, row_number over
+    // (skey, doc_id) ≡ the aggregate's (score desc, id asc) order.
+    "d57_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    round(-ln((CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |                         AS BIGINT) AS DOUBLE) + 1) / 4294967296.0)
+        |          / greatest(n_chars, 1), 9) AS skey
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, skey,
+        |        row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rn
+        |      FROM s)
+        |SELECT source, rn, doc_id, skey FROM r
+        |WHERE rn <= 50 ORDER BY source, rn""".stripMargin,
 
     // Boilerplate scrub: same non-overlapping 3-word block geometry
     // (1-based i here, 0-based block_idx in Spark — the slice windows

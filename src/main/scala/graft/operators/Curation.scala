@@ -731,6 +731,46 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** d57 sample size per source. */
+  private[graft] val WsampleK = 50
+
+  /** d57: deterministic weighted sampling WITHOUT replacement per
+    * source (Efraimidis–Spirakis 2006, public): selection key
+    * −ln(u)/w with u the replayable md5-hash uniform (the d26/d28
+    * discipline — any re-run or late shard draws the same u per doc)
+    * and weight w = doc length in chars, take the k smallest keys per
+    * source. The quality/length-weighted downsampling step between
+    * scoring and training-set assembly: every doc has selection
+    * probability proportional to its weight, replayable without
+    * coordination.
+    *
+    * Scale shape: per-source top-k via [[graft.functions.TopKAgg]]
+    * (TypedImperativeAggregate, k-slot buffer) — the exchange moves
+    * one ≤k state per (source, partition), NEVER a per-source window
+    * (one partition per source at 100 TB). Float parity: the key is
+    * rounded to 9 dp in both dialects (absorbs ≤1-ulp ln()
+    * differences, the d33 discipline) and ties break on doc_id inside
+    * the aggregate's (score desc, id asc) order.
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+    // u' = (h32 + 1) / 2^32 ∈ (0, 1]: +1 keeps ln() off zero
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("bigint")
+    val skey = round(
+      -log((u + lit(1L)).cast("double") / lit(4294967296.0)) /
+        greatest(col("n_chars"), lit(1L)), 9)
+    docs.withColumn("skey", skey)
+      .groupBy("source")
+      .agg(graft.functions.TopKAgg.topKByScore(
+        struct((-col("skey")).as("score"), col("doc_id").as("id")), WsampleK)
+        .as("topk"))
+      .select(col("source"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+        col("t.id").as("doc_id"), (-col("t.score")).as("skey"))
+      .orderBy("source", "rn")
+  }
+
   /** d54 block geometry: NON-overlapping 3-word windows (the removal
     * ambiguity argument of TextFns.SpanSize, at the granularity the
     * line-frequency filters of RefinedWeb/CCNet run at — their "line"

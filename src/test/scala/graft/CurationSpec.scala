@@ -326,6 +326,44 @@ class CurationSpec extends SparkSpec {
       s"blocklisted domain must be dropped: ${got(10L)}")
   }
 
+  test("weightedSample: matches the rank-window reference; heavy weights dominate the sample") {
+    import spark.implicits._
+    val out = Curation.weightedSample(spark, sf).cache()
+    // reference: the same keys through an explicit per-source window
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("bigint")
+    val skey = round(-log((u + lit(1L)).cast("double") / lit(4294967296.0)) /
+      greatest(col("n_chars"), lit(1L)), 9)
+    val ref = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .withColumn("skey", skey)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("skey"), col("doc_id"))))
+      .filter(col("rn") <= 50)
+      .select(col("source"), col("rn").cast("long").as("rn"), col("doc_id"), col("skey"))
+    assert(out.exceptAll(ref).count() == 0 && ref.exceptAll(out).count() == 0,
+      "TopKByScore sample != rank-window reference")
+    // replayable: second run identical
+    val again = Curation.weightedSample(spark, sf)
+    assert(out.exceptAll(again).count() == 0, "sample not replayable")
+    out.unpersist()
+    // weight bias: 10 heavy docs (w=5000) among 190 light (w=1) must
+    // essentially always make a k=20 sample
+    val docs = (0L until 200L).map(i =>
+      (i, "s0", if (i < 10) 5000L else 1L)).toDF("doc_id", "source", "n_chars")
+    val skey2 = round(-log((conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") + lit(1L)).cast("double") / lit(4294967296.0)) /
+      greatest(col("n_chars"), lit(1L)), 9)
+    val picked = docs.withColumn("skey", skey2)
+      .groupBy("source")
+      .agg(graft.functions.TopKAgg.topKByScore(
+        struct((-col("skey")).as("score"), col("doc_id").as("id")), 20).as("topk"))
+      .select(explode(col("topk")).as("t")).select(col("t.id").as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val heavyIn = (0L until 10L).count(picked.contains)
+    assert(heavyIn >= 9, s"only $heavyIn/10 heavy docs sampled — weighting is not biting")
+  }
+
   test("curation entries: registered queries run and the oracle dialect stays aligned") {
     // rows>0 over the real corpus at test SF; the exact-parity gate is
     // the driver selfcheck (run at sf0.01/sf0.1/amplified this round)
@@ -333,7 +371,8 @@ class CurationSpec extends SparkSpec {
         "d27_pii_redact", "d28_stratified_split", "d29_ngram_topk",
         "d30_vocab_coverage", "d31_token_budget_mix",
         "d33_unigram_nll", "d34_template_chunks",
-        "d35_split_leakage", "d54_boilerplate", "d55_url_filter").foreach { k =>
+        "d35_split_leakage", "d54_boilerplate", "d55_url_filter",
+        "d57_weighted_sample").foreach { k =>
       assert(SparkEntry.queries(k)(spark, sf).count() > 0, s"$k returned no rows")
       assert(SparkEntry.oracleSql.contains(k), s"$k has no oracle SQL")
     }
