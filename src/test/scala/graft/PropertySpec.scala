@@ -247,4 +247,59 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("URL normalization is idempotent on random messy URLs") {
+    import spark.implicits._
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HTTPS", "hTtPs")
+    val host = Gen.oneOf("Foo.COM", "bar.example.org", "WWW.Baz.io", "a.b.NET")
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    val path = Gen.oneOf("/x", "/x/y", "/x/y/", "")
+    val query = Gen.oneOf("", "?utm_a=1", "?id=2", "?utm_a=1&id=2",
+      "?id=2&utm_b=3", "?utm_a=1&utm_b=2")
+    val url = for {
+      s <- scheme; h <- host; p <- port; pa <- path; q <- query
+    } yield s"$s://$h$p$pa$q"
+    val urls = samples(Gen.listOfN(40, url), 5).flatten.distinct
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val once = graft.operators.Curation.normalizeUrlCols(urls.toDF("doc_id", "url"))
+      .select(col("doc_id"), col("url_norm"), col("domain"))
+    // re-normalizing a normalized URL must be a fixed point
+    val twice = graft.operators.Curation.normalizeUrlCols(
+        once.select(col("doc_id"), col("url_norm").as("url")))
+      .select(col("doc_id"), col("url_norm"), col("domain"))
+    assert(once.exceptAll(twice).count() == 0 && twice.exceptAll(once).count() == 0,
+      "normalization is not idempotent")
+    // every domain is lowercase, www-free, and port-free
+    val badDomain = once.filter(col("domain").rlike("[A-Z]") ||
+      col("domain").startsWith("www.") || col("domain").contains(":")).count()
+    assert(badDomain == 0, "domain extraction leaked case/www/port")
+  }
+
+  test("boilerplateScrub invariants on random corpora: counts consistent, high threshold is identity") {
+    import spark.implicits._
+    val docsGen = Gen.listOfN(30, Gen.listOfN(11, word).map(_.mkString(" ")))
+    samples(docsGen, 4).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.Curation.boilerplateScrubOf(df, minDocs = 2).cache()
+      // dropped never exceeds total; kept words = total minus dropped-block words
+      assert(out.filter(col("n_boiler") > col("n_blocks")).count() == 0)
+      val badLen = out
+        .join(df, "doc_id")
+        .withColumn("kept_words",
+          size(array_remove(split(col("text_clean"), " "), "")))
+        // every block is 3 words except one ≤2-word tail per doc; with
+        // 11-word docs each has 3 full blocks + a 2-word tail, and only
+        // full blocks can drop: kept = 11 − 3·n_boiler
+        .filter(col("kept_words") =!= lit(11) - col("n_boiler") * 3)
+        .count()
+      assert(badLen == 0, "kept word count inconsistent with dropped full blocks")
+      out.unpersist()
+      // threshold above the corpus size: nothing drops, text reconstructs
+      val id = graft.operators.Curation.boilerplateScrubOf(df, minDocs = texts.size + 1)
+      assert(id.filter(col("n_boiler") =!= 0).count() == 0)
+      assert(id.join(df, "doc_id").filter(col("text_clean") =!= col("text")).count() == 0,
+        "identity threshold failed to reconstruct the original text")
+    }
+  }
 }
