@@ -137,13 +137,18 @@ object Classifier {
     Model(w, bias, losses.result())
   }
 
+  /** Sigmoid score of a text column under a trained model — narrow,
+    * plan-constant, usable as a filter predicate anywhere (the frozen
+    * fastText-style gate inside CorpusPipeline). */
+  def scoreCol(text: Column, model: Model): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-(hashedMargin(
+      array_remove(split(text, " "), ""), model.weights) + model.bias))),
+      6)
+
   /** Score (doc_id, text) under a trained model — the same narrow
     * plan-constant forward pass as training: (doc_id, score, pred). */
   def scoreOf(docs: DataFrame, model: Model): DataFrame =
-    docs.select(col("doc_id"),
-      round(lit(1.0) / (lit(1.0) + exp(-(hashedMargin(
-        array_remove(split(col("text"), " "), ""), model.weights) + model.bias))),
-        6).as("score"))
+    docs.select(col("doc_id"), scoreCol(col("text"), model).as("score"))
       .withColumn("pred", (col("score") >= 0.5).cast("boolean"))
 
   // ---- persisted model artifact -------------------------------------

@@ -65,7 +65,10 @@ object CorpusPipeline {
       mixTargetFrac: Option[Double] = None,
       blockCols: Seq[String] = Seq.empty,
       spanDedup: Boolean = false,
-      gopherGate: Boolean = false): (DataFrame, Seq[(String, Long)]) = {
+      gopherGate: Boolean = false,
+      boilerplateScrub: Boolean = false,
+      boilerplateMinDocs: Int = Curation.BoilerMinDocs,
+      qualityModel: Option[Classifier.Model] = None): (DataFrame, Seq[(String, Long)]) = {
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[(String, org.apache.spark.sql.Observation)]
     def observed(name: String, df: DataFrame): DataFrame = {
@@ -155,6 +158,20 @@ object CorpusPipeline {
             graft.functions.TextFns.spanScrubWith(nearDeduped, rb)))
       } else (nearDeduped0, nearDeduped)
 
+    // 4c (opt-in). Frequency-threshold boilerplate removal (d54): drop
+    //    EVERY occurrence of any block frequent across the surviving
+    //    corpus and rebuild docs — the RefinedWeb line-filter
+    //    complement of 4b's keep-first span dedup. Same twin
+    //    discipline: one rebuild frame, applied to both branches;
+    //    fully-scrubbed docs drop (inner join).
+    val (boiled0, boiled) =
+      if (boilerplateScrub) {
+        val rb = Curation.boilerplateRebuilt(spanned0.select("doc_id", "text"),
+          boilerplateMinDocs)
+        (Curation.boilerplateScrubWith(spanned0, rb),
+          observed("boilerplate_scrub", Curation.boilerplateScrubWith(spanned, rb)))
+      } else (spanned0, spanned)
+
     // 5. benchmark decontamination (d24): anti-join away docs sharing
     //    any 8-gram with the eval slice — the contaminated-id list is
     //    tiny (broadcast gram join inside decontaminateOf). The
@@ -162,11 +179,11 @@ object CorpusPipeline {
     //    only sound when both sides are normalized identically.
     val decon = benchmark match {
       case Some(b) => observed("decontaminated",
-        spanned.join(
-          Curation.contaminatedIds(spanned0.select("doc_id", "text"),
+        boiled.join(
+          Curation.contaminatedIds(boiled0.select("doc_id", "text"),
             benchmarkGrams(b)),
           Seq("doc_id"), "left_anti"))
-      case None => spanned
+      case None => boiled
     }
 
     // 6. repetition gate (d25): per-row duplicate-3-gram fraction.
@@ -192,6 +209,18 @@ object CorpusPipeline {
         .filter(Curation.gopherKeep(split(col("text"), " "),
           length(col("text")).cast("long"))))
 
+    // 6c (opt-in). FROZEN model-based quality gate (d56): score each
+    //    doc under a pre-trained hashed-linear classifier artifact
+    //    (Classifier.loadModel) and keep score ≥ 0.5 — the production
+    //    CCNet/fastText setup: the expensive teacher ran at training
+    //    time, the pipeline pays one narrow plan-constant expression
+    //    pass. No shuffle, same shape as 6/6b.
+    val modelGated = qualityModel match {
+      case Some(m) => observed("model_gate",
+        gophered.filter(Classifier.scoreCol(col("text"), m) >= 0.5))
+      case None => gophered
+    }
+
     // 7. domain mixture (d26): deterministic hash sample toward the
     //    uniform source budget; carry-through columns survive. The mix
     //    budget aggregates its own input (two consumers), so the mix
@@ -199,9 +228,9 @@ object CorpusPipeline {
     //    the near_dedup/decon/repetition counters; without mixing those
     //    ride to the final chunk count instead and no cut is taken.
     val mixed = mixTargetFrac match {
-      case Some(f) if gophered.columns.contains("source") =>
-        observed("domain_mix", Curation.mixKeepFilter(cut(gophered), f))
-      case _ => gophered
+      case Some(f) if modelGated.columns.contains("source") =>
+        observed("domain_mix", Curation.mixKeepFilter(cut(modelGated), f))
+      case _ => modelGated
     }
 
     // 8. chunk to training examples: overlapping word windows (d18's

@@ -771,6 +771,26 @@ object Curation {
       .orderBy("source", "rn")
   }
 
+  /** In-pipeline form of d54: per-doc rebuilt text with boilerplate
+    * blocks removed, fully-scrubbed docs dropped (nothing left to
+    * train on — the d40 discipline). */
+  private[graft] def boilerplateRebuilt(docs: DataFrame,
+      minDocs: Int = BoilerMinDocs): DataFrame =
+    boilerplateScrubOf(docs, minDocs)
+      .filter(col("text_clean") =!= "")
+      .select("doc_id", "text_clean")
+
+  /** Apply a [[boilerplateRebuilt]] frame to a corpus: `text` replaced
+    * by the scrubbed rebuild, carry-through columns preserved,
+    * fully-scrubbed docs dropped (inner join). Split out so the
+    * pipeline can apply ONE rebuild to both an observed and an
+    * un-observed branch of the same stage (the spanScrubWith
+    * discipline). */
+  private[graft] def boilerplateScrubWith(docs: DataFrame,
+      rebuilt: DataFrame): DataFrame =
+    docs.join(rebuilt, Seq("doc_id"))
+      .withColumn("text", col("text_clean")).drop("text_clean")
+
   /** d54 block geometry: NON-overlapping 3-word windows (the removal
     * ambiguity argument of TextFns.SpanSize, at the granularity the
     * line-frequency filters of RefinedWeb/CCNet run at — their "line"

@@ -77,6 +77,61 @@ class PipelineSpec extends SparkSpec {
     assert(m("chunks") > m("domain_mix"), "chunking must expand rows")
   }
 
+  test("opt-in boilerplate scrub + frozen model gate compose into the pipeline") {
+    import spark.implicits._
+    import graft.operators.{Classifier, Curation}
+    // corpus: 20 good-vocab docs (12 with a planted block-aligned
+    // 3-word template), 20 bad-vocab docs. The fixture must survive
+    // every EARLIER stage to reach the two under test — measured
+    // failure modes of naive fixtures: identical class-word order
+    // makes the class vocabulary itself boilerplate (the scrub
+    // correctly deletes the classifier's whole signal), and the
+    // unblocked LSH path clusters 0.6-jaccard same-class docs. So:
+    // class words rotate per doc (rotations alias at shift 3, leaving
+    // each block string in ≤7 docs — under the 10-doc threshold
+    // below), doc-unique words defeat exact dedup, and blockCols
+    // routes near-dup through the verified j≥0.8 path.
+    val boiler = "tmpl alpha omega"
+    def rot(ws: Seq[String], i: Long) =
+      (ws.drop((i % ws.size).toInt) ++ ws.take((i % ws.size).toInt)).mkString(" ")
+    val gws = Seq("ga", "gb", "gc", "gd", "ge", "gf")
+    val bws = Seq("ba", "bb", "bc", "bd", "be", "bf")
+    val docs = ((0L until 20L).map { i =>
+      val body = s"${rot(gws, i)} u${i}a u${i}b"
+      (i, if (i < 12) s"$boiler $body" else body, "s0")
+    } ++ (100L until 120L).map { i =>
+      (i, s"${rot(bws, i)} v${i}a v${i}b", "s1")
+    }).toDF("doc_id", "text", "source")
+    // frozen gate: classifier trained on planted separable labels
+    // (good vocab = 1, bad vocab = 0) — trained OUTSIDE the pipeline,
+    // the production artifact shape
+    val labeled = docs.select(col("doc_id"), col("text"),
+      (col("doc_id") < 100L).cast("double").as("y"))
+    val model = Classifier.trainLogistic(labeled.select("doc_id", "text"),
+      labeled.select("doc_id", "y"), 256, iters = 30, lr = 50.0)
+    // threshold 10: the planted template (12 docs) is boilerplate,
+    // the rotated class blocks (<=7 docs each) are not
+    val (chunks, stats) = CorpusPipeline.buildTrainingCorpus(
+      docs, minWords = 3, blockCols = Seq("source"),
+      boilerplateScrub = true, boilerplateMinDocs = 10,
+      qualityModel = Some(model))
+    assert(stats.map(_._1) == Seq("scrubbed", "quality_gate", "exact_dedup",
+      "near_dedup", "boilerplate_scrub", "model_gate", "chunks"),
+      s"stage order: ${stats.map(_._1)}")
+    val m = stats.toMap
+    // the model gate kills every bad-vocab doc and keeps good ones
+    assert(m("model_gate") <= m("boilerplate_scrub"))
+    val out = chunks.select("doc_id").distinct()
+    assert(out.filter(col("doc_id") >= 100L).count() == 0,
+      "bad-vocab docs survived the frozen model gate")
+    assert(out.count() > 0, "model gate dropped everything")
+    // the planted template block is gone from every surviving chunk —
+    // scrubbing happened BEFORE chunking (block-aligned occurrences
+    // appear in >= 5 docs, so d54 drops them all)
+    val withBoiler = chunks.filter(col("chunk_text").contains(boiler)).count()
+    assert(withBoiler == 0, s"$withBoiler chunks still carry the template block")
+  }
+
   test("repetition gate passes sub-3-word docs unconditionally (no ANSI slice throw)") {
     import spark.implicits._
     val docs = Seq(
