@@ -271,7 +271,8 @@ object CorpusPipeline {
     * set of the eval suite ([[benchmarkGrams]]; tiny → broadcast),
     * computed once at stream start, not per batch. */
   def curateBatch(docs: DataFrame, benchGrams: Option[DataFrame] = None,
-      minWords: Int = 5, maxRepFrac: Double = 1.0): DataFrame = {
+      minWords: Int = 5, maxRepFrac: Double = 1.0,
+      qualityModel: Option[Classifier.Model] = None): DataFrame = {
     val scrubbed = scrubText(docs)
       .filter(size(split(col("text"), " ")) >= minWords)
     val repGated =
@@ -280,12 +281,19 @@ object CorpusPipeline {
         .withColumn("ws", split(col("text"), " "))
         .filter(repetitionKeep(col("ws"), maxRepFrac))
         .drop("ws")
+    // frozen-model gate (6c's streaming-safe form): a pure row
+    // function of the text, so a replayed micro-batch re-derives the
+    // identical keep set — the property the streaming sink needs
+    val modelGated = qualityModel match {
+      case Some(m) => repGated.filter(Classifier.scoreCol(col("text"), m) >= 0.5)
+      case None => repGated
+    }
     benchGrams match {
       case Some(bg) =>
-        repGated.join(
-          Curation.contaminatedIds(repGated.select("doc_id", "text"), bg),
+        modelGated.join(
+          Curation.contaminatedIds(modelGated.select("doc_id", "text"), bg),
           Seq("doc_id"), "left_anti")
-      case None => repGated
+      case None => modelGated
     }
   }
 

@@ -797,7 +797,8 @@ object EventStream {
       maxRepFrac: Double = 1.0, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq("lang", "source"), buckets: Int = 64,
       bucketedIndex: Boolean = false,
-      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None,
+      qualityModel: Option[graft.operators.Classifier.Model] = None
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     // materialized once; every batch closure reuses the cached grams
     val benchGrams = benchmark.map { b =>
@@ -810,7 +811,7 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val curated = graft.operators.CorpusPipeline.curateBatch(
-          batch.toDF(), benchGrams, minWords, maxRepFrac)
+          batch.toDF(), benchGrams, minWords, maxRepFrac, qualityModel)
         graft.operators.IncrementalDedup.upsertBatch(
           curated, root, threshold, blockCols, buckets,
           bucketedIndex = bucketedIndex)

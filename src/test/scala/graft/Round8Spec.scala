@@ -457,4 +457,36 @@ class Round8Spec extends SparkSpec {
     q2.stop()
     assert(corpusSet(root).map(_._1) == Set(1L, 2L), "replay changed the corpus")
   }
+
+  test("curatedInsertStream: frozen model gate drops low-quality docs in-stream, replay-stable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_cur_mstream").toString
+    val ckpt = Files.createTempDirectory("graft_cur_mckpt").toString
+    // frozen artifact trained OUTSIDE the stream on separable vocab
+    val trainDocs = ((0L until 20L).map(i =>
+      (i, (1 to 8).map(j => s"good$j").mkString(" "), 1.0)) ++
+      (100L until 120L).map(i =>
+        (i, (1 to 8).map(j => s"junk$j").mkString(" "), 0.0))).toDF("doc_id", "text", "y")
+    val model = graft.operators.Classifier.trainLogistic(
+      trainDocs.select("doc_id", "text"), trainDocs.select("doc_id", "y"),
+      256, iters = 12, lr = 10.0)
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = graft.streaming.EventStream.curatedInsertStream(
+      in.toDF().toDF("doc_id", "text", "lang", "source"), root, ckpt,
+      minWords = 5, qualityModel = Some(model))
+    val goodDoc = (7L, (1 to 8).map(j => s"good$j").mkString(" "), "en", "src0")
+    val junkDoc = (8L, (1 to 8).map(j => s"junk$j").mkString(" "), "en", "src0")
+    in.addData(Seq(goodDoc, junkDoc))
+    q.processAllAvailable()
+    // second batch replays both: gate is a pure row function, store
+    // guard absorbs the duplicate — corpus stays exactly {good}
+    in.addData(Seq(goodDoc, junkDoc))
+    q.processAllAvailable()
+    q.stop()
+    assert(corpusSet(root).map(_._1) == Set(7L),
+      s"model gate in-stream failed: ${corpusSet(root).map(_._1)}")
+  }
 }
