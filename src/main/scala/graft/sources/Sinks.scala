@@ -158,4 +158,61 @@ object Sinks {
 
   def readJsonl(spark: SparkSession, schemaDdl: String, path: String): DataFrame =
     spark.read.schema(schemaDdl).json(path)
+
+  /** Z-order clustered parquet write: co-locate rows by the interleaved
+    * quantile-bucket bits of several columns so parquet min/max file
+    * stats prune on EVERY z-dimension, not just a lead sort key. A
+    * plain `sortBy(x)` layout gives perfect file skipping on x and
+    * none on y; the z-curve trades a little of x's locality for
+    * skipping on all dimensions — at 100 TB this is the difference
+    * between a 1% scan and a full scan for the non-lead predicate
+    * (the Delta/Iceberg OPTIMIZE ZORDER layout, done with plain Spark).
+    *
+    * Mechanics: per column, 2^bits quantile boundaries from
+    * approxQuantile (a bounded driver collect; QUANTILE buckets, not
+    * equi-width — skewed columns would otherwise pile into one bucket
+    * and lose their bits), per-row bucket index = boundaries ≤ v
+    * (tiny literal-array HOF, write-side only), z = bit-interleave of
+    * the bucket indices (statically unrolled shift/or chain — no UDF),
+    * then repartitionByRange + sortWithinPartitions on z. The write
+    * itself is one range shuffle, same as any global sort.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 6, numFiles: Int = 16): Unit = {
+    require(zCols.size >= 2, "z-ordering needs at least two columns")
+    require(bits * zCols.size <= 60, s"${zCols.size} cols × $bits bits overflow a long")
+    val nb = (1 << bits) - 1
+    val bucketCols = zCols.map { c =>
+      val bounds = df.stat.approxQuantile(c,
+        (1 to nb).map(_.toDouble / (nb + 1)).toArray, 0.001)
+      val arr = array(bounds.map(lit(_)): _*)
+      c -> size(filter(arr, b => b <= col(c).cast("double")))
+    }
+    // interleave: bit j of column i lands at position j*ncols + i —
+    // low bits of every dimension stay adjacent (the z-curve property)
+    val n = zCols.size
+    val z = (0 until bits).flatMap { j =>
+      bucketCols.zipWithIndex.map { case ((_, b), i) =>
+        shiftleft(shiftright(b, j).bitwiseAND(lit(1)).cast("long"), j * n + i)
+      }
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** File-level min/max overlap count for a predicate range — the
+    * skip-ability measure [[writeZOrdered]] exists to improve: how many
+    * files of a layout a `lo <= c <= hi` scan must open. (Readers get
+    * this pruning from parquet stats automatically; this makes it
+    * observable/testable.) */
+  def filesOverlapping(spark: SparkSession, path: String, c: String,
+      lo: Double, hi: Double): Long =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c).cast("double")).as("mn"), max(col(c).cast("double")).as("mx"))
+      .filter(col("mx") >= lo && col("mn") <= hi)
+      .count()
 }

@@ -150,4 +150,31 @@ class SinksSpec extends SparkSpec {
     Sinks.writeOrc(df, s"$dir/orc")
     assert(Sinks.readOrc(spark, s"$dir/orc").exceptAll(df).count() == 0)
   }
+
+  test("writeZOrdered: file stats prune BOTH dimensions; a lead-sort layout prunes only its key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // two independent uniform dims — the layout, not the data, decides
+    // whether a y-predicate can skip files
+    val df = spark.range(100000).select(col("id"),
+      (col("id") % 1000).cast("double").as("x"),
+      ((col("id") * 7919) % 1000).cast("double").as("y"))
+    val files = 16
+    // baseline: global sort by x (the best single-key layout)
+    df.repartitionByRange(files, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$dir/byx")
+    Sinks.writeZOrdered(df, s"$dir/z", Seq("x", "y"), bits = 6, numFiles = files)
+    // row parity: layout must not lose or duplicate data
+    assert(spark.read.parquet(s"$dir/z").exceptAll(df).count() == 0)
+    assert(df.exceptAll(spark.read.parquet(s"$dir/z")).count() == 0)
+    // a 5%-selective y-range: x-sorted layout scatters it across ~all
+    // files; the z-layout confines it to a fraction
+    val yBase = Sinks.filesOverlapping(spark, s"$dir/byx", "y", 100, 149)
+    val yZ = Sinks.filesOverlapping(spark, s"$dir/z", "y", 100, 149)
+    assert(yBase >= files - 1, s"x-sorted layout unexpectedly pruned y: $yBase/$files")
+    assert(yZ <= files / 2, s"z-layout must skip most files on y: $yZ/$files")
+    // and the z-layout still prunes on x too (the curve keeps both)
+    val xZ = Sinks.filesOverlapping(spark, s"$dir/z", "x", 100, 149)
+    assert(xZ <= files / 2, s"z-layout must keep x skippable as well: $xZ/$files")
+  }
 }
