@@ -302,6 +302,12 @@ object SparkEntry {
     // weight = n_chars, k smallest per source via TopKByScore — no
     // per-source window); oracle-exact
     "d57_weighted_sample" -> (Curation.weightedSample _),
+    // cross-source set-overlap estimates via theta/KMV sketches (the
+    // set-operation sketch HLL can't do): per-source 3-gram sketches
+    // in one aggregate + driver-side pairwise union/intersect/jaccard.
+    // rows-only: estimates aren't SQL; spec-gated error bounds +
+    // order-free merge exactness
+    "d58_set_sketch"      -> ((s, d) => operators.CorpusStats.setOverlap(s, d)),
     // trained quality classifier (the CCNet/fastText filter family):
     // hashed-unigram logistic regression trained IN-ENGINE against the
     // d33 perplexity teacher, deterministic via decimal-sum gradients.

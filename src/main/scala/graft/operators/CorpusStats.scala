@@ -252,4 +252,46 @@ object CorpusStats {
           .as("rep3_frac"))
       .orderBy("lang", "source")
   }
+
+  /** d58: cross-source set-overlap estimation via theta sketches — the
+    * sketch-family member the HLL profile (d13) cannot provide:
+    * per-source word-3-gram SET sketches (one map-side-combined
+    * aggregate, O(k) state per group), then pairwise union /
+    * intersection / jaccard ESTIMATES combined driver-side from the
+    * collected sketches (bounded: n_sources × k longs). The
+    * cross-corpus overlap readout a pipeline wants before merging two
+    * crawls — at 100 TB the exact answer is a full shuffle of both
+    * gram streams; the sketches ride out of the same pass that
+    * computes any other per-source stat. Deterministic (k-min-of-
+    * distinct is order-free), spec-gated error bounds (rows-only). */
+  def setOverlap(s: SparkSession, d: String, k: Int = 512,
+      maxSources: Int = 6): DataFrame = {
+    import graft.functions.ThetaSketch
+    val grams = Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"),
+        explode(graft.functions.VectorExprs.wordNgrams(col("ws"), 3)).as("g"))
+    val sketches = grams.groupBy("source")
+      .agg(ThetaSketch.sketch(col("g"), k).as("sk"))
+      .orderBy("source").limit(maxSources)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+    val rows = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield {
+      val (sa, ska) = sketches(i)
+      val (sb, skb) = sketches(j)
+      (sa, sb,
+        math.round(ThetaSketch.estimateDistinct(ska, k)),
+        math.round(ThetaSketch.estimateDistinct(skb, k)),
+        math.round(ThetaSketch.estimateIntersection(ska, skb, k)),
+        BigDecimal(ThetaSketch.estimateJaccard(ska, skb, k))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import s.implicits._
+    rows.toSeq
+      .toDF("src_a", "src_b", "est_a", "est_b", "est_inter", "est_jaccard")
+      .orderBy("src_a", "src_b")
+  }
 }
