@@ -203,6 +203,47 @@ object Sinks {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Small-file compaction for a hive-partitioned parquet dataset: any
+    * partition whose file count exceeds ceil(bytes/targetBytes) is
+    * read back and rewritten as that many files via the same
+    * dynamic-partition-overwrite swap every other graft sink uses
+    * (single-writer discipline; a reader mid-swap sees the old or the
+    * new file set, not a mix). The ops tool for the measured
+    * tiny-files failure mode (tasks×dirs writers, see writeDaily's
+    * repartition note): streaming appends accrete one file per
+    * micro-batch per partition, and the NEXT reader's footer scans —
+    * not the writes — become the bottleneck. Returns
+    * (partition dir → (files before, files after)) for the partitions
+    * it rewrote; untouched partitions are not listed (idempotent:
+    * re-running compacts nothing).
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitionCol: String, targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partitionCol + "="))
+    val report = scala.collection.mutable.Map.empty[String, (Int, Int)]
+    parts.foreach { p =>
+      val files = fs.listStatus(p.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length > want) {
+        spark.read.option("basePath", path).parquet(p.getPath.toString)
+          .repartition(want)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .parquet(path)
+        val after = fs.listStatus(p.getPath)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        report(p.getPath.getName) = (files.length, after)
+      }
+    }
+    report.toMap
+  }
+
   /** File-level min/max overlap count for a predicate range — the
     * skip-ability measure [[writeZOrdered]] exists to improve: how many
     * files of a layout a `lo <= c <= hi` scan must open. (Readers get

@@ -151,6 +151,30 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readOrc(spark, s"$dir/orc").exceptAll(df).count() == 0)
   }
 
+  test("compactPartitions: tiny-file partitions collapse to the byte-target count, idempotent, row-exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // deliberately fragment: 3 day-partitions × 20 writer files each
+    val df = spark.range(6000).select(col("id"),
+      concat(lit("d"), pmod(col("id"), lit(3))).as("day"))
+    df.repartition(20).write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesIn(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$p"))
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    assert(filesIn("day=d0") == 20, "fixture rot: fragmentation did not happen")
+    val report = Sinks.compactPartitions(spark, dir, "day")
+    assert(report.keySet == Set("day=d0", "day=d1", "day=d2"), s"report: $report")
+    report.values.foreach { case (before, after) =>
+      assert(before == 20 && after == 1, s"expected 20 -> 1, got $before -> $after")
+    }
+    // rows survive exactly
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 6000 && back.exceptAll(df).count() == 0)
+    // second run: already within target → no-op
+    assert(Sinks.compactPartitions(spark, dir, "day").isEmpty, "compaction not idempotent")
+  }
+
   test("writeZOrdered: file stats prune BOTH dimensions; a lead-sort layout prunes only its key") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
