@@ -1154,5 +1154,15 @@ object VectorExprs {
       es => WordNgrams(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
     reg.createOrReplaceTempFunction("ngram_stats",
       es => NgramStats(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
+    // aggregate sketches: SQL-surface access to the TypedImperativeAggregates
+    reg.createOrReplaceTempFunction("heavy_hitters",
+      es => HeavyHittersAgg(es(0), es(1).eval().asInstanceOf[Int])
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("theta_sketch",
+      es => ThetaSketchAgg(es(0), es(1).eval().asInstanceOf[Int])
+        .toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("topk_by_score",
+      es => TopKByScore(es(0), es(1).eval().asInstanceOf[Int])
+        .toAggregateExpression(), "scala_udf")
   }
 }

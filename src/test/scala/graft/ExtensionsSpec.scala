@@ -41,6 +41,21 @@ class ExtensionsSpec extends SparkSpec {
         |FROM emb_ext LIMIT 5""".stripMargin).collect()
     assert(q.nonEmpty && q.forall { r =>
       val d = r.getLong(0); d >= 0 && d <= 127L * 127L * 64L })
+    // aggregate sketches from SQL: top-k heavy hitters per lang, a
+    // theta sketch per lang, a top-k-by-score aggregate
+    val hh = spark.sql(
+      """SELECT lang, heavy_hitters(w, 8) AS hh
+        |FROM (SELECT lang, explode(split(text, ' ')) AS w FROM docs_ext)
+        |GROUP BY lang""".stripMargin).collect()
+    assert(hh.nonEmpty && hh.forall(_.getSeq[Any](1).nonEmpty))
+    val th = spark.sql(
+      """SELECT lang, size(theta_sketch(text, 64)) AS n FROM docs_ext GROUP BY lang""")
+      .collect()
+    assert(th.nonEmpty && th.forall(r => r.getInt(1) > 0 && r.getInt(1) <= 64))
+    val tk = spark.sql(
+      """SELECT topk_by_score(named_struct('score', CAST(n_chars AS DOUBLE), 'id', doc_id), 3) AS t
+        |FROM docs_ext""".stripMargin).collect()
+    assert(tk.length == 1 && tk.head.getSeq[Any](0).size == 3)
   }
 
   test("GraftExtensions class is constructible and wires a builder") {
