@@ -78,6 +78,7 @@ object SparkEntry {
     "q53_order_legs"      -> (Chains.orderLegsNormalize _),
     "q54_silver_import"   -> (Silver.silverImport _),
     "q55_skew_join"       -> (SkewOps.skewJoinDemo _),
+    "q56_range_join"      -> (Relational.rangeJoin _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -308,6 +309,16 @@ object SparkEntry {
     // rows-only: estimates aren't SQL; spec-gated error bounds +
     // order-free merge exactness
     "d58_set_sketch"      -> ((s, d) => operators.CorpusStats.setOverlap(s, d)),
+    // feature-hashing doc embeddings DERIVED in-engine (Weinberger et
+    // al. 2009 / HashingVectorizer shape): signed md5 buckets,
+    // all-integer accumulation, L2-normalized, LONG format — the
+    // posting layout cosine joins want; oracle-exact
+    "d59_doc_embed"       -> (Retrieval.hashedEmbed _),
+    // hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009)
+    // of the d48 BM25 ranking and a cosine ranking over the d59
+    // hashed embeddings — the hard-negative-mining / RAG shape;
+    // oracle-exact (full CTE twin of both rankers + the fusion)
+    "d60_hybrid_rrf"      -> (Retrieval.hybridRrf _),
     // trained quality classifier (the CCNet/fastText filter family):
     // hashed-unigram logistic regression trained IN-ENGINE against the
     // d33 perplexity teacher, deterministic via decimal-sum gradients.
@@ -351,6 +362,57 @@ object SparkEntry {
       |        AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS nll2
       |FROM grams JOIN cb USING (ng) JOIN cu ON grams.w1 = cu.w CROSS JOIN v
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The d48 BM25 CTE chain (through `ranked`), shared verbatim with
+    * d60's oracle so the fused lexical ranking can never drift from the
+    * ranking d48 verifies. */
+  private lazy val D48Ctes: String = {
+    val vals = graft.operators.Retrieval.BmQueries
+      .flatMap { case (qid, ws) => ws.map(w => s"($qid, '$w')") }.mkString(", ")
+    val terms = graft.operators.Retrieval.BmQueries.flatMap(_._2).distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |words AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, UNNEST(ws) AS w
+       |  FROM docs),
+       |scal AS (SELECT COUNT(*) AS n, CAST(SUM(CAST(len(ws) AS BIGINT)) AS BIGINT) AS sdl
+       |  FROM docs),
+       |qt(query_id, qw) AS (VALUES $vals),
+       |tf AS (SELECT doc_id, w, MAX(dl) AS dl, COUNT(*) AS tf FROM words
+       |  WHERE w IN ($terms) GROUP BY doc_id, w),
+       |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |per AS (SELECT qt.query_id AS query_id, tf.doc_id AS doc_id,
+       |    CAST(ROUND(
+       |      LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |      * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
+       |         (tf + CAST(1.2 AS DOUBLE) *
+       |          (0.25 + CAST(0.75 AS DOUBLE) * dl / (CAST(sdl AS DOUBLE) / n))))
+       |    , 9) AS DECIMAL(18,9)) AS term
+       |  FROM tf JOIN dfreq USING (w) JOIN qt ON tf.w = qt.qw CROSS JOIN scal),
+       |sc AS (SELECT query_id, doc_id, SUM(term) AS s FROM per
+       |  GROUP BY query_id, doc_id),
+       |ranked AS (SELECT query_id, doc_id, s,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
+       |  FROM sc)""".stripMargin
+  }
+
+  /** The d59 hashed-embedding CTE chain (through `demb`), shared
+    * verbatim with d60's oracle — the semantic side of the fusion is
+    * scored on exactly the unit weights d59 verifies. */
+  private lazy val D59Ctes: String = {
+    val dims = graft.operators.Retrieval.EmbedDims
+    s"""tok AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+       |  FROM documents),
+       |hx AS (SELECT doc_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h
+       |  FROM tok WHERE w <> ''),
+       |raw AS (SELECT doc_id, CAST(h % $dims AS INT) AS bucket,
+       |    CAST(SUM(CASE WHEN (h & $dims) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w_raw
+       |  FROM hx GROUP BY doc_id, CAST(h % $dims AS INT)),
+       |nz AS (SELECT * FROM raw WHERE w_raw <> 0),
+       |nrms AS (SELECT doc_id, sqrt(CAST(SUM(w_raw * w_raw) AS DOUBLE)) AS nrm
+       |  FROM nz GROUP BY doc_id),
+       |demb AS (SELECT doc_id, bucket, w_raw, ROUND(w_raw / nrm, 9) AS w_norm
+       |  FROM nz JOIN nrms USING (doc_id))""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
@@ -977,6 +1039,21 @@ object SparkEntry {
          |FROM f JOIN cohorts USING (jk)
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // q56: the oracle runs the NAIVE range-predicate join — the
+    // day-bucket equi-join must be a pure execution-strategy change
+    "q56_range_join" ->
+      s"""WITH camp AS (
+         |  SELECT o_orderkey AS campaign_id, o_orderdate AS c_start,
+         |         o_orderdate + INTERVAL 15 DAY AS c_end
+         |  FROM orders WHERE o_totalprice > 495000)
+         |SELECT campaign_id, c_start, COUNT(*) AS n_items,
+         |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+         |  ${dsum("l_extendedprice")} AS sum_rev
+         |FROM camp JOIN lineitem
+         |  ON l_shipdate >= c_start AND l_shipdate < c_end
+         |GROUP BY campaign_id, c_start
+         |ORDER BY campaign_id""".stripMargin,
+
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
@@ -1571,36 +1648,65 @@ object SparkEntry {
     // CAST to DOUBLE (bare DuckDB decimals would run decimal math);
     // ranking compares the EXACT decimal sums, ties break on doc_id —
     // the same (score desc, id asc) order TopKByScore maintains.
-    "d48_bm25" -> {
-      val vals = graft.operators.Retrieval.BmQueries
-        .flatMap { case (qid, ws) => ws.map(w => s"($qid, '$w')") }.mkString(", ")
-      val terms = graft.operators.Retrieval.BmQueries.flatMap(_._2).distinct
-        .map(w => s"'$w'").mkString(", ")
-      s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |words AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, UNNEST(ws) AS w
-         |  FROM docs),
-         |scal AS (SELECT COUNT(*) AS n, CAST(SUM(CAST(len(ws) AS BIGINT)) AS BIGINT) AS sdl
-         |  FROM docs),
-         |qt(query_id, qw) AS (VALUES $vals),
-         |tf AS (SELECT doc_id, w, MAX(dl) AS dl, COUNT(*) AS tf FROM words
-         |  WHERE w IN ($terms) GROUP BY doc_id, w),
-         |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
-         |per AS (SELECT qt.query_id AS query_id, tf.doc_id AS doc_id,
-         |    CAST(ROUND(
-         |      LN(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-         |      * ((CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)) /
-         |         (tf + CAST(1.2 AS DOUBLE) *
-         |          (0.25 + CAST(0.75 AS DOUBLE) * dl / (CAST(sdl AS DOUBLE) / n))))
-         |    , 9) AS DECIMAL(18,9)) AS term
-         |  FROM tf JOIN dfreq USING (w) JOIN qt ON tf.w = qt.qw CROSS JOIN scal),
-         |sc AS (SELECT query_id, doc_id, SUM(term) AS s FROM per
-         |  GROUP BY query_id, doc_id),
-         |ranked AS (SELECT query_id, doc_id, s,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rnk
-         |  FROM sc)
+    "d48_bm25" ->
+      s"""WITH $D48Ctes
          |SELECT CAST(query_id AS INT) AS query_id, CAST(rnk AS INT) AS rnk,
          |  doc_id, ROUND(CAST(s AS DOUBLE), 6) AS score
          |FROM ranked WHERE rnk <= ${graft.operators.Retrieval.TopK}
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "d59_doc_embed" ->
+      s"""WITH $D59Ctes
+         |SELECT doc_id, bucket, w_raw, w_norm FROM demb
+         |ORDER BY doc_id, bucket""".stripMargin,
+
+    // d60: the full CTE twin — d48's ranked lexical list + d59's unit
+    // weights + a VALUES-hashed query side + row_number fusion. The
+    // rrf contributions round to 9 dp per ranker; the two-term sum is
+    // one IEEE add of identical doubles, so ties and order agree.
+    "d60_hybrid_rrf" -> {
+      val dims = graft.operators.Retrieval.EmbedDims
+      val k = graft.operators.Retrieval.TopK
+      val rk = graft.operators.Retrieval.RrfK
+      val qvals = graft.operators.Retrieval.BmQueries
+        .map { case (qid, ws) => s"($qid, '${ws.mkString(" ")}')" }.mkString(", ")
+      s"""WITH $D48Ctes,
+         |$D59Ctes,
+         |lex AS (SELECT query_id, doc_id, CAST(rnk AS INT) AS lex_rnk
+         |  FROM ranked WHERE rnk <= $k),
+         |qtok AS (SELECT query_id, UNNEST(string_split(lower(qtext), ' ')) AS w
+         |  FROM (VALUES $qvals) AS q(query_id, qtext)),
+         |qhx AS (SELECT query_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h
+         |  FROM qtok WHERE w <> ''),
+         |qraw AS (SELECT query_id, CAST(h % $dims AS INT) AS bucket,
+         |    CAST(SUM(CASE WHEN (h & $dims) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w_raw
+         |  FROM qhx GROUP BY query_id, CAST(h % $dims AS INT)),
+         |qnz AS (SELECT * FROM qraw WHERE w_raw <> 0),
+         |qnrms AS (SELECT query_id, sqrt(CAST(SUM(w_raw * w_raw) AS DOUBLE)) AS nrm
+         |  FROM qnz GROUP BY query_id),
+         |qemb AS (SELECT query_id, bucket, ROUND(w_raw / nrm, 9) AS qw
+         |  FROM qnz JOIN qnrms USING (query_id)),
+         |cos AS (SELECT query_id, d.doc_id AS doc_id,
+         |    SUM(CAST(ROUND(qw * d.w_norm, 9) AS DECIMAL(18,9))) AS cos
+         |  FROM demb d JOIN qemb USING (bucket) GROUP BY query_id, d.doc_id),
+         |semr AS (SELECT query_id, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, doc_id) AS INT) AS sem_rnk
+         |  FROM cos),
+         |sem AS (SELECT query_id, doc_id, sem_rnk FROM semr WHERE sem_rnk <= $k),
+         |fused AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+         |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         |    COALESCE(ROUND(CAST(1 AS DOUBLE) / ($rk + l.lex_rnk), 9), CAST(0 AS DOUBLE)) +
+         |    COALESCE(ROUND(CAST(1 AS DOUBLE) / ($rk + s.sem_rnk), 9), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM lex l FULL JOIN sem s
+         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+         |fr AS (SELECT query_id, doc_id, rrf,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY rrf DESC, doc_id) AS rnk
+         |  FROM fused)
+         |SELECT CAST(query_id AS INT) AS query_id, CAST(rnk AS INT) AS rnk,
+         |  doc_id, rrf
+         |FROM fr WHERE rnk <= $k
          |ORDER BY query_id, rnk""".stripMargin
     },
 

@@ -211,6 +211,140 @@ object Retrieval {
     bm25Score(tf, scal, queries)
   }
 
+  // ---- hashed doc embeddings (d59) -----------------------------------
+
+  /** Embedding width for [[hashedEmbedOf]] — 64 signed buckets (bits
+    * 0-5 of the word hash pick the bucket, bit 6 the sign). */
+  val EmbedDims = 64
+
+  /** Per-(session, sf-dir) memo of the corpus's hashed embeddings,
+    * lazily localCheckpointed: whichever of the registered d59/d60
+    * entries runs first pays the tokenize+hash+normalize shuffles ONCE
+    * (the d44/d52 count-table discipline); the other — and every warm
+    * re-run — reuses the cut. The *Of core stays pure (explicit-frame
+    * callers are not memoized — a DataFrame is not a safe cache key). */
+  private val corpusEmbCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def corpusEmb(s: SparkSession, d: String): DataFrame =
+    corpusEmbCache.computeIfAbsent((s, d), { _ =>
+      hashedEmbedOf(Tables.documents(s, d).select("doc_id", "text"))
+        .localCheckpoint(false)
+    })
+
+  /** d59 registered entry: [[hashedEmbedOf]] over the corpus. */
+  def hashedEmbed(s: SparkSession, d: String): DataFrame =
+    corpusEmb(s, d).orderBy("doc_id", "bucket")
+
+  /** Feature-hashing doc embeddings (public: Weinberger et al. 2009,
+    * the scikit-learn HashingVectorizer / fastText-bucket shape): each
+    * word hashes into one of `dims` SIGNED buckets via the replayable
+    * md5 uniform (the d26/d28/d57 cross-engine discipline), the per-doc
+    * signed counts L2-normalize into a unit sparse vector, emitted in
+    * LONG format (doc_id, bucket, w_raw, w_norm). Relational form is
+    * deliberate: cosine between any two vector sets is then ONE
+    * equi-join on bucket plus a sum — the posting layout an index
+    * persists — and the engine can now DERIVE embeddings for new text
+    * instead of only consuming a pre-embedded column.
+    *
+    * Exactness: signed counts and their squared sums are all-integer
+    * (order-independent under any partitioning); the only float ops are
+    * one sqrt and one divide, single IEEE ops that are bit-identical
+    * cross-engine, then a 9 dp display round. Scale: one explode + one
+    * (doc, bucket) hash agg + one per-doc agg + join back — shuffles on
+    * doc_id only, NO vocabulary axis (that is the point of feature
+    * hashing: the width is fixed at 100 TB too).
+    */
+  def hashedEmbedOf(docs: DataFrame, dims: Int = EmbedDims): DataFrame = {
+    require((dims & (dims - 1)) == 0, s"dims must be a power of two, got $dims")
+    val raw = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"),
+        pmod(col("h"), lit(dims.toLong)).cast("int").as("bucket"),
+        when(col("h").bitwiseAND(lit(dims.toLong)) === 0, lit(1))
+          .otherwise(lit(-1)).as("sgn"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sgn")).as("w_raw"))
+      .filter(col("w_raw") =!= 0) // sparse: cancelled buckets drop out
+    val norms = raw.groupBy("doc_id")
+      .agg(sqrt(sum(col("w_raw") * col("w_raw")).cast("double")).as("nrm"))
+    raw.join(norms, "doc_id")
+      .select(col("doc_id"), col("bucket"), col("w_raw"),
+        round(col("w_raw") / col("nrm"), 9).as("w_norm"))
+  }
+
+  // ---- hybrid retrieval (d60) ----------------------------------------
+
+  /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60). */
+  val RrfK = 60
+
+  /** d60 registered entry: [[hybridRrfOf]] over the corpus, reusing
+    * the memoized d59 embedding cut for the semantic side. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame =
+    hybridRrfOf(Tables.documents(s, d).select("doc_id", "text"),
+      dembOpt = Some(corpusEmb(s, d)))
+
+  /** Hybrid retrieval — reciprocal-rank fusion (public: Cormack,
+    * Clarke & Buettcher 2009) of the BM25 lexical ranking (d48) and a
+    * semantic ranking by cosine over the hashed embeddings (d59):
+    * rrf(d) = Σ_r 1/(k + rank_r(d)) over the rankers whose top-k
+    * retrieved d. This is the hard-negative-mining / RAG-retrieval
+    * shape: the lexical and semantic views disagree exactly where the
+    * informative training pairs live.
+    *
+    * Query vectors hash the literal query terms through the SAME
+    * pipeline (tf=1 per term); cosine = one equi-join on bucket with
+    * the 9dp-round + DECIMAL(18,9) sum (d33 order-independent
+    * discipline) over the ALREADY-ROUNDED unit weights, so both engines
+    * multiply identical doubles. Per-query top-k rides TopKByScore (no
+    * rank window); the fusion itself touches ≤ 2·topK rows per query.
+    * At 100 TB the semantic candidate set comes from the IVF index
+    * probe (d6) instead of the full bucket join — the fusion tail is
+    * unchanged.
+    */
+  def hybridRrfOf(docs: DataFrame,
+      queries: Seq[(Int, Seq[String])] = BmQueries,
+      topK: Int = TopK,
+      dembOpt: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = bm25SearchOf(docs, queries)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val qdocs = queries.map { case (qid, ws) => (qid.toLong, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val qemb = hashedEmbedOf(qdocs)
+      .select(col("doc_id").cast("int").as("query_id"),
+        col("bucket"), col("w_norm").as("qw"))
+    val demb = dembOpt.getOrElse(hashedEmbedOf(docs))
+      .select(col("doc_id"), col("bucket"), col("w_norm").as("dw"))
+    val cos = demb.join(broadcast(qemb), "bucket")
+      .withColumn("term", round(col("qw") * col("dw"), 9).cast("decimal(18,9)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("term")).as("cos"))
+    val sem = cos.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topKByScore(
+        struct(col("cos").cast("double"), col("doc_id")), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("sem_rnk"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        when(col("lex_rnk").isNotNull,
+          round(lit(1.0) / (lit(RrfK) + col("lex_rnk")), 9)).otherwise(lit(0.0)) +
+        when(col("sem_rnk").isNotNull,
+          round(lit(1.0) / (lit(RrfK) + col("sem_rnk")), 9)).otherwise(lit(0.0)))
+    fused.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topKByScore(
+        struct(col("rrf"), col("doc_id")), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("doc_id"), col("col.score").as("rrf"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Streaming index maintenance: each micro-batch of (doc_id, text)
     * docs is appended as its own batch_id partition set — replay
     * overwrites in place (see the layout note above). */

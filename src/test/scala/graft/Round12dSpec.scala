@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Relational, Retrieval}
+
+/** Round 12, fourth pass: the range-aggregation join (q56), hashed doc
+  * embeddings (d59), and hybrid RRF retrieval (d60). */
+class Round12dSpec extends SparkSpec {
+
+  // ---- q56 ----------------------------------------------------------
+
+  private def naiveRangeAgg(camp: org.apache.spark.sql.DataFrame,
+      facts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    facts.join(camp,
+        facts("l_shipdate") >= camp("c_start") && facts("l_shipdate") < camp("c_end"))
+      .groupBy("campaign_id", "c_start")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        Relational.dsum(col("l_extendedprice")).as("sum_rev"))
+      .orderBy("campaign_id")
+
+  test("q56 range join: no nested loop / cartesian, hash join on the day bucket; rows == naive range-predicate join") {
+    val df = Relational.rangeJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested-loop strategy:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no hash join in the plan:\n$plan")
+    val camp = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > lit(495000))
+      .select(col("o_orderkey").as("campaign_id"),
+        col("o_orderdate").as("c_start"),
+        (col("o_orderdate") + expr("interval 15 days")).as("c_end"))
+    val got = df.collect().map(_.toSeq).toSeq
+    val exp = naiveRangeAgg(camp, Tables.lineitem(spark, sf)
+      .select("l_quantity", "l_extendedprice", "l_shipdate"))
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == exp,
+      "aggregate-pushdown range join diverged from the naive join")
+  }
+
+  test("q56 core: sub-day interval endpoints engage the partial-bucket path; rows == naive join") {
+    import spark.implicits._
+    // endpoints cut buckets mid-day; campaign 2 lives inside ONE day
+    val camp = Seq(
+      (1L, "2024-03-01 10:30:00", "2024-03-04 06:00:00"),
+      (2L, "2024-03-02 00:00:00", "2024-03-02 18:00:00"),
+      (3L, "2024-03-03 23:00:00", "2024-03-05 01:30:00"))
+      .toDF("campaign_id", "s", "e")
+      .select(col("campaign_id"), col("s").cast("timestamp").as("c_start"),
+        col("e").cast("timestamp").as("c_end"))
+    // hourly facts across six days (at :15 so no boundary coincidences)
+    val facts = (0 until 24 * 6).map { h =>
+      (1.0 + (h % 5), 10.5 + h, f"2024-03-0${1 + h / 24}%d ${h % 24}%02d:15:00")
+    }.toDF("l_quantity", "l_extendedprice", "s")
+      .select(col("l_quantity"), col("l_extendedprice"),
+        col("s").cast("timestamp").as("l_shipdate"))
+    val got = Relational.rangeAggJoinOf(camp, facts)
+      .collect().map(_.toSeq).toSeq
+    val exp = naiveRangeAgg(camp, facts).collect().map(_.toSeq).toSeq
+    assert(exp.length == 3, s"fixture rot: expected all 3 campaigns to match, got $exp")
+    assert(got == exp, s"partial-bucket path diverged:\n got=$got\n exp=$exp")
+  }
+
+  // ---- d59 ----------------------------------------------------------
+
+  test("d59 hashed embed: matches an independent pure-JVM reference (md5 → bucket/sign → L2)") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "Alpha beta GAMMA alpha  zzz"),
+      (2L, "one two three two one one"),
+      (3L, "solo"))
+    val got = Retrieval.hashedEmbedOf(fixture.toDF("doc_id", "text"))
+      .orderBy("doc_id", "bucket")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+    val dims = Retrieval.EmbedDims
+    def h32(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val exp = fixture.flatMap { case (id, text) =>
+      val ws = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val raw = ws.groupBy(w => (h32(w) % dims).toInt)
+        .map { case (b, grp) =>
+          b -> grp.map(w => if ((h32(w) & dims) == 0L) 1L else -1L).sum
+        }
+        .filter(_._2 != 0L)
+      val nrm = math.sqrt(raw.values.map(v => (v * v).toDouble).sum)
+      raw.toSeq.sortBy(_._1).map { case (b, v) =>
+        // Spark's round(double, 9) goes through BigDecimal.valueOf
+        val wn = java.math.BigDecimal.valueOf(v / nrm)
+          .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        (id, b, v, wn)
+      }
+    }
+    assert(got == exp, s"hashed embedding diverged from the JVM reference:\n got=$got\n exp=$exp")
+  }
+
+  test("d59: every doc embedding is unit-norm (within the 9dp round)") {
+    val emb = Retrieval.hashedEmbed(spark, sf)
+    val norms = emb.groupBy("doc_id")
+      .agg(sum(col("w_norm") * col("w_norm")).as("n2"))
+      .collect().map(_.getDouble(1))
+    assert(norms.nonEmpty && norms.forall(n => math.abs(n - 1.0) < 1e-6),
+      s"non-unit norms: ${norms.filter(n => math.abs(n - 1.0) >= 1e-6).take(5).mkString(",")}")
+  }
+
+  // ---- d60 ----------------------------------------------------------
+
+  test("d60 hybrid rrf: equals a window-rank recomputation of BM25 ⊕ cosine fusion") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val got = Retrieval.hybridRrfOf(docs).collect().map(_.toSeq).toSeq
+
+    // independent recompute: window ranks instead of TopKByScore
+    val k = Retrieval.TopK
+    val lex = Retrieval.bm25SearchOf(docs)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val qdocs = Retrieval.BmQueries
+      .map { case (qid, ws) => (qid.toLong, ws.mkString(" ")) }
+    import spark.implicits._
+    val qemb = Retrieval.hashedEmbedOf(qdocs.toDF("doc_id", "text"))
+      .select(col("doc_id").cast("int").as("query_id"),
+        col("bucket"), col("w_norm").as("qw"))
+    val demb = Retrieval.hashedEmbedOf(docs)
+      .select(col("doc_id"), col("bucket"), col("w_norm").as("dw"))
+    val cos = demb.join(qemb, "bucket")
+      .withColumn("term", round(col("qw") * col("dw"), 9).cast("decimal(18,9)"))
+      .groupBy("query_id", "doc_id").agg(sum(col("term")).as("cos"))
+    val sem = cos.withColumn("sem_rnk",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("doc_id"))).cast("int"))
+      .filter(col("sem_rnk") <= k)
+      .select("query_id", "doc_id", "sem_rnk")
+    val rrfK = Retrieval.RrfK
+    val fused = lex.filter(col("lex_rnk") <= k)
+      .join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        when(col("lex_rnk").isNotNull,
+          round(lit(1.0) / (lit(rrfK) + col("lex_rnk")), 9)).otherwise(lit(0.0)) +
+        when(col("sem_rnk").isNotNull,
+          round(lit(1.0) / (lit(rrfK) + col("sem_rnk")), 9)).otherwise(lit(0.0)))
+    val exp = fused.withColumn("rnk",
+        row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "doc_id", "rrf")
+      .orderBy("query_id", "rnk")
+      .collect().map(_.toSeq).toSeq
+    assert(got == exp, "hybrid fusion diverged from the window-rank twin")
+
+    // the fusion is genuinely hybrid on this corpus: some output docs
+    // were retrieved by both rankers, some by exactly one
+    val lexSet = lex.filter(col("lex_rnk") <= k)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val semSet = sem.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val outPairs = got.map(r => (r(0).asInstanceOf[Int], r(2).asInstanceOf[Long]))
+    assert(outPairs.exists(p => lexSet(p) && semSet(p)),
+      "fixture rot: no doc retrieved by both rankers")
+    assert(outPairs.exists(p => lexSet(p) ^ semSet(p)),
+      "fixture rot: no doc retrieved by exactly one ranker")
+  }
+}
