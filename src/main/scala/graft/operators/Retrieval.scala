@@ -276,6 +276,25 @@ object Retrieval {
         round(col("w_raw") / col("nrm"), 9).as("w_norm"))
   }
 
+  /** Collapse [[hashedEmbedOf]]'s long format into the dense
+    * (vec_id, embedding: array<float>) shape the ANN ladder
+    * (Similarity.embedTopKAggOf / buildIvfIndex / pqTopKOf) consumes —
+    * the bridge that lets the engine embed NEW text and immediately
+    * index/search it with the existing machinery. The per-doc collapse
+    * is map_from_entries + a 64-slot fill (interpreted HOF — fine for
+    * an index-build path, which runs once per corpus; the QUERY path
+    * scores with codegen'd DotProductF on the dense column).
+    * Round12dSpec: a planted near-duplicate's dense vector retrieves
+    * its source as the top-1 ANN neighbor, and dense self-dot ≈ 1. */
+  def denseEmbedOf(docs: DataFrame, dims: Int = EmbedDims): DataFrame =
+    hashedEmbedOf(docs, dims)
+      .groupBy(col("doc_id").as("vec_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w_norm")))).as("m"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          b => coalesce(element_at(col("m"), b), lit(0.0d)))
+          .cast("array<float>").as("embedding"))
+
   // ---- hybrid retrieval (d60) ----------------------------------------
 
   /** Reciprocal-rank-fusion constant (Cormack et al. 2009's k=60). */

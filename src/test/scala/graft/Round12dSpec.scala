@@ -163,4 +163,32 @@ class Round12dSpec extends SparkSpec {
     assert(outPairs.exists(p => lexSet(p) ^ semSet(p)),
       "fixture rot: no doc retrieved by exactly one ranker")
   }
+
+  test("d59 dense bridge: self-embedded vectors feed the ANN ladder; planted near-dup retrieves its source top-1") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+    val srcRow = base.orderBy("doc_id").limit(1).collect()(0)
+    val (srcId, srcText) = (srcRow.getLong(0), srcRow.getString(1))
+    // near-duplicate: same text with one word appended, fresh id
+    val plantedId = 999999L
+    val planted = Seq((plantedId, srcText + " extraword")).toDF("doc_id", "text")
+    val dense = Retrieval.denseEmbedOf(base.unionByName(planted))
+    // unit norm survives the float cast
+    val selfDot = dense.select(
+      graft.operators.Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      .agg(min("d").as("lo"), max("d").as("hi")).collect()(0)
+    assert(math.abs(selfDot.getDouble(0) - 1.0) < 1e-3 &&
+      math.abs(selfDot.getDouble(1) - 1.0) < 1e-3,
+      s"dense self-dot left the unit sphere: $selfDot")
+    // the planted vector's nearest neighbor is its source doc
+    val q = dense.filter(col("vec_id") === plantedId)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = graft.operators.Similarity
+      .embedTopKAggOf(dense, q, topK = 3)
+      .collect()
+    assert(top.nonEmpty && top.head.getLong(1) == srcId,
+      s"expected source doc $srcId as top-1 neighbor, got ${top.toSeq}")
+    assert(top.head.getDouble(2) > 0.9,
+      s"near-dup cosine unexpectedly low: ${top.head.getDouble(2)}")
+  }
 }
