@@ -256,6 +256,25 @@ object ScaleSmoke {
       require(kept < 1000000 && kept > 900000, s"unexpected url keep count $kept")
       kept
     }
+    // d59 hashed embeddings at 1M docs: one 30M-token explode + the
+    // (doc,bucket) and per-doc hash aggs — no vocabulary axis by
+    // construction, so the 10k-word synthetic vocab is irrelevant
+    time("hashed embed 1M docs") {
+      val n = operators.Retrieval.hashedEmbedOf(docsBig).count()
+      require(n > 1000000, s"unexpected sparse-embedding row count $n")
+      n
+    }
+    // d60 hybrid fusion at 1M docs, query terms drawn from the synthetic
+    // vocab so BOTH rankers retrieve (BM25 posting prune + the bucket
+    // cosine); the fusion tail touches <= 2k rows regardless of corpus
+    time("hybrid rrf 1M docs") {
+      val qs = Seq(1 -> Seq("w1", "w17", "w4242"), 2 -> Seq("w999", "w123", "w77"),
+        3 -> Seq("w5000", "w2", "w31"))
+      val out = operators.Retrieval.hybridRrfOf(docsBig, queries = qs).collect()
+      require(out.length == 3 * operators.Retrieval.TopK,
+        s"unexpected fused top-k size ${out.length}")
+      out.length.toLong
+    }
     // d56 classifier training at 1M docs / 2^15 hashed buckets: the
     // full-batch GD loop — checkpointed posting+forward frames, narrow
     // plan-constant margin pass, one fused 32k-row collect per iter.
@@ -412,7 +431,10 @@ object ScaleSmoke {
         .write.mode("overwrite").partitionBy("day").parquet(land)
       spark.read.parquet(land).count()
     }
-    val landed = spark.read.parquet(land)
+    // lazy: under a stage filter that skips the landing write, the read
+    // must not run at all (the documented consumes-upstream caveat
+    // still applies to filters that pick a downstream stage alone)
+    lazy val landed = spark.read.parquet(land)
       .select("event_id", "user_id", "ts", "event_type", "value")
     time("parquet→hourly bars (q17 core)") {
       operators.TimeSeries.ohlcBarsOf(landed).count()
