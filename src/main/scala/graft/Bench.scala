@@ -69,7 +69,7 @@ object Bench {
     // wall by its full latency. Names absent from the hint list keep
     // map order after the hinted ones.
     val heavyFirst = Seq("d23_incremental_dedup", "d36_corpus_pipeline",
-      "d56_quality_classifier", "d22_dedup_pipeline",
+      "d56_quality_classifier", "d61_topic_clusters", "d22_dedup_pipeline",
       "d20_dup_clusters", "q54_silver_import", "d4_ngram_jaccard",
       "q53_order_legs", "d42_substr_clip", "q49_chain_flatten",
       "d45_semdedup", "d32_pq_ann", "d35_split_leakage",

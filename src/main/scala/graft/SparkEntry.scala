@@ -319,6 +319,12 @@ object SparkEntry {
     // hashed embeddings — the hard-negative-mining / RAG shape;
     // oracle-exact (full CTE twin of both rankers + the fusion)
     "d60_hybrid_rrf"      -> (Retrieval.hybridRrf _),
+    // k-means topic clustering over the SELF-DERIVED d59 embeddings:
+    // cluster sizes + nearest-to-centroid exemplars (the mixture-
+    // balancing / SemDeDup-prep view). rows-only: a k-means fixpoint
+    // isn't SQL; spec-gated assignment optimality + size conservation
+    // + exemplar minimality + determinism
+    "d61_topic_clusters"  -> (Similarity.topicClusters _),
     // trained quality classifier (the CCNet/fastText filter family):
     // hashed-unigram logistic regression trained IN-ENGINE against the
     // d33 perplexity teacher, deterministic via decimal-sum gradients.

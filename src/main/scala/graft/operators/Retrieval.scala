@@ -287,8 +287,17 @@ object Retrieval {
     * Round12dSpec: a planted near-duplicate's dense vector retrieves
     * its source as the top-1 ANN neighbor, and dense self-dot ≈ 1. */
   def denseEmbedOf(docs: DataFrame, dims: Int = EmbedDims): DataFrame =
-    hashedEmbedOf(docs, dims)
-      .groupBy(col("doc_id").as("vec_id"))
+    collapseDense(hashedEmbedOf(docs, dims), dims)
+
+  /** Dense corpus embeddings through the memoized d59 cut — what the
+    * registered self-embedding consumers (d61) ride so the corpus is
+    * tokenized+hashed once per (session, dir) no matter how many
+    * entries need vectors. */
+  def denseEmbed(s: SparkSession, d: String): DataFrame =
+    collapseDense(corpusEmb(s, d), EmbedDims)
+
+  private def collapseDense(long: DataFrame, dims: Int): DataFrame =
+    long.groupBy(col("doc_id").as("vec_id"))
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("w_norm")))).as("m"))
       .select(col("vec_id"),
         transform(sequence(lit(0), lit(dims - 1)),

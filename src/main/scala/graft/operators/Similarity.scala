@@ -771,4 +771,42 @@ object Similarity {
         coalesce(col("kept"), lit(true)).as("kept"),
         col("cent_cos"))
   }
+
+  // ---- topic clustering (d61) ----------------------------------------
+
+  /** d61 registered entry: k-means topic clusters over the corpus's
+    * SELF-DERIVED hashed embeddings (Retrieval.denseEmbed's memoized
+    * cut) — the mixture-balancing / SemDeDup-prep view: how the corpus
+    * splits into embedding-space groups, how big each group is, and
+    * which doc exemplifies it. rows-only: a k-means fixpoint isn't SQL;
+    * Round12dSpec gates assignment optimality (every vector sits in its
+    * true nearest cluster), size conservation, exemplar minimality, and
+    * same-session determinism. */
+  def topicClusters(s: SparkSession, d: String): DataFrame =
+    topicClustersOf(Retrieval.denseEmbed(s, d))
+
+  /** Core over any (vec_id, embedding) frame — runs equally on the
+    * pre-embedded `embeddings` table. Scale shape: kmeans is iters
+    * narrow passes + a k×dim vector-sum shuffle each (centroids ride
+    * the plan as a codegen'd constant, never a join side); the report
+    * is one hash agg with a bounded TopKByScore(1) exemplar slot per
+    * (cluster, partition) — no windows, no struct-min SortAggregate
+    * over the corpus. */
+  def topicClustersOf(emb0: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
+    // one lazy cut feeds the iters+1 k-means/assign passes — without it
+    // the upstream plan (for d61: the dense collapse over the corpus)
+    // re-executes once per iteration (measured 17 s → 5 s at the 10×
+    // dir; the un-cut-iterative-input lesson)
+    val emb = emb0.localCheckpoint(false)
+    val cents = kmeans(emb, k, iters)
+    assign(emb, cents)
+      .groupBy(col("bucket").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.TopKAgg.topKByScore(
+          struct(negate(col("d2")), col("vec_id")), 1).as("ex"))
+      .select(col("cluster_id"), col("n_docs"),
+        col("ex").getItem(0).getField("id").as("exemplar_id"),
+        round(negate(col("ex").getItem(0).getField("score")), 6).as("exemplar_d2"))
+      .orderBy("cluster_id")
+  }
 }

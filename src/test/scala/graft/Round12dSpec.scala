@@ -191,4 +191,48 @@ class Round12dSpec extends SparkSpec {
     assert(top.head.getDouble(2) > 0.9,
       s"near-dup cosine unexpectedly low: ${top.head.getDouble(2)}")
   }
+
+  // ---- d61 ----------------------------------------------------------
+
+  test("d61 topic clusters: sizes conserve the corpus, exemplars are true per-cluster argmins, assignment is optimal, rerun-deterministic") {
+    import graft.operators.Similarity
+    val emb = graft.operators.Retrieval.denseEmbedOf(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+      .localCheckpoint(true)
+    val k = 8
+    val out = Similarity.topicClustersOf(emb, k = k, iters = 3).collect()
+    val n = emb.count()
+    assert(out.map(_.getLong(1)).sum == n, "cluster sizes do not conserve the corpus")
+    assert(out.length <= k && out.nonEmpty)
+
+    // recompute the assignment independently (crossJoin argmin) and
+    // check (a) every vector's cluster is its true nearest centroid,
+    // (b) each exemplar is that cluster's (d2, vec_id)-argmin
+    val cents = Similarity.kmeans(emb, k, 3)
+    val dist = emb.crossJoin(cents.withColumnRenamed("c_id", "cand"))
+      .select(col("vec_id"), col("cand"),
+        Similarity.dot(col("embedding"), col("embedding")) +
+          Similarity.dot(col("c_vec"), col("c_vec")) -
+          lit(2.0) * Similarity.dot(col("embedding"), col("c_vec")) as "d2")
+    val best = dist.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("d2"), col("cand"))))
+      .filter(col("rk") === 1).select("vec_id", "cand", "d2")
+    val sizes = best.groupBy("cand").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val gotSizes = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotSizes == sizes, s"cluster assignment diverged: $gotSizes vs $sizes")
+    val ex = best.withColumn("rk2",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cand").orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rk2") === 1).collect()
+      .map(r => r.getInt(1) -> r.getLong(0)).toMap
+    val gotEx = out.map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(gotEx == ex, s"exemplars diverged: $gotEx vs $ex")
+
+    // same-session determinism
+    val again = Similarity.topicClustersOf(emb, k = k, iters = 3).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "topic clustering is not rerun-deterministic")
+  }
 }
