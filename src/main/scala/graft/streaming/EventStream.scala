@@ -847,6 +847,32 @@ object EventStream {
       .start()
   }
 
+  /** Streaming SELF-EMBEDDING index maintenance: each micro-batch of
+    * raw (doc_id, text) docs is hashed-embedded IN-ENGINE
+    * (Retrieval.denseEmbedOf — the d59 bridge) and appended into the
+    * persisted IVF index by frozen-centroid assignment. The glue
+    * between the text intake and the ANN store: new documents become
+    * searchable without any pre-embedded table. Embedding is a pure
+    * row function of the batch, so the sink inherits
+    * appendToIvfIndex's replay idempotence (the store-authority
+    * anti-join drops already-landed vec_ids on restart replay). */
+  def textEmbedIndexStream(stream: DataFrame, cents: DataFrame, path: String,
+      checkpoint: String,
+      onDrift: graft.operators.Similarity.IvfDrift => Unit = _ => (),
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    monitor.foreach(_.register(path))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val emb = graft.operators.Retrieval.denseEmbedOf(
+          batch.toDF().select("doc_id", "text"))
+        onDrift(graft.operators.Similarity.appendToIvfIndex(emb, cents, path))
+        monitor.foreach(_.record(path))
+      }
+      .start()
+  }
+
   /** Streaming corpus-health monitor: each micro-batch of docs is
     * rolled up by the d47 report (volumes, mean size, exact-dup rate,
     * short-doc and duplicate-3-gram fractions per (lang, source)) and

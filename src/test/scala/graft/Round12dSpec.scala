@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -234,5 +235,49 @@ class Round12dSpec extends SparkSpec {
     val again = Similarity.topicClustersOf(emb, k = k, iters = 3).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
       "topic clustering is not rerun-deterministic")
+  }
+
+  // ---- streaming self-embedding index --------------------------------
+
+  test("textEmbedIndexStream: raw-text stream lands in the IVF store identically to the batch embed+append; replay adds nothing") {
+    import graft.operators.{Retrieval, Similarity}
+    import graft.streaming.EventStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 3 === 0)
+    val arriving = docs.filter(col("doc_id") % 3 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_txtivf").toString + "/idx"
+    val cents = Similarity.buildIvfIndex(Retrieval.denseEmbedOf(base), k = 8, iters = 2, path)
+
+    val rows = arriving.select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    var lastDrift: Option[Similarity.IvfDrift] = None
+    val q = EventStream.textEmbedIndexStream(
+      input.toDF().toDF("doc_id", "text"), cents, path,
+      java.nio.file.Files.createTempDirectory("graft_txtivf_ck").toString,
+      onDrift = d => lastDrift = Some(d))
+    input.addData(rows.take(rows.length / 2))
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2))
+    q.processAllAvailable()
+    val afterStream = spark.read.parquet(path).count()
+    // restart-replay: the same rows again must land ZERO new vectors
+    input.addData(rows.take(10))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(path).count() == afterStream,
+      "replayed batch duplicated vectors in the self-embedding store")
+    assert(lastDrift.exists(_.n == 10), s"drift gauge missing/stale: $lastDrift")
+
+    // the streamed store equals the batch-side embed + append
+    val batchPath = java.nio.file.Files.createTempDirectory("graft_txtivf_b").toString + "/idx"
+    Similarity.buildIvfIndex(Retrieval.denseEmbedOf(base), k = 8, iters = 2, batchPath)
+    Similarity.appendToIvfIndex(Retrieval.denseEmbedOf(arriving), cents, batchPath)
+    def contents(p: String) = spark.read.parquet(p)
+      .select("vec_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(contents(path) == contents(batchPath) && contents(path).size == docs.count(),
+      "streamed self-embedding store diverged from the batch path")
   }
 }
