@@ -325,6 +325,11 @@ object SparkEntry {
     // isn't SQL; spec-gated assignment optimality + size conservation
     // + exemplar minimality + determinism
     "d61_topic_clusters"  -> (Similarity.topicClusters _),
+    // asymmetric word-set containment |A∩B|/|A| ≥ 0.9 (Broder's second
+    // measure — catches quotes/subsets jaccard dilutes away): exact
+    // prefix-filter candidates (rarest-global-df tokens, SSJoin shape)
+    // + exact integer verify; oracle-exact, directed pairs
+    "d62_containment"     -> (Dedup.containment _),
     // trained quality classifier (the CCNet/fastText filter family):
     // hashed-unigram logistic regression trained IN-ENGINE against the
     // d33 perplexity teacher, deterministic via decimal-sum gradients.
@@ -1078,6 +1083,25 @@ object SparkEntry {
         |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // d62: directed containment — n_inter/sz_a with the threshold as an
+    // integer test (n_inter·10 ≥ sz_a·9), so no FP boundary can flip a
+    // pair; the double division itself is one IEEE op both engines.
+    "d62_containment" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, lang, source, UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, lang, source, w FROM tok0 WHERE w <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, n_inter,
+        |  CAST(n_inter AS DOUBLE) / sa.sz AS containment
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |WHERE n_inter * 10 >= sa.sz * 9
         |ORDER BY id_a, id_b""".stripMargin,
 
     "d20_dup_clusters" ->

@@ -679,6 +679,87 @@ object Dedup {
     }
   }
 
+  /** d62: asymmetric word-set CONTAINMENT C(A→B) = |A∩B| / |A| — the
+    * quote/subset near-dup measure jaccard can't see: a short doc fully
+    * embedded in a long one has tiny jaccard (|A∩B|/|A∪B| shrinks with
+    * |B|) but containment ≈ 1. Broder's second resemblance measure;
+    * the dedup family's directed complement to d4.
+    *
+    * Candidate generation is an EXACT prefix filter (the SSJoin /
+    * PPJoin family), not banding: a size band can't prune containment
+    * (a 20-word quote can live inside a 5 000-word doc — the 4:5 band
+    * ratio argument only holds for symmetric jaccard). Instead: order
+    * each doc's tokens by ascending global document frequency; if B
+    * contains ≥ ⌈t·|A|⌉ of A's tokens it misses at most
+    * p−1 = |A| − ⌈t·|A|⌉ of them, so ANY p tokens of A include one in
+    * B — in particular the p RAREST, whose posting lists are the
+    * shortest. The candidate join is then equi on (lang, source,
+    * token) between A-prefixes and the full posting table: candidate
+    * volume is Σ_w |prefix_a(w)|·|postings(w)| over rare words only —
+    * bounded by df skew, never block². Survivors verify with the exact
+    * integer intersection; the t-threshold test is integer
+    * (n_inter·10 ≥ sz_a·9), no FP boundary.
+    *
+    * Scale shape: one token-df shuffle, one (df ⋈ tokens) shuffle, one
+    * posting equi-join, two id equi-joins for verify — all key
+    * shuffles, no window, no cartesian. The same plan at 1000
+    * executors partitions by token then by doc_id.
+    */
+  def containment(s: SparkSession, d: String): DataFrame =
+    containmentOf(Tables.documents(s, d))
+
+  /** Core of [[containment]]; threshold t = tNum/tDen (default 9/10).
+    * Output: directed (id_a, id_b, n_inter, containment) with
+    * containment = n_inter/sz_a ≥ t, id_a ≠ id_b, both directions
+    * possible, blocked on (lang, source) like d4. */
+  private[graft] def containmentOf(docs: DataFrame,
+      tNum: Int = 9, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen outside (0,1]")
+    // one tokenization feeds the df pass, the prefix pass and the
+    // verify joins (lazy checkpoint fills at first use)
+    val toks = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
+      .withColumn("sz", size(col("ws")).cast("long"))
+      .localCheckpoint(false)
+    val tokLong = toks.select(col("doc_id"), col("lang"), col("source"),
+      col("sz"), explode(col("ws")).as("w"))
+    val dfreq = tokLong.groupBy("w").agg(count(lit(1)).as("df"))
+
+    // per-doc prefix: the p = sz − ⌈t·sz⌉ + 1 globally-rarest tokens
+    // ((df, w) struct sort is a deterministic total order per doc).
+    // ⌈t·sz⌉ = floor((tNum·sz + tDen − 1) / tDen), integer-exact.
+    val need = floor((col("sz") * tNum + (tDen - 1)) / lit(tDen.toDouble)).cast("long")
+    val prefixes = tokLong.join(dfreq, "w")
+      .groupBy("doc_id", "lang", "source", "sz")
+      .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("byRarity"))
+      .select(col("doc_id"), col("lang"), col("source"), col("sz"),
+        expr("transform(byRarity, x -> x.w)").as("sorted"))
+      .withColumn("pre", slice(col("sorted"), lit(1), (col("sz") - need + 1).cast("int")))
+
+    val aSide = prefixes.select(col("lang"), col("source"),
+      col("doc_id").as("id_a"), col("sz").as("sz_a"), explode(col("pre")).as("w"))
+    val bSide = tokLong.select(col("lang"), col("source"), col("w"),
+      col("doc_id").as("id_b"), col("sz").as("sz_b"))
+    val cands = aSide.join(bSide, Seq("lang", "source", "w"))
+      // n_inter ≤ sz_b, so C ≥ t needs sz_b·tDen ≥ sz_a·tNum — prune
+      // before the distinct (redundant with the final test, cheap here)
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") * tDen >= col("sz_a") * tNum)
+      .select("id_a", "id_b", "sz_a").distinct()
+
+    val strs = toks.select(col("doc_id"), col("ws"))
+    cands
+      .join(strs.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), "id_a")
+      .join(strs.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), "id_b")
+      .withColumn("n_inter",
+        graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b")))
+      .filter(col("n_inter") * tDen >= col("sz_a") * tNum)
+      .withColumn("containment", col("n_inter").cast("double") / col("sz_a"))
+      .select("id_a", "id_b", "n_inter", "containment")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Scale-safe n-gram Jaccard: candidate pairs from MinHash-LSH banding
     * (bounded by construction — pair count grows with TRUE near-dup
     * density, not corpus size), verified with the exact word-set

@@ -237,6 +237,61 @@ class Round12dSpec extends SparkSpec {
       "topic clustering is not rerun-deterministic")
   }
 
+  // ---- d62 containment ----------------------------------------------
+
+  test("d62 containment: prefix-filter miner equals the brute-force blocked all-pairs") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val got = Dedup.containmentOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    // brute force: full blocked ordered-pair join, no candidate pruning
+    val toks = docs.select(col("doc_id"), col("lang"), col("source"),
+        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
+      .withColumn("sz", size(col("ws")).cast("long"))
+    val a = toks.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+      col("sz").as("sz_a"), col("ws").as("ws_a"))
+    val b = toks.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+      col("ws").as("ws_b"))
+    val want = a.join(b, Seq("lang", "source"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("n_inter",
+        graft.functions.VectorExprs.intersectCount(col("ws_a"), col("ws_b")))
+      .filter(col("n_inter") * 10 >= col("sz_a") * 9)
+      .withColumn("containment", col("n_inter").cast("double") / col("sz_a"))
+      .select("id_a", "id_b", "n_inter", "containment")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq,
+      s"prefix-filtered pairs diverge from brute force: got ${got.length}, want ${want.length}")
+    assert(got.nonEmpty, "no containment pairs at all — fixture too weak to prove anything")
+  }
+
+  test("d62 containment: a planted quote is found in its host (directed), jaccard misses it") {
+    import spark.implicits._
+    val host = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val quote = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "s", host),
+      (2L, "en", "s", quote),
+      (3L, "en", "s", (300 to 520).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "lang", "source", "text")
+    val pairs = graft.operators.Dedup.containmentOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSeq
+    assert(pairs == Seq((2L, 1L, 1.0)),
+      s"expected exactly quote→host at containment 1.0, got $pairs")
+    // the symmetric jaccard of the same pair is 20/200 = 0.1 — invisible to d4
+    val jac = graft.operators.Dedup.ngramJaccardOf(docs).count()
+    assert(jac == 0, "jaccard miner unexpectedly caught the quote pair")
+  }
+
+  test("d62 containment: candidate plan is pure equi-join (no cartesian/BNLJ)") {
+    val plan = graft.operators.Dedup.containment(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "containment plan fell back to a non-equi join strategy")
+  }
+
   // ---- streaming self-embedding index --------------------------------
 
   test("textEmbedIndexStream: raw-text stream lands in the IVF store identically to the batch embed+append; replay adds nothing") {
