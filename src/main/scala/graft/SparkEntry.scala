@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chains, CorpusPipeline, CorpusStats, Curation, Dedup, Relational, Retrieval, Silver, Similarity, Sketches, SkewOps, TimeSeries}
+import graft.operators.{Cep, Chains, CorpusPipeline, CorpusStats, Curation, Dedup, Relational, Retrieval, Silver, Similarity, Sketches, SkewOps, TimeSeries}
 import graft.functions.TextFns
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
@@ -79,6 +79,11 @@ object SparkEntry {
     "q54_silver_import"   -> (Silver.silverImport _),
     "q55_skew_join"       -> (SkewOps.skewJoinDemo _),
     "q56_range_join"      -> (Relational.rangeJoin _),
+    // MATCH_RECOGNIZE-style CEP (SQL:2016 / Flink-CEP — no Spark
+    // built-in): greedy `view click* purchase` within 48h per user,
+    // skip-past-last-row; per-key tight-loop automaton expression,
+    // oracle = per-user recursive CTE replaying the same machine
+    "q57_event_pattern"   -> (Cep.eventPattern _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -1052,6 +1057,55 @@ object SparkEntry {
 
     // q56: the oracle runs the NAIVE range-predicate join — the
     // day-bucket equi-join must be a pure execution-strategy change
+    // q57: the per-user recursive CTE replays EventMatches' automaton
+    // row by row — state (st, s_ts, s_id, nmid) AFTER row i plus the
+    // match emitted AT row i. Branch order mirrors the expression:
+    // in-span purchase completes, in-span click continues, a view
+    // (re)starts, anything else (incl. span expiry) goes idle.
+    "q57_event_pattern" -> {
+      val h = graft.operators.Cep.SpanHours
+      s"""WITH RECURSIVE base AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+         |         WHEN 'purchase' THEN 2 ELSE 3 END AS tag,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |                            ORDER BY ts, event_id) AS INT) AS i
+         |  FROM events),
+         |rec AS (
+         |  SELECT user_id, i,
+         |    CASE WHEN tag = 0 THEN 1 ELSE 0 END AS st,
+         |    CASE WHEN tag = 0 THEN ts END AS s_ts,
+         |    CASE WHEN tag = 0 THEN event_id END AS s_id,
+         |    0 AS nmid,
+         |    CAST(NULL AS BIGINT) AS m_sid, CAST(NULL AS TIMESTAMP) AS m_sts,
+         |    CAST(NULL AS BIGINT) AS m_eid, CAST(NULL AS TIMESTAMP) AS m_ets,
+         |    CAST(NULL AS INT) AS m_nmid
+         |  FROM base WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.i,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN 0
+         |         WHEN r.st = 1 AND b.tag = 1 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN 1
+         |         WHEN b.tag = 0 THEN 1 ELSE 0 END,
+         |    CASE WHEN r.st = 1 AND b.tag = 1 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN r.s_ts
+         |         WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN NULL
+         |         WHEN b.tag = 0 THEN b.ts END,
+         |    CASE WHEN r.st = 1 AND b.tag = 1 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN r.s_id
+         |         WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN NULL
+         |         WHEN b.tag = 0 THEN b.event_id END,
+         |    CASE WHEN r.st = 1 AND b.tag = 1 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN r.nmid + 1
+         |         ELSE 0 END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN r.s_id END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN r.s_ts END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN b.event_id END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN b.ts END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN CAST(r.nmid AS INT) END
+         |  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.i = r.i + 1)
+         |SELECT user_id, m_sid AS start_event_id, m_sts AS start_ts,
+         |  m_eid AS end_event_id, m_ets AS end_ts, m_nmid AS n_mid
+         |FROM rec WHERE m_eid IS NOT NULL
+         |ORDER BY user_id, start_event_id""".stripMargin
+    },
+
     "q56_range_join" ->
       s"""WITH camp AS (
          |  SELECT o_orderkey AS campaign_id, o_orderdate AS c_start,

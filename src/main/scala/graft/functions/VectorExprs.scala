@@ -1108,6 +1108,60 @@ case class PackSeqs(child: Expression, capacity: Int)
   override protected def withNewChildInternal(c: Expression): PackSeqs = copy(child = c)
 }
 
+/** MATCH_RECOGNIZE-style event-pattern automaton over ONE key's
+  * time-ordered events (the q57 CEP core): greedy matches of
+  * `view click* purchase` with the whole match inside `spanUs`
+  * microseconds of the opening view, AFTER MATCH SKIP PAST LAST ROW.
+  * Input rows are (ts, event_id, tag) with tag 0=view / 1=click /
+  * 2=purchase / 3=other, sorted ascending (struct sort on the unique
+  * (ts, event_id) key makes the order total). Single-pass no-backtrack
+  * is EXACT for this pattern family: on any failure/expiry/restart,
+  * rescanning from start+1 only meets clicks (which cannot open a
+  * match) before the current row, so the automaton's "evaluate the
+  * current row from IDLE" shortcut visits the same states SQL:2016
+  * skip-to-next-row semantics would.
+  *
+  * Emits array<struct<start_event_id, start_ts, end_event_id, end_ts,
+  * n_mid>> — one element per completed match, in stream order. */
+case class EventMatches(child: Expression, spanUs: Long)
+    extends UnaryExpression with CodegenFallback {
+  require(spanUs > 0, s"spanUs must be positive, got $spanUs")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start_event_id", LongType, nullable = false),
+    StructField("start_ts", TimestampType, nullable = false),
+    StructField("end_event_id", LongType, nullable = false),
+    StructField("end_ts", TimestampType, nullable = false),
+    StructField("n_mid", IntegerType, nullable = false))), containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var started = false
+    var sTs = 0L; var sId = 0L; var nMid = 0
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      val ts = row.getLong(0)
+      val id = row.getLong(1)
+      val tag = row.getInt(2)
+      val inSpan = started && ts - sTs <= spanUs
+      if (inSpan && tag == 2) {
+        out += InternalRow(sId, sTs, id, ts, nMid)
+        started = false
+      } else if (inSpan && tag == 1) {
+        nMid += 1
+      } else if (tag == 0) {
+        started = true; sTs = ts; sId = id; nMid = 0
+      } else {
+        started = false
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): EventMatches = copy(child = c)
+}
+
 object VectorExprs {
   def dotF(a: Column, b: Column): Column = toCol(DotProductF(toExpr(a), toExpr(b)))
   def dotI8(a: Column, b: Column): Column = toCol(DotProductI8(toExpr(a), toExpr(b)))
@@ -1131,6 +1185,7 @@ object VectorExprs {
   def ngramHashes(c: Column, k: Int): Column = toCol(NgramHashes(toExpr(c), k))
   def islandRuns(c: Column, k: Int): Column = toCol(IslandRuns(toExpr(c), k))
   def packSeqs(c: Column, capacity: Int): Column = toCol(PackSeqs(toExpr(c), capacity))
+  def eventMatches(c: Column, spanUs: Long): Column = toCol(EventMatches(toExpr(c), spanUs))
   def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))
   def pqEncode(c: Column, cb: Array[Array[Array[Float]]]): Column =
     toCol(PqEncode(toExpr(c), cb))

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Complex-event-processing (MATCH_RECOGNIZE-style) pattern matching —
+  * the SQL:2016 / Flink-CEP / Trino feature Spark has no built-in for.
+  *
+  * q57: per user, over the time-ordered event stream, find greedy
+  * non-overlapping matches of `view click* purchase` completing within
+  * [[SpanHours]] of the opening view (AFTER MATCH SKIP PAST LAST ROW;
+  * a new view restarts the attempt, any other non-matching row or
+  * span expiry abandons it). Reference analog: the funnel/session SPs
+  * over the events feed (stream.py's monitor classifies event chains
+  * the same per-key ordered way).
+  *
+  * Scale shape: the per-key ordered scan IS the canonical CEP
+  * execution model (Flink runs exactly this automaton per key);
+  * the distribution axis is the key — one hash shuffle on user_id,
+  * then each group is a single tight-loop pass inside
+  * [[graft.functions.EventMatches]] (codegen-adjacent, no window, no
+  * per-row driver logic, matches materialized once via the explode
+  * generator). Group size is the per-user event count; a pathological
+  * key can be chunked on span-aligned time buckets (matches span
+  * ≤ SpanHours, so buckets overlapping by one span are lossless) —
+  * not needed at any tested scale.
+  */
+object Cep {
+  val SpanHours = 48
+  val SpanUs: Long = SpanHours.toLong * 3600L * 1000000L
+
+  def eventPattern(s: SparkSession, d: String): DataFrame =
+    eventPatternOf(Tables.events(s, d))
+
+  /** Core of [[eventPattern]]; expects (user_id, ts, event_id,
+    * event_type) columns. */
+  def eventPatternOf(events: DataFrame, spanUs: Long = SpanUs): DataFrame =
+    events
+      .select(col("user_id"), struct(col("ts"), col("event_id"),
+        when(col("event_type") === "view", 0)
+          .when(col("event_type") === "click", 1)
+          .when(col("event_type") === "purchase", 2)
+          .otherwise(3).as("tag")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"),
+        explode(graft.functions.VectorExprs.eventMatches(col("evs"), spanUs)).as("m"))
+      .select(col("user_id"),
+        col("m.start_event_id").as("start_event_id"), col("m.start_ts").as("start_ts"),
+        col("m.end_event_id").as("end_event_id"), col("m.end_ts").as("end_ts"),
+        col("m.n_mid").as("n_mid"))
+      .orderBy("user_id", "start_event_id")
+}

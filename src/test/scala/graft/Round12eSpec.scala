@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** Round-12 fifth-pass additions: q57 MATCH_RECOGNIZE-style CEP. */
+class Round12eSpec extends SparkSpec {
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  test("q57 CEP: planted fixture covers restart, expiry, abort, star-count and skip-past-last-row") {
+    import spark.implicits._
+    val spanUs = 60L * 60000000L // 60 minutes for the fixture
+    // user 1: view C2 clicks purchase -> match (2 clicks); then a purchase
+    //   with no fresh view (skip-past-last-row) -> no second match
+    // user 2: view, clicks, VIEW (restart), click, purchase -> match from
+    //   the SECOND view with 1 click
+    // user 3: view, clicks, then purchase past the 60-min span -> nothing
+    // user 4: view, error aborts, purchase -> nothing
+    // user 5: lone clicks/purchase with no view -> nothing
+    val rows = Seq(
+      (1L, 10L, "view"), (2L, 11L, "click"), (3L, 12L, "click"), (4L, 13L, "purchase"),
+      (5L, 14L, "purchase"),
+      (10L, 10L, "view"), (11L, 20L, "click"), (12L, 30L, "view"), (13L, 40L, "click"),
+      (14L, 50L, "purchase"),
+      (20L, 0L, "view"), (21L, 30L, "click"), (22L, 70L, "purchase"),
+      (30L, 0L, "view"), (31L, 5L, "error"), (32L, 10L, "purchase"),
+      (40L, 0L, "click"), (41L, 5L, "purchase")
+    ).map { case (eid, m, et) =>
+      val uid = eid / 10
+      (eid, ts(m), uid, et)
+    }.toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Cep.eventPatternOf(rows, spanUs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+    assert(got == Seq((0L, 1L, 4L, 2), (1L, 12L, 14L, 1)),
+      s"fixture matches diverged: $got")
+  }
+
+  test("q57 CEP: arrival order is irrelevant (sort is part of the operator)") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"), (3L, ts(2), 1L, "purchase"))
+    val shuffled = scala.util.Random.shuffle(base)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Cep.eventPatternOf(shuffled, 60L * 60000000L).collect()
+    assert(got.length == 1 && got.head.getInt(5) == 1)
+  }
+
+  test("q57 CEP: matches the driver-side reference automaton on real events") {
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L, r.getLong(2), r.getString(3)))
+    val span = graft.operators.Cep.SpanUs
+    val want = events.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      var started = false; var sTs = 0L; var sId = 0L; var nMid = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+      evs.sortBy(e => (e._2, e._3)).foreach { case (_, t, id, et) =>
+        val inSpan = started && t - sTs <= span
+        if (inSpan && et == "purchase") { out += ((uid, sId, id, nMid)); started = false }
+        else if (inSpan && et == "click") nMid += 1
+        else if (et == "view") { started = true; sTs = t; sId = id; nMid = 0 }
+        else started = false
+      }
+      out
+    }.sortBy(m => (m._1, m._2))
+    val got = graft.operators.Cep.eventPattern(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+    assert(got.nonEmpty, "no matches on real events — fixture power too low")
+    assert(got == want, s"engine vs reference automaton: ${got.length} vs ${want.length} matches")
+  }
+
+  test("q57 CEP: one key shuffle, no window, no cartesian") {
+    val plan = graft.operators.Cep.eventPattern(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "CEP plan grew a window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
