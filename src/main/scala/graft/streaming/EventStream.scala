@@ -696,6 +696,98 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- q57 CEP streaming twin ---------------------------------------
+
+  case class CepMatch(user_id: Long, start_event_id: Long,
+      start_ts: java.sql.Timestamp, end_event_id: Long,
+      end_ts: java.sql.Timestamp, n_mid: Int)
+  case class CepBuf(event_id: Long, ts_us: Long, tag: Int)
+  case class CepCore(frontier: Long, cutoff: Long, started: Boolean,
+      s_ts: Long, s_id: Long, n_mid: Int)
+
+  /** Streaming twin of batch q57 ([[graft.operators.Cep.eventPatternOf]]):
+    * the `view click* purchase` CEP automaton run incrementally per
+    * user — the Flink-CEP execution model. Like funnelStream /
+    * verticalsStream, TimeMode.None with a SELF-MANAGED per-key
+    * event-time frontier (Spark's event-time mode would drop mildly
+    * late rows before the processor sees them): arrivals buffer until
+    * they fall `latenessUs` behind the key's own frontier, then settle
+    * through the same transition function
+    * [[graft.functions.EventMatches]] runs, in exact (ts, event_id)
+    * order. A match is emitted exactly once, at the micro-batch its
+    * closing purchase settles in (Append mode). Ticks more than the
+    * lateness behind the frontier are DROPPED (the declared-dead
+    * trade); an `event_type == "flush"` sentinel settles the whole
+    * buffer — batch end-of-input semantics. State per key = one
+    * automaton register + the ticks inside one lateness window.
+    */
+  class CepProcessor(latenessUs: Long, spanUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, CepMatch] {
+    @transient private var core: org.apache.spark.sql.streaming.ValueState[CepCore] = _
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[CepBuf] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val none = org.apache.spark.sql.streaming.TTLConfig.NONE
+      core = getHandle.getValueState[CepCore]("core",
+        org.apache.spark.sql.Encoders.product[CepCore], none)
+      buf = getHandle.getListState[CepBuf]("buf",
+        org.apache.spark.sql.Encoders.product[CepBuf], none)
+    }
+    private def tagOf(et: String): Int = et match {
+      case "view" => 0
+      case "click" => 1
+      case "purchase" => 2
+      case _ => 3
+    }
+    override def handleInputRows(user: Long, ticks: Iterator[Tick],
+        tv0: org.apache.spark.sql.streaming.TimerValues): Iterator[CepMatch] = {
+      val evs = ticks.toArray
+      val isFlush = evs.exists(_.event_type == "flush")
+      val incoming = evs.filter(_.event_type != "flush")
+        .map(t => CepBuf(t.event_id, tsToUs(t.ts), tagOf(t.event_type)))
+      var c = if (core.exists()) core.get()
+        else CepCore(Long.MinValue, Long.MinValue, started = false, 0L, 0L, 0)
+      val front = (c.frontier +: incoming.map(_.ts_us)).max
+      val cut =
+        if (isFlush) Long.MaxValue
+        else if (front == Long.MinValue) Long.MinValue
+        else math.max(front - latenessUs, c.cutoff)
+      // rows at or behind the PREVIOUS cutoff arrived over-late: dropped
+      val live = (buf.get().map(identity).toArray ++ incoming)
+        .filter(_.ts_us > c.cutoff)
+      val (settle, stay) = live.partition(_.ts_us <= cut)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+      settle.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+        // EventMatches' transition function, verbatim
+        val inSpan = c.started && r.ts_us - c.s_ts <= spanUs
+        if (inSpan && r.tag == 2) {
+          out += CepMatch(user, c.s_id, usToTs(c.s_ts), r.event_id,
+            usToTs(r.ts_us), c.n_mid)
+          c = c.copy(started = false)
+        } else if (inSpan && r.tag == 1) {
+          c = c.copy(n_mid = c.n_mid + 1)
+        } else if (r.tag == 0) {
+          c = c.copy(started = true, s_ts = r.ts_us, s_id = r.event_id, n_mid = 0)
+        } else {
+          c = c.copy(started = false)
+        }
+      }
+      core.update(c.copy(frontier = front, cutoff = cut))
+      if (stay.isEmpty) buf.clear() else buf.put(stay)
+      out.iterator
+    }
+  }
+
+  /** See [[CepProcessor]]. */
+  def cepStream(stream: Dataset[Tick],
+      maxLateness: java.time.Duration = java.time.Duration.ofMinutes(10),
+      spanUs: Long = graft.operators.Cep.SpanUs): Dataset[CepMatch] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .transformWithState(new CepProcessor(maxLateness.toMillis * 1000L, spanUs),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id within the
     * watermark horizon (at-least-once source → effectively-once sink).
     * State = seen ids inside the watermark window, evicted as event

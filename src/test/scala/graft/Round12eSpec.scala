@@ -70,6 +70,90 @@ class Round12eSpec extends SparkSpec {
     assert(got == want, s"engine vs reference automaton: ${got.length} vs ${want.length} matches")
   }
 
+  // ---- streaming twin -----------------------------------------------
+
+  private def withRocksDb(body: => Unit): Unit = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  private def eventTicks(): Seq[graft.streaming.EventStream.Tick] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[graft.streaming.EventStream.Tick].collect().toSeq
+  }
+
+  private def flushTicks(ticks: Seq[graft.streaming.EventStream.Tick]) =
+    ticks.map(_.user_id).distinct.map(u =>
+      graft.streaming.EventStream.Tick(-1L,
+        new java.sql.Timestamp(4102444800000L), u, "flush", 0.0))
+
+  private def runCepStream(chunks: Seq[Seq[graft.streaming.EventStream.Tick]],
+      lateness: java.time.Duration, name: String): Unit = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[graft.streaming.EventStream.Tick]
+    val q = graft.streaming.EventStream.cepStream(input.toDS(), lateness).toDF()
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName(name).start()
+    chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+  }
+
+  private def collectMatches(name: String): Seq[(Long, Long, Long, Int)] =
+    spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5)))
+      .sortBy(m => (m._1, m._2)).toSeq
+
+  private def batchMatches(): Seq[(Long, Long, Long, Int)] =
+    graft.operators.Cep.eventPattern(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+
+  test("cepStream: ARBITRARY arrival order + flush == batch q57 matches") {
+    withRocksDb {
+      val ticks = eventTicks().sortBy(t => graft.sources.TickSource.mix(7L, t.event_id))
+      runCepStream(
+        Seq(ticks.take(ticks.size / 2), ticks.drop(ticks.size / 2), flushTicks(ticks)),
+        java.time.Duration.ofDays(3650), "cep_shuffled")
+      val got = collectMatches("cep_shuffled")
+      val want = batchMatches()
+      assert(want.nonEmpty, "batch fixture produced no matches — fixture rot")
+      assert(got == want, s"streamed matches != batch (got ${got.size}, want ${want.size})")
+    }
+  }
+
+  test("cepStream: in-order chunks settle incrementally (matches before flush), final parity") {
+    withRocksDb {
+      val ticks = eventTicks().sortBy(t => (t.ts.getTime, t.event_id))
+      val n = ticks.size
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[graft.streaming.EventStream.Tick]
+      val q = graft.streaming.EventStream.cepStream(input.toDS(),
+        java.time.Duration.ofMinutes(10)).toDF()
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("cep_inc").start()
+      input.addData(ticks.take(n / 2)); q.processAllAvailable()
+      val mid = spark.table("cep_inc").count()
+      input.addData(ticks.drop(n / 2)); q.processAllAvailable()
+      input.addData(flushTicks(ticks)); q.processAllAvailable()
+      q.stop()
+      assert(mid > 0, "nothing settled before the flush — frontier is not advancing")
+      assert(collectMatches("cep_inc") == batchMatches(),
+        "incremental settle diverged from batch")
+    }
+  }
+
   test("q57 CEP: one key shuffle, no window, no cartesian") {
     val plan = graft.operators.Cep.eventPattern(spark, sf)
       .queryExecution.executedPlan.toString
