@@ -110,6 +110,45 @@ object ScaleSmoke {
     time("jaccard-via-lsh 1M docs") {
       operators.Dedup.ngramJaccardViaLsh(docsBig).count()
     }
+    // d62 containment at 1M docs over a ZIPFIAN (log-uniform) 100k-word
+    // vocabulary — the prefix filter's boundedness claim IS the Zipf
+    // assumption (each doc's rarest tokens have short posting lists);
+    // a uniform-vocab corpus is the documented pathological input
+    // (every token common ⇒ prefixes prune nothing). Planted subset
+    // pairs: docs with id % 200 == 1 carry only the first 10 words of
+    // their predecessor's 30 ⇒ containment 1.0 small→big; the count
+    // check proves the miner finds ≥ the 5k planted pairs without
+    // blowing up on the 1M corpus.
+    time("containment 1M docs zipf") {
+      // source = (id div 2) % 20 keeps each planted (i, i+1) pair in
+      // one (lang, source) block — the d4-style blocked semantics —
+      // and caps posting lists at the per-block df
+      val zdocs = spark.range(1000000)
+        .select(col("id").as("doc_id"),
+          expr("if(id % 200 = 1, id - 1, id)").as("seed"),
+          expr("if(id % 200 = 1, 9, 29)").as("hi"))
+        .select(col("doc_id"), lit("en").as("lang"),
+          concat(lit("s"), pmod(expr("doc_id div 2"), lit(20))).as("source"),
+          expr("""concat_ws(' ', transform(sequence(0, hi), i ->
+                 |  concat('w', cast(cast(pow(100000.0,
+                 |    pmod(xxhash64(seed * 1000000 + i), 10000) / 10000.0) as long) as string))))""".stripMargin)
+            .as("text"))
+      val n = operators.Dedup.containmentOf(zdocs).count()
+      require(n >= 5000, s"planted subset pairs missing: $n")
+      n
+    }
+    // q57 CEP over 10M generated events: (a) the TickSource key space
+    // is 150 users ⇒ 67k-event WHALE groups (the per-key scan bound);
+    // (b) a 150k-key remap ⇒ production-shaped small groups. Both are
+    // one hash shuffle + a linear pass per group.
+    time("cep 10M events 150 whales") {
+      operators.Cep.eventPatternOf(uniform).count()
+    }
+    time("cep 10M events 150k keys") {
+      operators.Cep.eventPatternOf(
+        uniform.withColumn("user_id",
+          col("user_id") * 1000 + pmod(col("event_id"), lit(1000)))).count()
+    }
     // the full d22 shape at 1M docs AS ONE PATH: LSH pairs → bounded
     // CC (materializes the mine once via its edge count) → keep-min
     // corpus. ~5000 planted duplicate pairs ⇒ expect ≈995k survivors.

@@ -84,6 +84,12 @@ object SparkEntry {
     // skip-past-last-row; per-key tight-loop automaton expression,
     // oracle = per-user recursive CTE replaying the same machine
     "q57_event_pattern"   -> (Cep.eventPattern _),
+    // month-cohort × month-offset retention matrix; integer month
+    // arithmetic on month-first DATEs both engines
+    "q58_cohort_retention" -> (TimeSeries.cohortRetention _),
+    // last-touch attribution: purchase ← latest prior non-purchase
+    // within 48h (last(ignoreNulls) row window; µs-exact gap)
+    "q59_attribution"     -> (TimeSeries.lastTouchAttribution _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -1057,6 +1063,51 @@ object SparkEntry {
 
     // q56: the oracle runs the NAIVE range-predicate join — the
     // day-bucket equi-join must be a pure execution-strategy change
+    // q58: weekly cohorts (Monday-truncated in both engines; day diffs
+    // of week-aligned DATEs are divisible by 7, so offsets are exact
+    // integer division)
+    "q58_cohort_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort
+        |  FROM events GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS m
+        |  FROM events),
+        |sizes AS (SELECT cohort, COUNT(*) AS n_cohort FROM cohorts GROUP BY cohort),
+        |ret AS (
+        |  SELECT c.cohort AS cohort,
+        |    CAST(date_diff('day', c.cohort, a.m) // 7 AS INT) AS offset_w,
+        |    COUNT(DISTINCT a.user_id) AS n_active
+        |  FROM activity a JOIN cohorts c USING (user_id)
+        |  GROUP BY c.cohort, date_diff('day', c.cohort, a.m) // 7)
+        |SELECT cohort, offset_w, n_active, n_cohort,
+        |  CAST(n_active AS DOUBLE) / n_cohort AS retention
+        |FROM ret JOIN sizes USING (cohort)
+        |ORDER BY cohort, offset_w""".stripMargin,
+
+    // q59: LAST_VALUE(... IGNORE NULLS) over the same row window; the
+    // gap is integer MICROSECONDS (date_diff µs ≡ unix_micros
+    // subtraction — second-granularity epoch floors can diverge at
+    // double-ulp boundaries, µs integers cannot)
+    "q59_attribution" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN
+        |        {'ts': CAST(ts AS TIMESTAMP), 'id': event_id, 't': event_type} END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr
+        |  FROM events),
+        |p AS (
+        |  SELECT *, date_diff('microsecond', attr.ts, ts) AS gap_us,
+        |    attr IS NOT NULL AND date_diff('microsecond', attr.ts, ts) <= 172800000000 AS fresh
+        |  FROM base WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN fresh THEN attr.id END AS attr_event_id,
+        |  CASE WHEN fresh THEN attr.t END AS attr_type,
+        |  CASE WHEN fresh THEN gap_us END AS gap_us
+        |FROM p ORDER BY event_id""".stripMargin,
+
     // q57: the per-user recursive CTE replays EventMatches' automaton
     // row by row — state (st, s_ts, s_id, nmid) AFTER row i plus the
     // match emitted AT row i. Branch order mirrors the expression:

@@ -458,4 +458,79 @@ object TimeSeries {
         least(greatest(col("value") - 100.0, lit(0.0)), w).as("clamped"))
       .orderBy("event_id")
   }
+
+  /** q58: cohort retention — the classic cohort × offset activity
+    * matrix (every product-analytics engine's bread and butter; the
+    * reference's account-activity rollups are the same
+    * first-seen-then-active shape). cohort(u) = WEEK of u's first
+    * event (the events table spans one month, so weekly cohorts give
+    * the matrix structure monthly ones can't); n_active = distinct
+    * users of that cohort active k weeks later; retention =
+    * n_active / cohort size.
+    *
+    * Scale shape: two user_id hash shuffles (first-seen min and the
+    * distinct (user, week) dedup), a user_id equi-join, then one
+    * small (cohort, offset) aggregate with the cohort-size table
+    * broadcast back — no window, nothing single-partition. Week
+    * arithmetic stays integer (Monday-aligned DATEs ⇒ day diffs
+    * divisible by 7) in both engines.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame =
+    cohortRetentionOf(Tables.events(s, d))
+
+  /** Core of [[cohortRetention]]. */
+  def cohortRetentionOf(ev: DataFrame): DataFrame = {
+    val cohorts = ev.groupBy("user_id")
+      .agg(trunc(min(col("ts")).cast("date"), "week").as("cohort"))
+    val activity = ev
+      .select(col("user_id"), trunc(col("ts").cast("date"), "week").as("m"))
+      .distinct()
+    val sizes = cohorts.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    activity.join(cohorts, "user_id")
+      .withColumn("offset_w", expr("datediff(m, cohort) div 7").cast("int"))
+      .groupBy("cohort", "offset_w")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("retention", col("n_active").cast("double") / col("n_cohort"))
+      .select("cohort", "offset_w", "n_active", "n_cohort", "retention")
+      .orderBy("cohort", "offset_w")
+  }
+
+  /** q59: last-touch attribution — each purchase attributed to the
+    * user's most recent PRIOR non-purchase event within 48 h (the
+    * marketing-attribution / trade-cause shape; the reference's
+    * order-to-quote pairing in SP_PROCESS_TRANSACTIONS is the same
+    * latest-preceding-row lookup). Implemented as last(..., ignoreNulls)
+    * over an unbounded-preceding row window — one shuffle on user_id;
+    * at open-ended key cardinality the per-key window rides the same
+    * two-level range-partition scheme as Silver.surrogateIds. Purchases
+    * whose latest prior event is stale (> 48 h) emit NULL attribution
+    * (kept: the unattributed-conversion row is the interesting one).
+    */
+  def lastTouchAttribution(s: SparkSession, d: String): DataFrame =
+    lastTouchAttributionOf(Tables.events(s, d))
+
+  /** Core of [[lastTouchAttribution]]. */
+  def lastTouchAttributionOf(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ev
+      .withColumn("attr", last(
+        when(col("event_type") =!= "purchase",
+          struct(col("ts").as("ts"), col("event_id").as("id"),
+            col("event_type").as("t"))),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      // µs-integer gap arithmetic: exact and identical cross-engine
+      // (second-granularity epoch floors diverge at ulp boundaries)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("attr.ts")))
+      .withColumn("fresh",
+        col("attr").isNotNull && col("gap_us") <= 48L * 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("fresh"), col("attr.id")).as("attr_event_id"),
+        when(col("fresh"), col("attr.t")).as("attr_type"),
+        when(col("fresh"), col("gap_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
 }

@@ -70,6 +70,67 @@ class Round12eSpec extends SparkSpec {
     assert(got == want, s"engine vs reference automaton: ${got.length} vs ${want.length} matches")
   }
 
+  // ---- q58 / q59 ----------------------------------------------------
+
+  test("q58 cohort retention: planted cohorts produce the expected matrix") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday: week0 = Jan 1-7, week1 = Jan 8-14, week2 = Jan 15-21
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // u1, u2 join week0; u1 active weeks 0,1,2; u2 only week 0.
+    // u3 joins week1, active weeks 1,2.
+    val ev = Seq(
+      (1L, t(5), 1L), (2L, t(6), 2L), (3L, t(8), 1L), (4L, t(16), 1L),
+      (5L, t(9), 3L), (6L, t(17), 3L), (7L, t(3), 2L)
+    ).map { case (eid, ts, uid) => (eid, ts, uid, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.TimeSeries.cohortRetentionOf(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0, 2L, 2L), ("2024-01-01", 1, 1L, 2L), ("2024-01-01", 2, 1L, 2L),
+      ("2024-01-08", 0, 1L, 1L), ("2024-01-08", 1, 1L, 1L)),
+      s"retention matrix diverged: $got")
+  }
+
+  test("q58 cohort retention: offset-0 row is the whole cohort, retention bounded") {
+    val rows = graft.operators.TimeSeries.cohortRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getDouble(4) <= 1.0 + 1e-12)
+      if (r.getInt(1) == 0)
+        assert(r.getLong(2) == r.getLong(3), s"offset-0 active != cohort size: $r")
+    }
+  }
+
+  test("q59 attribution: latest prior wins, stale and missing priors emit NULL") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: view, click, purchase -> attributed to the CLICK (latest)
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 11:00:00"), 1L, "click"),
+      (3L, t("2024-01-01 12:00:00"), 1L, "purchase"),
+      // u2: view then purchase 3 days later -> stale, NULL attribution
+      (10L, t("2024-01-01 00:00:00"), 2L, "view"),
+      (11L, t("2024-01-04 00:00:00"), 2L, "purchase"),
+      // u3: purchase with no prior at all -> NULL
+      (20L, t("2024-01-02 00:00:00"), 3L, "purchase"),
+      // u4: prior is another PURCHASE only -> NULL (non-purchase touch required)
+      (30L, t("2024-01-02 00:00:00"), 4L, "purchase"),
+      (31L, t("2024-01-02 01:00:00"), 4L, "purchase")
+    ).map { case (eid, ts, uid, et) => (eid, ts, uid, et, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.TimeSeries.lastTouchAttributionOf(ev).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.toString), Option(r.get(5)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got == Seq(
+      (3L, Some(2L), Some("click"), Some(3600000000L)),
+      (11L, None, None, None),
+      (20L, None, None, None),
+      (30L, None, None, None),
+      (31L, None, None, None)),
+      s"attribution rows diverged: $got")
+  }
+
   // ---- streaming twin -----------------------------------------------
 
   private def withRocksDb(body: => Unit): Unit = {
