@@ -130,8 +130,8 @@ object ScaleSmoke {
         .select(col("doc_id"), lit("en").as("lang"),
           concat(lit("s"), pmod(expr("doc_id div 2"), lit(20))).as("source"),
           expr("""concat_ws(' ', transform(sequence(0, hi), i ->
-                 |  concat('w', cast(cast(pow(100000.0,
-                 |    pmod(xxhash64(seed * 1000000 + i), 10000) / 10000.0) as long) as string))))""".stripMargin)
+                 |  concat('w', cast(cast(pow(1000000.0,
+                 |    pmod(xxhash64(seed * 1000000 + i), 100000) / 100000.0) as long) as string))))""".stripMargin)
             .as("text"))
       val n = operators.Dedup.containmentOf(zdocs).count()
       require(n >= 5000, s"planted subset pairs missing: $n")
