@@ -1219,5 +1219,11 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("topk_by_score",
       es => TopKByScore(es(0), es(1).eval().asInstanceOf[Int])
         .toAggregateExpression(), "scala_udf")
+    // CEP: event_matches(sorted array<struct<ts,event_id,tag>>, span_us)
+    reg.createOrReplaceTempFunction("event_matches",
+      es => EventMatches(es(0), es(1).eval() match {
+        case l: Long => l
+        case i: Int => i.toLong
+      }), "scala_udf")
   }
 }

@@ -215,6 +215,25 @@ class Round12eSpec extends SparkSpec {
     }
   }
 
+  test("q57 CEP: event_matches is reachable from plain spark.sql") {
+    Graft.install(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("ev_sql")
+    val viaSql = spark.sql(
+      s"""SELECT user_id, m.start_event_id, m.end_event_id, m.n_mid
+         |FROM (
+         |  SELECT user_id, explode(event_matches(
+         |    sort_array(collect_list(struct(ts, event_id,
+         |      CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+         |           WHEN 'purchase' THEN 2 ELSE 3 END AS tag))),
+         |    ${graft.operators.Cep.SpanUs}L)) AS m
+         |  FROM ev_sql GROUP BY user_id)
+         |ORDER BY user_id, m.start_event_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val api = graft.operators.Cep.eventPattern(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+    assert(viaSql == api, "SQL-surface CEP diverged from the DataFrame API")
+  }
+
   test("q57 CEP: one key shuffle, no window, no cartesian") {
     val plan = graft.operators.Cep.eventPattern(spark, sf)
       .queryExecution.executedPlan.toString
