@@ -49,7 +49,8 @@ class TickSourceProvider extends TableProvider with DataSourceRegister {
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("partitions", "4").toInt,
       properties.getOrDefault("seed", "42").toLong,
-      properties.getOrDefault("hotfraction", "0.0").toDouble)
+      properties.getOrDefault("hotfraction", "0.0").toDouble,
+      properties.getOrDefault("rowsperbatch", "1000").toLong)
 }
 
 object TickSource {
@@ -71,17 +72,19 @@ object TickSource {
   }
 }
 
-class TickTable(rows: Long, partitions: Int, seed: Long, hotFraction: Double)
+class TickTable(rows: Long, partitions: Int, seed: Long, hotFraction: Double,
+    rowsPerBatch: Long = 1000L)
     extends Table with SupportsRead {
   override def name(): String = s"graft-ticks($rows)"
   override def schema(): StructType = TickSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TickScanBuilder(rows, partitions, seed, hotFraction)
+    new TickScanBuilder(rows, partitions, seed, hotFraction, rowsPerBatch)
 }
 
-class TickScanBuilder(rows: Long, partitions: Int, seed: Long, hotFraction: Double)
+class TickScanBuilder(rows: Long, partitions: Int, seed: Long,
+    hotFraction: Double, rowsPerBatch: Long = 1000L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var lo = 0L
@@ -129,22 +132,16 @@ class TickScanBuilder(rows: Long, partitions: Int, seed: Long, hotFraction: Doub
   override def pruneColumns(s: StructType): Unit = required = s
   override def build(): Scan =
     new TickScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), partitions,
-      seed, hotFraction, required)
+      seed, hotFraction, required, rowsPerBatch)
 }
 
-class TickScan(lo: Long, hi: Long, partitions: Int, seed: Long,
-    hotFraction: Double, required: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"graft-ticks range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]"
-  override def planInputPartitions(): Array[InputPartition] = {
+object TickScan {
+  /** Split [lo, hi) into ≤ `partitions` contiguous generator ranges. */
+  def ranges(lo: Long, hi: Long, partitions: Int, seed: Long,
+      hotFraction: Double, ords: Array[Int]): Array[InputPartition] = {
     val n = math.max(hi - lo, 0L)
     if (n == 0) return Array.empty
     val per = (n + partitions - 1) / partitions
-    // ordinals of the required columns in the full schema — the reader
-    // computes only these
-    val ords = required.fieldNames.map(TickSource.schema.fieldIndex)
     (0 until partitions).flatMap { p =>
       val s = lo + p * per
       val e = math.min(lo + (p + 1) * per, hi)
@@ -152,7 +149,60 @@ class TickScan(lo: Long, hi: Long, partitions: Int, seed: Long,
       else None
     }.toArray
   }
+}
+
+class TickScan(lo: Long, hi: Long, partitions: Int, seed: Long,
+    hotFraction: Double, required: StructType, rowsPerBatch: Long = 1000L)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-ticks range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    // ordinals of the required columns in the full schema — the reader
+    // computes only these
+    TickScan.ranges(lo, hi, partitions, seed, hotFraction,
+      required.fieldNames.map(TickSource.schema.fieldIndex))
   override def createReaderFactory(): PartitionReaderFactory = new TickReaderFactory
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TickMicroBatchStream(lo, hi, partitions, seed, hotFraction,
+      required, rowsPerBatch)
+}
+
+/** Micro-batch replay of the same deterministic tick range: offsets are
+  * plain row indexes, each trigger admits `rowsPerBatch` more rows
+  * until `hi`. The offset log gives exactly-once replay across
+  * restarts — the harness shape of a real feed connector (message-bus
+  * cursor / websocket sequence number in place of the row index).
+  * Restart-safe by construction: the engine hands the checkpointed
+  * start offset to [[latestOffset(Offset, ReadLimit)]]
+  * (SupportsAdmissionControl), so progress never depends on this
+  * object's in-memory state. */
+class TickMicroBatchStream(lo: Long, hi: Long, partitions: Int, seed: Long,
+    hotFraction: Double, required: StructType, rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  require(rowsPerBatch > 0, s"rowsperbatch must be positive, got $rowsPerBatch")
+  private case class TickOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
+  }
+  override def initialOffset(): Offset = TickOffset(lo)
+  override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is the entry point")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    TickOffset(math.min(hi, start.asInstanceOf[TickOffset].n + rowsPerBatch))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    TickScan.ranges(start.asInstanceOf[TickOffset].n, end.asInstanceOf[TickOffset].n,
+      partitions, seed, hotFraction,
+      required.fieldNames.map(TickSource.schema.fieldIndex))
+  override def createReaderFactory(): PartitionReaderFactory = new TickReaderFactory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class TickRange(start: Long, end: Long, seed: Long,

@@ -76,4 +76,46 @@ class TickSourceSpec extends SparkSpec {
     assert(bars.count() > 0)
     assert(bars.filter(col("low_v") > col("high_v")).count() == 0)
   }
+
+  // ---- micro-batch streaming read -----------------------------------
+
+  test("readStream replay: micro-batched rows equal the batch scan, in multiple batches") {
+    val q = spark.readStream.format("graft-ticks")
+      .option("rows", "5000").option("rowsperbatch", "1024").load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tick_stream").start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches >= 5, s"expected >=5 non-empty micro-batches, saw $batches")
+    val streamed = spark.table("tick_stream")
+    assert(streamed.count() == 5000)
+    assert(streamed.exceptAll(ticks(5000, 4)).count() == 0 &&
+      ticks(5000, 4).exceptAll(streamed).count() == 0,
+      "streamed content != batch scan content")
+  }
+
+  test("readStream replay: restart resumes from the checkpointed offset, no duplicates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_tickmb").toString
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def run(rows: Int): Unit = {
+      val q = spark.readStream.format("graft-ticks")
+        .option("rows", rows.toString).option("rowsperbatch", "1000").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run(5000)
+    assert(spark.read.parquet(out).count() == 5000)
+    run(5000) // same range again: cursor is at hi — nothing may land
+    assert(spark.read.parquet(out).count() == 5000,
+      "restart over a drained range duplicated rows")
+    run(8000) // extended range: resumes AT 5000, emits exactly the tail
+    val ids = spark.read.parquet(out).select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == 8000 && ids.toSet == (0L until 8000L).toSet,
+      s"restart tail wrong: ${ids.length} rows, ${ids.toSet.size} distinct")
+  }
 }
