@@ -341,6 +341,10 @@ object SparkEntry {
     // prefix-filter candidates (rarest-global-df tokens, SSJoin shape)
     // + exact integer verify; oracle-exact, directed pairs
     "d62_containment"     -> (Dedup.containment _),
+    // subset pruning: drop docs ≥0.9-contained in a larger keeper
+    // ((size, doc_id) total order ⇒ one anti-join, no iteration);
+    // the quote/excerpt curation pass; oracle-exact
+    "d63_subset_prune"    -> (Dedup.subsetPrune _),
     // trained quality classifier (the CCNet/fastText filter family):
     // hashed-unigram logistic regression trained IN-ENGINE against the
     // d33 perplexity teacher, deterministic via decimal-sum gradients.
@@ -1208,6 +1212,28 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
         |WHERE n_inter * 10 >= sa.sz * 9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // d63: the d62 pair CTE + the (size, doc_id) keeper order as one
+    // NOT IN anti-join — no recursion (the total order makes chain
+    // absorption transitivity-free)
+    "d63_subset_prune" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, lang, source, UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, lang, source, w FROM tok0 WHERE w <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id <> b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |drops AS (
+        |  SELECT DISTINCT id_a FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE n_inter * 10 >= sa.sz * 9
+        |    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND id_b < id_a)))
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id_a FROM drops)
+        |ORDER BY doc_id""".stripMargin,
 
     "d20_dup_clusters" ->
       """WITH RECURSIVE tok0 AS (

@@ -760,6 +760,38 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d63: subset pruning — the curation op [[containment]] exists for:
+    * drop every doc whose word set is ≥ 0.9-contained in a LARGER
+    * surviving context (quotes, excerpts, truncated re-crawls — the
+    * near-dup family jaccard can't see). Drop rule: doc a is dropped
+    * iff some containment pair a→b has (sz_b, b) > (sz_a, a) in the
+    * (size, doc_id) total order — the bigger doc absorbs the smaller;
+    * exact-dup sets (mutual containment at equal size) keep their
+    * smallest doc_id, matching d1/d22's keep-min convention. The rule
+    * is one ANTI-JOIN over the d62 pair set (no iteration: absorption
+    * needs no transitivity because the keeper ordering is total — the
+    * maximal element of any containment chain survives by
+    * construction).
+    */
+  def subsetPrune(s: SparkSession, d: String): DataFrame =
+    subsetPruneOf(Tables.documents(s, d))
+
+  /** Core of [[subsetPrune]]. */
+  private[graft] def subsetPruneOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
+    val pairs = containmentOf(docs)
+      .join(toks.select(col("doc_id").as("id_a"), col("sz").as("sz_a2")), "id_a")
+      .join(toks.select(col("doc_id").as("id_b"), col("sz").as("sz_b2")), "id_b")
+      .filter(col("sz_b2") > col("sz_a2") ||
+        (col("sz_b2") === col("sz_a2") && col("id_b") < col("id_a")))
+    docs.join(pairs.select(col("id_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   /** Scale-safe n-gram Jaccard: candidate pairs from MinHash-LSH banding
     * (bounded by construction — pair count grows with TRUE near-dup
     * density, not corpus size), verified with the exact word-set

@@ -131,6 +131,22 @@ class Round12eSpec extends SparkSpec {
       s"attribution rows diverged: $got")
   }
 
+  // ---- d63 subset prune ---------------------------------------------
+
+  test("d63 subset prune: quote dropped, exact-dup set keeps min id, unrelated kept") {
+    import spark.implicits._
+    val host = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val quote = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val dup = (500 to 549).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, host), (2L, quote), (3L, dup), (4L, dup),
+      (5L, (900 to 950).map(i => s"tok$i").mkString(" "))
+    ).map { case (id, t) => (id, "en", "s", t, t.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+    val kept = graft.operators.Dedup.subsetPruneOf(docs).collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 3L, 5L), s"survivors diverged: $kept")
+  }
+
   // ---- streaming twin -----------------------------------------------
 
   private def withRocksDb(body: => Unit): Unit = {
