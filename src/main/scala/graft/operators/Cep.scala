@@ -16,6 +16,14 @@ import graft.Tables
   * over the events feed (stream.py's monitor classifies event chains
   * the same per-key ordered way).
   *
+  * Oracle bound: the recursive-CTE oracle steps one event per
+  * iteration per user, so its feasible depth is the max per-user event
+  * count — fine through sf0.1/10× (≤ 700), infeasible at the 40× dir
+  * (27k; killed at 85 CPU-minutes — DuckDB materializes every
+  * iteration, the d20-at-40× class of oracle-infrastructure limit).
+  * Beyond that the gates are the driver-side reference automaton
+  * parity spec and the 10M-event ScaleSmoke stages.
+  *
   * Scale shape: the per-key ordered scan IS the canonical CEP
   * execution model (Flink runs exactly this automaton per key);
   * the distribution axis is the key — one hash shuffle on user_id,
