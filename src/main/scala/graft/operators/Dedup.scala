@@ -705,8 +705,20 @@ object Dedup {
     * shuffles, no window, no cartesian. The same plan at 1000
     * executors partitions by token then by doc_id.
     */
+  /** Per-(session, sf-dir) memo of the corpus containment pairs,
+    * lazily localCheckpointed: whichever of d62/d63 runs first pays the
+    * tokenize+prefix+verify shuffles once (the d44/d52 count-table
+    * discipline). The *Of core stays pure. */
+  private val containPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def containPairs(s: SparkSession, d: String): DataFrame =
+    containPairsCache.computeIfAbsent((s, d), { _ =>
+      containmentOf(Tables.documents(s, d)).localCheckpoint(false)
+    })
+
   def containment(s: SparkSession, d: String): DataFrame =
-    containmentOf(Tables.documents(s, d))
+    containPairs(s, d).orderBy("id_a", "id_b")
 
   /** Core of [[containment]]; threshold t = tNum/tDen (default 9/10).
     * Output: directed (id_a, id_b, n_inter, containment) with
@@ -774,14 +786,17 @@ object Dedup {
     * construction).
     */
   def subsetPrune(s: SparkSession, d: String): DataFrame =
-    subsetPruneOf(Tables.documents(s, d))
+    subsetPruneWith(Tables.documents(s, d), containPairs(s, d))
 
-  /** Core of [[subsetPrune]]. */
-  private[graft] def subsetPruneOf(docs: DataFrame): DataFrame = {
+  /** Core of [[subsetPrune]] over an explicit frame (not memoized). */
+  private[graft] def subsetPruneOf(docs: DataFrame): DataFrame =
+    subsetPruneWith(docs, containmentOf(docs))
+
+  private def subsetPruneWith(docs: DataFrame, contained: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
-    val pairs = containmentOf(docs)
+    val pairs = contained
       .join(toks.select(col("doc_id").as("id_a"), col("sz").as("sz_a2")), "id_a")
       .join(toks.select(col("doc_id").as("id_b"), col("sz").as("sz_b2")), "id_b")
       .filter(col("sz_b2") > col("sz_a2") ||
