@@ -1108,6 +1108,44 @@ case class PackSeqs(child: Expression, capacity: Int)
   override protected def withNewChildInternal(c: Expression): PackSeqs = copy(child = c)
 }
 
+/** First array element whose FIRST struct field equals `right`
+  * (an int key), or null — the q53 legId→leg correlation as one
+  * linear scan per lookup. Replaces the interpreted HOF fold that
+  * built an immutable map via per-element map_concat (O(legs²)
+  * copies per payload, measured the q53 parse hotspot at 10×).
+  * Semantics match the fold + element_at pair exactly: null keys
+  * never match (skipped), a duplicated key resolves to its first
+  * occurrence, a missing key returns null. */
+case class LegLookup(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  // resolution-time only — never touched at construction (the
+  // unresolved-column ctor lesson)
+  private lazy val numFields =
+    left.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType].length
+  override def dataType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val legs = left.eval(input)
+    val id = right.eval(input)
+    if (legs == null || id == null) return null
+    val arr = legs.asInstanceOf[ArrayData]
+    val target = id.asInstanceOf[Int]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val st = arr.getStruct(i, numFields)
+        if (!st.isNullAt(0) && st.getInt(0) == target) return st
+      }
+      i += 1
+    }
+    null
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LegLookup =
+    copy(left = l, right = r)
+}
+
 /** MATCH_RECOGNIZE-style event-pattern automaton over ONE key's
   * time-ordered events (the q57 CEP core): greedy matches of
   * `view click* purchase` with the whole match inside `spanUs`
@@ -1186,6 +1224,8 @@ object VectorExprs {
   def islandRuns(c: Column, k: Int): Column = toCol(IslandRuns(toExpr(c), k))
   def packSeqs(c: Column, capacity: Int): Column = toCol(PackSeqs(toExpr(c), capacity))
   def eventMatches(c: Column, spanUs: Long): Column = toCol(EventMatches(toExpr(c), spanUs))
+  def legLookup(legs: Column, legId: Column): Column =
+    toCol(LegLookup(toExpr(legs), toExpr(legId)))
   def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))
   def pqEncode(c: Column, cb: Array[Array[Array[Float]]]): Column =
     toCol(PqEncode(toExpr(c), cb))

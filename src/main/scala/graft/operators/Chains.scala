@@ -250,25 +250,26 @@ object Chains {
     // 2.8 s → narrow). Inner-join semantics kept: an execution leg
     // with no matching order leg drops via the null filter.
     //
-    // The map is built by a guarded fold, NOT map_from_arrays: under
-    // ANSI a payload that VIOLATES the uniqueness contract (duplicate
-    // legId) or carries a null legId would throw DUPLICATED_MAP_KEY /
-    // NULL_MAP_KEY and kill the whole batch — the resilience contract
-    // of this parser is quarantine-not-fail. Dirty keys degrade
-    // per-payload instead: null legIds are skipped, a duplicated legId
-    // keeps its first occurrence.
-    val legMap = expr(
-      """aggregate(
-        |  filter(o.orderLegCollection, l -> l.legId is not null),
-        |  cast(map() as map<int, struct<legId: int, instruction: string, symbol: string>>),
-        |  (m, l) -> if(map_contains_key(m, l.legId), m, map_concat(m, map(l.legId, l))))""".stripMargin)
+    // The lookup is a guarded custom expression (LegLookup), NOT
+    // map_from_arrays: under ANSI a payload that VIOLATES the
+    // uniqueness contract (duplicate legId) or carries a null legId
+    // would throw DUPLICATED_MAP_KEY / NULL_MAP_KEY and kill the whole
+    // batch — the resilience contract of this parser is
+    // quarantine-not-fail. Dirty keys degrade per-payload instead:
+    // null legIds never match, a duplicated legId resolves to its
+    // first occurrence. (History: an interpreted HOF fold building an
+    // immutable map via per-element map_concat had the same semantics
+    // and was the 10× parse-probe hotspot — 7.05 s → see survey; the
+    // leg arrays are 2-4 long, so a per-execution linear scan beats
+    // per-payload map construction outright.)
     val flat = parsed
       .select(col("o.orderId").as("order_id"),
-        legMap.as("legm"),
+        col("o.orderLegCollection").as("legs"),
         explode(col("o.orderActivityCollection")).as("act"))
-      .select(col("order_id"), col("legm"), col("act.activityId").as("activity_id"),
+      .select(col("order_id"), col("legs"), col("act.activityId").as("activity_id"),
         explode(col("act.executionLegs")).as("ex"))
-      .withColumn("leg", element_at(col("legm"), col("ex.legId")))
+      .withColumn("leg",
+        graft.functions.VectorExprs.legLookup(col("legs"), col("ex.legId")))
       .filter(col("leg").isNotNull)
       .select(col("order_id"), col("ex.legId").as("leg_id"), col("activity_id"),
         col("leg.instruction").as("instruction"), col("leg.symbol").as("symbol"),
