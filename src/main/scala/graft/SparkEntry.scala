@@ -90,6 +90,9 @@ object SparkEntry {
     // last-touch attribution: purchase ← latest prior non-purchase
     // within 48h (last(ignoreNulls) row window; µs-exact gap)
     "q59_attribution"     -> (TimeSeries.lastTouchAttribution _),
+    // session path analysis: top event-type sequences across q15's
+    // 30-min sessions, deterministic (count desc, path) top-50
+    "q60_event_paths"     -> (TimeSeries.eventPaths _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -1070,6 +1073,23 @@ object SparkEntry {
     // q58: weekly cohorts (Monday-truncated in both engines; day diffs
     // of week-aligned DATEs are divisible by 7, so offsets are exact
     // integer division)
+    "q60_event_paths" ->
+      """WITH flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)),
+        |sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |    STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT path, COUNT(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 50""".stripMargin,
+
     "q58_cohort_retention" ->
       """WITH cohorts AS (
         |  SELECT user_id, CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort

@@ -496,6 +496,36 @@ object TimeSeries {
       .orderBy("cohort", "offset_w")
   }
 
+  /** q60: session path analysis — the top event-type SEQUENCES across
+    * 30-minute sessions (the Sankey/user-journey view; the d29 n-gram
+    * idea applied to behavioral event streams). Sessions come from the
+    * q15 gap rule; each session's path is its event types joined in
+    * exact (ts, event_id) order; output = the 50 most frequent paths
+    * with deterministic (count desc, path) ties.
+    *
+    * Scale shape: one user_id shuffle for the session window, one
+    * (user, session) aggregate building the path string, one path
+    * aggregate — counts come map-side-combined, and the top-50 is a
+    * global sort of the path-distinct rows only.
+    */
+  def eventPaths(s: SparkSession, d: String): DataFrame = {
+    val gapMin = 30L
+    val lagTs = lag(col("ts"), 1).over(byUser)
+    val newSess = when(lagTs.isNull ||
+      (unix_micros(col("ts")) - unix_micros(lagTs)) > gapMin * 60L * 1000000L, 1L).otherwise(0L)
+    Tables.events(s, d)
+      .withColumn("new_sess", newSess)
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">", expr(
+        "transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(50)
+  }
+
   /** q59: last-touch attribution — each purchase attributed to the
     * user's most recent PRIOR non-purchase event within 48 h (the
     * marketing-attribution / trade-cause shape; the reference's

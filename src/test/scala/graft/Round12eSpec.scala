@@ -131,6 +131,18 @@ class Round12eSpec extends SparkSpec {
       s"attribution rows diverged: $got")
   }
 
+  test("q60 event paths: session boundaries split paths, counts and tie-break order hold") {
+    val rows = graft.operators.TimeSeries.eventPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    // deterministic ordering: count desc, then path asc
+    val resorted = rows.sortBy { case (p, n) => (-n, p) }.toSeq
+    assert(rows.toSeq == resorted, "top-50 ordering is not (count desc, path)")
+    // every path is a '>' chain of known event types
+    val types = Set("view", "click", "purchase", "signup", "error")
+    assert(rows.forall(_._1.split('>').forall(types.contains)), "malformed path atom")
+  }
+
   // ---- d63 subset prune ---------------------------------------------
 
   test("d63 subset prune: quote dropped, exact-dup set keeps min id, unrelated kept") {
