@@ -68,6 +68,7 @@ object CorpusPipeline {
       gopherGate: Boolean = false,
       boilerplateScrub: Boolean = false,
       boilerplateMinDocs: Int = Curation.BoilerMinDocs,
+      subsetPrune: Boolean = false,
       qualityModel: Option[Classifier.Model] = None): (DataFrame, Seq[(String, Long)]) = {
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[(String, org.apache.spark.sql.Observation)]
@@ -172,6 +173,21 @@ object CorpusPipeline {
           observed("boilerplate_scrub", Curation.boilerplateScrubWith(spanned, rb)))
       } else (spanned0, spanned)
 
+    // 4d (opt-in). Subset pruning (d63): drop survivors ≥0.9-contained
+    //    in a LARGER surviving doc (quotes/excerpts the jaccard miner
+    //    structurally under-scores). Pairs mine once from the
+    //    un-observed twin over the pipeline's blockCols; the small
+    //    drop-id frame is lazily cut so BOTH branch anti-joins (and the
+    //    d48-lesson broadcast duplication) reuse one mine.
+    val (pruned0, pruned) =
+      if (subsetPrune) {
+        val base = boiled0.select((Seq("doc_id", "text") ++ blockCols).map(col): _*)
+        val drops = Dedup.subsetDrops(base,
+          Dedup.containmentOf(base, blockCols = blockCols)).localCheckpoint(false)
+        (boiled0.join(drops, Seq("doc_id"), "left_anti"),
+          observed("subset_prune", boiled.join(drops, Seq("doc_id"), "left_anti")))
+      } else (boiled0, boiled)
+
     // 5. benchmark decontamination (d24): anti-join away docs sharing
     //    any 8-gram with the eval slice — the contaminated-id list is
     //    tiny (broadcast gram join inside decontaminateOf). The
@@ -179,11 +195,11 @@ object CorpusPipeline {
     //    only sound when both sides are normalized identically.
     val decon = benchmark match {
       case Some(b) => observed("decontaminated",
-        boiled.join(
-          Curation.contaminatedIds(boiled0.select("doc_id", "text"),
+        pruned.join(
+          Curation.contaminatedIds(pruned0.select("doc_id", "text"),
             benchmarkGrams(b)),
           Seq("doc_id"), "left_anti"))
-      case None => boiled
+      case None => pruned
     }
 
     // 6. repetition gate (d25): per-row duplicate-3-gram fraction.

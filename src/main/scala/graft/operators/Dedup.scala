@@ -723,19 +723,23 @@ object Dedup {
   /** Core of [[containment]]; threshold t = tNum/tDen (default 9/10).
     * Output: directed (id_a, id_b, n_inter, containment) with
     * containment = n_inter/sz_a ≥ t, id_a ≠ id_b, both directions
-    * possible, blocked on (lang, source) like d4. */
+    * possible, blocked on `blockCols` ((lang, source) like d4 by
+    * default; empty = one corpus-wide block — sound at any scale, but
+    * posting lists then bound only by the GLOBAL df tail). */
   private[graft] def containmentOf(docs: DataFrame,
-      tNum: Int = 9, tDen: Int = 10): DataFrame = {
+      tNum: Int = 9, tDen: Int = 10,
+      blockCols: Seq[String] = Seq("lang", "source")): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen outside (0,1]")
+    val bc = blockCols.map(col)
     // one tokenization feeds the df pass, the prefix pass and the
     // verify joins (lazy checkpoint fills at first use)
     val toks = docs
-      .select(col("doc_id"), col("lang"), col("source"),
-        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
+      .select((col("doc_id") +: bc) :+
+        array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"): _*)
       .withColumn("sz", size(col("ws")).cast("long"))
       .localCheckpoint(false)
-    val tokLong = toks.select(col("doc_id"), col("lang"), col("source"),
-      col("sz"), explode(col("ws")).as("w"))
+    val tokLong = toks.select((col("doc_id") +: bc) ++ Seq(
+      col("sz"), explode(col("ws")).as("w")): _*)
     val dfreq = tokLong.groupBy("w").agg(count(lit(1)).as("df"))
 
     // per-doc prefix: the p = sz − ⌈t·sz⌉ + 1 globally-rarest tokens
@@ -743,17 +747,17 @@ object Dedup {
     // ⌈t·sz⌉ = floor((tNum·sz + tDen − 1) / tDen), integer-exact.
     val need = floor((col("sz") * tNum + (tDen - 1)) / lit(tDen.toDouble)).cast("long")
     val prefixes = tokLong.join(dfreq, "w")
-      .groupBy("doc_id", "lang", "source", "sz")
+      .groupBy((("doc_id" +: blockCols) :+ "sz").map(col): _*)
       .agg(sort_array(collect_list(struct(col("df"), col("w")))).as("byRarity"))
-      .select(col("doc_id"), col("lang"), col("source"), col("sz"),
-        expr("transform(byRarity, x -> x.w)").as("sorted"))
+      .select((col("doc_id") +: bc) ++ Seq(col("sz"),
+        expr("transform(byRarity, x -> x.w)").as("sorted")): _*)
       .withColumn("pre", slice(col("sorted"), lit(1), (col("sz") - need + 1).cast("int")))
 
-    val aSide = prefixes.select(col("lang"), col("source"),
-      col("doc_id").as("id_a"), col("sz").as("sz_a"), explode(col("pre")).as("w"))
-    val bSide = tokLong.select(col("lang"), col("source"), col("w"),
-      col("doc_id").as("id_b"), col("sz").as("sz_b"))
-    val cands = aSide.join(bSide, Seq("lang", "source", "w"))
+    val aSide = prefixes.select(bc ++ Seq(
+      col("doc_id").as("id_a"), col("sz").as("sz_a"), explode(col("pre")).as("w")): _*)
+    val bSide = tokLong.select(bc ++ Seq(col("w"),
+      col("doc_id").as("id_b"), col("sz").as("sz_b")): _*)
+    val cands = aSide.join(bSide, blockCols :+ "w")
       // n_inter ≤ sz_b, so C ≥ t needs sz_b·tDen ≥ sz_a·tNum — prune
       // before the distinct (redundant with the final test, cheap here)
       .filter(col("id_a") =!= col("id_b") &&
@@ -785,26 +789,33 @@ object Dedup {
     * maximal element of any containment chain survives by
     * construction).
     */
-  def subsetPrune(s: SparkSession, d: String): DataFrame =
-    subsetPruneWith(Tables.documents(s, d), containPairs(s, d))
+  def subsetPrune(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.join(subsetDrops(docs, containPairs(s, d)), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
 
   /** Core of [[subsetPrune]] over an explicit frame (not memoized). */
   private[graft] def subsetPruneOf(docs: DataFrame): DataFrame =
-    subsetPruneWith(docs, containmentOf(docs))
+    docs.join(subsetDrops(docs, containmentOf(docs)), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
 
-  private def subsetPruneWith(docs: DataFrame, contained: DataFrame): DataFrame = {
+  /** Drop ids under the (size, doc_id) keeper order: doc a drops iff
+    * some containment pair a→b has a LARGER keeper ((sz, id) total
+    * order — chain absorption needs no transitivity). Returns a
+    * (doc_id) frame; `docs` only supplies the distinct-word sizes. */
+  private[graft] def subsetDrops(docs: DataFrame, contained: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         array_distinct(array_remove(split(lower(col("text")), " "), "")).as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("sz"))
-    val pairs = contained
+    contained
       .join(toks.select(col("doc_id").as("id_a"), col("sz").as("sz_a2")), "id_a")
       .join(toks.select(col("doc_id").as("id_b"), col("sz").as("sz_b2")), "id_b")
       .filter(col("sz_b2") > col("sz_a2") ||
         (col("sz_b2") === col("sz_a2") && col("id_b") < col("id_a")))
-    docs.join(pairs.select(col("id_a").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
-      .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
+      .select(col("id_a").as("doc_id")).distinct()
   }
 
   /** Scale-safe n-gram Jaccard: candidate pairs from MinHash-LSH banding

@@ -132,6 +132,31 @@ class PipelineSpec extends SparkSpec {
     assert(withBoiler == 0, s"$withBoiler chunks still carry the template block")
   }
 
+  test("opt-in subset prune drops contained quotes inside the pipeline") {
+    import spark.implicits._
+    // hosts: 12-word unique-vocab docs; quotes: the first 6 words of
+    // their host (containment 1.0, jaccard 0.5 — the near-dup stage
+    // must NOT see them, the subset stage must). Unrelated fillers
+    // keep the corpus honest.
+    val docs = ((0L until 8L).map { i =>
+      (i, (0 until 12).map(j => s"h${i}w$j").mkString(" "), "s0")
+    } ++ (100L until 104L).map { i =>
+      (i, (0 until 6).map(j => s"h${i - 100}w$j").mkString(" "), "s0")
+    } ++ (200L until 204L).map { i =>
+      (i, (0 until 10).map(j => s"f${i}w$j").mkString(" "), "s0")
+    }).toDF("doc_id", "text", "source")
+    val (chunks, stats) = CorpusPipeline.buildTrainingCorpus(
+      docs, minWords = 3, blockCols = Seq("source"), subsetPrune = true)
+    assert(stats.map(_._1) == Seq("scrubbed", "quality_gate", "exact_dedup",
+      "near_dedup", "subset_prune", "chunks"), s"stage order: ${stats.map(_._1)}")
+    val m = stats.toMap
+    assert(m("near_dedup") == 16L, s"pre-prune survivors: ${m("near_dedup")}")
+    assert(m("subset_prune") == 12L, s"post-prune survivors: ${m("subset_prune")}")
+    val out = chunks.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert((100L until 104L).forall(!out.contains(_)), "a quote doc survived")
+    assert((0L until 8L).forall(out.contains), "a host doc was wrongly dropped")
+  }
+
   test("repetition gate passes sub-3-word docs unconditionally (no ANSI slice throw)") {
     import spark.implicits._
     val docs = Seq(
