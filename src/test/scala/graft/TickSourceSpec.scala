@@ -95,6 +95,47 @@ class TickSourceSpec extends SparkSpec {
       "streamed content != batch scan content")
   }
 
+  test("readStream composes with the CEP processor: source-driven matches equal batch q57") {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      // the generated stream is in (ts, event_id) order already, so a
+      // small lateness settles everything each trigger; matches flow
+      // with NO flush sentinel — the live-deployment shape
+      val src = spark.readStream.format("graft-ticks")
+        .option("rows", "20000").option("rowsperbatch", "4096").load()
+        .as[graft.streaming.EventStream.Tick]
+      val q = graft.streaming.EventStream.cepStream(src,
+        java.time.Duration.ofSeconds(1)).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tick_cep").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("tick_cep").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5)))
+        .sortBy(m => (m._1, m._2)).toSeq
+      val want = graft.operators.Cep.eventPatternOf(
+        spark.read.format("graft-ticks").option("rows", "20000").load()).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+      // each key's tail (inside ITS final lateness window) never
+      // settles without a flush — batch matches closing in those
+      // per-user tails are the only legal difference: streamed ⊆ batch,
+      // at most one pending attempt per user missing
+      assert(got.nonEmpty, "no matches flowed from the source")
+      val missing = want.toSet -- got.toSet
+      assert(got.toSet.subsetOf(want.toSet),
+        s"streamed a match batch never produces: ${got.toSet -- want.toSet}")
+      assert(missing.size <= 150,
+        s"${missing.size} batch matches missing — more than one per user")
+    } finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("readStream replay: restart resumes from the checkpointed offset, no duplicates") {
     val base = java.nio.file.Files.createTempDirectory("graft_tickmb").toString
     val out = s"$base/out"
