@@ -184,8 +184,9 @@ object CorpusPipeline {
         val base = boiled0.select((Seq("doc_id", "text") ++ blockCols).map(col): _*)
         val drops = Dedup.subsetDrops(base,
           Dedup.containmentOf(base, blockCols = blockCols)).localCheckpoint(false)
-        (boiled0.join(drops, Seq("doc_id"), "left_anti"),
-          observed("subset_prune", boiled.join(drops, Seq("doc_id"), "left_anti")))
+        (boiled0.join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti"),
+          observed("subset_prune",
+            boiled.join(drops.hint("shuffle_hash"), Seq("doc_id"), "left_anti")))
       } else (boiled0, boiled)
 
     // 5. benchmark decontamination (d24): anti-join away docs sharing

@@ -789,16 +789,21 @@ object Dedup {
     * maximal element of any containment chain survives by
     * construction).
     */
+  // shuffle_hash on the drop-id side: an anti-join against an id list
+  // should never SORT the corpus side (SMJ would); the id list hashes
+  // per partition at any scale (broadcast would cap it)
   def subsetPrune(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    docs.join(subsetDrops(docs, containPairs(s, d)), Seq("doc_id"), "left_anti")
+    docs.join(subsetDrops(docs, containPairs(s, d)).hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
 
   /** Core of [[subsetPrune]] over an explicit frame (not memoized). */
   private[graft] def subsetPruneOf(docs: DataFrame): DataFrame =
-    docs.join(subsetDrops(docs, containmentOf(docs)), Seq("doc_id"), "left_anti")
+    docs.join(subsetDrops(docs, containmentOf(docs)).hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
