@@ -136,6 +136,49 @@ class TickSourceSpec extends SparkSpec {
     }
   }
 
+  test("CEP restart: automaton state + source offsets survive a query restart") {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_cepmb").toString
+      def run(rows: Int): Unit = {
+        val src = spark.readStream.format("graft-ticks")
+          .option("rows", rows.toString).option("rowsperbatch", "4096").load()
+          .as[graft.streaming.EventStream.Tick]
+        val q = graft.streaming.EventStream.cepStream(src,
+          java.time.Duration.ofSeconds(1)).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", s"$base/ckpt")
+          .format("parquet").option("path", s"$base/out").start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      // first run sees half the stream; the restart extends the range —
+      // matches STRADDLING the 10000 boundary exist iff the automaton
+      // register survived the restart
+      run(10000)
+      run(20000)
+      val got = spark.read.parquet(s"$base/out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+      val want = graft.operators.Cep.eventPatternOf(
+        spark.read.format("graft-ticks").option("rows", "20000").load()).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+      assert(got.toSet.subsetOf(want.toSet) && got.size == got.toSet.size,
+        "restart duplicated or fabricated matches")
+      val straddling = got.filter(m => m._2 < 10000 && m._3 >= 10000)
+      assert(straddling.nonEmpty,
+        "no boundary-straddling matches — automaton state did not survive the restart")
+      assert((want.toSet -- got.toSet).size <= 150,
+        "more than one missing match per key — lost state beyond the lateness tail")
+    } finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("readStream replay: restart resumes from the checkpointed offset, no duplicates") {
     val base = java.nio.file.Files.createTempDirectory("graft_tickmb").toString
     val out = s"$base/out"
