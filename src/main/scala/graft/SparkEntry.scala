@@ -93,6 +93,9 @@ object SparkEntry {
     // session path analysis: top event-type sequences across q15's
     // 30-min sessions, deterministic (count desc, path) top-50
     "q60_event_paths"     -> (TimeSeries.eventPaths _),
+    // error-burst CEP (`error{3,}`): maximal consecutive runs via
+    // gaps-and-islands — depth-unbounded oracle, unlike q57's
+    "q61_error_bursts"    -> (TimeSeries.errorBursts _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -1073,6 +1076,30 @@ object SparkEntry {
     // q58: weekly cohorts (Monday-truncated in both engines; day diffs
     // of week-aligned DATEs are divisible by 7, so offsets are exact
     // integer division)
+    // q61: struct-argmin/argmax endpoints ({'ts':…,'id':…} min/max —
+    // the q54 argmin discipline) so runs don't assume event_id is
+    // monotone with ts
+    "q61_error_bursts" ->
+      """WITH flagged AS (
+        |  SELECT *, CASE WHEN event_type = 'error' AND
+        |      (prev_t IS NULL OR prev_t <> 'error') THEN 1 ELSE 0 END AS run_start
+        |  FROM (SELECT *, lag(event_type) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t FROM events)),
+        |runs AS (
+        |  SELECT *, SUM(run_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, run_id, COUNT(*) AS n_errors,
+        |    MIN({'ts': CAST(ts AS TIMESTAMP), 'id': event_id}) AS s,
+        |    MAX({'ts': CAST(ts AS TIMESTAMP), 'id': event_id}) AS e
+        |  FROM runs WHERE event_type = 'error'
+        |  GROUP BY user_id, run_id)
+        |SELECT user_id, s.id AS start_event_id, s.ts AS start_ts,
+        |  e.id AS end_event_id, e.ts AS end_ts, n_errors
+        |FROM agg WHERE n_errors >= 3
+        |ORDER BY user_id, start_event_id""".stripMargin,
+
     "q60_event_paths" ->
       """WITH flagged AS (
         |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000

@@ -526,6 +526,44 @@ object TimeSeries {
       .limit(50)
   }
 
+  /** q61: error-burst detection — per user, MAXIMAL runs of
+    * consecutive 'error' events with ≥ 3 members (the ops-alerting
+    * CEP complement of q57: pattern `error{3,}` needs no automaton —
+    * greedy maximal-run semantics ARE gaps-and-islands, so both the
+    * Spark side and the oracle are plain windows, depth-unbounded at
+    * any scale where q57's row-stepping recursive oracle gives out).
+    * run_id = running count of run STARTS (an error whose predecessor
+    * isn't one); one user_id shuffle carries both windows and the
+    * run aggregate.
+    */
+  def errorBursts(s: SparkSession, d: String): DataFrame =
+    errorBurstsOf(Tables.events(s, d))
+
+  /** Core of [[errorBursts]]. */
+  def errorBurstsOf(ev: DataFrame): DataFrame = {
+    val isErr = col("event_type") === "error"
+    val prevType = lag(col("event_type"), 1).over(byUser)
+    ev
+      .withColumn("run_start",
+        when(isErr && (prevType.isNull || prevType =!= "error"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum(col("run_start")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(isErr)
+      .groupBy(col("user_id"), col("run_id"))
+      // struct-argmin/argmax on the (ts, event_id) order key: run
+      // endpoints are ORDER extremes, not per-column mins (event_id is
+      // monotone with ts on this data, but the operator shouldn't
+      // depend on it)
+      .agg(count(lit(1)).as("n_errors"),
+        min(struct(col("ts"), col("event_id"))).as("s"),
+        max(struct(col("ts"), col("event_id"))).as("e"))
+      .filter(col("n_errors") >= 3)
+      .select(col("user_id"), col("s.event_id").as("start_event_id"),
+        col("s.ts").as("start_ts"), col("e.event_id").as("end_event_id"),
+        col("e.ts").as("end_ts"), col("n_errors"))
+      .orderBy("user_id", "start_event_id")
+  }
+
   /** q59: last-touch attribution — each purchase attributed to the
     * user's most recent PRIOR non-purchase event within 48 h (the
     * marketing-attribution / trade-cause shape; the reference's

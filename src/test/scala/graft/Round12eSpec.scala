@@ -143,6 +143,27 @@ class Round12eSpec extends SparkSpec {
     assert(rows.forall(_._1.split('>').forall(types.contains)), "malformed path atom")
   }
 
+  test("q61 error bursts: maximal runs only, sub-threshold and split runs excluded") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      // u1: e e e e -> one burst of 4
+      (1L, t(0), 1L, "error"), (2L, t(1), 1L, "error"),
+      (3L, t(2), 1L, "error"), (4L, t(3), 1L, "error"),
+      // u1 later: e e (split by a view from the run above) -> no burst
+      (5L, t(4), 1L, "view"), (6L, t(5), 1L, "error"), (7L, t(6), 1L, "error"),
+      // u2: e e e split across nothing -> one burst of 3
+      (10L, t(0), 2L, "error"), (11L, t(1), 2L, "error"), (12L, t(2), 2L, "error")
+    ).map { case (eid, ts, uid, et) => (eid, ts, uid, et, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.TimeSeries.errorBurstsOf(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(5))).toSeq
+    assert(got == Seq((1L, 1L, 4L, 4L), (2L, 10L, 12L, 3L)), s"bursts diverged: $got")
+    // and the registered entry runs green on real data with sane shapes
+    val real = graft.operators.TimeSeries.errorBursts(spark, sf).collect()
+    assert(real.nonEmpty && real.forall(_.getLong(5) >= 3))
+  }
+
   // ---- d63 subset prune ---------------------------------------------
 
   test("d63 subset prune: quote dropped, exact-dup set keeps min id, unrelated kept") {
