@@ -96,6 +96,9 @@ object SparkEntry {
     // error-burst CEP (`error{3,}`): maximal consecutive runs via
     // gaps-and-islands — depth-unbounded oracle, unlike q57's
     "q61_error_bursts"    -> (TimeSeries.errorBursts _),
+    // SCD2 dimension build: change stream → half-open versioned
+    // validity intervals (lead + row_number, one key window)
+    "q62_scd2"            -> (TimeSeries.scd2Build _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -1076,6 +1079,16 @@ object SparkEntry {
     // q58: weekly cohorts (Monday-truncated in both engines; day diffs
     // of week-aligned DATEs are divisible by 7, so offsets are exact
     // integer division)
+    "q62_scd2" ->
+      """SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INT) AS version, value,
+        |  CAST(ts AS TIMESTAMP) AS valid_from,
+        |  CAST(lead(ts) OVER w AS TIMESTAMP) AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
     // q61: struct-argmin/argmax endpoints ({'ts':…,'id':…} min/max —
     // the q54 argmin discipline) so runs don't assume event_id is
     // monotone with ts

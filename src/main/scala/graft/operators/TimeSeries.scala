@@ -496,6 +496,30 @@ object TimeSeries {
       .orderBy("cohort", "offset_w")
   }
 
+  /** q62: SCD Type-2 dimension build — turn a change stream into
+    * versioned validity intervals (the warehouse staple the
+    * reference's historic tables approximate with full snapshots):
+    * per key ordered by (ts, event_id), each change opens a version at
+    * its own timestamp and closes at the NEXT change's (half-open
+    * [valid_from, valid_to)); the latest version stays open
+    * (valid_to NULL, is_current). One lead() + row_number() on a
+    * single user_id window — one shuffle, state linear per key; at
+    * open key cardinality the window rides the usual two-level
+    * range-partition scheme.
+    */
+  def scd2Build(s: SparkSession, d: String): DataFrame =
+    scd2BuildOf(Tables.events(s, d))
+
+  /** Core of [[scd2Build]]. */
+  def scd2BuildOf(ev: DataFrame): DataFrame =
+    ev
+      .withColumn("version", row_number().over(byUser).cast("int"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("version"), col("value"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+
   /** q60: session path analysis — the top event-type SEQUENCES across
     * 30-minute sessions (the Sankey/user-journey view; the d29 n-gram
     * idea applied to behavioral event streams). Sessions come from the

@@ -164,6 +164,39 @@ class Round12eSpec extends SparkSpec {
     assert(real.nonEmpty && real.forall(_.getLong(5) >= 3))
   }
 
+  test("q62 SCD2: intervals chain half-open, last version open and current") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      (1L, t(0), 1L, "view", 10.0), (2L, t(5), 1L, "view", 20.0),
+      (3L, t(9), 1L, "view", 30.0),
+      (10L, t(2), 2L, "view", 7.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.TimeSeries.scd2BuildOf(ev).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1L, 1, 10.0, t(0), Some(t(5)), false),
+      (1L, 2, 20.0, t(5), Some(t(9)), false),
+      (1L, 3, 30.0, t(9), None, true),
+      (2L, 1, 7.0, t(2), None, true)),
+      s"SCD2 intervals diverged: $got")
+    // invariant on real data: per key, valid_to(v) == valid_from(v+1),
+    // exactly one open current version
+    val real = graft.operators.TimeSeries.scd2Build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(3), Option(r.getTimestamp(4))))
+      .groupBy(_._1)
+    real.foreach { case (uid, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.init.forall(_._4.isDefined) && sorted.last._4.isEmpty,
+        s"user $uid: open/closed versions malformed")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"user $uid: interval gap at v${a._2}")
+        case _ =>
+      }
+    }
+  }
+
   // ---- d63 subset prune ---------------------------------------------
 
   test("d63 subset prune: quote dropped, exact-dup set keeps min id, unrelated kept") {
