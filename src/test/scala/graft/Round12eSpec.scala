@@ -197,6 +197,41 @@ class Round12eSpec extends SparkSpec {
     }
   }
 
+  test("q62 SCD2 + as-of join: point-in-time lookup equals interval containment") {
+    import spark.implicits._
+    // dimension history from the change stream, probed at arbitrary
+    // times through the custom AsOf plan — the temporal-join use an
+    // SCD2 table exists for. Truth: the version whose half-open
+    // interval contains the probe time.
+    val dim = graft.operators.TimeSeries.scd2Build(spark, sf)
+      .select(col("user_id").as("u"), col("value").as("dim_value"),
+        col("valid_from").as("vf"))
+    val probes = Tables.events(spark, sf)
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val viaAsof = graft.plans.AsOf.join(
+        probes, dim.select(col("u").as("user_id_r"), col("vf").as("q_ts"),
+          col("dim_value").as("q_value")),
+        "user_id", "ts", "q_ts")
+      .select(col("event_id"), col("q_value")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    val intervals = graft.operators.TimeSeries.scd2Build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getTimestamp(3), Option(r.getTimestamp(4))))
+      .groupBy(_._1)
+    val want = probes.collect().map { r =>
+      val (eid, uid, ts) = (r.getLong(0), r.getLong(1), r.getTimestamp(2))
+      val hit = intervals.getOrElse(uid, Array.empty).find { case (_, _, vf, vt) =>
+        !ts.before(vf) && vt.forall(ts.before)
+      }
+      (eid, hit.map(_._2))
+    }.toMap
+    assert(viaAsof.nonEmpty && viaAsof.keySet == want.keySet)
+    want.foreach { case (eid, v) =>
+      assert(viaAsof(eid).map(_.asInstanceOf[Double]) == v,
+        s"PIT lookup diverged for probe $eid")
+    }
+  }
+
   // ---- d63 subset prune ---------------------------------------------
 
   test("d63 subset prune: quote dropped, exact-dup set keeps min id, unrelated kept") {
