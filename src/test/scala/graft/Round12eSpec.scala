@@ -232,6 +232,33 @@ class Round12eSpec extends SparkSpec {
     }
   }
 
+  test("q62 streaming SCD2: change stream → upsertHistoric log (with replay) → intervals equal batch") {
+    import spark.implicits._
+    // the streaming SCD2 recipe: land the raw change stream through
+    // the replay-idempotent historic sink (exactly-once by the
+    // store-authority anti-join), derive intervals by reading the log —
+    // version numbering is a pure function of the landed rows, so
+    // stream ≡ batch for ANY micro-batch split including re-delivery
+    val changes = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val store = java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/log"
+    val chunks = changes.collect().grouped(2000).toSeq
+    def land(rows: Array[org.apache.spark.sql.Row]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 2), changes.schema)
+      graft.sources.Sinks.upsertHistoric(df, store, Seq("event_id"))
+    }
+    chunks.foreach(land)
+    land(chunks.head) // full replay of the first batch: must land nothing
+    val fromLog = graft.operators.TimeSeries.scd2BuildOf(
+      spark.read.parquet(store).select("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(_.toSeq).toSeq
+    val fromBatch = graft.operators.TimeSeries.scd2BuildOf(changes)
+      .collect().map(_.toSeq).toSeq
+    assert(fromLog == fromBatch,
+      s"streamed SCD2 diverged from batch (${fromLog.size} vs ${fromBatch.size} rows)")
+  }
+
   // ---- d63 subset prune ---------------------------------------------
 
   test("d63 subset prune: quote dropped, exact-dup set keeps min id, unrelated kept") {
