@@ -43,13 +43,28 @@ object Cep {
     eventPatternOf(Tables.events(s, d))
 
   /** Core of [[eventPattern]]; expects (user_id, ts, event_id,
-    * event_type) columns. */
-  def eventPatternOf(events: DataFrame, spanUs: Long = SpanUs): DataFrame =
+    * event_type) columns. The pattern is `start mid* end` over
+    * arbitrary event-type sets (defaults = q57's view/click/purchase):
+    * the single-pass exactness argument in [[graft.functions.EventMatches]]
+    * holds for ANY disjoint start/mid/end assignment, because only a
+    * start-tagged row can open a match — rescanning a failed attempt
+    * from its second row meets only mid rows before the current one.
+    */
+  def eventPatternOf(events: DataFrame, spanUs: Long = SpanUs,
+      startTypes: Seq[String] = Seq("view"),
+      midTypes: Seq[String] = Seq("click"),
+      endTypes: Seq[String] = Seq("purchase")): DataFrame = {
+    require(startTypes.nonEmpty && endTypes.nonEmpty &&
+      (startTypes ++ midTypes ++ endTypes).distinct.length ==
+        startTypes.length + midTypes.length + endTypes.length,
+      "start/mid/end event-type sets must be non-empty (mid may be empty) and disjoint")
+    val midCond =
+      if (midTypes.isEmpty) lit(false) else col("event_type").isin(midTypes: _*)
     events
       .select(col("user_id"), struct(col("ts"), col("event_id"),
-        when(col("event_type") === "view", 0)
-          .when(col("event_type") === "click", 1)
-          .when(col("event_type") === "purchase", 2)
+        when(col("event_type").isin(startTypes: _*), 0)
+          .when(midCond, 1)
+          .when(col("event_type").isin(endTypes: _*), 2)
           .otherwise(3).as("tag")).as("e"))
       .groupBy("user_id")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
@@ -60,4 +75,5 @@ object Cep {
         col("m.end_event_id").as("end_event_id"), col("m.end_ts").as("end_ts"),
         col("m.n_mid").as("n_mid"))
       .orderBy("user_id", "start_event_id")
+  }
 }

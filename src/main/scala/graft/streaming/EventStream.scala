@@ -721,7 +721,10 @@ object EventStream {
     * buffer — batch end-of-input semantics. State per key = one
     * automaton register + the ticks inside one lateness window.
     */
-  class CepProcessor(latenessUs: Long, spanUs: Long)
+  class CepProcessor(latenessUs: Long, spanUs: Long,
+      startTypes: Set[String] = Set("view"),
+      midTypes: Set[String] = Set("click"),
+      endTypes: Set[String] = Set("purchase"))
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, CepMatch] {
     @transient private var core: org.apache.spark.sql.streaming.ValueState[CepCore] = _
     @transient private var buf: org.apache.spark.sql.streaming.ListState[CepBuf] = _
@@ -733,12 +736,11 @@ object EventStream {
       buf = getHandle.getListState[CepBuf]("buf",
         org.apache.spark.sql.Encoders.product[CepBuf], none)
     }
-    private def tagOf(et: String): Int = et match {
-      case "view" => 0
-      case "click" => 1
-      case "purchase" => 2
-      case _ => 3
-    }
+    private def tagOf(et: String): Int =
+      if (startTypes(et)) 0
+      else if (midTypes(et)) 1
+      else if (endTypes(et)) 2
+      else 3
     override def handleInputRows(user: Long, ticks: Iterator[Tick],
         tv0: org.apache.spark.sql.streaming.TimerValues): Iterator[CepMatch] = {
       val evs = ticks.toArray
@@ -778,13 +780,19 @@ object EventStream {
     }
   }
 
-  /** See [[CepProcessor]]. */
+  /** See [[CepProcessor]]. Pattern tag sets mirror
+    * [[graft.operators.Cep.eventPatternOf]]'s (same disjointness
+    * contract; defaults = the q57 pattern). */
   def cepStream(stream: Dataset[Tick],
       maxLateness: java.time.Duration = java.time.Duration.ofMinutes(10),
-      spanUs: Long = graft.operators.Cep.SpanUs): Dataset[CepMatch] = {
+      spanUs: Long = graft.operators.Cep.SpanUs,
+      startTypes: Set[String] = Set("view"),
+      midTypes: Set[String] = Set("click"),
+      endTypes: Set[String] = Set("purchase")): Dataset[CepMatch] = {
     import stream.sparkSession.implicits._
     stream.groupByKey(_.user_id)
-      .transformWithState(new CepProcessor(maxLateness.toMillis * 1000L, spanUs),
+      .transformWithState(new CepProcessor(maxLateness.toMillis * 1000L, spanUs,
+          startTypes, midTypes, endTypes),
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 

@@ -378,6 +378,31 @@ class Round12eSpec extends SparkSpec {
     assert(viaSql == api, "SQL-surface CEP diverged from the DataFrame API")
   }
 
+  test("q57 CEP: parameterized pattern — signup (view|click)* purchase on a planted stream") {
+    import spark.implicits._
+    def t(m: Long) = new java.sql.Timestamp(m * 60000L)
+    val ev = Seq(
+      // u1: signup, view, click, purchase -> activation match, 2 mids
+      (1L, t(0), 1L, "signup"), (2L, t(1), 1L, "view"),
+      (3L, t(2), 1L, "click"), (4L, t(3), 1L, "purchase"),
+      // u2: view (NOT a start under this pattern), purchase -> nothing
+      (10L, t(0), 2L, "view"), (11L, t(1), 2L, "purchase"),
+      // u3: signup, error aborts, purchase -> nothing
+      (20L, t(0), 3L, "signup"), (21L, t(1), 3L, "error"), (22L, t(2), 3L, "purchase")
+    ).map { case (eid, ts, uid, et) => (eid, ts, uid, et, 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Cep.eventPatternOf(ev, 60L * 60000000L,
+      startTypes = Seq("signup"), midTypes = Seq("view", "click"),
+      endTypes = Seq("purchase")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+    assert(got == Seq((1L, 1L, 4L, 2)), s"activation pattern diverged: $got")
+    // empty mid set: strict adjacency start->end
+    val strict = graft.operators.Cep.eventPatternOf(ev, 60L * 60000000L,
+      startTypes = Seq("signup"), midTypes = Seq.empty,
+      endTypes = Seq("purchase")).count()
+    assert(strict == 0, "strict-adjacency pattern matched through mids")
+  }
+
   test("q57 CEP: one key shuffle, no window, no cartesian") {
     val plan = graft.operators.Cep.eventPattern(spark, sf)
       .queryExecution.executedPlan.toString
