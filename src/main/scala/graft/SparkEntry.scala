@@ -84,8 +84,9 @@ object SparkEntry {
     // skip-past-last-row; per-key tight-loop automaton expression,
     // oracle = per-user recursive CTE replaying the same machine
     "q57_event_pattern"   -> (Cep.eventPattern _),
-    // month-cohort × month-offset retention matrix; integer month
-    // arithmetic on month-first DATEs both engines
+    // week-cohort × week-offset retention matrix (Monday-truncated
+    // first-seen week; offset = day-diff DIV 7 — integer DATE math
+    // both engines; monthly degenerates on the one-month events table)
     "q58_cohort_retention" -> (TimeSeries.cohortRetention _),
     // last-touch attribution: purchase ← latest prior non-purchase
     // within 48h (last(ignoreNulls) row window; µs-exact gap)

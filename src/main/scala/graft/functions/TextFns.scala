@@ -172,24 +172,37 @@ object TextFns {
   def heavyTokens(s: SparkSession, d: String): DataFrame =
     heavyTokensOf(Tables.documents(s, d))
 
-  /** Core of [[heavyTokens]] over any (lang, text) frame. */
-  private[graft] def heavyTokensOf(docs: DataFrame): DataFrame = {
+  /** Core of [[heavyTokens]] over any (lang, text) frame.
+    *
+    * `pinnedCapacity = 0` (registered-entry default) runs the exact
+    * regime: an exact per-lang distinct probe sizes the SpaceSaving
+    * buffers to cover the whole vocabulary, and corpora past 2^20
+    * distinct fail loudly rather than silently approximate against an
+    * exact oracle. `pinnedCapacity > 0` is the production opt-in for
+    * genuinely open-vocabulary corpora: skip the probe, run the sketch
+    * at the pinned size, and accept the SpaceSaving ±n/capacity
+    * error bound (counts become upper-bound estimates — gate with a
+    * recall spec, not a hash oracle). */
+  private[graft] def heavyTokensOf(docs: DataFrame,
+      pinnedCapacity: Int = 0): DataFrame = {
     val tok = docs
       .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
-    val maxDistinct = tok.groupBy("lang")
-      .agg(countDistinct(col("w")).as("v"))
-      .agg(coalesce(max(col("v")), lit(0L))).collect()(0).getLong(0)
-    // next power of two ≥ maxDistinct, floored at 1024, capped at 2^20
-    // (beyond that a per-group exact roster is no longer sketch-sized —
-    // fail loudly rather than silently approximate against an exact oracle)
-    val nextPow2 =
-      if (maxDistinct <= 1L) 1L
-      else java.lang.Long.highestOneBit(maxDistinct - 1) << 1
-    require(nextPow2 <= (1L << 20),
-      s"d15 exact-regime capacity $maxDistinct exceeds 2^20 — corpus is " +
-        "open-vocabulary; pin a capacity and gate with a recall spec instead")
-    val cap = math.max(1024L, nextPow2).toInt
+    val cap = if (pinnedCapacity > 0) pinnedCapacity else {
+      val maxDistinct = tok.groupBy("lang")
+        .agg(countDistinct(col("w")).as("v"))
+        .agg(coalesce(max(col("v")), lit(0L))).collect()(0).getLong(0)
+      // next power of two ≥ maxDistinct, floored at 1024, capped at 2^20
+      // (beyond that a per-group exact roster is no longer sketch-sized)
+      val nextPow2 =
+        if (maxDistinct <= 1L) 1L
+        else java.lang.Long.highestOneBit(maxDistinct - 1) << 1
+      require(nextPow2 <= (1L << 20),
+        s"d15 exact-regime capacity $maxDistinct exceeds 2^20 — corpus is " +
+          "open-vocabulary; pass pinnedCapacity to opt into the sketch's " +
+          "approximate regime (recall-gated, not hash-exact)")
+      math.max(1024L, nextPow2).toInt
+    }
     tok.groupBy(col("lang"))
       .agg(graft.functions.HeavyHitters.heavyHitters(col("w"), cap).as("hh"))
       .select(col("lang"), explode(col("hh")).as("h"))

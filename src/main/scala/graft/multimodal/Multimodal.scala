@@ -116,6 +116,13 @@ object Multimodal {
     def decode(r: MediaRow): MediaFeatures = {
       val raw = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(r.payload))
+      // close `raw` even when the PCM conversion below throws
+      // (unsupported encoding): harmless on today's byte-array payloads
+      // but a real leak if a file/stream-backed source is swapped in
+      try decodePcm(r, raw) finally raw.close()
+    }
+    private def decodePcm(r: MediaRow,
+        raw: javax.sound.sampled.AudioInputStream): MediaFeatures = {
       val src = raw.getFormat
       // normalize to 16-bit signed little-endian PCM so the feature
       // arithmetic is one fixed loop regardless of source encoding

@@ -471,20 +471,18 @@ object Curation {
     * d44/d52 entries runs first materializes the two count shuffles
     * (plus the one-row V) ONCE; the other — and every warm re-run —
     * reuses the cut. Bounded: counts are vocabulary/gram-table-sized
-    * (the artifact d53 persists to parquet), one entry per sf dir.
-    * The *Of cores stay pure (explicit-frame callers are not memoized —
-    * a DataFrame is not a safe cache key). */
-  private val corpusLmCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), BigramLm]()
-
+    * (the artifact d53 persists to parquet), one entry per sf dir,
+    * content-fingerprinted via [[graft.ops.DirMemo]] so a regenerated
+    * dir rebuilds. The *Of cores stay pure (explicit-frame callers are
+    * not memoized — a DataFrame is not a safe cache key). */
   private def corpusBigramCounts(s: SparkSession, d: String): BigramLm =
-    corpusLmCache.computeIfAbsent((s, d), { _ =>
+    graft.ops.DirMemo.cached(s, d, "bigramLm") {
       val lm = trainBigramLmOf(Tables.documents(s, d).select("doc_id", "text"))
       val cu = lm.cu.localCheckpoint(false)
       val cb = lm.cb.localCheckpoint(false)
       // V from the CHECKPOINTED cu so it rides the same materialization
       BigramLm(cu, cb, cu.agg(count(lit(1)).as("v")))
-    })
+    }
 
   /** A frozen bigram LM: the count tables [[bigramNllOf]] computes
     * in-flight, as reusable frames — `cu` (w, cu), `cb` (ng, cb), and

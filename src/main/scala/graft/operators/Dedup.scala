@@ -708,14 +708,12 @@ object Dedup {
   /** Per-(session, sf-dir) memo of the corpus containment pairs,
     * lazily localCheckpointed: whichever of d62/d63 runs first pays the
     * tokenize+prefix+verify shuffles once (the d44/d52 count-table
-    * discipline). The *Of core stays pure. */
-  private val containPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * discipline, content-fingerprinted via [[graft.ops.DirMemo]] so a
+    * regenerated dir rebuilds). The *Of core stays pure. */
   private def containPairs(s: SparkSession, d: String): DataFrame =
-    containPairsCache.computeIfAbsent((s, d), { _ =>
+    graft.ops.DirMemo.cached(s, d, "containPairs") {
       containmentOf(Tables.documents(s, d)).localCheckpoint(false)
-    })
+    }
 
   def containment(s: SparkSession, d: String): DataFrame =
     containPairs(s, d).orderBy("id_a", "id_b")

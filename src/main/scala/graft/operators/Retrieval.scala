@@ -220,17 +220,16 @@ object Retrieval {
   /** Per-(session, sf-dir) memo of the corpus's hashed embeddings,
     * lazily localCheckpointed: whichever of the registered d59/d60
     * entries runs first pays the tokenize+hash+normalize shuffles ONCE
-    * (the d44/d52 count-table discipline); the other — and every warm
-    * re-run — reuses the cut. The *Of core stays pure (explicit-frame
-    * callers are not memoized — a DataFrame is not a safe cache key). */
-  private val corpusEmbCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
+    * (the d44/d52 count-table discipline, content-fingerprinted via
+    * [[graft.ops.DirMemo]] so a regenerated dir rebuilds); the other —
+    * and every warm re-run — reuses the cut. The *Of core stays pure
+    * (explicit-frame callers are not memoized — a DataFrame is not a
+    * safe cache key). */
   private def corpusEmb(s: SparkSession, d: String): DataFrame =
-    corpusEmbCache.computeIfAbsent((s, d), { _ =>
+    graft.ops.DirMemo.cached(s, d, "hashedEmb") {
       hashedEmbedOf(Tables.documents(s, d).select("doc_id", "text"))
         .localCheckpoint(false)
-    })
+    }
 
   /** d59 registered entry: [[hashedEmbedOf]] over the corpus. */
   def hashedEmbed(s: SparkSession, d: String): DataFrame =

@@ -206,9 +206,13 @@ object Sinks {
   /** Small-file compaction for a hive-partitioned parquet dataset: any
     * partition whose file count exceeds ceil(bytes/targetBytes) is
     * read back and rewritten as that many files via the same
-    * dynamic-partition-overwrite swap every other graft sink uses
-    * (single-writer discipline; a reader mid-swap sees the old or the
-    * new file set, not a mix). The ops tool for the measured
+    * dynamic-partition-overwrite swap every other graft sink uses.
+    * Single-writer, no-concurrent-reader discipline: the overwrite is
+    * NOT atomic for an external lister (new files commit before old
+    * ones are removed, so a reader mid-swap can observe a mixed or
+    * doubled file set) — run compaction in the maintenance window, or
+    * front the dataset with a snapshotting table format if concurrent
+    * readers are required. The ops tool for the measured
     * tiny-files failure mode (tasks×dirs writers, see writeDaily's
     * repartition note): streaming appends accrete one file per
     * micro-batch per partition, and the NEXT reader's footer scans —
