@@ -40,12 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfStrategy)
     e.injectOptimizerRule(_ => RewriteIntersectCount)
+    SqlSurface.injectable.foreach(e.injectTableFunction)
   }
 }
 
 object Graft {
-  /** Install graft's strategy, optimizer rule, and SQL functions into a
-    * live session. Idempotent. */
+  /** Install graft's strategy, optimizer rule, SQL functions and
+    * table-valued functions into a live session. Idempotent. */
   def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
@@ -54,5 +55,6 @@ object Graft {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteIntersectCount
     graft.functions.VectorExprs.register(spark)
+    SqlSurface.register(spark)
   }
 }

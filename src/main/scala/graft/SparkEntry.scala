@@ -100,6 +100,10 @@ object SparkEntry {
     // SCD2 dimension build: change stream → half-open versioned
     // validity intervals (lead + row_number, one key window)
     "q62_scd2"            -> (TimeSeries.scd2Build _),
+    // q63: the SQL surface itself as an entry — the q26 as-of shape
+    // written in PURE spark.sql through the asof_join TVF (SqlSurface),
+    // proving a SQL-only user reaches the custom plan; oracle = q26's
+    "q63_sql_asof"        -> (SqlSurface.q26ViaSql _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -605,6 +609,19 @@ object SparkEntry {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "q26_asof_custom" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, q_value,
+        |  CAST(q_ts AS TIMESTAMP) AS q_ts
+        |FROM (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER w AS q_value,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER w AS q_ts
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // q63 runs the same semantics as q26 through the SQL TVF surface
+    "q63_sql_asof" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, q_value,
         |  CAST(q_ts AS TIMESTAMP) AS q_ts
         |FROM (

@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.graftshim
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{Cep, Dedup, Retrieval}
+import graft.plans.AsOfJoin
+
+/** SQL-surface access to the engine: table-valued functions that make
+  * the flagship operators reachable from plain `spark.sql`, the way the
+  * reference exposes its whole surface as stored procedures
+  * (/root/reference/docs/sql_server.md; sql/opt.sql:252-391). A user who
+  * speaks only SQL can now run the as-of join, the exact near-dup
+  * miners, BM25 search and the CEP automaton:
+  *
+  * {{{
+  *   SELECT * FROM asof_join('trades', 'quotes', 'user_id', 'ts', 'user_id_r', 'q_ts')
+  *   SELECT * FROM ngram_jaccard('docs')
+  *   SELECT * FROM containment_pairs('docs')
+  *   SELECT * FROM bm25_search('docs', 7, 'fast vector query')
+  *   SELECT * FROM event_pattern('events', 172800000000, 'view', 'click', 'purchase')
+  * }}}
+  *
+  * Dataset arguments are passed as VIEW NAMES (string literals) resolved
+  * against the live catalog when the TVF analyzes — the same relations a
+  * stored procedure would name. Each builder delegates to the engine's
+  * `*Of` core, so a SQL call and the registered Scala entry produce the
+  * same plan shape (hash parity spec-gated in SqlSurfaceSpec); scalar
+  * building blocks (minhash_sig, simhash64, event_matches, gopher_stats,
+  * dot_f, …) register alongside in
+  * [[graft.functions.VectorExprs.register]] so bespoke variants stay
+  * SQL-composable too.
+  *
+  * Wiring: [[Graft.install]] (runtime) or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (deploy-time —
+  * builders resolve view names through the then-active session).
+  */
+object SqlSurface {
+
+  private def active: SparkSession =
+    SparkSession.getActiveSession.getOrElse(
+      throw new IllegalStateException("graft TVF invoked with no active SparkSession"))
+
+  private def table(name: String): DataFrame = active.table(name)
+
+  private def strArg(fn: String, es: Seq[Expression], i: Int): String = {
+    val e = es(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a literal string")
+    e.eval() match {
+      case u: UTF8String => u.toString
+      case s: String => s
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be a string literal, got $other")
+    }
+  }
+
+  private def longArg(fn: String, es: Seq[Expression], i: Int): Long = {
+    val e = es(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a literal integer")
+    e.eval() match {
+      case l: Long => l
+      case n: Int => n.toLong
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be an integer literal, got $other")
+    }
+  }
+
+  private def csvArg(fn: String, es: Seq[Expression], i: Int): Seq[String] =
+    strArg(fn, es, i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** `asof_join(left, right, lkey, ltime, rkey, rtime[, lseq, rseq])`:
+    * the [[graft.plans.AsOfJoin]] custom plan (q26's operator) — for
+    * each left row, the newest right row of the same key at-or-before
+    * its time; seq columns break timestamp ties deterministically.
+    * Column names must be unambiguous across the two views (rename on
+    * the right, as [[graft.plans.AsOf.join]] requires). */
+  private def asofJoinBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "asof_join"
+    require(es.length == 6 || es.length == 8,
+      s"$fn(left, right, lkey, ltime, rkey, rtime[, lseq, rseq]) takes 6 or 8 args, got ${es.length}")
+    val a = es.indices.map(strArg(fn, es, _))
+    val lp = graftshim.analyzed(table(a(0)))
+    val rp = graftshim.analyzed(table(a(1)))
+    def attr(p: LogicalPlan, side: String, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"$fn: column $n not found in $side view (${p.output.map(_.name).mkString(", ")})"))
+    AsOfJoin(lp, rp,
+      attr(lp, "left", a(2)), attr(lp, "left", a(3)),
+      attr(rp, "right", a(4)), attr(rp, "right", a(5)),
+      if (es.length == 8) Some(attr(lp, "left", a(6))) else None,
+      if (es.length == 8) Some(attr(rp, "right", a(7))) else None)
+  }
+
+  /** `ngram_jaccard(docs_view)`: the d4 exact word-set-jaccard ≥ 0.8
+    * near-dup miner (banded self-join + bitset intersection) over a
+    * (doc_id, lang, source, text) view. */
+  private def ngramJaccardBuilder(es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 1, s"ngram_jaccard(docs_view) takes 1 arg, got ${es.length}")
+    graftshim.analyzed(Dedup.ngramJaccardOf(table(strArg("ngram_jaccard", es, 0))))
+  }
+
+  /** `containment_pairs(docs_view[, t_num, t_den])`: the d62 directed
+    * containment miner (prefix-filtered set join, default threshold
+    * 9/10) over a (doc_id, lang, source, text) view. */
+  private def containmentBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "containment_pairs"
+    require(es.length == 1 || es.length == 3,
+      s"$fn(docs_view[, t_num, t_den]) takes 1 or 3 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0))
+    val plan =
+      if (es.length == 3)
+        Dedup.containmentOf(docs,
+          longArg(fn, es, 1).toInt, longArg(fn, es, 2).toInt)
+      else Dedup.containmentOf(docs)
+    graftshim.analyzed(plan)
+  }
+
+  /** `bm25_search(docs_view)` — d48's fixed query battery — or
+    * `bm25_search(docs_view, query_id, 'space separated terms')` for an
+    * ad-hoc query, over a (doc_id, text) view. */
+  private def bm25Builder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "bm25_search"
+    require(es.length == 1 || es.length == 3,
+      s"$fn(docs_view[, query_id, terms]) takes 1 or 3 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "text")
+    val plan =
+      if (es.length == 3)
+        Retrieval.bm25SearchOf(docs, Seq(longArg(fn, es, 1).toInt ->
+          strArg(fn, es, 2).split(" ").map(_.trim).filter(_.nonEmpty).toSeq))
+      else Retrieval.bm25SearchOf(docs)
+    graftshim.analyzed(plan)
+  }
+
+  /** `event_pattern(events_view[, span_us[, starts, mids, ends]])`: the
+    * q57 CEP automaton (`start mid* end` within span, skip-past-last-row)
+    * over a (user_id, ts, event_id, event_type) view; tag sets are
+    * comma-separated lists (mids may be ''). */
+  private def eventPatternBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "event_pattern"
+    require(es.length == 1 || es.length == 2 || es.length == 5,
+      s"$fn(events_view[, span_us[, starts, mids, ends]]) takes 1, 2 or 5 args, got ${es.length}")
+    val events = table(strArg(fn, es, 0))
+    val span = if (es.length >= 2) longArg(fn, es, 1) else Cep.SpanUs
+    val plan =
+      if (es.length == 5)
+        Cep.eventPatternOf(events, span,
+          csvArg(fn, es, 2), csvArg(fn, es, 3), csvArg(fn, es, 4))
+      else Cep.eventPatternOf(events, span)
+    graftshim.analyzed(plan)
+  }
+
+  /** Name → builder for every graft TVF (one registration list shared
+    * by the runtime and the conf-based extension paths). */
+  val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "asof_join" -> (asofJoinBuilder _),
+    "ngram_jaccard" -> (ngramJaccardBuilder _),
+    "containment_pairs" -> (containmentBuilder _),
+    "bm25_search" -> (bm25Builder _),
+    "event_pattern" -> (eventPatternBuilder _))
+
+  /** Register all TVFs on a live session (what [[Graft.install]] calls). */
+  def register(spark: SparkSession): Unit = {
+    val treg = spark.sessionState.tableFunctionRegistry
+    tableFunctions.foreach { case (name, builder) =>
+      treg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  /** q63 registered entry: q26's as-of semantics expressed in PURE
+    * `spark.sql` through the asof_join TVF — the registered proof that
+    * a SQL-only user reaches the custom AsOfJoin plan. Same output and
+    * oracle as q26 (hash parity is the point). */
+  def q26ViaSql(s: SparkSession, d: String): DataFrame = {
+    Graft.install(s)
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+      .createOrReplaceTempView("graft_q63_trades")
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("user_id_r"), col("ts").as("q_ts"),
+        col("value").as("q_value"), col("event_id").as("q_event_id"))
+      .createOrReplaceTempView("graft_q63_quotes")
+    s.sql(
+      """SELECT event_id, user_id, ts, value, q_value, q_ts
+        |FROM asof_join('graft_q63_trades', 'graft_q63_quotes',
+        |               'user_id', 'ts', 'user_id_r', 'q_ts',
+        |               'event_id', 'q_event_id')
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  /** Injection tuples for [[GraftExtensions]] (deploy-time conf path). */
+  def injectable: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan)] =
+    tableFunctions.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(SqlSurface.getClass.getCanonicalName, name),
+        builder)
+    }
+}

@@ -1259,11 +1259,19 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("topk_by_score",
       es => TopKByScore(es(0), es(1).eval().asInstanceOf[Int])
         .toAggregateExpression(), "scala_udf")
-    // CEP: event_matches(sorted array<struct<ts,event_id,tag>>, span_us)
+    // CEP: event_matches(sorted array<struct<ts,event_id,tag>>, span_us).
+    // Tag-set parameterization happens in SQL (the caller's CASE WHEN
+    // builds the tag), so any disjoint start/mid/end assignment — q57's
+    // defaults included — is already reachable from spark.sql; the
+    // event_pattern TVF (SqlSurface) wraps the common whole-table shape.
     reg.createOrReplaceTempFunction("event_matches",
       es => EventMatches(es(0), es(1).eval() match {
         case l: Long => l
         case i: Int => i.toLong
       }), "scala_udf")
+    // gopher_stats(words_array, k): (top_chars, dup_chars) of the d43
+    // repetition rules for one k — SQL-composable quality scoring
+    reg.createOrReplaceTempFunction("gopher_stats",
+      es => GopherStats(es(0), es(1).eval().asInstanceOf[Int]), "scala_udf")
   }
 }

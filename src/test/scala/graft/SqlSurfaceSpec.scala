@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pure-`spark.sql` reachability of the engine: every TVF produces rows
+  * hash-identical to its registered Scala entry (the reference's user
+  * surface is SQL stored procedures — capability parity means SQL
+  * reachability, not just a Scala API). */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def installAndViews(): Unit = {
+    Graft.install(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("g_docs")
+    Tables.events(spark, sf).createOrReplaceTempView("g_events")
+  }
+
+  test("asof_join TVF: q26 shape in pure SQL, hash parity, custom exec engaged") {
+    installAndViews()
+    val ev = Tables.events(spark, sf)
+    ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+      .createOrReplaceTempView("g_trades")
+    ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("user_id_r"), col("ts").as("q_ts"),
+        col("value").as("q_value"), col("event_id").as("q_event_id"))
+      .createOrReplaceTempView("g_quotes")
+    val viaSql = spark.sql(
+      """SELECT event_id, user_id, ts, value, q_value, q_ts
+        |FROM asof_join('g_trades', 'g_quotes', 'user_id', 'ts',
+        |               'user_id_r', 'q_ts', 'event_id', 'q_event_id')
+        |ORDER BY event_id""".stripMargin)
+    assert(viaSql.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "SQL asof_join must plan through AsOfJoinExec")
+    val viaScala = operators.TimeSeries.asofJoinCustom(spark, sf)
+    assert(canon(viaSql) == canon(viaScala))
+    assert(viaSql.count() > 0)
+  }
+
+  test("ngram_jaccard TVF: d4 miner in pure SQL, hash parity") {
+    installAndViews()
+    val viaSql = spark.sql("SELECT * FROM ngram_jaccard('g_docs')")
+    val viaScala = operators.Dedup.ngramJaccard(spark, sf)
+    assert(canon(viaSql) == canon(viaScala))
+  }
+
+  test("containment_pairs TVF: d62 miner in pure SQL, hash parity + threshold arg") {
+    installAndViews()
+    val viaSql = spark.sql("SELECT * FROM containment_pairs('g_docs')")
+    val viaScala = operators.Dedup.containment(spark, sf)
+    assert(canon(viaSql) == canon(viaScala))
+    // a looser threshold can only grow the pair set
+    val loose = spark.sql("SELECT * FROM containment_pairs('g_docs', 8, 10)")
+    assert(loose.count() >= viaSql.count())
+  }
+
+  test("bm25_search TVF: d48 battery in pure SQL, hash parity + ad-hoc query") {
+    installAndViews()
+    val viaSql = spark.sql("SELECT * FROM bm25_search('g_docs')")
+    val viaScala = operators.Retrieval.bm25Search(spark, sf)
+    assert(canon(viaSql) == canon(viaScala))
+    val adhoc = spark.sql(
+      "SELECT * FROM bm25_search('g_docs', 42, 'fast vector query') ORDER BY rnk")
+      .collect()
+    assert(adhoc.nonEmpty && adhoc.forall(_.getInt(0) == 42))
+    assert(adhoc.map(_.getInt(1)).toSeq == (1 to adhoc.length))
+  }
+
+  test("event_pattern TVF: q57 CEP in pure SQL, hash parity + parameterized tags") {
+    installAndViews()
+    val viaSql = spark.sql("SELECT * FROM event_pattern('g_events')")
+    val viaScala = operators.Cep.eventPattern(spark, sf)
+    assert(canon(viaSql) == canon(viaScala))
+    // parameterized: error-free checkout funnels (view|search start)
+    val params = spark.sql(
+      """SELECT * FROM event_pattern('g_events', 172800000000,
+        |  'view,search', 'click,add_to_cart', 'purchase')""".stripMargin)
+    val paramsScala = operators.Cep.eventPatternOf(
+      Tables.events(spark, sf), 172800000000L,
+      Seq("view", "search"), Seq("click", "add_to_cart"), Seq("purchase"))
+    assert(canon(params) == canon(paramsScala))
+  }
+
+  test("gopher_stats scalar from SQL matches the Column API") {
+    installAndViews()
+    val viaSql = spark.sql(
+      """SELECT doc_id, gopher_stats(split(lower(text), ' '), 2) AS g
+        |FROM g_docs ORDER BY doc_id""".stripMargin)
+    val viaCol = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        functions.VectorExprs.gopherStats(split(lower(col("text")), " "), 2).as("g"))
+      .orderBy("doc_id")
+    assert(canon(viaSql) == canon(viaCol))
+  }
+
+  test("TVF argument errors are caught with clear messages") {
+    installAndViews()
+    val e1 = intercept[Exception](spark.sql("SELECT * FROM asof_join('g_docs')").collect())
+    assert(e1.getMessage.contains("asof_join"))
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM asof_join('g_docs', 'g_docs', 'nope', 'a', 'b', 'c')").collect())
+    assert(e2.getMessage.contains("nope"))
+  }
+}
