@@ -368,8 +368,12 @@ object SparkEntry {
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge
     // loop), encode as a codegen'd expression with the merge table as a
-    // plan constant. rows-only: a greedy merge loop isn't SQL; gated by
-    // a property spec against an independent reference encoder.
+    // plan constant. Oracle-checked: BOTH the training loop (merge
+    // rank table) and the greedy encode replay as recursive CTEs —
+    // training depth = numMerges (≤200), encode depth = word length —
+    // with the left-to-right non-overlapping merge pass expressed as
+    // odd/even selection within consecutive-candidate islands.
+    // Also gated by a property spec against an independent encoder.
     "d37_bpe_token_count" -> ((s, d) => {
       import org.apache.spark.sql.functions.{ceil, col, length, lit}
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -1640,6 +1644,120 @@ object SparkEntry {
         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - n_kept AS n_removed
         |FROM documents d JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // d37: the FULL BPE replay in SQL. Training is a recursive CTE of
+    // depth numMerges (≤200): the working table carries one state row
+    // per dict word plus one 'm' (merge) row per round; the globally
+    // most-frequent pair (count desc, pair asc, count ≥ 2 — Bpe.train's
+    // exact tie-break) is an aggregate over the recursive reference
+    // (DuckDB allows it). Greedy encode is a second recursive CTE of
+    // depth = word length over the DISTINCT corpus words, stepping the
+    // per-word lowest-rank present pair. The left-to-right
+    // non-overlapping "merge all occurrences" pass both loops share is
+    // expressed relationally: candidate positions grouped into
+    // consecutive islands (overlaps only happen when a = b), keep the
+    // even offsets, drop the position after each kept one.
+    "d37_bpe_token_count" ->
+      """WITH RECURSIVE
+        |words0 AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+        |words AS (SELECT doc_id, w FROM words0 WHERE w <> ''),
+        |dict AS (
+        |  SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+        |  ORDER BY cnt DESC, w ASC LIMIT 50000),
+        |train(it, kind, w, cnt, syms, a, b) AS (
+        |  SELECT 0, 's', w, cnt,
+        |         list_transform(generate_series(1, LENGTH(w)), i -> SUBSTR(w, CAST(i AS INT), 1)),
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM dict
+        |  UNION ALL
+        |  (
+        |    WITH prev AS (SELECT it, w, cnt, syms FROM train WHERE kind = 's' AND it < 200),
+        |    pairs AS (
+        |      SELECT prev.syms[g.p] AS a, prev.syms[g.p + 1] AS b, SUM(prev.cnt) AS n
+        |      FROM prev, UNNEST(generate_series(1, len(prev.syms) - 1)) AS g(p)
+        |      GROUP BY 1, 2),
+        |    best AS (SELECT a, b FROM pairs WHERE n >= 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |    cand AS (
+        |      SELECT prev.w, g.p
+        |      FROM prev, best, UNNEST(generate_series(1, len(prev.syms) - 1)) AS g(p)
+        |      WHERE prev.syms[g.p] = best.a AND prev.syms[g.p + 1] = best.b),
+        |    sel AS (
+        |      SELECT w, p FROM (
+        |        SELECT w, p, p - MIN(p) OVER (PARTITION BY w, isl) AS off
+        |        FROM (SELECT w, p, p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS isl
+        |              FROM cand)) WHERE off % 2 = 0),
+        |    stepped AS (
+        |      SELECT prev.it + 1 AS it, prev.w, prev.cnt,
+        |        list(CASE WHEN s1.p IS NOT NULL THEN best.a || best.b
+        |                  ELSE prev.syms[g.p] END ORDER BY g.p) AS syms
+        |      FROM prev
+        |      CROSS JOIN best
+        |      CROSS JOIN UNNEST(generate_series(1, len(prev.syms))) AS g(p)
+        |      LEFT JOIN sel s1 ON s1.w = prev.w AND s1.p = g.p
+        |      LEFT JOIN sel s2 ON s2.w = prev.w AND s2.p = g.p - 1
+        |      WHERE s2.p IS NULL
+        |      GROUP BY prev.it, prev.w, prev.cnt, best.a, best.b)
+        |    SELECT it, 's', w, cnt, syms, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM stepped
+        |    UNION ALL
+        |    SELECT DISTINCT prev.it + 1, 'm', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |      CAST(NULL AS VARCHAR[]), best.a, best.b
+        |    FROM prev, best
+        |  )
+        |),
+        |merges AS (
+        |  SELECT a, b, ROW_NUMBER() OVER (ORDER BY it) - 1 AS rnk
+        |  FROM train WHERE kind = 'm'),
+        |cw AS (SELECT DISTINCT w FROM words),
+        |enc(it, w, syms) AS (
+        |  SELECT 0, w,
+        |         list_transform(generate_series(1, LENGTH(w)), i -> SUBSTR(w, CAST(i AS INT), 1))
+        |  FROM cw
+        |  UNION ALL
+        |  (
+        |    WITH prevE AS (SELECT it, w, syms FROM enc),
+        |    bestE AS (
+        |      SELECT w, a, b FROM (
+        |        SELECT prevE.w, m.a, m.b,
+        |               ROW_NUMBER() OVER (PARTITION BY prevE.w ORDER BY m.rnk) AS rn
+        |        FROM prevE, UNNEST(generate_series(1, len(prevE.syms) - 1)) AS g(p)
+        |        JOIN merges m ON m.a = prevE.syms[g.p] AND m.b = prevE.syms[g.p + 1])
+        |      WHERE rn = 1),
+        |    candE AS (
+        |      SELECT prevE.w, g.p
+        |      FROM prevE JOIN bestE ON bestE.w = prevE.w,
+        |           UNNEST(generate_series(1, len(prevE.syms) - 1)) AS g(p)
+        |      WHERE prevE.syms[g.p] = bestE.a AND prevE.syms[g.p + 1] = bestE.b),
+        |    selE AS (
+        |      SELECT w, p FROM (
+        |        SELECT w, p, p - MIN(p) OVER (PARTITION BY w, isl) AS off
+        |        FROM (SELECT w, p, p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS isl
+        |              FROM candE)) WHERE off % 2 = 0)
+        |    SELECT prevE.it + 1, prevE.w,
+        |      list(CASE WHEN s1.p IS NOT NULL THEN bestE.a || bestE.b
+        |                ELSE prevE.syms[g.p] END ORDER BY g.p) AS syms
+        |    FROM prevE
+        |    JOIN bestE ON bestE.w = prevE.w
+        |    CROSS JOIN UNNEST(generate_series(1, len(prevE.syms))) AS g(p)
+        |    LEFT JOIN selE s1 ON s1.w = prevE.w AND s1.p = g.p
+        |    LEFT JOIN selE s2 ON s2.w = prevE.w AND s2.p = g.p - 1
+        |    WHERE s2.p IS NULL
+        |    GROUP BY prevE.it, prevE.w, bestE.a, bestE.b
+        |  )
+        |),
+        |final AS (
+        |  SELECT w, syms FROM (
+        |    SELECT w, syms, ROW_NUMBER() OVER (PARTITION BY w ORDER BY it DESC) AS rn FROM enc)
+        |  WHERE rn = 1),
+        |ntok AS (SELECT w, CAST(len(syms) AS BIGINT) AS n FROM final)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(SUM(ntok.n), 0) AS BIGINT) AS n_tokens_bpe,
+        |  CAST(CEIL(LENGTH(d.text) / 4.0) AS BIGINT) AS n_tokens_est
+        |FROM documents d
+        |LEFT JOIN words ON words.doc_id = d.doc_id
+        |LEFT JOIN ntok ON ntok.w = words.w
+        |GROUP BY d.doc_id, d.text
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d33_unigram_nll" ->
       """WITH words AS (
