@@ -104,6 +104,10 @@ object SparkEntry {
     // written in PURE spark.sql through the asof_join TVF (SqlSurface),
     // proving a SQL-only user reaches the custom plan; oracle = q26's
     "q63_sql_asof"        -> (SqlSurface.q26ViaSql _),
+    // bounded-quantifier CEP with start alternation:
+    // (view|signup) click{1,2} purchase within 48h — the q57 automaton
+    // with overflow/underflow kill states; oracle replays the machine
+    "q64_cep_bounded"     -> (Cep.eventPatternBounded _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -1236,6 +1240,61 @@ object SparkEntry {
          |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN b.event_id END,
          |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN b.ts END,
          |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR THEN CAST(r.nmid AS INT) END
+         |  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.i = r.i + 1)
+         |SELECT user_id, m_sid AS start_event_id, m_sts AS start_ts,
+         |  m_eid AS end_event_id, m_ets AS end_ts, m_nmid AS n_mid
+         |FROM rec WHERE m_eid IS NOT NULL
+         |ORDER BY user_id, start_event_id""".stripMargin
+    },
+
+    // q64: the q57 machine plus the two bounded-quantifier transitions —
+    // a mid that would exceed max_mid KILLS the attempt (falls through
+    // to the ELSE/NULL branches), an in-span end emits a match only
+    // when nmid lands inside [1, 2]; start set is (view|signup)
+    "q64_cep_bounded" -> {
+      val h = graft.operators.Cep.SpanHours
+      s"""WITH RECURSIVE base AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    CASE WHEN event_type IN ('view', 'signup') THEN 0
+         |         WHEN event_type = 'click' THEN 1
+         |         WHEN event_type = 'purchase' THEN 2 ELSE 3 END AS tag,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+         |                            ORDER BY ts, event_id) AS INT) AS i
+         |  FROM events),
+         |rec AS (
+         |  SELECT user_id, i,
+         |    CASE WHEN tag = 0 THEN 1 ELSE 0 END AS st,
+         |    CASE WHEN tag = 0 THEN ts END AS s_ts,
+         |    CASE WHEN tag = 0 THEN event_id END AS s_id,
+         |    0 AS nmid,
+         |    CAST(NULL AS BIGINT) AS m_sid, CAST(NULL AS TIMESTAMP) AS m_sts,
+         |    CAST(NULL AS BIGINT) AS m_eid, CAST(NULL AS TIMESTAMP) AS m_ets,
+         |    CAST(NULL AS INT) AS m_nmid
+         |  FROM base WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.i,
+         |    CASE WHEN r.st = 1 AND b.tag = 1 AND b.ts <= r.s_ts + INTERVAL $h HOUR
+         |              AND r.nmid + 1 <= 2 THEN 1
+         |         WHEN b.tag = 0 THEN 1 ELSE 0 END,
+         |    CASE WHEN r.st = 1 AND b.tag = 1 AND b.ts <= r.s_ts + INTERVAL $h HOUR
+         |              AND r.nmid + 1 <= 2 THEN r.s_ts
+         |         WHEN b.tag = 0 THEN b.ts END,
+         |    CASE WHEN r.st = 1 AND b.tag = 1 AND b.ts <= r.s_ts + INTERVAL $h HOUR
+         |              AND r.nmid + 1 <= 2 THEN r.s_id
+         |         WHEN b.tag = 0 THEN b.event_id END,
+         |    CASE WHEN r.st = 1 AND b.tag = 1 AND b.ts <= r.s_ts + INTERVAL $h HOUR
+         |              AND r.nmid + 1 <= 2 THEN r.nmid + 1
+         |         ELSE 0 END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR
+         |              AND r.nmid BETWEEN 1 AND 2 THEN r.s_id END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR
+         |              AND r.nmid BETWEEN 1 AND 2 THEN r.s_ts END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR
+         |              AND r.nmid BETWEEN 1 AND 2 THEN b.event_id END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR
+         |              AND r.nmid BETWEEN 1 AND 2 THEN b.ts END,
+         |    CASE WHEN r.st = 1 AND b.tag = 2 AND b.ts <= r.s_ts + INTERVAL $h HOUR
+         |              AND r.nmid BETWEEN 1 AND 2 THEN CAST(r.nmid AS INT) END
          |  FROM rec r JOIN base b ON b.user_id = r.user_id AND b.i = r.i + 1)
          |SELECT user_id, m_sid AS start_event_id, m_sts AS start_ts,
          |  m_eid AS end_event_id, m_ets AS end_ts, m_nmid AS n_mid

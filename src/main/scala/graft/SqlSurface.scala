@@ -137,20 +137,25 @@ object SqlSurface {
     graftshim.analyzed(plan)
   }
 
-  /** `event_pattern(events_view[, span_us[, starts, mids, ends]])`: the
-    * q57 CEP automaton (`start mid* end` within span, skip-past-last-row)
-    * over a (user_id, ts, event_id, event_type) view; tag sets are
-    * comma-separated lists (mids may be ''). */
+  /** `event_pattern(events_view[, span_us[, starts, mids, ends[,
+    * min_mid, max_mid]]])`: the q57/q64 CEP automaton
+    * (`start mid{m,n} end` within span, skip-past-last-row; default
+    * m=0, n=∞ is q57's `mid*`) over a (user_id, ts, event_id,
+    * event_type) view; tag sets are comma-separated lists (mids may
+    * be ''). */
   private def eventPatternBuilder(es: Seq[Expression]): LogicalPlan = {
     val fn = "event_pattern"
-    require(es.length == 1 || es.length == 2 || es.length == 5,
-      s"$fn(events_view[, span_us[, starts, mids, ends]]) takes 1, 2 or 5 args, got ${es.length}")
+    require(es.length == 1 || es.length == 2 || es.length == 5 || es.length == 7,
+      s"$fn(events_view[, span_us[, starts, mids, ends[, min_mid, max_mid]]]) " +
+        s"takes 1, 2, 5 or 7 args, got ${es.length}")
     val events = table(strArg(fn, es, 0))
     val span = if (es.length >= 2) longArg(fn, es, 1) else Cep.SpanUs
     val plan =
-      if (es.length == 5)
+      if (es.length >= 5)
         Cep.eventPatternOf(events, span,
-          csvArg(fn, es, 2), csvArg(fn, es, 3), csvArg(fn, es, 4))
+          csvArg(fn, es, 2), csvArg(fn, es, 3), csvArg(fn, es, 4),
+          if (es.length == 7) longArg(fn, es, 5).toInt else 0,
+          if (es.length == 7) longArg(fn, es, 6).toInt else Int.MaxValue)
       else Cep.eventPatternOf(events, span)
     graftshim.analyzed(plan)
   }

@@ -1161,9 +1161,12 @@ case class LegLookup(left: Expression, right: Expression)
   *
   * Emits array<struct<start_event_id, start_ts, end_event_id, end_ts,
   * n_mid>> — one element per completed match, in stream order. */
-case class EventMatches(child: Expression, spanUs: Long)
+case class EventMatches(child: Expression, spanUs: Long,
+    minMid: Int = 0, maxMid: Int = Int.MaxValue)
     extends UnaryExpression with CodegenFallback {
   require(spanUs > 0, s"spanUs must be positive, got $spanUs")
+  require(minMid >= 0 && maxMid >= minMid,
+    s"mid bounds must satisfy 0 <= min <= max, got {$minMid,$maxMid}")
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("start_event_id", LongType, nullable = false),
     StructField("start_ts", TimestampType, nullable = false),
@@ -1184,10 +1187,20 @@ case class EventMatches(child: Expression, spanUs: Long)
       val tag = row.getInt(2)
       val inSpan = started && ts - sTs <= spanUs
       if (inSpan && tag == 2) {
-        out += InternalRow(sId, sTs, id, ts, nMid)
+        // an end row always closes the attempt: a MATCH iff the mid
+        // count is inside the quantifier bounds, a dead attempt
+        // otherwise (an end the pattern cannot consume kills it, the
+        // strict-contiguity automaton semantics)
+        if (nMid >= minMid && nMid <= maxMid) out += InternalRow(sId, sTs, id, ts, nMid)
         started = false
       } else if (inSpan && tag == 1) {
         nMid += 1
+        // mid overflow: the attempt can never close — die now. The
+        // single-pass exactness argument is unchanged: every interior
+        // row of a dead attempt is a non-start row, so a rescan from
+        // any of them opens nothing; skipping to the next start row
+        // (which RESTARTS regardless of attempt state) loses no match.
+        if (nMid > maxMid) started = false
       } else if (tag == 0) {
         started = true; sTs = ts; sId = id; nMid = 0
       } else {
@@ -1224,6 +1237,8 @@ object VectorExprs {
   def islandRuns(c: Column, k: Int): Column = toCol(IslandRuns(toExpr(c), k))
   def packSeqs(c: Column, capacity: Int): Column = toCol(PackSeqs(toExpr(c), capacity))
   def eventMatches(c: Column, spanUs: Long): Column = toCol(EventMatches(toExpr(c), spanUs))
+  def eventMatches(c: Column, spanUs: Long, minMid: Int, maxMid: Int): Column =
+    toCol(EventMatches(toExpr(c), spanUs, minMid, maxMid))
   def legLookup(legs: Column, legId: Column): Column =
     toCol(LegLookup(toExpr(legs), toExpr(legId)))
   def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))
@@ -1259,16 +1274,24 @@ object VectorExprs {
     reg.createOrReplaceTempFunction("topk_by_score",
       es => TopKByScore(es(0), es(1).eval().asInstanceOf[Int])
         .toAggregateExpression(), "scala_udf")
-    // CEP: event_matches(sorted array<struct<ts,event_id,tag>>, span_us).
+    // CEP: event_matches(sorted array<struct<ts,event_id,tag>>, span_us
+    // [, min_mid, max_mid]) — the `start mid{m,n} end` automaton.
     // Tag-set parameterization happens in SQL (the caller's CASE WHEN
     // builds the tag), so any disjoint start/mid/end assignment — q57's
     // defaults included — is already reachable from spark.sql; the
     // event_pattern TVF (SqlSurface) wraps the common whole-table shape.
     reg.createOrReplaceTempFunction("event_matches",
-      es => EventMatches(es(0), es(1).eval() match {
-        case l: Long => l
-        case i: Int => i.toLong
-      }), "scala_udf")
+      es => {
+        def asLong(e: Expression): Long = e.eval() match {
+          case l: Long => l
+          case i: Int => i.toLong
+        }
+        require(es.length == 2 || es.length == 4,
+          s"event_matches(evs, span_us[, min_mid, max_mid]) takes 2 or 4 args, got ${es.length}")
+        if (es.length == 4)
+          EventMatches(es(0), asLong(es(1)), asLong(es(2)).toInt, asLong(es(3)).toInt)
+        else EventMatches(es(0), asLong(es(1)))
+      }, "scala_udf")
     // gopher_stats(words_array, k): (top_chars, dup_chars) of the d43
     // repetition rules for one k — SQL-composable quality scoring
     reg.createOrReplaceTempFunction("gopher_stats",

@@ -42,6 +42,18 @@ object Cep {
   def eventPattern(s: SparkSession, d: String): DataFrame =
     eventPatternOf(Tables.events(s, d))
 
+  /** q64 registered entry: bounded-quantifier CEP with start
+    * alternation — `(view|signup) click{1,2} purchase` within the span.
+    * Exercises both round-13 quantifier extensions on the SAME
+    * single-pass automaton: the start SET is q57's existing alternation
+    * generalized past one type, and the `{1,2}` bound adds mid
+    * overflow/underflow kill states ([[graft.functions.EventMatches]]
+    * minMid/maxMid). Oracle = the q57 recursive-CTE machine with the
+    * two extra transitions replayed. */
+  def eventPatternBounded(s: SparkSession, d: String): DataFrame =
+    eventPatternOf(Tables.events(s, d),
+      startTypes = Seq("view", "signup"), minMid = 1, maxMid = 2)
+
   /** Core of [[eventPattern]]; expects (user_id, ts, event_id,
     * event_type) columns. The pattern is `start mid* end` over
     * arbitrary event-type sets (defaults = q57's view/click/purchase):
@@ -53,7 +65,8 @@ object Cep {
   def eventPatternOf(events: DataFrame, spanUs: Long = SpanUs,
       startTypes: Seq[String] = Seq("view"),
       midTypes: Seq[String] = Seq("click"),
-      endTypes: Seq[String] = Seq("purchase")): DataFrame = {
+      endTypes: Seq[String] = Seq("purchase"),
+      minMid: Int = 0, maxMid: Int = Int.MaxValue): DataFrame = {
     require(startTypes.nonEmpty && endTypes.nonEmpty &&
       (startTypes ++ midTypes ++ endTypes).distinct.length ==
         startTypes.length + midTypes.length + endTypes.length,
@@ -69,7 +82,8 @@ object Cep {
       .groupBy("user_id")
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(col("user_id"),
-        explode(graft.functions.VectorExprs.eventMatches(col("evs"), spanUs)).as("m"))
+        explode(graft.functions.VectorExprs.eventMatches(
+          col("evs"), spanUs, minMid, maxMid)).as("m"))
       .select(col("user_id"),
         col("m.start_event_id").as("start_event_id"), col("m.start_ts").as("start_ts"),
         col("m.end_event_id").as("end_event_id"), col("m.end_ts").as("end_ts"),

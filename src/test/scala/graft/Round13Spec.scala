@@ -34,6 +34,57 @@ class Round13Spec extends SparkSpec {
     assert(other == "other" && get() == "b4")
   }
 
+  test("q64 bounded CEP: alternation, {1,2} bounds, overflow/underflow kill, restart, expiry") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val spanUs = 60L * 60000000L // 60 minutes
+    // user 1: view c purchase               -> match, n_mid=1
+    // user 2: SIGNUP c c purchase           -> match via start alternation, n_mid=2
+    // user 3: view purchase                 -> underflow (0 mids), end kills, no match
+    // user 4: view c c c purchase           -> overflow at 3rd click, no match
+    // user 5: view c c c VIEW c purchase    -> restart at 2nd view, match n_mid=1
+    // user 6: view c purchase@70min         -> span expiry, no match
+    // user 7: signup error c purchase       -> abort on error, no match
+    val rows = Seq(
+      (1L, 10L, "view"), (2L, 11L, "click"), (3L, 12L, "purchase"),
+      (10L, 10L, "signup"), (11L, 11L, "click"), (12L, 12L, "click"), (13L, 13L, "purchase"),
+      (20L, 0L, "view"), (21L, 5L, "purchase"), (22L, 6L, "click"), (23L, 7L, "purchase"),
+      (30L, 0L, "view"), (31L, 1L, "click"), (32L, 2L, "click"), (33L, 3L, "click"),
+      (34L, 4L, "purchase"),
+      (40L, 0L, "view"), (41L, 1L, "click"), (42L, 2L, "click"), (43L, 3L, "click"),
+      (44L, 10L, "view"), (45L, 11L, "click"), (46L, 12L, "purchase"),
+      (50L, 0L, "view"), (51L, 30L, "click"), (52L, 70L, "purchase"),
+      (60L, 0L, "signup"), (61L, 1L, "error"), (62L, 2L, "click"), (63L, 3L, "purchase")
+    ).map { case (eid, m, et) => (eid / 10, ts(m), eid, et) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+
+    val got = operators.Cep.eventPatternOf(rows, spanUs,
+        startTypes = Seq("view", "signup"), minMid = 1, maxMid = 2)
+      .select("user_id", "start_event_id", "end_event_id", "n_mid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == Seq((0L, 1L, 3L, 1), (1L, 10L, 13L, 2), (4L, 44L, 46L, 1)))
+
+    // default bounds reproduce the q57 mid* machine exactly
+    val star = operators.Cep.eventPatternOf(rows, spanUs,
+        startTypes = Seq("view", "signup"))
+      .select("user_id", "start_event_id", "n_mid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(star.contains((2L, 20L, 0)), "mid* must admit the 0-mid match q64 rejects")
+    assert(star.contains((3L, 30L, 3)), "mid* must admit the 3-mid match q64 rejects")
+  }
+
+  test("q64 via the event_pattern TVF: 7-arg SQL form matches the Scala entry") {
+    Graft.install(spark)
+    Tables.events(spark, sf).createOrReplaceTempView("g13_events")
+    val viaSql = spark.sql(
+      """SELECT * FROM event_pattern('g13_events', 172800000000,
+        |  'view,signup', 'click', 'purchase', 1, 2)""".stripMargin)
+      .collect().map(_.toString).sorted.toSeq
+    val viaScala = operators.Cep.eventPatternBounded(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+  }
+
   test("DirMemo: fingerprint walks dir-style datasets one level deep") {
     val root = java.nio.file.Files.createTempDirectory("graft_memo2").toFile
     val sub = new java.io.File(root, "part.parquet")
