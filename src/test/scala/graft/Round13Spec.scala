@@ -1,6 +1,7 @@
 package graft
 
-/** Round-13 first-pass additions: DirMemo content fingerprinting. */
+/** Round-13 first-pass additions: DirMemo content fingerprinting,
+  * bounded CEP quantifiers, q56 size-gated join regimes. */
 class Round13Spec extends SparkSpec {
 
   test("DirMemo: rebuilds on content change, reuses on identical content") {
@@ -83,6 +84,42 @@ class Round13Spec extends SparkSpec {
     val viaScala = operators.Cep.eventPatternBounded(spark, sf)
       .collect().map(_.toString).sorted.toSeq
     assert(viaSql == viaScala && viaSql.nonEmpty)
+  }
+
+  test("q56 size-gated joins: broadcast regime and forced-shuffle regime agree") {
+    import org.apache.spark.sql.functions.col
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // AQE finalizes the physical plan only after execution
+      df.queryExecution.executedPlan.toString
+    }
+    val fast = operators.Relational.rangeJoin(spark, sf)
+    val fastRows = fast.collect().map(_.toString).toSeq
+    val fastPlan = finalPlan(fast)
+    assert(!fastPlan.contains("BroadcastNestedLoopJoin") &&
+      !fastPlan.contains("CartesianProduct"), s"nested loop crept back:\n$fastPlan")
+    assert(fastPlan.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the days-sized rollup in the default regime:\n$fastPlan")
+
+    // adversarial regime: thresholds -1 model a small side past executor
+    // memory — AQE must leave both joins as shuffle joins
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    try {
+      thresholds.foreach(spark.conf.set(_, "-1"))
+      val slow = operators.Relational.rangeJoin(spark, sf)
+      val slowPlan = finalPlan(slow)
+      assert(!slowPlan.contains("BroadcastHashJoin") &&
+        !slowPlan.contains("BroadcastNestedLoopJoin"),
+        s"threshold -1 must force the shuffle-join regime:\n$slowPlan")
+      assert(slowPlan.contains("SortMergeJoin") || slowPlan.contains("ShuffledHashJoin"),
+        s"no shuffle join in the adversarial regime:\n$slowPlan")
+      val slowRows = slow.collect().map(_.toString).toSeq
+      assert(slowRows == fastRows, "regimes must produce identical rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("DirMemo: fingerprint walks dir-style datasets one level deep") {
