@@ -52,4 +52,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = rd(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = rd(s, d, "embeddings")
+
+  /** Shared corpus token slice: ONE raw split+explode of `documents`
+    * per (session, dir) — (doc_id, lang, source, w) with EMPTIES KEPT —
+    * lazily localCheckpointed under the [[graft.ops.DirMemo]]
+    * content-fingerprint discipline. The count-shaped entries
+    * (d14/d15/d30/d33/d46/d50) each used to pay their own
+    * tokenize+explode pass over the corpus; they now consume this cut
+    * and apply their OWN empty-filter / lower() so each oracle's exact
+    * semantics are preserved (lowercasing commutes with the space
+    * split: no lowercase mapping produces or consumes U+0020). Cores
+    * stay pure — they accept an optional pre-tokenized stream and
+    * default to tokenizing their input frame. */
+  def tokLong(s: SparkSession, d: String): DataFrame =
+    graft.ops.DirMemo.cached(s, d, "tokLong") {
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .localCheckpoint(false)
+    }
 }

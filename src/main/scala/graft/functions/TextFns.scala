@@ -138,8 +138,10 @@ object TextFns {
   def tfidfRank(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count() // dimension-table-sized count, computed once
-    val terms = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+    // shared Tables.tokLong cut + per-word lower(): identical to
+    // exploding split(lower(text)) — lowercasing never maps to/from ' '
+    val terms = Tables.tokLong(s, d)
+      .select(col("doc_id"), lower(col("w")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tc"))
     val df_ = terms.groupBy("w").agg(count(lit(1)).as("df"))
@@ -170,7 +172,8 @@ object TextFns {
     * O(capacity) per (lang, partition) regardless.
     */
   def heavyTokens(s: SparkSession, d: String): DataFrame =
-    heavyTokensOf(Tables.documents(s, d))
+    heavyTokensOf(Tables.documents(s, d),
+      wordsIn = Some(Tables.tokLong(s, d).select(col("lang"), lower(col("w")).as("w"))))
 
   /** Core of [[heavyTokens]] over any (lang, text) frame.
     *
@@ -184,9 +187,9 @@ object TextFns {
     * error bound (counts become upper-bound estimates — gate with a
     * recall spec, not a hash oracle). */
   private[graft] def heavyTokensOf(docs: DataFrame,
-      pinnedCapacity: Int = 0): DataFrame = {
-    val tok = docs
-      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      pinnedCapacity: Int = 0, wordsIn: Option[DataFrame] = None): DataFrame = {
+    val tok = wordsIn.getOrElse(
+        docs.select(col("lang"), explode(split(lower(col("text")), " ")).as("w")))
       .filter(col("w") =!= "")
     val cap = if (pinnedCapacity > 0) pinnedCapacity else {
       val maxDistinct = tok.groupBy("lang")

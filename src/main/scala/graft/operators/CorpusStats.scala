@@ -39,7 +39,8 @@ object CorpusStats {
     * global window never sees the full vocabulary. The total is one
     * scalar agg broadcast onto the k rows. */
   def vocabCoverage(s: SparkSession, d: String): DataFrame =
-    vocabCoverageOf(Tables.documents(s, d).select("text"), k = 100)
+    vocabCoverageOf(Tables.documents(s, d).select("text"), k = 100,
+      wordsIn = Some(Tables.tokLong(s, d).select("w")))
 
   /** d33: unigram NLL quality score — the perplexity proxy every LLM
     * data pipeline filters on, as an exact aggregation: train a
@@ -59,12 +60,17 @@ object CorpusStats {
     * between JVM and C libm.
     */
   def unigramNll(s: SparkSession, d: String): DataFrame =
-    unigramNllOf(Tables.documents(s, d).select("doc_id", "text"), vocabCap = 1000)
+    unigramNllOf(Tables.documents(s, d).select("doc_id", "text"), vocabCap = 1000,
+      wordsIn = Some(Tables.tokLong(s, d).select("doc_id", "w")))
 
-  /** Core of [[unigramNll]] over an explicit (doc_id, text) frame. */
-  def unigramNllOf(docs: DataFrame, vocabCap: Int): DataFrame = {
-    val words = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+  /** Core of [[unigramNll]] over an explicit (doc_id, text) frame;
+    * `wordsIn` (a (doc_id, w) raw word stream, empties tolerated)
+    * substitutes the tokenize pass — the registered entry feeds the
+    * shared [[Tables.tokLong]] cut. */
+  def unigramNllOf(docs: DataFrame, vocabCap: Int,
+      wordsIn: Option[DataFrame] = None): DataFrame = {
+    val words = wordsIn.getOrElse(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
       .filter(col("w") =!= "")
     val counts = words.groupBy("w").agg(count(lit(1)).as("c"))
     // token total as a narrow map pass (same discipline as
@@ -86,10 +92,12 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
-  /** Core of [[vocabCoverage]] over any frame with a text column. */
-  def vocabCoverageOf(docs: DataFrame, k: Int): DataFrame = {
-    val words = docs
-      .select(explode(split(col("text"), " ")).as("w"))
+  /** Core of [[vocabCoverage]] over any frame with a text column;
+    * `wordsIn` as in [[unigramNllOf]] (single `w` column). */
+  def vocabCoverageOf(docs: DataFrame, k: Int,
+      wordsIn: Option[DataFrame] = None): DataFrame = {
+    val words = wordsIn.getOrElse(
+        docs.select(explode(split(col("text"), " ")).as("w")))
       .filter(col("w") =!= "")
     val counts = words.groupBy("w").agg(count(lit(1)).as("n_occ"))
     // token total as a narrow per-row map + scalar agg — NOT a second
@@ -132,11 +140,16 @@ object CorpusStats {
     * DECIMAL(18,9) sum, 6 dp final).
     */
   def unigramDrift(s: SparkSession, d: String): DataFrame =
-    unigramDriftOf(Tables.documents(s, d).select("source", "text"))
+    unigramDriftOf(Tables.documents(s, d).select("source", "text"),
+      wordsIn = Some(Tables.tokLong(s, d).select("source", "w")))
 
-  /** Core of [[unigramDrift]] over an explicit (source, text) frame. */
-  def unigramDriftOf(docs: DataFrame): DataFrame = {
-    val words = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+  /** Core of [[unigramDrift]] over an explicit (source, text) frame;
+    * `wordsIn` as in [[unigramNllOf]] ((source, w); NO empty filter —
+    * d50 counts the raw split, matching its oracle). */
+  def unigramDriftOf(docs: DataFrame,
+      wordsIn: Option[DataFrame] = None): DataFrame = {
+    val words = wordsIn.getOrElse(
+      docs.select(col("source"), explode(split(col("text"), " ")).as("w")))
     val cs = words.groupBy("source", "w").agg(count(lit(1)).as("c"))
     val cc = cs.groupBy("w").agg(sum(col("c")).as("ccnt"))
     val st = cs.groupBy("source").agg(sum(col("c")).as("ts"),

@@ -622,16 +622,25 @@ object Curation {
     */
   def dsirWeights(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    dsirWeightsOf(docs, docs.filter(col("doc_id") % 7 === 0))
+    val tok = Tables.tokLong(s, d).select("doc_id", "w")
+    dsirWeightsOf(docs, docs.filter(col("doc_id") % 7 === 0),
+      rawWordsIn = Some(tok),
+      targetWordsIn = Some(tok.filter(col("doc_id") % 7 === 0).select("w")))
   }
 
   /** Core of [[dsirWeights]]: weight every `raw` doc against the
-    * `target` sample's unigram distribution. */
-  def dsirWeightsOf(raw: DataFrame, target: DataFrame): DataFrame = {
-    val rawWords = raw.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("w"))
+    * `target` sample's unigram distribution. The `*WordsIn` options
+    * substitute the two tokenize passes ((doc_id, w) and (w), raw
+    * split, no empty filter) — the registered entry slices BOTH from
+    * the shared [[Tables.tokLong]] cut. */
+  def dsirWeightsOf(raw: DataFrame, target: DataFrame,
+      rawWordsIn: Option[DataFrame] = None,
+      targetWordsIn: Option[DataFrame] = None): DataFrame = {
+    val rawWords = rawWordsIn.getOrElse(raw.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w")))
     val cr = rawWords.groupBy("w").agg(count(lit(1)).as("cr"))
-    val ct = target.select(explode(split(col("text"), " ")).as("w"))
+    val ct = targetWordsIn.getOrElse(
+        target.select(explode(split(col("text"), " ")).as("w")))
       .groupBy("w").agg(count(lit(1)).as("ct"))
     // union vocabulary size + both totals as ONE broadcast scalar row
     val scal = cr.select("w").union(ct.select("w")).distinct()

@@ -122,6 +122,23 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("shared tokLong cut: every rewired entry equals its pure tokenize-in-core twin") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSeq
+    val docs = Tables.documents(spark, sf)
+    assert(rows(operators.CorpusStats.vocabCoverage(spark, sf)) ==
+      rows(operators.CorpusStats.vocabCoverageOf(docs.select("text"), k = 100)))
+    assert(rows(operators.CorpusStats.unigramNll(spark, sf)) ==
+      rows(operators.CorpusStats.unigramNllOf(docs.select("doc_id", "text"), vocabCap = 1000)))
+    assert(rows(operators.CorpusStats.unigramDrift(spark, sf)) ==
+      rows(operators.CorpusStats.unigramDriftOf(docs.select("source", "text"))))
+    val dt = docs.select("doc_id", "text")
+    assert(rows(operators.Curation.dsirWeights(spark, sf)) ==
+      rows(operators.Curation.dsirWeightsOf(dt, dt.filter(col("doc_id") % 7 === 0))))
+    assert(rows(functions.TextFns.heavyTokens(spark, sf)) ==
+      rows(functions.TextFns.heavyTokensOf(docs)))
+  }
+
   test("DirMemo: fingerprint walks dir-style datasets one level deep") {
     val root = java.nio.file.Files.createTempDirectory("graft_memo2").toFile
     val sub = new java.io.File(root, "part.parquet")
