@@ -260,4 +260,99 @@ object Sinks {
       .agg(min(col(c).cast("double")).as("mn"), max(col(c).cast("double")).as("mx"))
       .filter(col("mx") >= lo && col("mn") <= hi)
       .count()
+
+  // ---- stats-based read-side file skipping ---------------------------
+  // The read half of the writeZOrdered story: the z-layout exists so
+  // that parquet footer min/max stats are TIGHT per file on every
+  // z-dimension — this helper actually consults them. Spark's own scan
+  // prunes ROW GROUPS inside each file from pushed filters, but it
+  // still lists, schedules and footer-parses one task per file split;
+  // on a selective 2-D predicate over a z-clustered dataset, pruning
+  // whole files driver-side first collapses the task count to the
+  // overlap bound SinksSpec measures. At real scale the footer sweep is
+  // what a table format's manifest/stats file caches (Iceberg/Delta);
+  // over raw parquet a one-pass footer read per candidate file is the
+  // honest equivalent (metadata-only reads, no row data touched).
+
+  /** Per-file [min, max] of `column` from the parquet FOOTER (across
+    * row groups, driver-side, no row data read). None when any row
+    * group lacks usable stats — the caller must keep such a file. */
+  private def footerRange(conf: org.apache.hadoop.conf.Configuration,
+      st: org.apache.hadoop.fs.FileStatus, column: String): Option[(Double, Double)] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      var lo = Double.PositiveInfinity
+      var hi = Double.NegativeInfinity
+      var i = 0
+      while (i < blocks.size()) {
+        val cols = blocks.get(i).getColumns
+        var found = false
+        var j = 0
+        while (j < cols.size()) {
+          val c = cols.get(j)
+          if (c.getPath.toDotString == column) {
+            found = true
+            val s = c.getStatistics
+            if (s == null || s.isEmpty || !s.hasNonNullValue) return None
+            val (mn, mx) = (numeric(s.genericGetMin()), numeric(s.genericGetMax()))
+            if (mn.isEmpty || mx.isEmpty) return None
+            lo = math.min(lo, mn.get); hi = math.max(hi, mx.get)
+          }
+          j += 1
+        }
+        if (!found) return None
+        i += 1
+      }
+      if (lo.isInfinite) None else Some((lo, hi))
+    } finally reader.close()
+  }
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case b: java.lang.Boolean => Some(if (b) 1d else 0d)
+    case _ => None // binary/string stats: not comparable as a double
+  }
+
+  /** Data files under `path` split by the footer-stats verdict for a
+    * conjunction of closed numeric ranges: (kept, skipped). A file is
+    * skipped only when its footer PROVES some range can't match
+    * (fileMax < lo or fileMin > hi); missing/typeless stats keep the
+    * file — skipping is an optimization, never a filter. */
+  def prunedDataFiles(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Seq[String]) = {
+    require(ranges.nonEmpty, "at least one (column, lo, hi) range required")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val data = fs.listStatus(root).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val (kept, skipped) = data.partition { st =>
+      ranges.forall { case (c, lo, hi) =>
+        footerRange(conf, st, c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+    (kept.map(_.getPath.toString).toSeq, skipped.map(_.getPath.toString).toSeq)
+  }
+
+  /** Selective scan with file-level stats pruning: reads ONLY the files
+    * whose footer ranges can satisfy every predicate, then applies the
+    * exact row-level predicate. Row-identical to
+    * `spark.read.parquet(path).filter(...)` at any layout; fast when
+    * the layout clusters the predicate columns (writeZOrdered). */
+  def readPruned(spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val (kept, _) = prunedDataFiles(spark, path, ranges)
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c).cast("double") >= lo && col(c).cast("double") <= hi
+    }.reduce(_ && _)
+    if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(kept: _*).filter(residual)
+  }
 }

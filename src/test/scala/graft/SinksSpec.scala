@@ -201,4 +201,46 @@ class SinksSpec extends SparkSpec {
     val xZ = Sinks.filesOverlapping(spark, s"$dir/z", "x", 100, 149)
     assert(xZ <= files / 2, s"z-layout must keep x skippable as well: $xZ/$files")
   }
+
+  test("readPruned: footer stats skip files a selective 2-D box can't touch; rows exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val df = spark.range(100000).select(col("id"),
+      (col("id") % 1000).cast("double").as("x"),
+      ((col("id") * 7919) % 1000).cast("double").as("y"))
+    val files = 16
+    Sinks.writeZOrdered(df, dir, Seq("x", "y"), bits = 6, numFiles = files)
+    val box = Seq(("x", 100.0, 149.0), ("y", 100.0, 149.0))
+
+    val (kept, skipped) = Sinks.prunedDataFiles(spark, dir, box)
+    assert(kept.size + skipped.size == files, s"${kept.size}+${skipped.size} != $files")
+    // ≤ the z-layout's per-dimension overlap bound (the conjunction can
+    // only intersect the dimensions' overlap sets), and strictly fewer
+    // than a full listing — the pruning must actually bite
+    val xZ = Sinks.filesOverlapping(spark, dir, "x", 100, 149)
+    val yZ = Sinks.filesOverlapping(spark, dir, "y", 100, 149)
+    assert(kept.size <= math.min(xZ, yZ),
+      s"kept ${kept.size} files > per-dimension overlap bound min($xZ, $yZ)")
+    assert(kept.nonEmpty && kept.size < files, s"pruning did not bite: ${kept.size}/$files")
+
+    // files ACTUALLY opened == the kept set (count via input_file_name
+    // over an unfiltered scan of what readPruned hands the reader)
+    val opened = spark.read.parquet(kept: _*)
+      .select(input_file_name().as("f")).distinct().count()
+    assert(opened == kept.size)
+
+    // row-identical to the unpruned filtered scan (skipping is an
+    // optimization, never a filter)
+    val got = Sinks.readPruned(spark, dir, box)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val exp = spark.read.parquet(dir)
+      .filter(col("x").between(100, 149) && col("y").between(100, 149))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got == exp && got.nonEmpty)
+
+    // an impossible range keeps zero files and returns zero rows
+    val (none, _) = Sinks.prunedDataFiles(spark, dir, Seq(("x", 5000.0, 6000.0)))
+    assert(none.isEmpty)
+    assert(Sinks.readPruned(spark, dir, Seq(("x", 5000.0, 6000.0))).count() == 0)
+  }
 }
