@@ -46,8 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object Graft {
   /** Install graft's strategy, optimizer rule, SQL functions and
-    * table-valued functions into a live session. Idempotent. */
-  def install(spark: SparkSession): Unit = {
+    * table-valued functions into a live session. Idempotent, and
+    * synchronized: registered entries (q63) install on first use, so
+    * concurrent bench threads may race here — the experimental-methods
+    * check-then-append is not atomic on its own. */
+  def install(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
