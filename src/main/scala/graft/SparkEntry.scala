@@ -244,8 +244,10 @@ object SparkEntry {
     // the brute-force formulation)
     "d38_semantic_decon"  -> (Similarity.semanticDecon _),
     // token-budget chunking: context-length packing in BPE tokens —
-    // first-fit word-atomic chunks of ≤64 tokens (rows-only: greedy
-    // packing isn't SQL; spec-gated vs an independent reference packer)
+    // first-fit word-atomic chunks of ≤64 tokens. Oracle-checked since
+    // round 13: the packing walk replays per doc as a recursive CTE of
+    // depth = word count on top of the d37 BPE-replay prefix; also
+    // spec-gated vs an independent reference packer
     "d39_bpe_chunks"      -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, posexplode}
       val docs = Tables.documents(s, d).select("doc_id", "text")
@@ -391,6 +393,106 @@ object SparkEntry {
 
   // Shared SQL fragments for the DuckDB oracle.
   private val DEC = "DECIMAL(18,4)"
+
+  /** Shared BPE-replay CTE prefix for the d37/d39 oracles: train the
+    * merge table (recursive, depth = numMerges) and greedy-encode every
+    * distinct corpus word (recursive, depth = word length), ending in
+    * `ntok(w, n)` — per-word token counts. `ntok` is MATERIALIZED:
+    * d39's packing recursion re-reads it every step, and DuckDB would
+    * otherwise inline (re-run) the whole two-level recursion per step. */
+  private val BpeCte =
+    """WITH RECURSIVE
+      |words0 AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |words AS (SELECT doc_id, w FROM words0 WHERE w <> ''),
+      |dict AS (
+      |  SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+      |  ORDER BY cnt DESC, w ASC LIMIT 50000),
+      |train(it, kind, w, cnt, syms, a, b) AS (
+      |  SELECT 0, 's', w, cnt,
+      |         list_transform(generate_series(1, LENGTH(w)), i -> SUBSTR(w, CAST(i AS INT), 1)),
+      |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      |  FROM dict
+      |  UNION ALL
+      |  (
+      |    WITH prev AS (SELECT it, w, cnt, syms FROM train WHERE kind = 's' AND it < 200),
+      |    pairs AS (
+      |      SELECT prev.syms[g.p] AS a, prev.syms[g.p + 1] AS b, SUM(prev.cnt) AS n
+      |      FROM prev, UNNEST(generate_series(1, len(prev.syms) - 1)) AS g(p)
+      |      GROUP BY 1, 2),
+      |    best AS (SELECT a, b FROM pairs WHERE n >= 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+      |    cand AS (
+      |      SELECT prev.w, g.p
+      |      FROM prev, best, UNNEST(generate_series(1, len(prev.syms) - 1)) AS g(p)
+      |      WHERE prev.syms[g.p] = best.a AND prev.syms[g.p + 1] = best.b),
+      |    sel AS (
+      |      SELECT w, p FROM (
+      |        SELECT w, p, p - MIN(p) OVER (PARTITION BY w, isl) AS off
+      |        FROM (SELECT w, p, p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS isl
+      |              FROM cand)) WHERE off % 2 = 0),
+      |    stepped AS (
+      |      SELECT prev.it + 1 AS it, prev.w, prev.cnt,
+      |        list(CASE WHEN s1.p IS NOT NULL THEN best.a || best.b
+      |                  ELSE prev.syms[g.p] END ORDER BY g.p) AS syms
+      |      FROM prev
+      |      CROSS JOIN best
+      |      CROSS JOIN UNNEST(generate_series(1, len(prev.syms))) AS g(p)
+      |      LEFT JOIN sel s1 ON s1.w = prev.w AND s1.p = g.p
+      |      LEFT JOIN sel s2 ON s2.w = prev.w AND s2.p = g.p - 1
+      |      WHERE s2.p IS NULL
+      |      GROUP BY prev.it, prev.w, prev.cnt, best.a, best.b)
+      |    SELECT it, 's', w, cnt, syms, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM stepped
+      |    UNION ALL
+      |    SELECT DISTINCT prev.it + 1, 'm', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+      |      CAST(NULL AS VARCHAR[]), best.a, best.b
+      |    FROM prev, best
+      |  )
+      |),
+      |merges AS (
+      |  SELECT a, b, ROW_NUMBER() OVER (ORDER BY it) - 1 AS rnk
+      |  FROM train WHERE kind = 'm'),
+      |cw AS (SELECT DISTINCT w FROM words),
+      |enc(it, w, syms) AS (
+      |  SELECT 0, w,
+      |         list_transform(generate_series(1, LENGTH(w)), i -> SUBSTR(w, CAST(i AS INT), 1))
+      |  FROM cw
+      |  UNION ALL
+      |  (
+      |    WITH prevE AS (SELECT it, w, syms FROM enc),
+      |    bestE AS (
+      |      SELECT w, a, b FROM (
+      |        SELECT prevE.w, m.a, m.b,
+      |               ROW_NUMBER() OVER (PARTITION BY prevE.w ORDER BY m.rnk) AS rn
+      |        FROM prevE, UNNEST(generate_series(1, len(prevE.syms) - 1)) AS g(p)
+      |        JOIN merges m ON m.a = prevE.syms[g.p] AND m.b = prevE.syms[g.p + 1])
+      |      WHERE rn = 1),
+      |    candE AS (
+      |      SELECT prevE.w, g.p
+      |      FROM prevE JOIN bestE ON bestE.w = prevE.w,
+      |           UNNEST(generate_series(1, len(prevE.syms) - 1)) AS g(p)
+      |      WHERE prevE.syms[g.p] = bestE.a AND prevE.syms[g.p + 1] = bestE.b),
+      |    selE AS (
+      |      SELECT w, p FROM (
+      |        SELECT w, p, p - MIN(p) OVER (PARTITION BY w, isl) AS off
+      |        FROM (SELECT w, p, p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS isl
+      |              FROM candE)) WHERE off % 2 = 0)
+      |    SELECT prevE.it + 1, prevE.w,
+      |      list(CASE WHEN s1.p IS NOT NULL THEN bestE.a || bestE.b
+      |                ELSE prevE.syms[g.p] END ORDER BY g.p) AS syms
+      |    FROM prevE
+      |    JOIN bestE ON bestE.w = prevE.w
+      |    CROSS JOIN UNNEST(generate_series(1, len(prevE.syms))) AS g(p)
+      |    LEFT JOIN selE s1 ON s1.w = prevE.w AND s1.p = g.p
+      |    LEFT JOIN selE s2 ON s2.w = prevE.w AND s2.p = g.p - 1
+      |    WHERE s2.p IS NULL
+      |    GROUP BY prevE.it, prevE.w, bestE.a, bestE.b
+      |  )
+      |),
+      |final AS (
+      |  SELECT w, syms FROM (
+      |    SELECT w, syms, ROW_NUMBER() OVER (PARTITION BY w ORDER BY it DESC) AS rn FROM enc)
+      |  WHERE rn = 1),
+      |ntok AS MATERIALIZED (SELECT w, CAST(len(syms) AS BIGINT) AS n FROM final)""".stripMargin
   private def dsum(c: String) = s"CAST(SUM(CAST($c AS $DEC)) AS DOUBLE)"
 
   /** The d44 bigram-NLL oracle, shared verbatim with d52's CTE so the
@@ -1704,7 +1806,8 @@ object SparkEntry {
         |FROM documents d JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
-    // d37: the FULL BPE replay in SQL. Training is a recursive CTE of
+    // d37: the FULL BPE replay in SQL (the shared [[BpeCte]] prefix +
+    // the per-doc token rollup). Training is a recursive CTE of
     // depth numMerges (≤200): the working table carries one state row
     // per dict word plus one 'm' (merge) row per round; the globally
     // most-frequent pair (count desc, pair asc, count ≥ 2 — Bpe.train's
@@ -1717,106 +1820,77 @@ object SparkEntry {
     // consecutive islands (overlaps only happen when a = b), keep the
     // even offsets, drop the position after each kept one.
     "d37_bpe_token_count" ->
-      """WITH RECURSIVE
-        |words0 AS (
-        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
-        |words AS (SELECT doc_id, w FROM words0 WHERE w <> ''),
-        |dict AS (
-        |  SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
-        |  ORDER BY cnt DESC, w ASC LIMIT 50000),
-        |train(it, kind, w, cnt, syms, a, b) AS (
-        |  SELECT 0, 's', w, cnt,
-        |         list_transform(generate_series(1, LENGTH(w)), i -> SUBSTR(w, CAST(i AS INT), 1)),
-        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
-        |  FROM dict
-        |  UNION ALL
-        |  (
-        |    WITH prev AS (SELECT it, w, cnt, syms FROM train WHERE kind = 's' AND it < 200),
-        |    pairs AS (
-        |      SELECT prev.syms[g.p] AS a, prev.syms[g.p + 1] AS b, SUM(prev.cnt) AS n
-        |      FROM prev, UNNEST(generate_series(1, len(prev.syms) - 1)) AS g(p)
-        |      GROUP BY 1, 2),
-        |    best AS (SELECT a, b FROM pairs WHERE n >= 2 ORDER BY n DESC, a ASC, b ASC LIMIT 1),
-        |    cand AS (
-        |      SELECT prev.w, g.p
-        |      FROM prev, best, UNNEST(generate_series(1, len(prev.syms) - 1)) AS g(p)
-        |      WHERE prev.syms[g.p] = best.a AND prev.syms[g.p + 1] = best.b),
-        |    sel AS (
-        |      SELECT w, p FROM (
-        |        SELECT w, p, p - MIN(p) OVER (PARTITION BY w, isl) AS off
-        |        FROM (SELECT w, p, p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS isl
-        |              FROM cand)) WHERE off % 2 = 0),
-        |    stepped AS (
-        |      SELECT prev.it + 1 AS it, prev.w, prev.cnt,
-        |        list(CASE WHEN s1.p IS NOT NULL THEN best.a || best.b
-        |                  ELSE prev.syms[g.p] END ORDER BY g.p) AS syms
-        |      FROM prev
-        |      CROSS JOIN best
-        |      CROSS JOIN UNNEST(generate_series(1, len(prev.syms))) AS g(p)
-        |      LEFT JOIN sel s1 ON s1.w = prev.w AND s1.p = g.p
-        |      LEFT JOIN sel s2 ON s2.w = prev.w AND s2.p = g.p - 1
-        |      WHERE s2.p IS NULL
-        |      GROUP BY prev.it, prev.w, prev.cnt, best.a, best.b)
-        |    SELECT it, 's', w, cnt, syms, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM stepped
-        |    UNION ALL
-        |    SELECT DISTINCT prev.it + 1, 'm', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
-        |      CAST(NULL AS VARCHAR[]), best.a, best.b
-        |    FROM prev, best
-        |  )
-        |),
-        |merges AS (
-        |  SELECT a, b, ROW_NUMBER() OVER (ORDER BY it) - 1 AS rnk
-        |  FROM train WHERE kind = 'm'),
-        |cw AS (SELECT DISTINCT w FROM words),
-        |enc(it, w, syms) AS (
-        |  SELECT 0, w,
-        |         list_transform(generate_series(1, LENGTH(w)), i -> SUBSTR(w, CAST(i AS INT), 1))
-        |  FROM cw
-        |  UNION ALL
-        |  (
-        |    WITH prevE AS (SELECT it, w, syms FROM enc),
-        |    bestE AS (
-        |      SELECT w, a, b FROM (
-        |        SELECT prevE.w, m.a, m.b,
-        |               ROW_NUMBER() OVER (PARTITION BY prevE.w ORDER BY m.rnk) AS rn
-        |        FROM prevE, UNNEST(generate_series(1, len(prevE.syms) - 1)) AS g(p)
-        |        JOIN merges m ON m.a = prevE.syms[g.p] AND m.b = prevE.syms[g.p + 1])
-        |      WHERE rn = 1),
-        |    candE AS (
-        |      SELECT prevE.w, g.p
-        |      FROM prevE JOIN bestE ON bestE.w = prevE.w,
-        |           UNNEST(generate_series(1, len(prevE.syms) - 1)) AS g(p)
-        |      WHERE prevE.syms[g.p] = bestE.a AND prevE.syms[g.p + 1] = bestE.b),
-        |    selE AS (
-        |      SELECT w, p FROM (
-        |        SELECT w, p, p - MIN(p) OVER (PARTITION BY w, isl) AS off
-        |        FROM (SELECT w, p, p - ROW_NUMBER() OVER (PARTITION BY w ORDER BY p) AS isl
-        |              FROM candE)) WHERE off % 2 = 0)
-        |    SELECT prevE.it + 1, prevE.w,
-        |      list(CASE WHEN s1.p IS NOT NULL THEN bestE.a || bestE.b
-        |                ELSE prevE.syms[g.p] END ORDER BY g.p) AS syms
-        |    FROM prevE
-        |    JOIN bestE ON bestE.w = prevE.w
-        |    CROSS JOIN UNNEST(generate_series(1, len(prevE.syms))) AS g(p)
-        |    LEFT JOIN selE s1 ON s1.w = prevE.w AND s1.p = g.p
-        |    LEFT JOIN selE s2 ON s2.w = prevE.w AND s2.p = g.p - 1
-        |    WHERE s2.p IS NULL
-        |    GROUP BY prevE.it, prevE.w, bestE.a, bestE.b
-        |  )
-        |),
-        |final AS (
-        |  SELECT w, syms FROM (
-        |    SELECT w, syms, ROW_NUMBER() OVER (PARTITION BY w ORDER BY it DESC) AS rn FROM enc)
-        |  WHERE rn = 1),
-        |ntok AS (SELECT w, CAST(len(syms) AS BIGINT) AS n FROM final)
-        |SELECT d.doc_id,
-        |  CAST(COALESCE(SUM(ntok.n), 0) AS BIGINT) AS n_tokens_bpe,
-        |  CAST(CEIL(LENGTH(d.text) / 4.0) AS BIGINT) AS n_tokens_est
-        |FROM documents d
-        |LEFT JOIN words ON words.doc_id = d.doc_id
-        |LEFT JOIN ntok ON ntok.w = words.w
-        |GROUP BY d.doc_id, d.text
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""$BpeCte
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(SUM(ntok.n), 0) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(CEIL(LENGTH(d.text) / 4.0) AS BIGINT) AS n_tokens_est
+         |FROM documents d
+         |LEFT JOIN words ON words.doc_id = d.doc_id
+         |LEFT JOIN ntok ON ntok.w = words.w
+         |GROUP BY d.doc_id, d.text
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // d39: the packing walk on top of the BPE replay — per doc, a
+    // recursive CTE of depth = word count steps the EXACT first-fit
+    // loop (close-before when the word overflows the open chunk,
+    // close-after when the chunk fills to/past budget — both can fire
+    // in ONE step, hence the two emit slots), positions from the raw
+    // split with empties dropped. wtok/doclen/ntok MATERIALIZED: the
+    // recursion re-reads them each step and DuckDB would otherwise
+    // inline (re-run) the whole encode recursion per step.
+    "d39_bpe_chunks" ->
+      s"""$BpeCte,
+         |wpos0 AS (
+         |  SELECT doc_id, g.p AS rawp, parts[g.p] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+         |       UNNEST(generate_series(1, len(parts))) AS g(p)),
+         |wpos AS (
+         |  SELECT doc_id, w,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rawp) AS i
+         |  FROM wpos0 WHERE w <> ''),
+         |wtok AS MATERIALIZED (
+         |  SELECT wpos.doc_id, wpos.i, wpos.w, ntok.n
+         |  FROM wpos JOIN ntok ON ntok.w = wpos.w),
+         |doclen AS MATERIALIZED (SELECT doc_id, MAX(i) AS nw FROM wtok GROUP BY doc_id),
+         |packed(doc_id, i, used, open_txt, ci, em1_ci, em1_txt, em1_n, em2_ci, em2_txt, em2_n) AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST('' AS VARCHAR), CAST(0 AS BIGINT),
+         |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+         |  FROM doclen
+         |  UNION ALL
+         |  SELECT p.doc_id, p.i + 1,
+         |    CASE WHEN u1 >= 64 THEN 0 ELSE u1 END,
+         |    CASE WHEN u1 >= 64 THEN '' ELSE o1 END,
+         |    CASE WHEN u1 >= 64 THEN c1 + 1 ELSE c1 END,
+         |    CASE WHEN pre THEN p.ci END,
+         |    CASE WHEN pre THEN p.open_txt END,
+         |    CASE WHEN pre THEN p.used END,
+         |    CASE WHEN u1 >= 64 THEN c1 END,
+         |    CASE WHEN u1 >= 64 THEN o1 END,
+         |    CASE WHEN u1 >= 64 THEN u1 END
+         |  FROM (
+         |    SELECT p.*, w.w, w.n,
+         |      (p.used > 0 AND p.used + w.n > 64) AS pre,
+         |      CASE WHEN (p.used > 0 AND p.used + w.n > 64) OR p.used = 0
+         |           THEN w.w ELSE p.open_txt || ' ' || w.w END AS o1,
+         |      CASE WHEN (p.used > 0 AND p.used + w.n > 64)
+         |           THEN w.n ELSE p.used + w.n END AS u1,
+         |      CASE WHEN (p.used > 0 AND p.used + w.n > 64)
+         |           THEN p.ci + 1 ELSE p.ci END AS c1
+         |    FROM packed p JOIN wtok w ON w.doc_id = p.doc_id AND w.i = p.i + 1
+         |  ) p
+         |),
+         |emitted AS (
+         |  SELECT doc_id, em1_ci AS ci, em1_txt AS txt, em1_n AS n FROM packed WHERE em1_ci IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, em2_ci, em2_txt, em2_n FROM packed WHERE em2_ci IS NOT NULL
+         |  UNION ALL
+         |  SELECT p.doc_id, p.ci, p.open_txt, p.used
+         |  FROM packed p JOIN doclen d ON d.doc_id = p.doc_id AND p.i = d.nw
+         |  WHERE p.used > 0
+         |)
+         |SELECT doc_id, CAST(ci AS INT) AS chunk_idx, txt AS chunk_text, CAST(n AS BIGINT) AS n_tokens
+         |FROM emitted ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "d33_unigram_nll" ->
       """WITH words AS (
