@@ -24,7 +24,14 @@ import org.apache.spark.sql.SparkSession
   * driver-side handles (DataFrames / count-table structs), never data.
   */
 object DirMemo {
-  private final case class Entry(session: SparkSession, fp: String, value: AnyRef)
+  /** One-shot build cell: installed atomically under the map's bin lock,
+    * FORCED outside it (lazy val's own monitor gives build-once for
+    * concurrent first callers). Keeps a build that itself calls
+    * [[cached]] for another key — tokLong consumed by memoized entries —
+    * from running inside ConcurrentHashMap.compute, where a nested
+    * compute on the same bin throws IllegalStateException. */
+  private final class Holder(build: () => AnyRef) { lazy val value: AnyRef = build() }
+  private final case class Entry(session: SparkSession, fp: String, holder: Holder)
   private val cache = new ConcurrentHashMap[(String, String), Entry]()
 
   /** Content fingerprint of `dir`: every file's (relative name, size,
@@ -53,10 +60,11 @@ object DirMemo {
   def cached[T <: AnyRef](s: SparkSession, dir: String, tag: String)(build: => T): T = {
     sweepStopped()
     val fp = fingerprint(dir)
+    val thunk = () => (build: AnyRef)
     cache.compute((dir, tag), { (_, cur) =>
       if (cur != null && (cur.session eq s) && cur.fp == fp) cur
-      else Entry(s, fp, build)
-    }).value.asInstanceOf[T]
+      else Entry(s, fp, new Holder(thunk))
+    }).holder.value.asInstanceOf[T]
   }
 
   private def sweepStopped(): Unit = {

@@ -274,38 +274,51 @@ object Sinks {
   // over raw parquet a one-pass footer read per candidate file is the
   // honest equivalent (metadata-only reads, no row data touched).
 
-  /** Per-file [min, max] of `column` from the parquet FOOTER (across
-    * row groups, driver-side, no row data read). None when any row
-    * group lacks usable stats — the caller must keep such a file. */
-  private def footerRange(conf: org.apache.hadoop.conf.Configuration,
-      st: org.apache.hadoop.fs.FileStatus, column: String): Option[(Double, Double)] = {
+  /** Per-file [min, max] of each of `columns` from the parquet FOOTER
+    * (across row groups, driver-side, ONE footer read per file, no row
+    * data read). A column maps to None when any row group lacks usable
+    * stats for it OR the column is absent from the file entirely (a
+    * hive partition column lives in the directory name, not the
+    * footer) — the caller must keep such a file. */
+  private def footerRanges(conf: org.apache.hadoop.conf.Configuration,
+      st: org.apache.hadoop.fs.FileStatus,
+      columns: Seq[String]): Map[String, Option[(Double, Double)]] = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks
-      var lo = Double.PositiveInfinity
-      var hi = Double.NegativeInfinity
+      val lo = scala.collection.mutable.Map(columns.map(_ -> Double.PositiveInfinity): _*)
+      val hi = scala.collection.mutable.Map(columns.map(_ -> Double.NegativeInfinity): _*)
+      val dead = scala.collection.mutable.Set.empty[String]
       var i = 0
       while (i < blocks.size()) {
         val cols = blocks.get(i).getColumns
-        var found = false
+        val seen = scala.collection.mutable.Set.empty[String]
         var j = 0
         while (j < cols.size()) {
           val c = cols.get(j)
-          if (c.getPath.toDotString == column) {
-            found = true
+          val name = c.getPath.toDotString
+          if (lo.contains(name) && !dead(name)) {
+            seen += name
             val s = c.getStatistics
-            if (s == null || s.isEmpty || !s.hasNonNullValue) return None
-            val (mn, mx) = (numeric(s.genericGetMin()), numeric(s.genericGetMax()))
-            if (mn.isEmpty || mx.isEmpty) return None
-            lo = math.min(lo, mn.get); hi = math.max(hi, mx.get)
+            val mnmx =
+              if (s == null || s.isEmpty || !s.hasNonNullValue) None
+              else for (mn <- numeric(s.genericGetMin()); mx <- numeric(s.genericGetMax()))
+                yield (mn, mx)
+            mnmx match {
+              case Some((mn, mx)) =>
+                lo(name) = math.min(lo(name), mn); hi(name) = math.max(hi(name), mx)
+              case None => dead += name
+            }
           }
           j += 1
         }
-        if (!found) return None
+        columns.foreach(c => if (!seen(c)) dead += c) // absent in a row group → unknowable
         i += 1
       }
-      if (lo.isInfinite) None else Some((lo, hi))
+      columns.map { c =>
+        c -> (if (dead(c) || lo(c).isInfinite) None else Some((lo(c), hi(c))))
+      }.toMap
     } finally reader.close()
   }
 
@@ -326,26 +339,37 @@ object Sinks {
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
-    val data = fs.listStatus(root).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    val (kept, skipped) = data.partition { st =>
+    // Recurse into partition subdirectories (writeDaily/compactPartitions
+    // produce day=.../part-*.parquet layouts) — a flat listStatus would
+    // silently classify ZERO files and readPruned would return nothing.
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) dataFiles(st.getPath)
+        else Seq(st)
+      }
+    val cols = ranges.map(_._1)
+    val (kept, skipped) = dataFiles(root).partition { st =>
+      val fr = footerRanges(conf, st, cols) // ONE footer read per file
       ranges.forall { case (c, lo, hi) =>
-        footerRange(conf, st, c) match {
+        fr(c) match {
           case Some((mn, mx)) => mx >= lo && mn <= hi
           case None => true
         }
       }
     }
-    (kept.map(_.getPath.toString).toSeq, skipped.map(_.getPath.toString).toSeq)
+    (kept.map(_.getPath.toString), skipped.map(_.getPath.toString))
   }
 
   /** Selective scan with file-level stats pruning: reads ONLY the files
     * whose footer ranges can satisfy every predicate, then applies the
     * exact row-level predicate. Row-identical to
-    * `spark.read.parquet(path).filter(...)` at any layout; fast when
-    * the layout clusters the predicate columns (writeZOrdered). */
+    * `spark.read.parquet(path).filter(...)` at any layout — flat
+    * (writeZOrdered) or hive-partitioned (writeDaily): leaf files are
+    * listed recursively and read under `basePath` so partition columns
+    * are recovered from the directory names. Fast when the layout
+    * clusters the predicate columns. */
   def readPruned(spark: SparkSession, path: String,
       ranges: Seq[(String, Double, Double)]): DataFrame = {
     val (kept, _) = prunedDataFiles(spark, path, ranges)
@@ -353,6 +377,6 @@ object Sinks {
       col(c).cast("double") >= lo && col(c).cast("double") <= hi
     }.reduce(_ && _)
     if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else spark.read.parquet(kept: _*).filter(residual)
+    else spark.read.option("basePath", path).parquet(kept: _*).filter(residual)
   }
 }

@@ -243,4 +243,40 @@ class SinksSpec extends SparkSpec {
     assert(none.isEmpty)
     assert(Sinks.readPruned(spark, dir, Seq(("x", 5000.0, 6000.0))).count() == 0)
   }
+
+  test("readPruned: hive-partitioned layout (writeDaily) — recursive listing, " +
+       "partition columns recovered, rows exact") {
+    val dir = Files.createTempDirectory("graft_prune_part").toString + "/ev"
+    val ev = Tables.events(spark, sf)
+    Sinks.writeDaily(ev, "ts", dir)
+
+    // every data file lives in a day=... SUBDIRECTORY — a flat listing
+    // sees zero files; the recursive one must classify them all
+    val box = Seq(("value", 50.0, 120.0))
+    val (kept, skipped) = Sinks.prunedDataFiles(spark, dir, box)
+    val allFiles = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(allFiles > 0 && kept.size + skipped.size == allFiles,
+      s"${kept.size}+${skipped.size} != $allFiles data files")
+    assert(kept.nonEmpty, "a mid-range value box must keep some files")
+
+    // row-identical to the unpruned filtered scan, INCLUDING the `day`
+    // partition column recovered from the directory names via basePath
+    val got = Sinks.readPruned(spark, dir, box)
+    assert(got.columns.contains("day"), s"partition column lost: ${got.columns.toSeq}")
+    val exp = spark.read.parquet(dir).filter(col("value").between(50.0, 120.0))
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+    assert(exp.count() > 0)
+
+    // a range on a PARTITION column has no footer stats → files all
+    // kept (skipping is an optimization, never a filter) and the
+    // residual row filter still applies exactly
+    val uid = Seq(("user_id", 0.0, 5.0))
+    val (kept2, skipped2) = Sinks.prunedDataFiles(spark, dir,
+      Seq(("user_id", -1e18, 1e18)))
+    assert(skipped2.isEmpty && kept2.size == allFiles)
+    val gotU = Sinks.readPruned(spark, dir, uid)
+    val expU = spark.read.parquet(dir).filter(col("user_id").between(0, 5))
+    assert(gotU.exceptAll(expU).count() == 0 && expU.exceptAll(gotU).count() == 0)
+  }
 }
