@@ -45,12 +45,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object Graft {
+  // once-per-session guard: registries are per-session state, so key on
+  // the session INSTANCE (weakly — a stopped session must not be pinned)
+  private val installedSessions =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
+
   /** Install graft's strategy, optimizer rule, SQL functions and
-    * table-valued functions into a live session. Idempotent, and
-    * synchronized: registered entries (q63) install on first use, so
-    * concurrent bench threads may race here — the experimental-methods
-    * check-then-append is not atomic on its own. */
+    * table-valued functions into a live session. Once per session:
+    * registered entries (q63) install on first use with 8 bench queries
+    * in flight, and a per-invocation re-register both races (the
+    * experimental-methods check-then-append is not atomic) and spams
+    * "replaced a previously registered function" warnings for every
+    * scalar/TVF on every call. The first caller registers; everyone
+    * else returns immediately. */
   def install(spark: SparkSession): Unit = synchronized {
+    if (installedSessions.containsKey(spark)) return
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfStrategy
@@ -59,5 +68,6 @@ object Graft {
         spark.experimental.extraOptimizations :+ RewriteIntersectCount
     graft.functions.VectorExprs.register(spark)
     SqlSurface.register(spark)
+    installedSessions.put(spark, java.lang.Boolean.TRUE)
   }
 }

@@ -177,27 +177,40 @@ object SqlSurface {
     }
   }
 
+  private val q63Seq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** q63 registered entry: q26's as-of semantics expressed in PURE
     * `spark.sql` through the asof_join TVF — the registered proof that
     * a SQL-only user reaches the custom AsOfJoin plan. Same output and
-    * oracle as q26 (hash parity is the point). */
+    * oracle as q26 (hash parity is the point). View names are unique
+    * per invocation (two concurrent bench calls must not clobber each
+    * other's inputs, and a user's own `trades` view must survive) and
+    * dropped once the statement is analyzed — `spark.sql` resolves the
+    * names eagerly, so the returned frame doesn't need them. */
   def q26ViaSql(s: SparkSession, d: String): DataFrame = {
     Graft.install(s)
     import org.apache.spark.sql.functions.col
+    val n = q63Seq.incrementAndGet()
+    val tv = s"graft_q63_trades_$n"
+    val qv = s"graft_q63_quotes_$n"
     val ev = Tables.events(s, d)
     ev.filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "ts", "value")
-      .createOrReplaceTempView("graft_q63_trades")
+      .createOrReplaceTempView(tv)
     ev.filter(col("event_type") === "view")
       .select(col("user_id").as("user_id_r"), col("ts").as("q_ts"),
         col("value").as("q_value"), col("event_id").as("q_event_id"))
-      .createOrReplaceTempView("graft_q63_quotes")
-    s.sql(
-      """SELECT event_id, user_id, ts, value, q_value, q_ts
-        |FROM asof_join('graft_q63_trades', 'graft_q63_quotes',
-        |               'user_id', 'ts', 'user_id_r', 'q_ts',
-        |               'event_id', 'q_event_id')
-        |ORDER BY event_id""".stripMargin)
+      .createOrReplaceTempView(qv)
+    try s.sql(
+      s"""SELECT event_id, user_id, ts, value, q_value, q_ts
+         |FROM asof_join('$tv', '$qv',
+         |               'user_id', 'ts', 'user_id_r', 'q_ts',
+         |               'event_id', 'q_event_id')
+         |ORDER BY event_id""".stripMargin)
+    finally {
+      s.catalog.dropTempView(tv)
+      s.catalog.dropTempView(qv)
+    }
   }
 
   /** Injection tuples for [[GraftExtensions]] (deploy-time conf path). */

@@ -104,4 +104,35 @@ class SqlSurfaceSpec extends SparkSpec {
       spark.sql("SELECT * FROM asof_join('g_docs', 'g_docs', 'nope', 'a', 'b', 'c')").collect())
     assert(e2.getMessage.contains("nope"))
   }
+
+  test("Graft.install is once-per-session; q63 invocations are concurrency-safe " +
+       "and leave no views behind") {
+    Graft.install(spark)
+    Graft.install(spark)
+    assert(spark.experimental.extraStrategies.count(_ == graft.plans.AsOfStrategy) == 1,
+      "repeated install must not re-append the strategy")
+
+    // a user view with q63's historical fixed name must survive invocations
+    import spark.implicits._
+    Seq((1, "keep")).toDF("id", "tag").createOrReplaceTempView("graft_q63_trades")
+
+    val expected = canon(operators.TimeSeries.asofJoinCustom(spark, sf))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futs = (0 until 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = canon(SqlSurface.q26ViaSql(spark, sf))
+        })
+      }
+      futs.foreach(f => assert(f.get() == expected, "concurrent q63 must match q26"))
+    } finally pool.shutdown()
+
+    assert(spark.sql("SELECT tag FROM graft_q63_trades").collect().head.getString(0)
+      == "keep", "q63 must not clobber a user's same-named view")
+    val leftover = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_q63_"))
+    assert(leftover.toSeq == Seq("graft_q63_trades"),
+      s"q63 leaked temp views: ${leftover.toSeq}")
+    spark.catalog.dropTempView("graft_q63_trades")
+  }
 }
