@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graftshim
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.{Cep, Dedup, Retrieval}
+import graft.operators.{Cep, CorpusStats, Curation, Dedup, Retrieval}
 import graft.plans.AsOfJoin
 
 /** SQL-surface access to the engine: table-valued functions that make
@@ -23,6 +23,12 @@ import graft.plans.AsOfJoin
   *   SELECT * FROM containment_pairs('docs')
   *   SELECT * FROM bm25_search('docs', 7, 'fast vector query')
   *   SELECT * FROM event_pattern('events', 172800000000, 'view', 'click', 'purchase')
+  *   SELECT * FROM exact_dedup('docs')
+  *   SELECT * FROM span_dedup('docs')
+  *   SELECT * FROM boilerplate_scrub('docs', 3)
+  *   SELECT * FROM gopher_gate('docs')
+  *   SELECT * FROM corpus_report('docs')
+  *   SELECT * FROM url_filter('urls', 'spam.example.com,ads.example.com')
   * }}}
   *
   * Dataset arguments are passed as VIEW NAMES (string literals) resolved
@@ -160,6 +166,66 @@ object SqlSurface {
     graftshim.analyzed(plan)
   }
 
+  // ---- curation/dedup flagship TVFs ---------------------------------
+  // One pattern for the whole family: a single docs-view argument
+  // (optionally + literal params), delegating to the entry's *Of core
+  // so the SQL call and the registered Scala entry share a plan shape.
+
+  private def oneViewBuilder(fn: String, core: DataFrame => DataFrame)(
+      es: Seq[Expression]): LogicalPlan = {
+    require(es.length == 1, s"$fn(docs_view) takes 1 arg, got ${es.length}")
+    graftshim.analyzed(core(table(strArg(fn, es, 0))))
+  }
+
+  /** `exact_dedup(docs_view)`: d1 — content-hash groups with the kept
+    * (smallest) doc id and duplicate count, over a (doc_id, text) view. */
+  private val exactDedupBuilder =
+    oneViewBuilder("exact_dedup", Dedup.exactDedupOf) _
+
+  /** `span_dedup(docs_view)`: d40 — C4-style duplicate-span removal
+    * with per-doc rebuilt clean text, over a (doc_id, text) view. */
+  private val spanDedupBuilder =
+    oneViewBuilder("span_dedup", graft.functions.TextFns.spanDedupOf) _
+
+  /** `boilerplate_scrub(docs_view[, min_docs])`: d54 — drop word blocks
+    * shared by ≥ min_docs documents and rebuild each doc, over a
+    * (doc_id, text) view. */
+  private def boilerplateBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "boilerplate_scrub"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(docs_view[, min_docs]) takes 1 or 2 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "text")
+    val plan =
+      if (es.length == 2) Curation.boilerplateScrubOf(docs, longArg(fn, es, 1).toInt)
+      else Curation.boilerplateScrubOf(docs)
+    graftshim.analyzed(plan)
+  }
+
+  /** `gopher_gate(docs_view)`: d43 — Gopher repetition fractions and
+    * the keep/drop gate flag, over a (doc_id, text) view. */
+  private val gopherGateBuilder =
+    oneViewBuilder("gopher_gate",
+      (docs: DataFrame) => Curation.gopherRepetitionOf(docs.select("doc_id", "text"))) _
+
+  /** `corpus_report(docs_view)`: d47 — per-(lang, source) corpus health
+    * report, over a (lang, source, text) view. */
+  private val corpusReportBuilder =
+    oneViewBuilder("corpus_report",
+      (docs: DataFrame) => CorpusStats.corpusReportOf(docs.select("lang", "source", "text"))) _
+
+  /** `url_filter(urls_view[, 'blocked.dom,other.dom'])`: d55 — URL
+    * normalization + canonical-dedup + blocklist gate over a
+    * (doc_id, url) view; blocklist is a comma-separated literal
+    * (default: the registered entry's list). */
+  private def urlFilterBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "url_filter"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(urls_view[, blocklist_csv]) takes 1 or 2 args, got ${es.length}")
+    val urls = table(strArg(fn, es, 0)).select("doc_id", "url")
+    val block = if (es.length == 2) csvArg(fn, es, 1) else Curation.UrlBlocklist
+    graftshim.analyzed(Curation.urlFilterOf(urls, block))
+  }
+
   /** Name → builder for every graft TVF (one registration list shared
     * by the runtime and the conf-based extension paths). */
   val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
@@ -167,7 +233,13 @@ object SqlSurface {
     "ngram_jaccard" -> (ngramJaccardBuilder _),
     "containment_pairs" -> (containmentBuilder _),
     "bm25_search" -> (bm25Builder _),
-    "event_pattern" -> (eventPatternBuilder _))
+    "event_pattern" -> (eventPatternBuilder _),
+    "exact_dedup" -> exactDedupBuilder,
+    "span_dedup" -> spanDedupBuilder,
+    "boilerplate_scrub" -> (boilerplateBuilder _),
+    "gopher_gate" -> gopherGateBuilder,
+    "corpus_report" -> corpusReportBuilder,
+    "url_filter" -> (urlFilterBuilder _))
 
   /** Register all TVFs on a live session (what [[Graft.install]] calls). */
   def register(spark: SparkSession): Unit = {

@@ -138,7 +138,11 @@ object Dedup {
 
   /** d1: exact dedup by content hash, keep the smallest id per group. */
   def exactDedup(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    exactDedupOf(Tables.documents(s, d))
+
+  /** Core of [[exactDedup]] over any (doc_id, text) frame. */
+  def exactDedupOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
       .orderBy("h")

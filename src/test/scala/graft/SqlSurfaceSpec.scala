@@ -96,6 +96,48 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(canon(viaSql) == canon(viaCol))
   }
 
+  test("curation/dedup flagship TVFs: hash parity with their registered entries") {
+    installAndViews()
+    // each TVF must produce rows hash-identical to the registered
+    // Scala entry it SQL-exposes (same *Of core, same plan shape)
+    val parity = Seq(
+      "SELECT * FROM exact_dedup('g_docs')" ->
+        operators.Dedup.exactDedup(spark, sf),
+      "SELECT * FROM span_dedup('g_docs')" ->
+        functions.TextFns.spanDedup(spark, sf),
+      "SELECT * FROM boilerplate_scrub('g_docs')" ->
+        operators.Curation.boilerplateScrub(spark, sf),
+      "SELECT * FROM gopher_gate('g_docs')" ->
+        operators.Curation.gopherRepetition(spark, sf),
+      "SELECT * FROM corpus_report('g_docs')" ->
+        operators.CorpusStats.corpusReport(spark, sf))
+    parity.foreach { case (sql, scala) =>
+      val viaSql = spark.sql(sql)
+      assert(canon(viaSql) == canon(scala), s"TVF != entry for: $sql")
+      assert(viaSql.count() > 0, s"empty TVF result for: $sql")
+    }
+
+    // url_filter takes a (doc_id, url) view + an optional blocklist csv
+    operators.Curation.withUrls(
+      Tables.documents(spark, sf).select("doc_id", "source"))
+      .createOrReplaceTempView("g_urls")
+    val blockCsv = operators.Curation.UrlBlocklist.mkString(",")
+    assert(canon(spark.sql(s"SELECT * FROM url_filter('g_urls', '$blockCsv')"))
+      == canon(operators.Curation.urlFilter(spark, sf)))
+    // default blocklist = the registered entry's list
+    assert(canon(spark.sql("SELECT * FROM url_filter('g_urls')"))
+      == canon(operators.Curation.urlFilter(spark, sf)))
+    // an explicit empty-ish blocklist changes the gate, not the dedup
+    val open = spark.sql("SELECT * FROM url_filter('g_urls', 'nowhere.example')")
+    assert(open.filter(col("keep")).count()
+      >= operators.Curation.urlFilter(spark, sf).filter(col("keep")).count())
+
+    // boilerplate_scrub min_docs param reaches the core
+    val strict = spark.sql("SELECT * FROM boilerplate_scrub('g_docs', 2)")
+    val loose = spark.sql("SELECT * FROM boilerplate_scrub('g_docs', 1000000)")
+    assert(strict.count() <= loose.count())
+  }
+
   test("TVF argument errors are caught with clear messages") {
     installAndViews()
     val e1 = intercept[Exception](spark.sql("SELECT * FROM asof_join('g_docs')").collect())
