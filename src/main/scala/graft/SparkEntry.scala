@@ -111,6 +111,10 @@ object SparkEntry {
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
+    // the d2 signatures themselves, hash-exact vs a HUGEINT mod-2^64
+    // replay of the whole xxh64→shingle-fold→fmix64→signed-min pipeline
+    // — anchors the LSH family's arithmetic to the DuckDB gate
+    "d2_sigs"             -> (Dedup.minhashSigs _),
     "d3_simhash"          -> (Dedup.simhash _),
     "d4_ngram_jaccard"    -> (Dedup.ngramJaccard _),
     // registered as the bounded-aggregate formulation (no rank window;
@@ -393,6 +397,144 @@ object SparkEntry {
 
   // Shared SQL fragments for the DuckDB oracle.
   private val DEC = "DECIMAL(18,4)"
+
+  /** The d2_sigs oracle: the engine's MinHash signature pipeline
+    * (Dedup.minhashSigs / functions.MinHashShingleSig) replayed as pure
+    * mod-2^64 integer SQL in DuckDB HUGEINT arithmetic — the d37
+    * precedent applied to the LSH family. Stages, each hash-exact:
+    *
+    *  1. word hashes: Spark xxhash64(word, seed 42). The corpus is
+    *     ASCII with words ≤ 8 bytes (≤ 12 on the Amplify dirs' tagged
+    *     vocab; fails loudly via the n ≤ 16 guard if the generator ever
+    *     widens further), so the xxHash64 short path suffices: two
+    *     optional 8-byte LE lanes, one optional 4-byte lane at the
+    *     computed offset, ≤ 3 tail bytes, then the xxh64 avalanche.
+    *  2. k=3 shingles: FNV-style fold h·0x100000001B3 + next, mod 2^64
+    *     (lead() window over word positions).
+    *  3. per-permutation v = fmix64(mul_p·h + add_p) (murmur3
+    *     finalizer), constants interpolated from
+    *     MinHashShingleSig.muls/adds — one derivation, two dialects.
+    *  4. signature: SIGNED min per (doc, perm) — the engine's running
+    *     min compares Scala longs, so the unsigned value converts to
+    *     two's-complement BEFORE the MIN.
+    *
+    * (a·b) mod 2^64 splits a into 32-bit halves (a full 64×64 product
+    * overflows int128); rotl(x,r) adds the two disjoint bit ranges. */
+  private val MinHashSigSql: String = {
+    val M64 = "18446744073709551616::HUGEINT"
+    val u32 = BigInt(1) << 32
+    def u(l: Long): BigInt = BigInt(java.lang.Long.toUnsignedString(l))
+    def mm(a: String, b: BigInt): String =
+      s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * ${b % u32}) % 4294967296) * 4294967296) % $M64"
+    def rl(x: String, r: Int): String =
+      s"((($x) * ${BigInt(1) << r}) % $M64 + (($x) >> ${64 - r}))"
+    // xxHash64 / murmur3-fmix64 / FNV constants (public algorithms)
+    val P1 = u(0x9E3779B185EBCA87L); val P2 = u(0xC2B2AE3D27D4EB4FL)
+    val P3 = u(0x165667B19E3779F9L); val P4 = u(0x85EBCA77C2B2AE63L)
+    val P5 = u(0x27D4EB2F165667C5L)
+    val FNV = u(0x100000001B3L)
+    val C1 = u(0xFF51AFD7ED558CCDL); val C2 = u(0xC4CEB9FE1A85EC53L)
+    val permRows = (0 until 16).map { p =>
+      s"(${p}, ${u(graft.functions.MinHashShingleSig.muls(16)(p))}::HUGEINT, " +
+        s"${u(graft.functions.MinHashShingleSig.adds(16)(p))}::HUGEINT)"
+    }.mkString(",\n    ")
+    def le(start: Int, count: Int): String = (0 until count).map { i =>
+      s"COALESCE(ord(substr(w,${start + i},1)),0)::HUGEINT * ${BigInt(256).pow(i)}"
+    }.mkString(" + ")
+    def leAt(startExpr: String, count: Int): String = (0 until count).map { i =>
+      s"ord(substr(w, ($startExpr) + $i, 1))::HUGEINT * ${BigInt(256).pow(i)}"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents
+       |), docs3 AS (
+       |  SELECT doc_id, ws FROM toks WHERE len(ws) >= 3
+       |), words AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, unnest(ws) AS w FROM docs3
+       |), vocab AS (
+       |  SELECT DISTINCT w FROM words
+       |), h0 AS (
+       |  SELECT w, octet_length(encode(w)) AS n,
+       |    (42 + $P5 + octet_length(encode(w)))::HUGEINT AS a,
+       |    CASE WHEN octet_length(encode(w)) >= 8 THEN ${le(1, 8)}
+       |         WHEN octet_length(encode(w)) > 16 THEN CAST(error('d2_sigs oracle: word over 16 bytes - extend the xxh64 lanes') AS HUGEINT)
+       |    END AS k8a,
+       |    CASE WHEN octet_length(encode(w)) >= 16 THEN ${le(9, 8)} END AS k8b
+       |  FROM vocab
+       |), h1 AS (
+       |  SELECT w, n, a, k8a, k8b,
+       |    CASE WHEN n % 8 >= 4 AND n < 16 THEN ${leAt("(n // 8) * 8 + 1", 4)} END AS k4,
+       |    CASE WHEN n % 4 >= 1 THEN ord(substr(w, n - (n % 4) + 1, 1))::HUGEINT END AS t1,
+       |    CASE WHEN n % 4 >= 2 THEN ord(substr(w, n - (n % 4) + 2, 1))::HUGEINT END AS t2,
+       |    CASE WHEN n % 4 >= 3 THEN ord(substr(w, n - (n % 4) + 3, 1))::HUGEINT END AS t3
+       |  FROM h0
+       |), s8a AS (
+       |  SELECT w, k8b, k4, t1, t2, t3,
+       |    CASE WHEN k8a IS NOT NULL
+       |      THEN (${mm(rl(s"xor(a, ${mm(rl(mm("k8a", P2), 31), P1)})", 27), P1)} + $P4) % $M64
+       |      ELSE a END AS h
+       |  FROM h1
+       |), s8 AS (
+       |  SELECT w, k4, t1, t2, t3,
+       |    CASE WHEN k8b IS NOT NULL
+       |      THEN (${mm(rl(s"xor(h, ${mm(rl(mm("k8b", P2), 31), P1)})", 27), P1)} + $P4) % $M64
+       |      ELSE h END AS h
+       |  FROM s8a
+       |), s4 AS (
+       |  SELECT w, t1, t2, t3,
+       |    CASE WHEN k4 IS NOT NULL
+       |      THEN (${mm(rl(s"xor(h, ${mm("k4", P1)})", 23), P2)} + $P3) % $M64
+       |      ELSE h END AS h
+       |  FROM s8
+       |), sb1 AS (
+       |  SELECT w, t2, t3,
+       |    CASE WHEN t1 IS NOT NULL
+       |      THEN ${mm(rl(s"xor(h, (t1 * $P5) % $M64)", 11), P1)}
+       |      ELSE h END AS h
+       |  FROM s4
+       |), sb2 AS (
+       |  SELECT w, t3,
+       |    CASE WHEN t2 IS NOT NULL
+       |      THEN ${mm(rl(s"xor(h, (t2 * $P5) % $M64)", 11), P1)}
+       |      ELSE h END AS h
+       |  FROM sb1
+       |), sb3 AS (
+       |  SELECT w,
+       |    CASE WHEN t3 IS NOT NULL
+       |      THEN ${mm(rl(s"xor(h, (t3 * $P5) % $M64)", 11), P1)}
+       |      ELSE h END AS h
+       |  FROM sb2
+       |), fm1 AS ( SELECT w, ${mm("xor(h, h >> 33)", P2)} AS h FROM sb3
+       |), fm2 AS ( SELECT w, ${mm("xor(h, h >> 29)", P3)} AS h FROM fm1
+       |), wh AS ( SELECT w, xor(h, h >> 32) AS wh FROM fm2
+       |), seq AS (
+       |  SELECT doc_id, wh.wh AS h1,
+       |    lead(wh.wh) OVER win AS h2, lead(wh.wh, 2) OVER win AS h3
+       |  FROM words JOIN wh USING (w)
+       |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+       |), sh0 AS (
+       |  SELECT doc_id, (${mm("h1", FNV)} + h2) % $M64 AS h12, h3
+       |  FROM seq WHERE h3 IS NOT NULL
+       |), sh AS (
+       |  SELECT doc_id, (${mm("h12", FNV)} + h3) % $M64 AS sh
+       |  FROM sh0
+       |), perms(p, mul, addc) AS ( VALUES
+       |    $permRows
+       |), pv0 AS (
+       |  SELECT doc_id, p,
+       |    ((sh % 4294967296) * mul + (((sh // 4294967296) * (mul % 4294967296)) % 4294967296) * 4294967296
+       |      + addc) % $M64 AS v
+       |  FROM sh, perms
+       |), pv1 AS ( SELECT doc_id, p, ${mm("xor(v, v >> 33)", C1)} AS v FROM pv0
+       |), pv2 AS ( SELECT doc_id, p, ${mm("xor(v, v >> 33)", C2)} AS v FROM pv1
+       |), pv3 AS ( SELECT doc_id, p,
+       |    CASE WHEN xor(v, v >> 33) >= 9223372036854775808
+       |         THEN xor(v, v >> 33) - $M64
+       |         ELSE xor(v, v >> 33) END::BIGINT AS v
+       |  FROM pv2 )
+       |SELECT doc_id, p::INTEGER AS perm, min(v) AS sig_val
+       |FROM pv3 GROUP BY doc_id, p ORDER BY doc_id, perm""".stripMargin
+  }
 
   /** Shared BPE-replay CTE prefix for the d37/d39 oracles: train the
     * merge table (recursive, depth = numMerges) and greedy-encode every
@@ -1420,6 +1562,10 @@ object SparkEntry {
     "d1_exact_dedup" ->
       """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    // d2_sigs: full HUGEINT mod-2^64 replay of the MinHash signature
+    // pipeline (see MinHashSigSql's scaladoc) — the LSH family's anchor
+    "d2_sigs" -> MinHashSigSql,
 
     "d4_ngram_jaccard" ->
       """WITH tok0 AS (

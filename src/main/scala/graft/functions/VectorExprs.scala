@@ -202,20 +202,28 @@ case class MinHashSig(child: Expression, numPerms: Int)
   * Replaces an interpreted transform(slice+concat_ws) + aggregate HOF
   * cascade that dominated the benchmark.
   */
-case class MinHashShingleSig(child: Expression, shingleK: Int, numPerms: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  private lazy val muls: Array[Long] = Array.tabulate(numPerms) { p =>
+object MinHashShingleSig {
+  /** The permutation constants, exposed so the d2_sigs DuckDB oracle
+    * (SparkEntry.MinHashSigSql) interpolates EXACTLY the values the
+    * engine mixes with — one derivation, two dialects. */
+  def muls(numPerms: Int): Array[Long] = Array.tabulate(numPerms) { p =>
     var z = (p + 1).toLong * 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     (z ^ (z >>> 31)) | 1L
   }
-  private lazy val adds: Array[Long] = Array.tabulate(numPerms) { p =>
+  def adds(numPerms: Int): Array[Long] = Array.tabulate(numPerms) { p =>
     var z = (p + 101).toLong * 0xD1B54A32D192ED03L
     z = (z ^ (z >>> 29)) * 0xFF51AFD7ED558CCDL
     z ^ (z >>> 32)
   }
+}
+
+case class MinHashShingleSig(child: Expression, shingleK: Int, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val muls: Array[Long] = MinHashShingleSig.muls(numPerms)
+  private lazy val adds: Array[Long] = MinHashShingleSig.adds(numPerms)
   override def nullSafeEval(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val n = arr.numElements()

@@ -167,6 +167,22 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(wordArrays(s, d, 3))
 
+  /** d2_sigs: the raw MinHash signatures d2/d19/d22/d23 band — one
+    * (doc_id, perm, sig_val) row per permutation, exactly the longs
+    * MinHashShingleSig computes. This is the LSH family's anchor to the
+    * DuckDB gate: the signature pipeline (xxhash64 word hashes → FNV
+    * shingle fold → per-permutation fmix64 → signed min) is
+    * deterministic integer arithmetic, replayed mod-2^64 in HUGEINT SQL
+    * (SparkEntry's d2_sigs oracle). Candidate RECALL stays
+    * probabilistic (rows-only d2), but with hash-exact signatures the
+    * only unverified step left is the banding join itself. */
+  def minhashSigs(s: SparkSession, d: String): DataFrame =
+    wordArrays(s, d, 3)
+      .withColumn("sig",
+        graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, 16))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "sig_val")))
+      .orderBy("doc_id", "perm")
+
   /** Core MinHash+LSH pipeline over any (doc_id, ws: array<string>)
     * frame — shared by the query entry and large-scale callers. */
   def minhashLshPairs(words: DataFrame): DataFrame = {

@@ -20,6 +20,26 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("d2_sigs: signatures are exactly the longs the d2 LSH pipeline bands") {
+    import org.apache.spark.sql.functions._
+    // the registered signature entry must agree with what minhashLsh
+    // actually computes (same expression, same params) — pin the wiring
+    // so the oracle keeps gating the real d2 arithmetic
+    val sigs = graft.operators.Dedup.minhashSigs(spark, sf)
+    assert(sigs.columns.toSeq == Seq("doc_id", "perm", "sig_val"))
+    val perDoc = sigs.groupBy("doc_id").count().select("count").distinct().collect()
+    assert(perDoc.map(_.getLong(0)).toSeq == Seq(16L), "16 perms per doc")
+    // rebuild one doc's signature through the expression directly
+    val one = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sig",
+        graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, 16))
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "sig_val")))
+    assert(sigs.exceptAll(one).count() == 0 && one.exceptAll(sigs).count() == 0)
+  }
+
   test("DirMemo: concurrent first callers build exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_memo_cc").toFile
     java.nio.file.Files.write(new java.io.File(dir, "t.bin").toPath, "v".getBytes)
