@@ -108,6 +108,11 @@ object SparkEntry {
     // (view|signup) click{1,2} purchase within 48h — the q57 automaton
     // with overflow/underflow kill states; oracle replays the machine
     "q64_cep_bounded"     -> (Cep.eventPatternBounded _),
+    // AFTER MATCH SKIP TO NEXT ROW (overlapping matches):
+    // view (click|view)* purchase — interior views open their own
+    // attempts, all closing on the same purchase; oracle is pure
+    // window SQL (first non-mid boundary row per view)
+    "q65_cep_skip_next"   -> (Cep.eventPatternSkipToNext _),
     // LLM-training-data pipeline operators
     "d1_exact_dedup"      -> (Dedup.exactDedup _),
     "d2_minhash_lsh"      -> (Dedup.minhashLsh _),
@@ -1544,6 +1549,39 @@ object SparkEntry {
          |  m_eid AS end_event_id, m_ets AS end_ts, m_nmid AS n_mid
          |FROM rec WHERE m_eid IS NOT NULL
          |ORDER BY user_id, start_event_id""".stripMargin
+    },
+
+    // q65: SKIP TO NEXT ROW needs no recursion — for the pattern
+    // view (click|view)* purchase every interior row of a match is a
+    // mid by construction, so each view's attempt is decided entirely
+    // by the FIRST following non-(click|view) row: a match iff that
+    // boundary row is an in-span purchase, with n_mid = the row gap.
+    // (The reverse running MIN over boundary row numbers is the whole
+    // automaton; matches overlap exactly where interior views open
+    // their own attempts onto the same purchase.)
+    "q65_cep_skip_next" -> {
+      val us = graft.operators.Cep.SpanUs
+      s"""WITH base AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    CASE WHEN event_type = 'view' THEN 4
+         |         WHEN event_type = 'click' THEN 1
+         |         WHEN event_type = 'purchase' THEN 2 ELSE 3 END AS tag,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) AS rn
+         |  FROM events),
+         |nb AS (
+         |  SELECT user_id, event_id, ts, tag, rn,
+         |    MIN(CASE WHEN tag IN (2, 3) THEN rn END) OVER (
+         |      PARTITION BY user_id ORDER BY rn
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb_rn
+         |  FROM base)
+         |SELECT v.user_id, v.event_id AS start_event_id, v.ts AS start_ts,
+         |  b.event_id AS end_event_id, b.ts AS end_ts,
+         |  CAST(b.rn - v.rn - 1 AS INT) AS n_mid
+         |FROM nb v JOIN base b ON b.user_id = v.user_id AND b.rn = v.nb_rn
+         |WHERE v.tag = 4 AND b.tag = 2
+         |  AND date_diff('microsecond', v.ts, b.ts) <= $us
+         |ORDER BY v.user_id, start_event_id""".stripMargin
     },
 
     "q56_range_join" ->

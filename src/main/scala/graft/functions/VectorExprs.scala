@@ -1157,20 +1157,43 @@ case class LegLookup(left: Expression, right: Expression)
 /** MATCH_RECOGNIZE-style event-pattern automaton over ONE key's
   * time-ordered events (the q57 CEP core): greedy matches of
   * `view click* purchase` with the whole match inside `spanUs`
-  * microseconds of the opening view, AFTER MATCH SKIP PAST LAST ROW.
-  * Input rows are (ts, event_id, tag) with tag 0=view / 1=click /
-  * 2=purchase / 3=other, sorted ascending (struct sort on the unique
-  * (ts, event_id) key makes the order total). Single-pass no-backtrack
-  * is EXACT for this pattern family: on any failure/expiry/restart,
-  * rescanning from start+1 only meets clicks (which cannot open a
-  * match) before the current row, so the automaton's "evaluate the
-  * current row from IDLE" shortcut visits the same states SQL:2016
-  * skip-to-next-row semantics would.
+  * microseconds of the opening view. Input rows are (ts, event_id,
+  * tag) with tag 0=start / 1=mid / 2=end / 3=other / 4=start-or-mid,
+  * sorted ascending (struct sort on the unique (ts, event_id) key
+  * makes the order total).
+  *
+  * Two AFTER MATCH modes (SQL:2016 §R021):
+  *
+  *  - `skipToNext = false` (SKIP PAST LAST ROW, the default): one
+  *    attempt at a time. Single-pass no-backtrack is EXACT for
+  *    disjoint start/mid/end sets: on any failure/expiry/restart,
+  *    rescanning from start+1 only meets mid rows (which cannot open a
+  *    match) before the current row, so the automaton's "evaluate the
+  *    current row from IDLE" shortcut visits the same states the
+  *    sequential semantics would. Tag 4 is rejected here: with a
+  *    bounded maxMid, a failed long attempt can hide a shorter inner
+  *    attempt this single-attempt machine would not track.
+  *
+  *  - `skipToNext = true` (SKIP TO NEXT ROW): matching resumes at the
+  *    row AFTER the matched start, so matches may OVERLAP — meaningful
+  *    exactly when a start row can also be consumed as a mid (tag 4,
+  *    e.g. `view (click|view)* purchase`). The machine keeps every
+  *    open attempt (one per un-killed start row): a mid advances all,
+  *    per-attempt overflow/expiry kills individually, a pure start or
+  *    an `other` row kills all (strict contiguity — no open attempt
+  *    can consume it), and an end row closes EVERY in-span attempt
+  *    (match iff its mid count is in bounds). This is exact because
+  *    the sequential semantics evaluates each start row's attempt
+  *    independently, and attempts here never interact. Open-attempt
+  *    count is bounded by the start rows inside one span window.
+  *    With disjoint sets (no tag 4) it degenerates to one open
+  *    attempt and equals SKIP PAST LAST ROW (spec-pinned).
   *
   * Emits array<struct<start_event_id, start_ts, end_event_id, end_ts,
-  * n_mid>> — one element per completed match, in stream order. */
+  * n_mid>> — one element per completed match, in match order (ties on
+  * one end row in start order). */
 case class EventMatches(child: Expression, spanUs: Long,
-    minMid: Int = 0, maxMid: Int = Int.MaxValue)
+    minMid: Int = 0, maxMid: Int = Int.MaxValue, skipToNext: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(spanUs > 0, s"spanUs must be positive, got $spanUs")
   require(minMid >= 0 && maxMid >= minMid,
@@ -1181,7 +1204,13 @@ case class EventMatches(child: Expression, spanUs: Long,
     StructField("end_event_id", LongType, nullable = false),
     StructField("end_ts", TimestampType, nullable = false),
     StructField("n_mid", IntegerType, nullable = false))), containsNull = false)
-  override def nullSafeEval(in: Any): Any = {
+
+  private final class Attempt(val sTs: Long, val sId: Long) { var nMid: Int = 0 }
+
+  override def nullSafeEval(in: Any): Any =
+    if (skipToNext) evalSkipToNext(in) else evalPastLast(in)
+
+  private def evalPastLast(in: Any): Any = {
     val arr = in.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -1193,6 +1222,9 @@ case class EventMatches(child: Expression, spanUs: Long,
       val ts = row.getLong(0)
       val id = row.getLong(1)
       val tag = row.getInt(2)
+      if (tag == 4)
+        throw new IllegalStateException(
+          "start∩mid tags require skipToNext mode (see scaladoc)")
       val inSpan = started && ts - sTs <= spanUs
       if (inSpan && tag == 2) {
         // an end row always closes the attempt: a MATCH iff the mid
@@ -1218,6 +1250,46 @@ case class EventMatches(child: Expression, spanUs: Long,
     }
     new GenericArrayData(out.toArray)
   }
+
+  private def evalSkipToNext(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val open = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 3)
+      val ts = row.getLong(0)
+      val id = row.getLong(1)
+      val tag = row.getInt(2)
+      // span expiry is per attempt: an attempt the current row falls
+      // outside of could not consume ANY later row either (ts ascends)
+      if (open.nonEmpty) open.filterInPlace(a => ts - a.sTs <= spanUs)
+      tag match {
+        case 2 => // closes every open attempt; matches emit in start order
+          open.foreach { a =>
+            if (a.nMid >= minMid && a.nMid <= maxMid)
+              out += InternalRow(a.sId, a.sTs, id, ts, a.nMid)
+          }
+          open.clear()
+        case 1 =>
+          open.foreach(_.nMid += 1)
+          open.filterInPlace(_.nMid <= maxMid)
+        case 0 => // a pure start: no open attempt can consume it — all die
+          open.clear()
+          open += new Attempt(ts, id)
+        case 4 => // start-or-mid: advances every open attempt AND opens its own
+          open.foreach(_.nMid += 1)
+          open.filterInPlace(_.nMid <= maxMid)
+          open += new Attempt(ts, id)
+        case _ =>
+          open.clear()
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   override protected def withNewChildInternal(c: Expression): EventMatches = copy(child = c)
 }
 
@@ -1247,6 +1319,9 @@ object VectorExprs {
   def eventMatches(c: Column, spanUs: Long): Column = toCol(EventMatches(toExpr(c), spanUs))
   def eventMatches(c: Column, spanUs: Long, minMid: Int, maxMid: Int): Column =
     toCol(EventMatches(toExpr(c), spanUs, minMid, maxMid))
+  def eventMatches(c: Column, spanUs: Long, minMid: Int, maxMid: Int,
+      skipToNext: Boolean): Column =
+    toCol(EventMatches(toExpr(c), spanUs, minMid, maxMid, skipToNext))
   def legLookup(legs: Column, legId: Column): Column =
     toCol(LegLookup(toExpr(legs), toExpr(legId)))
   def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))

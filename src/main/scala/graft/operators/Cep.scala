@@ -54,6 +54,20 @@ object Cep {
     eventPatternOf(Tables.events(s, d),
       startTypes = Seq("view", "signup"), minMid = 1, maxMid = 2)
 
+  /** q65 registered entry: AFTER MATCH SKIP TO NEXT ROW (SQL:2016's
+    * overlapping-match mode) — `view (click|view)* purchase` within the
+    * span. The start type is ALSO a mid type, so a match's interior can
+    * hold later starts whose own matches share the same closing
+    * purchase; skip-to-next emits all of them where q57's
+    * skip-past-last would emit only the earliest. Oracle: pure window
+    * SQL, no recursion — for each view, the FIRST following
+    * non-(click|view) row; a match iff that boundary is an in-span
+    * purchase (all interior rows are mids by construction, so
+    * n_mid = boundary_rn - start_rn - 1). */
+  def eventPatternSkipToNext(s: SparkSession, d: String): DataFrame =
+    eventPatternOf(Tables.events(s, d),
+      midTypes = Seq("click", "view"), skipToNextRow = true)
+
   /** Core of [[eventPattern]]; expects (user_id, ts, event_id,
     * event_type) columns. The pattern is `start mid* end` over
     * arbitrary event-type sets (defaults = q57's view/click/purchase):
@@ -66,16 +80,22 @@ object Cep {
       startTypes: Seq[String] = Seq("view"),
       midTypes: Seq[String] = Seq("click"),
       endTypes: Seq[String] = Seq("purchase"),
-      minMid: Int = 0, maxMid: Int = Int.MaxValue): DataFrame = {
+      minMid: Int = 0, maxMid: Int = Int.MaxValue,
+      skipToNextRow: Boolean = false): DataFrame = {
+    // end stays disjoint from everything; start∩mid (the overlap that
+    // makes matches overlap-capable) is only meaningful — and only
+    // tracked exactly — under skip-to-next-row (see EventMatches)
     require(startTypes.nonEmpty && endTypes.nonEmpty &&
-      (startTypes ++ midTypes ++ endTypes).distinct.length ==
-        startTypes.length + midTypes.length + endTypes.length,
-      "start/mid/end event-type sets must be non-empty (mid may be empty) and disjoint")
+      endTypes.intersect(startTypes ++ midTypes).isEmpty &&
+      (skipToNextRow || startTypes.intersect(midTypes).isEmpty),
+      "start/end non-empty, end disjoint from start∪mid; start∩mid needs skipToNextRow")
     val midCond =
       if (midTypes.isEmpty) lit(false) else col("event_type").isin(midTypes: _*)
+    val startCond = col("event_type").isin(startTypes: _*)
     events
       .select(col("user_id"), struct(col("ts"), col("event_id"),
-        when(col("event_type").isin(startTypes: _*), 0)
+        when(startCond && midCond, 4)
+          .when(startCond, 0)
           .when(midCond, 1)
           .when(col("event_type").isin(endTypes: _*), 2)
           .otherwise(3).as("tag")).as("e"))
@@ -83,7 +103,7 @@ object Cep {
       .agg(sort_array(collect_list(col("e"))).as("evs"))
       .select(col("user_id"),
         explode(graft.functions.VectorExprs.eventMatches(
-          col("evs"), spanUs, minMid, maxMid)).as("m"))
+          col("evs"), spanUs, minMid, maxMid, skipToNextRow)).as("m"))
       .select(col("user_id"),
         col("m.start_event_id").as("start_event_id"), col("m.start_ts").as("start_ts"),
         col("m.end_event_id").as("end_event_id"), col("m.end_ts").as("end_ts"),

@@ -40,6 +40,51 @@ class Round15Spec extends SparkSpec {
     assert(sigs.exceptAll(one).count() == 0 && one.exceptAll(sigs).count() == 0)
   }
 
+  test("q65 SKIP TO NEXT ROW: overlapping matches, per-attempt kill semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // user 1: view@0 click view@2 click purchase@4
+    //   -> TWO overlapping matches sharing the purchase: (v0, n_mid=3), (v2, n_mid=1)
+    // user 2: view@0 error view@2 purchase@3
+    //   -> 'other' kills ALL open attempts; only (v2, n_mid=0) matches
+    // user 3: view@0 view@1 purchase@2
+    //   -> interior view is mid for v0 AND opens its own: (v0,1), (v1,0)
+    // user 4: view@0 click purchase@5000 (span expired) -> no match
+    // user 5: click purchase@1 -> no attempt, no match
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 1L, "click"), (1L, 2L, "view"), (1L, 3L, "click"),
+      (1L, 4L, "purchase"),
+      (2L, 0L, "view"), (2L, 1L, "error"), (2L, 2L, "view"), (2L, 3L, "purchase"),
+      (3L, 0L, "view"), (3L, 1L, "view"), (3L, 2L, "purchase"),
+      (4L, 0L, "view"), (4L, 1L, "click"), (4L, 5000L, "purchase"),
+      (5L, 0L, "click"), (5L, 1L, "purchase"))
+      .zipWithIndex.map { case ((u, m, t), i) => (u, ts(m), i.toLong, t) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = graft.operators.Cep.eventPatternOf(rows,
+        midTypes = Seq("click", "view"), skipToNextRow = true)
+      .select("user_id", "start_ts", "end_ts", "n_mid")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000L,
+        r.getTimestamp(2).getTime / 60000L, r.getInt(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, 3), (1L, 2L, 4L, 1),
+      (2L, 2L, 3L, 0),
+      (3L, 0L, 2L, 1), (3L, 1L, 2L, 0)), s"got $got")
+
+    // degenerate pin: with DISJOINT sets skip-to-next has one open
+    // attempt and must equal SKIP PAST LAST ROW exactly (real corpus)
+    val ev = Tables.events(spark, sf)
+    val pastLast = graft.operators.Cep.eventPatternOf(ev)
+    val skipNext = graft.operators.Cep.eventPatternOf(ev, skipToNextRow = true)
+    assert(pastLast.exceptAll(skipNext).count() == 0 &&
+      skipNext.exceptAll(pastLast).count() == 0)
+
+    // overlap sets without skip-to-next must be rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Cep.eventPatternOf(ev, midTypes = Seq("click", "view"))
+    }
+  }
+
   test("DirMemo: concurrent first callers build exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_memo_cc").toFile
     java.nio.file.Files.write(new java.io.File(dir, "t.bin").toPath, "v".getBytes)
