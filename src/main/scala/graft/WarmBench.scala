@@ -2,17 +2,27 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Warm per-operator probe: runs every query serially TWICE and prints
-  * the second-pass time — parquet footers, codegen classes, and JIT are
-  * warm, so the number is the per-operator engine cost rather than
-  * first-touch latency (the per-query floor that dominates Bench at
-  * 100k-row scale). Run:
-  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.WarmBench"
+/** Warm per-operator probe: runs each query serially — one cold pass,
+  * then [[WarmReps]] warm passes — and reports the MIN warm time:
+  * parquet footers, codegen classes, and JIT are warm, so the number is
+  * the per-operator engine cost rather than first-touch latency (the
+  * per-query floor that dominates Bench at 100k-row scale), and min-of-3
+  * sheds one-off scheduling noise the way QProbe's cal probe does.
+  * Optional first arg: comma-separated query-name filter (the 10×
+  * per-entry probe list rides this). Run:
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.WarmBench [q1,q2,...]"
   */
 object WarmBench {
+  val WarmReps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = args.headOption.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown query names: $unknown")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,7 +30,9 @@ object WarmBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val roster = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = roster.map { case (name, fn) =>
       // A crashing query must not masquerade as a fast warm pass: report
       // -1 (like Bench's errors contract) and print the failure.
       def once(): Double = {
@@ -31,8 +43,9 @@ object WarmBench {
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val cold = once()
-      val warm = once()
-      println(f"[warm] $name%-24s cold=$cold%6.2f s warm=$warm%6.2f s")
+      val warms = Seq.fill(WarmReps)(once())
+      val warm = if (warms.exists(_ < 0)) -1.0 else warms.min
+      println(f"[warm] $name%-24s cold=$cold%6.2f s warm(min of $WarmReps)=$warm%6.2f s")
       name -> warm
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

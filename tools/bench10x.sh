@@ -26,6 +26,21 @@ if echo "$LINE" | grep -q '"contended":true'; then
   sync; sleep 20
   LINE="$(capture)"
 fi
+# Per-entry warm probes (serial, min-of-3 warm passes each): the
+# concurrent suite's per-query latencies inflate with queueing, so the
+# 10x regression question ("did d45 get slower or just queued later?")
+# is only answerable from these. List = the top-10 10x entries by r13
+# wall plus the two flagged apparent regressions (d45, d32).
+PROBE_LIST="${PROBE_LIST:-d36_corpus_pipeline,d56_quality_classifier,q54_silver_import,q53_order_legs,d23_incremental_dedup,d42_substr_clip,q49_chain_flatten,d20_dup_clusters,d41_exact_substr,d3_simhash,d45_semdedup,d32_pq_ann}"
+PROBES="$(SPARK_GRAFT_SF_DIR="$AMP_DIR" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=32g \
+  sbt -batch "runMain graft.WarmBench $PROBE_LIST" 2>&1 | grep -o '{"metric":"warm_serial_sum".*}' | tail -1)"
 OUT="BENCH_10x_r${ROUND}.json"
-echo "$LINE" | python3 -m json.tool > "$OUT"
+python3 - "$OUT" <<PYEOF
+import json, sys
+line = json.loads('''$LINE''')
+probes = json.loads('''$PROBES''')
+line["warm_probes"] = probes.get("queries", {})
+line["warm_probes_note"] = "serial per-entry min-of-3 warm times (no suite queueing)"
+json.dump(line, open(sys.argv[1], "w"), indent=2)
+PYEOF
 echo "[bench10x] wrote $OUT (wall=$(echo "$LINE" | grep -o '"wall":[0-9.]*'))"
