@@ -424,8 +424,11 @@ object SparkEntry {
     *     two's-complement BEFORE the MIN.
     *
     * (a·b) mod 2^64 splits a into 32-bit halves (a full 64×64 product
-    * overflows int128); rotl(x,r) adds the two disjoint bit ranges. */
-  private val MinHashSigSql: String = {
+    * overflows int128); rotl(x,r) adds the two disjoint bit ranges.
+    *
+    * The CTE ends in `sigs(doc_id, p, v)` so the d2 full-pipeline
+    * oracle can extend it with the murmur3 band hashes. */
+  private val MinHashSigCte: String = {
     val M64 = "18446744073709551616::HUGEINT"
     val u32 = BigInt(1) << 32
     def u(l: Long): BigInt = BigInt(java.lang.Long.toUnsignedString(l))
@@ -536,9 +539,69 @@ object SparkEntry {
        |    CASE WHEN xor(v, v >> 33) >= 9223372036854775808
        |         THEN xor(v, v >> 33) - $M64
        |         ELSE xor(v, v >> 33) END::BIGINT AS v
-       |  FROM pv2 )
-       |SELECT doc_id, p::INTEGER AS perm, min(v) AS sig_val
-       |FROM pv3 GROUP BY doc_id, p ORDER BY doc_id, perm""".stripMargin
+       |  FROM pv2
+       |), sigs AS (
+       |  SELECT doc_id, p, min(v) AS v FROM pv3 GROUP BY doc_id, p
+       |)""".stripMargin
+  }
+
+  /** The d2 FULL-pipeline oracle: [[MinHashSigCte]]'s signatures plus
+    * Spark's murmur3 `hash()` over each 4-long band slice, replayed
+    * mod-2^32 (Murmur3_x86_32.hashLong per element: two k1-mixes over
+    * the low/high halves, `h ^= 8`, then the 32-bit avalanche —
+    * validated value-exact against Spark). Candidates come from BAND
+    * HASH equality exactly like the engine (a 2^-32 hash collision
+    * would pair docs in both dialects identically), then the positional
+    * agreement count, the /16 estimate and the 0.5 floor replay
+    * Dedup.minhashLshPairs verbatim. */
+  private val MinHashLshSql: String = {
+    val M32 = "4294967296::HUGEINT"
+    def r32(x: String, r: Int): String =
+      s"((($x) * ${1L << r}) % $M32 + (($x) >> ${32 - r}))"
+    def mix(h: String, k: String): String = {
+      val k3 = s"((${r32(s"(($k) * 3432918353::HUGEINT) % $M32", 15)}) * 461845907) % $M32"
+      s"((${r32(s"xor($h, $k3)", 13)}) * 5 + 3864292196) % $M32"
+    }
+    def fmix32(h: String): String = {
+      val a = s"(xor($h, ($h) >> 16) * 2246822507) % $M32"
+      val b = s"(xor($a, ($a) >> 13) * 3266489909) % $M32"
+      s"xor($b, ($b) >> 16)"
+    }
+    def hashLong(h: String, u: String): String =
+      fmix32(s"xor(${mix(mix(h, s"($u) % $M32"), s"($u) // $M32")}, 8)")
+    s"""$MinHashSigCte, su AS (
+       |  -- the banded value is the signed long's BIT PATTERN
+       |  SELECT doc_id, p,
+       |    CASE WHEN v < 0 THEN v + 18446744073709551616::HUGEINT
+       |         ELSE v::HUGEINT END AS u
+       |  FROM sigs
+       |), bp AS (
+       |  SELECT doc_id, p // 4 AS band,
+       |    MAX(CASE WHEN p % 4 = 0 THEN u END) AS u0,
+       |    MAX(CASE WHEN p % 4 = 1 THEN u END) AS u1,
+       |    MAX(CASE WHEN p % 4 = 2 THEN u END) AS u2,
+       |    MAX(CASE WHEN p % 4 = 3 THEN u END) AS u3
+       |  FROM su GROUP BY doc_id, p // 4
+       |), mb0 AS ( SELECT doc_id, band, u1, u2, u3, ${hashLong("42::HUGEINT", "u0")} AS h FROM bp
+       |), mb1 AS ( SELECT doc_id, band, u2, u3, ${hashLong("h", "u1")} AS h FROM mb0
+       |), mb2 AS ( SELECT doc_id, band, u3, ${hashLong("h", "u2")} AS h FROM mb1
+       |), mb3 AS ( SELECT doc_id, band, ${hashLong("h", "u3")} AS h FROM mb2
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mb3 a JOIN mb3 b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+       |), agree AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS INT) AS n_agree
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.id_a
+       |  JOIN sigs sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+       |  GROUP BY c.id_a, c.id_b
+       |)
+       |SELECT id_a, id_b, n_agree,
+       |  CAST(n_agree AS DOUBLE) / CAST(16.0 AS DOUBLE) AS est_jaccard
+       |FROM agree WHERE n_agree >= 8
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Shared BPE-replay CTE prefix for the d37/d39 oracles: train the
@@ -1602,8 +1665,15 @@ object SparkEntry {
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
 
     // d2_sigs: full HUGEINT mod-2^64 replay of the MinHash signature
-    // pipeline (see MinHashSigSql's scaladoc) — the LSH family's anchor
-    "d2_sigs" -> MinHashSigSql,
+    // pipeline (see MinHashSigCte's scaladoc) — the LSH family's anchor
+    "d2_sigs" ->
+      s"""$MinHashSigCte
+         |SELECT doc_id, p::INTEGER AS perm, v AS sig_val
+         |FROM sigs ORDER BY doc_id, perm""".stripMargin,
+
+    // d2: the WHOLE MinHash+LSH pipeline — signatures + murmur3 band
+    // hashes + candidate join + agreement estimate (see MinHashLshSql)
+    "d2_minhash_lsh" -> MinHashLshSql,
 
     "d4_ngram_jaccard" ->
       """WITH tok0 AS (

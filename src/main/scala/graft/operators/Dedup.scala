@@ -162,7 +162,12 @@ object Dedup {
     * jaccard estimate (signature agreement). Signature computed by the
     * custom MinHashSig Catalyst expression — one tight
     * O(shingles × perms) loop per row (the HOF formulation ran
-    * interpreted and dominated the whole benchmark). rows-only oracle.
+    * interpreted and dominated the whole benchmark). Oracle-EXACT since
+    * round 15: the DuckDB twin replays signatures (HUGEINT mod-2^64,
+    * see SparkEntry.MinHashSigCte), the murmur3 band hashes (mod-2^32,
+    * MinHashLshSql), the band-equality candidate join, and the
+    * agreement estimate — hash collisions pair docs identically in
+    * both dialects, so the whole pipeline is deterministic.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(wordArrays(s, d, 3))
