@@ -428,44 +428,43 @@ object SparkEntry {
     *
     * The CTE ends in `sigs(doc_id, p, v)` so the d2 full-pipeline
     * oracle can extend it with the murmur3 band hashes. */
-  private val MinHashSigCte: String = {
+  /** Shared DuckDB mod-2^64 helpers for the integer-replay oracles
+    * (d2_sigs / d2 / d3): (a·b) mod 2^64 splits a into 32-bit halves
+    * (a full 64×64 product overflows int128); rotl adds the two
+    * disjoint bit ranges; le/leAt assemble little-endian lanes from
+    * word bytes. */
+  private object U64Sql {
     val M64 = "18446744073709551616::HUGEINT"
-    val u32 = BigInt(1) << 32
+    private val u32 = BigInt(1) << 32
     def u(l: Long): BigInt = BigInt(java.lang.Long.toUnsignedString(l))
     def mm(a: String, b: BigInt): String =
       s"((($a) % 4294967296) * $b + (((($a) // 4294967296) * ${b % u32}) % 4294967296) * 4294967296) % $M64"
     def rl(x: String, r: Int): String =
       s"((($x) * ${BigInt(1) << r}) % $M64 + (($x) >> ${64 - r}))"
-    // xxHash64 / murmur3-fmix64 / FNV constants (public algorithms)
-    val P1 = u(0x9E3779B185EBCA87L); val P2 = u(0xC2B2AE3D27D4EB4FL)
-    val P3 = u(0x165667B19E3779F9L); val P4 = u(0x85EBCA77C2B2AE63L)
-    val P5 = u(0x27D4EB2F165667C5L)
-    val FNV = u(0x100000001B3L)
-    val C1 = u(0xFF51AFD7ED558CCDL); val C2 = u(0xC4CEB9FE1A85EC53L)
-    val permRows = (0 until 16).map { p =>
-      s"(${p}, ${u(graft.functions.MinHashShingleSig.muls(16)(p))}::HUGEINT, " +
-        s"${u(graft.functions.MinHashShingleSig.adds(16)(p))}::HUGEINT)"
-    }.mkString(",\n    ")
     def le(start: Int, count: Int): String = (0 until count).map { i =>
       s"COALESCE(ord(substr(w,${start + i},1)),0)::HUGEINT * ${BigInt(256).pow(i)}"
     }.mkString(" + ")
     def leAt(startExpr: String, count: Int): String = (0 until count).map { i =>
       s"ord(substr(w, ($startExpr) + $i, 1))::HUGEINT * ${BigInt(256).pow(i)}"
     }.mkString(" + ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS ws
-       |  FROM documents
-       |), docs3 AS (
-       |  SELECT doc_id, ws FROM toks WHERE len(ws) >= 3
-       |), words AS (
-       |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, unnest(ws) AS w FROM docs3
-       |), vocab AS (
-       |  SELECT DISTINCT w FROM words
-       |), h0 AS (
+  }
+
+  /** xxhash64(word, seed 42) replayed in HUGEINT SQL: a CTE FRAGMENT
+    * that expects a preceding `vocab(w)` CTE and ends in `wh(w, wh)`
+    * (unsigned 64-bit word hashes) — shared by the d2-family signature
+    * oracle and the d3 SimHash oracle. Lanes per the xxHash64 short
+    * path (two optional 8-byte LE lanes, computed-offset 4-byte lane,
+    * ≤ 3 tail bytes, avalanche); words past 16 bytes fail loudly. */
+  private val Xxh64WordChain: String = {
+    import U64Sql._
+    val P1 = u(0x9E3779B185EBCA87L); val P2 = u(0xC2B2AE3D27D4EB4FL)
+    val P3 = u(0x165667B19E3779F9L); val P4 = u(0x85EBCA77C2B2AE63L)
+    val P5 = u(0x27D4EB2F165667C5L)
+    s"""h0 AS (
        |  SELECT w, octet_length(encode(w)) AS n,
        |    (42 + $P5 + octet_length(encode(w)))::HUGEINT AS a,
        |    CASE WHEN octet_length(encode(w)) >= 8 THEN ${le(1, 8)}
-       |         WHEN octet_length(encode(w)) > 16 THEN CAST(error('d2_sigs oracle: word over 16 bytes - extend the xxh64 lanes') AS HUGEINT)
+       |         WHEN octet_length(encode(w)) > 16 THEN CAST(error('xxh64 oracle: word over 16 bytes - extend the lanes') AS HUGEINT)
        |    END AS k8a,
        |    CASE WHEN octet_length(encode(w)) >= 16 THEN ${le(9, 8)} END AS k8b
        |  FROM vocab
@@ -514,8 +513,28 @@ object SparkEntry {
        |  FROM sb2
        |), fm1 AS ( SELECT w, ${mm("xor(h, h >> 33)", P2)} AS h FROM sb3
        |), fm2 AS ( SELECT w, ${mm("xor(h, h >> 29)", P3)} AS h FROM fm1
-       |), wh AS ( SELECT w, xor(h, h >> 32) AS wh FROM fm2
-       |), seq AS (
+       |), wh AS ( SELECT w, xor(h, h >> 32) AS wh FROM fm2 )""".stripMargin
+  }
+
+  private val MinHashSigCte: String = {
+    import U64Sql.{M64, u, mm}
+    // FNV / murmur3-fmix64 constants (public algorithms)
+    val FNV = u(0x100000001B3L)
+    val C1 = u(0xFF51AFD7ED558CCDL); val C2 = u(0xC4CEB9FE1A85EC53L)
+    val permRows = (0 until 16).map { p =>
+      s"(${p}, ${u(graft.functions.MinHashShingleSig.muls(16)(p))}::HUGEINT, " +
+        s"${u(graft.functions.MinHashShingleSig.adds(16)(p))}::HUGEINT)"
+    }.mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents
+       |), docs3 AS (
+       |  SELECT doc_id, ws FROM toks WHERE len(ws) >= 3
+       |), words AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ws))) AS pos, unnest(ws) AS w FROM docs3
+       |), vocab AS (
+       |  SELECT DISTINCT w FROM words
+       |), $Xxh64WordChain, seq AS (
        |  SELECT doc_id, wh.wh AS h1,
        |    lead(wh.wh) OVER win AS h2, lead(wh.wh, 2) OVER win AS h3
        |  FROM words JOIN wh USING (w)
@@ -603,6 +622,47 @@ object SparkEntry {
        |FROM agree WHERE n_agree >= 8
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** The d3 SimHash oracle: per-doc 64-bit fingerprints (xxhash64 word
+    * hashes via [[Xxh64WordChain]], ±1 bit votes over the DISTINCT word
+    * set, sign → bit) then the engine's 4×16-bit banding and hamming ≤ 3
+    * verify — all deterministic integer arithmetic, so the whole d3
+    * pipeline is hash-exact. DuckDB's HUGEINT keeps the fingerprint
+    * unsigned; banding takes plain (fpu >> 16b) % 65536, identical to
+    * Spark's sign-extending shiftright & 65535 because the mask keeps
+    * only original-bit positions ≤ 63; hamming is bit_count(xor). */
+  private val SimHashSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' ') AS ws
+       |  FROM documents
+       |), dw0 AS (
+       |  SELECT doc_id, unnest(ws) AS w FROM toks
+       |), dw AS (
+       |  SELECT DISTINCT doc_id, w FROM dw0
+       |), vocab AS (
+       |  SELECT DISTINCT w FROM dw
+       |), $Xxh64WordChain,
+       |bits AS (SELECT unnest(generate_series(0, 63)) AS b),
+       |votes AS (
+       |  SELECT dw.doc_id, bits.b,
+       |    SUM(CASE WHEN (wh.wh >> bits.b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM dw JOIN wh USING (w) CROSS JOIN bits
+       |  GROUP BY dw.doc_id, bits.b
+       |), fp AS (
+       |  SELECT doc_id,
+       |    COALESCE(SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END), 0)::HUGEINT AS fpu
+       |  FROM votes GROUP BY doc_id
+       |), banded AS (
+       |  SELECT doc_id, fpu, bands.band, (fpu >> (bands.band * 16)) % 65536 AS bucket
+       |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bands
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(MIN(bit_count(xor(a.fpu, b.fpu))) AS INT) AS hd
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fpu, b.fpu)) <= 3
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Shared BPE-replay CTE prefix for the d37/d39 oracles: train the
     * merge table (recursive, depth = numMerges) and greedy-encode every
@@ -1674,6 +1734,10 @@ object SparkEntry {
     // d2: the WHOLE MinHash+LSH pipeline — signatures + murmur3 band
     // hashes + candidate join + agreement estimate (see MinHashLshSql)
     "d2_minhash_lsh" -> MinHashLshSql,
+
+    // d3: the WHOLE SimHash pipeline — fingerprints + 16-bit banding +
+    // hamming ≤ 3 verify (see SimHashSql)
+    "d3_simhash" -> SimHashSql,
 
     "d4_ngram_jaccard" ->
       """WITH tok0 AS (

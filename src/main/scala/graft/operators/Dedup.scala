@@ -236,7 +236,10 @@ object Dedup {
     * the per-band equi-join are verified with the exact popcount
     * Hamming distance; pairs found in several bands dedupe via groupBy.
     * Output feeds [[connectedComponents]] → [[dedupedCorpus]].
-    * rows-only oracle (spec proves pair parity vs brute-force Hamming).
+    * Oracle-EXACT since round 15 (SparkEntry.SimHashSql replays the
+    * fingerprints, the banding and the popcount verify in integer SQL);
+    * the brute-force-Hamming pair-parity spec remains as the
+    * recall-losslessness proof of the banding itself.
     */
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashPairs(simhashFingerprints(s, d))
