@@ -573,7 +573,15 @@ object SparkEntry {
     * would pair docs in both dialects identically), then the positional
     * agreement count, the /16 estimate and the 0.5 floor replay
     * Dedup.minhashLshPairs verbatim. */
-  private val MinHashLshSql: String = {
+  /** Spark's murmur3 `hash()` over each 4-long band slice of the
+    * signatures, replayed mod-2^32: a CTE FRAGMENT expecting a
+    * preceding `sigs(doc_id, p, v)` (signed BIGINT) and ending in
+    * `mb3(doc_id, band, h)` — shared by the d2 and d19 oracles.
+    * Murmur3_x86_32.hashLong per element (two k1-mixes over the
+    * low/high 32-bit halves, `h ^= 8`, 32-bit avalanche), seed 42,
+    * value-validated against Spark; the banded value is the signed
+    * long's BIT PATTERN. */
+  private val MurmurBandCte: String = {
     val M32 = "4294967296::HUGEINT"
     def r32(x: String, r: Int): String =
       s"((($x) * ${1L << r}) % $M32 + (($x) >> ${32 - r}))"
@@ -588,8 +596,7 @@ object SparkEntry {
     }
     def hashLong(h: String, u: String): String =
       fmix32(s"xor(${mix(mix(h, s"($u) % $M32"), s"($u) // $M32")}, 8)")
-    s"""$MinHashSigCte, su AS (
-       |  -- the banded value is the signed long's BIT PATTERN
+    s"""su AS (
        |  SELECT doc_id, p,
        |    CASE WHEN v < 0 THEN v + 18446744073709551616::HUGEINT
        |         ELSE v::HUGEINT END AS u
@@ -605,7 +612,11 @@ object SparkEntry {
        |), mb1 AS ( SELECT doc_id, band, u2, u3, ${hashLong("h", "u1")} AS h FROM mb0
        |), mb2 AS ( SELECT doc_id, band, u3, ${hashLong("h", "u2")} AS h FROM mb1
        |), mb3 AS ( SELECT doc_id, band, ${hashLong("h", "u3")} AS h FROM mb2
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  private val MinHashLshSql: String = {
+    s"""$MinHashSigCte, $MurmurBandCte, cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM mb3 a JOIN mb3 b
        |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
@@ -621,6 +632,70 @@ object SparkEntry {
        |  CAST(n_agree AS DOUBLE) / CAST(16.0 AS DOUBLE) AS est_jaccard
        |FROM agree WHERE n_agree >= 8
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The d19 blocked-LSH oracle: Dedup.ngramJaccardViaLsh replayed end
+    * to end — k=1 MinHash signatures over each doc's DISTINCT word set
+    * (no shingle fold: the signature minhashes fmix64(mul·wh + add)
+    * directly, matching lshBands' shingleK = 1), [[MurmurBandCte]] band
+    * hashes, the (band, hash, lang, source)-blocked candidate join, and
+    * d4's exact word-set-jaccard ≥ 0.8 verify. Banding is the recall
+    * gate and the verify is the precision gate in BOTH dialects, so the
+    * emitted pair set is deterministic and hash-exact. Tokenization
+    * matches lshTokens: split(lower(text), ' '), empties removed,
+    * distinct — NOT the d2 whitespace-collapse flavor. */
+  private val JaccardLshPairsCte: String = {
+    import U64Sql.{M64, u}
+    val C1 = u(0xFF51AFD7ED558CCDL); val C2 = u(0xC4CEB9FE1A85EC53L)
+    import U64Sql.mm
+    val permRows = (0 until 16).map { p =>
+      s"(${p}, ${u(graft.functions.MinHashShingleSig.muls(16)(p))}::HUGEINT, " +
+        s"${u(graft.functions.MinHashShingleSig.adds(16)(p))}::HUGEINT)"
+    }.mkString(",\n    ")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS ws FROM documents
+       |), dw0 AS (
+       |  SELECT doc_id, lang, source, unnest(ws) AS w FROM toks
+       |), dw AS (
+       |  SELECT DISTINCT doc_id, lang, source, w FROM dw0 WHERE w <> ''
+       |), sizes AS ( SELECT doc_id, COUNT(*) AS sz FROM dw GROUP BY doc_id
+       |), blocks AS ( SELECT DISTINCT doc_id, lang, source FROM dw
+       |), vocab AS ( SELECT DISTINCT w FROM dw
+       |), $Xxh64WordChain, perms(p, mul, addc) AS ( VALUES
+       |    $permRows
+       |), pv0 AS (
+       |  SELECT dw.doc_id, p,
+       |    ((wh.wh % 4294967296) * mul + (((wh.wh // 4294967296) * (mul % 4294967296)) % 4294967296) * 4294967296
+       |      + addc) % $M64 AS v
+       |  FROM dw JOIN wh USING (w), perms
+       |), pv1 AS ( SELECT doc_id, p, ${mm("xor(v, v >> 33)", C1)} AS v FROM pv0
+       |), pv2 AS ( SELECT doc_id, p, ${mm("xor(v, v >> 33)", C2)} AS v FROM pv1
+       |), pv3 AS ( SELECT doc_id, p,
+       |    CASE WHEN xor(v, v >> 33) >= 9223372036854775808
+       |         THEN xor(v, v >> 33) - $M64
+       |         ELSE xor(v, v >> 33) END::BIGINT AS v
+       |  FROM pv2
+       |), sigs AS (
+       |  SELECT doc_id, p, min(v) AS v FROM pv3 GROUP BY doc_id, p
+       |), $MurmurBandCte, bb AS (
+       |  SELECT mb3.doc_id, mb3.band, mb3.h, b.lang, b.source
+       |  FROM mb3 JOIN blocks b USING (doc_id)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bb a JOIN bb b ON a.band = b.band AND a.h = b.h
+       |    AND a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |), inter AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN dw a ON a.doc_id = c.id_a
+       |  JOIN dw b ON b.doc_id = c.id_b AND b.w = a.w
+       |  GROUP BY c.id_a, c.id_b
+       |), lshpairs AS (
+       |  SELECT id_a, id_b, n_inter,
+       |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+       |)""".stripMargin
   }
 
   /** The d3 SimHash oracle: per-doc 64-bit fingerprints (xxhash64 word
@@ -1738,6 +1813,33 @@ object SparkEntry {
     // d3: the WHOLE SimHash pipeline — fingerprints + 16-bit banding +
     // hamming ≤ 3 verify (see SimHashSql)
     "d3_simhash" -> SimHashSql,
+
+    // d19: the blocked-LSH scale path end to end — k=1 signatures +
+    // murmur band hashes + blocked candidate join + exact jaccard
+    // verify (see JaccardLshPairsCte)
+    "d19_jaccard_lsh" ->
+      s"""$JaccardLshPairsCte
+         |SELECT id_a, id_b, n_inter, jaccard FROM lshpairs
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // d22: the composed scale-dedup pipeline — the d19 pair set (now
+    // deterministic in SQL) → transitive-closure components → keep the
+    // min doc per cluster (d20's closure pattern on LSH edges)
+    "d22_dedup_pipeline" ->
+      s"""$JaccardLshPairsCte, edges AS (
+         |  SELECT id_a AS node, id_b AS other FROM lshpairs
+         |  UNION SELECT id_b, id_a FROM lshpairs
+         |), reach AS (
+         |  SELECT node, other FROM edges
+         |  UNION
+         |  SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node
+         |), labels AS (
+         |  SELECT node, LEAST(node, MIN(other)) AS cid FROM reach GROUP BY node
+         |)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |LEFT JOIN labels l ON l.node = d.doc_id
+         |WHERE l.node IS NULL OR l.cid = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "d4_ngram_jaccard" ->
       """WITH tok0 AS (

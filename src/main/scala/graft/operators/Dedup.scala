@@ -889,12 +889,15 @@ object Dedup {
     * Reference analog: the staging → anti-join-vs-historic → insert
     * dedup loop (/root/reference/sql/opt.sql:347-391) run as one batch.
     *
-    * rows-only oracle: LSH recall is probabilistic (capture rate
-    * 1-(1-j⁴)⁴), so the kept set is not SQL-derivable; the Round4Spec
-    * proves (a) the drop set is a SUBSET of the exact pipeline's (LSH
-    * pairs ⊆ exact pairs ⇒ LSH components refine exact components ⇒
-    * a non-min node in an LSH cluster is non-min in its exact cluster)
-    * and (b) drop-recall vs the exact pipeline is high.
+    * Oracle-EXACT since round 15: LSH capture is DETERMINISTIC (fixed
+    * permutations), so the kept set IS SQL-derivable — the DuckDB twin
+    * replays the d19 pair CTE and a recursive transitive closure
+    * (SparkEntry's d22 oracle). Recall vs the EXACT pair set stays
+    * probabilistic, which is what Round4Spec still gates: (a) the drop
+    * set is a SUBSET of the exact pipeline's (LSH pairs ⊆ exact pairs ⇒
+    * LSH components refine exact components ⇒ a non-min node in an LSH
+    * cluster is non-min in its exact cluster) and (b) drop-recall vs
+    * the exact pipeline is high.
     */
   def dedupPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
