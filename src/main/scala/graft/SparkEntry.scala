@@ -155,13 +155,15 @@ object SparkEntry {
       Dedup.connectedComponentsAuto(Dedup.ngramJaccard(s, d).select("id_a", "id_b"))
         .orderBy("node")),
     // the composed 100 TB dedup path: LSH pairs → bounded CC → keep-min
-    // corpus (rows-only: LSH recall is probabilistic; Round4Spec proves
-    // drop-set ⊆ exact pipeline's drop-set with high recall)
+    // corpus. Oracle-exact since r15 (LSH capture is deterministic —
+    // pair CTE + recursive closure); Round4Spec still gates the
+    // probabilistic part (drop-set ⊆ exact pipeline's, high recall)
     "d22_dedup_pipeline"  -> (Dedup.dedupPipeline _),
     // the streaming-incremental twin of d22: three micro-batch upserts
     // against a persisted band index land EXACTLY the batch pipeline's
-    // corpus (Round6Spec proves parity for arbitrary splits + replay;
-    // rows-only here for the same reason as d22: LSH isn't SQL)
+    // corpus (Round6Spec proves parity for arbitrary splits + replay),
+    // so it anchors to the SAME oracle as d22 — end-state correctness
+    // is the right gate for a replay-idempotent sink
     "d23_incremental_dedup" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit, pmod}
       val root = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
@@ -1840,6 +1842,53 @@ object SparkEntry {
          |LEFT JOIN labels l ON l.node = d.doc_id
          |WHERE l.node IS NULL OR l.cid = d.doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // d23: the streaming-incremental twin lands EXACTLY the batch d22
+    // corpus (Round6Spec parity for arbitrary splits + replay), and the
+    // batch corpus is now SQL-derivable — so the incremental entry
+    // anchors to the SAME oracle: end-state correctness is the right
+    // gate for a replay-idempotent sink.
+    "d23_incremental_dedup" ->
+      s"""$JaccardLshPairsCte, edges AS (
+         |  SELECT id_a AS node, id_b AS other FROM lshpairs
+         |  UNION SELECT id_b, id_a FROM lshpairs
+         |), reach AS (
+         |  SELECT node, other FROM edges
+         |  UNION
+         |  SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node
+         |), labels AS (
+         |  SELECT node, LEAST(node, MIN(other)) AS cid FROM reach GROUP BY node
+         |)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |LEFT JOIN labels l ON l.node = d.doc_id
+         |WHERE l.node IS NULL OR l.cid = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // d17: sign-bit packing is EXACT even over float embeddings (only
+    // the comparison v > 0 is evaluated, no FP arithmetic), and the
+    // hamming top-k tie-break is deterministic (hd asc, vec_id asc) —
+    // so the coarsest ANN tier is fully oracle-able.
+    "d17_hamming_ann" ->
+      """WITH pos AS (
+        |  SELECT vec_id, unnest(embedding) AS v,
+        |         unnest(generate_series(1, len(embedding))) AS i
+        |  FROM embeddings
+        |), bits AS (
+        |  SELECT vec_id,
+        |    COALESCE(SUM(CASE WHEN i <= 64 AND v > 0
+        |      THEN (1::HUGEINT << (i - 1)) ELSE 0::HUGEINT END), 0)::HUGEINT AS bits
+        |  FROM pos GROUP BY vec_id
+        |), q AS (
+        |  SELECT vec_id AS q_id, bits AS q_bits FROM bits WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.q_id, b.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(b.bits, q.q_bits)) AS INT) AS hd,
+        |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+        |      ORDER BY bit_count(xor(b.bits, q.q_bits)) ASC, b.vec_id ASC) AS rk
+        |  FROM bits b JOIN q ON b.vec_id <> q.q_id
+        |)
+        |SELECT q_id, neighbor_id, hd, CAST(rk AS INT) AS rk
+        |FROM scored WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin,
 
     "d4_ngram_jaccard" ->
       """WITH tok0 AS (
