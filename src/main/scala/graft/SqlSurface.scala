@@ -226,9 +226,71 @@ object SqlSurface {
     graftshim.analyzed(Curation.urlFilterOf(urls, block))
   }
 
+  // ---- batch 2: the text-analysis / corpus-stats / near-dup battery --
+  import graft.functions.{TextFns => TF}
+  import graft.operators.{CorpusStats, Similarity => _}
+
+  /** `ngram_topk(docs_view[, n, k])`: d29 — top-k word n-grams
+    * corpus-wide (defaults n=3, k=50) over a (doc_id, text) view. */
+  private def ngramTopkBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "ngram_topk"
+    require(es.length == 1 || es.length == 3,
+      s"$fn(docs_view[, n, k]) takes 1 or 3 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "text")
+    val (n, k) =
+      if (es.length == 3) (longArg(fn, es, 1).toInt, longArg(fn, es, 2).toInt)
+      else (3, 50)
+    graftshim.analyzed(CorpusStats.ngramTopKOf(docs, n, k))
+  }
+
+  /** `vocab_coverage(docs_view[, k])`: d30 — top-k words with their
+    * cumulative token-coverage fraction (default k=100). */
+  private def vocabCoverageBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "vocab_coverage"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(docs_view[, k]) takes 1 or 2 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("text")
+    val k = if (es.length == 2) longArg(fn, es, 1).toInt else 100
+    graftshim.analyzed(CorpusStats.vocabCoverageOf(docs, k))
+  }
+
+  /** `unigram_nll(docs_view[, vocab_cap])`: d33 — per-doc mean unigram
+    * negative log likelihood under a self-trained top-V model. */
+  private def unigramNllBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "unigram_nll"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(docs_view[, vocab_cap]) takes 1 or 2 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "text")
+    val cap = if (es.length == 2) longArg(fn, es, 1).toInt else 1000
+    graftshim.analyzed(CorpusStats.unigramNllOf(docs, cap))
+  }
+
+  private val batch2OneView: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "lang_id" -> (docs => TF.langIdOf(docs.select("lang", "text"))),
+    "quality_score" -> (docs => TF.qualityScoreOf(docs.select("doc_id", "lang", "text"))),
+    "token_count" -> (docs => TF.tokenCountOf(docs.select("doc_id", "text"))),
+    "text_clean" -> (docs => TF.textCleanOf(docs.select("doc_id", "text"))),
+    "doc_fingerprint" -> (docs => TF.fingerprintOf(docs.select("doc_id", "text"))),
+    "tfidf_rank" -> (docs => TF.tfidfRankOf(docs.select("doc_id", "text"))),
+    "chunk_docs" -> (docs => TF.chunkDocsOf(docs.select("doc_id", "text"))),
+    "heavy_tokens" -> (docs => TF.heavyTokensOf(docs.select("lang", "text"))),
+    "minhash_pairs" -> (docs => Dedup.minhashLshOf(docs.select("doc_id", "text"))),
+    "simhash_pairs" -> (docs => Dedup.simhashOf(docs.select("doc_id", "text"))),
+    // duplicate clusters over the exact d4 pair list (d20). The CC is
+    // size-gated: under the gate the component labels come from a
+    // driver union-find, which runs when the TVF ANALYZES — a SQL user
+    // pays the mining cost at statement analysis, like a stored
+    // procedure would.
+    "dup_clusters" -> (docs => Dedup.connectedComponentsAuto(
+      Dedup.ngramJaccardOf(docs).select("id_a", "id_b")).orderBy("node")))
+
   /** Name → builder for every graft TVF (one registration list shared
     * by the runtime and the conf-based extension paths). */
-  val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+  val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =
+    batch2OneView.map { case (n, core) => n -> (oneViewBuilder(n, core) _) } ++ Seq(
+    "ngram_topk" -> (ngramTopkBuilder _),
+    "vocab_coverage" -> (vocabCoverageBuilder _),
+    "unigram_nll" -> (unigramNllBuilder _)) ++ Seq(
     "asof_join" -> (asofJoinBuilder _),
     "ngram_jaccard" -> (ngramJaccardBuilder _),
     "containment_pairs" -> (containmentBuilder _),

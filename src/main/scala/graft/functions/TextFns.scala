@@ -59,14 +59,18 @@ object TextFns {
     * Counts are exact integers (replace-arithmetic) so the winner is
     * deterministic; ties broken by fixed language order.
     */
-  def langId(s: SparkSession, d: String): DataFrame = {
+  def langId(s: SparkSession, d: String): DataFrame =
+    langIdOf(Tables.documents(s, d))
+
+  /** Core of [[langId]] over any (lang, text) frame. */
+  def langIdOf(docs: DataFrame): DataFrame = {
     val t = lower(col("text"))
     val en = countPlain(t, " the ") + countPlain(t, " and ")
     val es = countPlain(t, " el ") + countPlain(t, " los ")
     val fr = countPlain(t, " le ") + countPlain(t, " les ")
     val de = countPlain(t, " der ") + countPlain(t, " und ")
     val zh = countPlain(t, " de ")
-    Tables.documents(s, d)
+    docs
       .withColumn("pred_lang",
         when(en >= es && en >= fr && en >= de && en >= zh, "en")
           .when(es >= fr && es >= de && es >= zh, "es")
@@ -83,7 +87,11 @@ object TextFns {
     * projection, no shuffle; ratios are fixed-shape double expressions
     * so both engines produce identical IEEE results.
     */
-  def qualityScore(s: SparkSession, d: String): DataFrame = {
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    qualityScoreOf(Tables.documents(s, d))
+
+  /** Core of [[qualityScore]] over any (doc_id, lang, text) frame. */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val t = col("text")
     val nChars = length(t).cast("double")
     val nWords = (countPlain(t, " ") + 1L).cast("double")
@@ -91,7 +99,7 @@ object TextFns {
     val nCommas = countPlain(t, ",").cast("double")
     val stop = (countPlain(lower(t), " the ") + countPlain(lower(t), " a ") +
       countPlain(lower(t), " of ")).cast("double")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("lang"),
         nChars.as("n_chars_m"),
         (nChars / nWords).as("avg_word_len"),
@@ -102,11 +110,15 @@ object TextFns {
 
   /** d9: token counting — whitespace tokens plus a BPE-ish estimate
     * (ceil(chars/4), the common ~4-chars-per-token heuristic). */
-  def tokenCount(s: SparkSession, d: String): DataFrame = {
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    tokenCountOf(Tables.documents(s, d))
+
+  /** Core of [[tokenCount]] over any (doc_id, text) frame. */
+  def tokenCountOf(docs: DataFrame): DataFrame = {
     val t = col("text")
     val words = countPlain(t, " ") + 1L
     val bpeEst = ceil(length(t) / lit(4.0)).cast("long")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), words.as("n_words"), bpeEst.as("n_tokens_est"),
         (countPlain(t, " data ") + countPlain(t, " table ")).as("n_domain_terms"))
       .orderBy("doc_id")
@@ -116,13 +128,17 @@ object TextFns {
     * email-shaped tokens, collapse whitespace, trim. The usual
     * pre-tokenization scrub pass; pure projection, no shuffle.
     */
-  def textClean(s: SparkSession, d: String): DataFrame = {
+  def textClean(s: SparkSession, d: String): DataFrame =
+    textCleanOf(Tables.documents(s, d))
+
+  /** Core of [[textClean]] over any (doc_id, text) frame. */
+  def textCleanOf(docs: DataFrame): DataFrame = {
     val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
       lower(col("text")),
       "https?://[^ ]+", " "),
       "[^ ]+@[^ ]+", " "),
       "\\s+", " "))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), cleaned.as("clean_text"),
         (length(col("text")).cast("long") - length(cleaned)).as("n_removed"))
       .orderBy("doc_id")
@@ -135,12 +151,20 @@ object TextFns {
     * one-line swap in production; integer weights keep the correctness
     * gate exact. Two shuffles: term stats, then per-doc rollup.
     */
-  def tfidfRank(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def tfidfRank(s: SparkSession, d: String): DataFrame =
+    tfidfRankOf(Tables.documents(s, d),
+      wordsIn = Some(Tables.tokLong(s, d).select(col("doc_id"), col("w"))))
+
+  /** Core of [[tfidfRank]] over any (doc_id, text) frame; `wordsIn`
+    * (a raw (doc_id, w) word stream, empties tolerated) substitutes
+    * the tokenize pass — the registered entry feeds the shared
+    * [[Tables.tokLong]] cut. */
+  def tfidfRankOf(docs: DataFrame, wordsIn: Option[DataFrame] = None): DataFrame = {
     val nDocs = docs.count() // dimension-table-sized count, computed once
-    // shared Tables.tokLong cut + per-word lower(): identical to
-    // exploding split(lower(text)) — lowercasing never maps to/from ' '
-    val terms = Tables.tokLong(s, d)
+    // per-word lower(): identical to exploding split(lower(text)) —
+    // lowercasing never maps to/from ' '
+    val terms = wordsIn.getOrElse(
+        docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
       .select(col("doc_id"), lower(col("w")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tc"))
@@ -246,7 +270,11 @@ object TextFns {
     * word offsets + one explode; no UDF, no driver loop.
     */
   def chunkDocs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    chunkDocsOf(Tables.documents(s, d))
+
+  /** Core of [[chunkDocs]] over any (doc_id, text) frame. */
+  def chunkDocsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .select(col("doc_id"),
         posexplode(chunkWindows("ws")).as(Seq("chunk_idx", "chunk_text")))
@@ -376,7 +404,11 @@ object TextFns {
     * hashing) + dedup keys in the silver layer.
     */
   def fingerprint(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    fingerprintOf(Tables.documents(s, d))
+
+  /** Core of [[fingerprint]] over any (doc_id, text) frame. */
+  def fingerprintOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
         md5(col("text")).as("fp_raw"))

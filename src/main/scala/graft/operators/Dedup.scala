@@ -172,6 +172,14 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     minhashLshPairs(wordArrays(s, d, 3))
 
+  /** [[minhashLsh]] over any (doc_id, text) frame (the SQL-surface
+    * entry point): same tokenization and params as the registered d2. */
+  def minhashLshOf(docs: DataFrame): DataFrame =
+    minhashLshPairs(docs
+      .select(col("doc_id"),
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("ws"))
+      .filter(size(col("ws")) >= 3))
+
   /** d2_sigs: the raw MinHash signatures d2/d19/d22/d23 band — one
     * (doc_id, perm, sig_val) row per permutation, exactly the longs
     * MinHashShingleSig computes. This is the LSH family's anchor to the
@@ -222,12 +230,21 @@ object Dedup {
     * votes, sign → fingerprint — one tight loop instead of a 64×words
     * interpreted HOF cascade.
     */
-  def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    simhashFingerprintsOf(Tables.documents(s, d))
+
+  /** [[simhashFingerprints]] over any (doc_id, text) frame. */
+  def simhashFingerprintsOf(docs: DataFrame): DataFrame = {
     val words = array_distinct(split(regexp_replace(lower(col("text")), "\\s+", " "), " "))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"), graft.functions.VectorExprs.simhash64(col("ws")).as("simhash"))
   }
+
+  /** The d3 pipeline over any (doc_id, text) frame (the SQL-surface
+    * entry point). */
+  def simhashOf(docs: DataFrame): DataFrame =
+    simhashPairs(simhashFingerprintsOf(docs))
 
   /** d3: SimHash near-dup PAIRS. 4 × 16-bit band buckets: two
     * fingerprints within Hamming distance ≤ 3 differ in at most 3 of the

@@ -138,6 +138,37 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(strict.count() <= loose.count())
   }
 
+  test("batch-2 TVFs (text analysis / corpus stats / near-dup): hash parity") {
+    installAndViews()
+    val parity = Seq(
+      "SELECT * FROM lang_id('g_docs')" -> functions.TextFns.langId(spark, sf),
+      "SELECT * FROM quality_score('g_docs')" -> functions.TextFns.qualityScore(spark, sf),
+      "SELECT * FROM token_count('g_docs')" -> functions.TextFns.tokenCount(spark, sf),
+      "SELECT * FROM text_clean('g_docs')" -> functions.TextFns.textClean(spark, sf),
+      "SELECT * FROM doc_fingerprint('g_docs')" -> functions.TextFns.fingerprint(spark, sf),
+      "SELECT * FROM tfidf_rank('g_docs')" -> functions.TextFns.tfidfRank(spark, sf),
+      "SELECT * FROM chunk_docs('g_docs')" -> functions.TextFns.chunkDocs(spark, sf),
+      "SELECT * FROM heavy_tokens('g_docs')" -> functions.TextFns.heavyTokens(spark, sf),
+      "SELECT * FROM minhash_pairs('g_docs')" -> operators.Dedup.minhashLsh(spark, sf),
+      "SELECT * FROM simhash_pairs('g_docs')" -> operators.Dedup.simhash(spark, sf),
+      "SELECT * FROM dup_clusters('g_docs')" ->
+        operators.Dedup.connectedComponentsAuto(
+          operators.Dedup.ngramJaccard(spark, sf).select("id_a", "id_b")).orderBy("node"),
+      "SELECT * FROM ngram_topk('g_docs')" -> operators.CorpusStats.ngramTopK(spark, sf),
+      "SELECT * FROM vocab_coverage('g_docs')" -> operators.CorpusStats.vocabCoverage(spark, sf),
+      "SELECT * FROM unigram_nll('g_docs')" -> operators.CorpusStats.unigramNll(spark, sf))
+    parity.foreach { case (sql, scala) =>
+      val viaSql = spark.sql(sql)
+      assert(canon(viaSql) == canon(scala), s"TVF != entry for: $sql")
+      assert(viaSql.count() > 0, s"empty TVF result for: $sql")
+    }
+    // parameter plumbing
+    assert(spark.sql("SELECT * FROM ngram_topk('g_docs', 2, 10)").count() == 10)
+    assert(spark.sql("SELECT * FROM vocab_coverage('g_docs', 7)").count() == 7)
+    assert(spark.sql("SELECT * FROM unigram_nll('g_docs', 50)").count() ==
+      operators.CorpusStats.unigramNll(spark, sf).count())
+  }
+
   test("TVF argument errors are caught with clear messages") {
     installAndViews()
     val e1 = intercept[Exception](spark.sql("SELECT * FROM asof_join('g_docs')").collect())
