@@ -236,7 +236,10 @@ object SparkEntry {
     // the FLAGSHIP composed curation pipeline as one driver-visible
     // entry: scrub → gate → exact dedup → blocked near-dup → decon →
     // repetition gate → domain mix → chunks, reported as per-stage
-    // retention counts (rows-only: the LSH stage isn't SQL)
+    // retention counts. Oracle-exact since r15: every stage replays in
+    // SQL (CorpusPipelineSql) — the LSH stage via the deterministic
+    // d19 pair CTE, the decon stage via the general-length xxh64 gram
+    // chain
     "d36_corpus_pipeline" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       import s.implicits._
@@ -613,7 +616,7 @@ object SparkEntry {
        |), mb0 AS ( SELECT doc_id, band, u1, u2, u3, ${hashLong("42::HUGEINT", "u0")} AS h FROM bp
        |), mb1 AS ( SELECT doc_id, band, u2, u3, ${hashLong("h", "u1")} AS h FROM mb0
        |), mb2 AS ( SELECT doc_id, band, u3, ${hashLong("h", "u2")} AS h FROM mb1
-       |), mb3 AS ( SELECT doc_id, band, ${hashLong("h", "u3")} AS h FROM mb2
+       |), mb3 AS MATERIALIZED ( SELECT doc_id, band, ${hashLong("h", "u3")} AS h FROM mb2
        |)""".stripMargin
   }
 
@@ -646,7 +649,7 @@ object SparkEntry {
     * emitted pair set is deterministic and hash-exact. Tokenization
     * matches lshTokens: split(lower(text), ' '), empties removed,
     * distinct — NOT the d2 whitespace-collapse flavor. */
-  private val JaccardLshPairsCte: String = {
+  private def jaccardLshPairsCte(docsRel: String): String = {
     import U64Sql.{M64, u}
     val C1 = u(0xFF51AFD7ED558CCDL); val C2 = u(0xC4CEB9FE1A85EC53L)
     import U64Sql.mm
@@ -654,13 +657,13 @@ object SparkEntry {
       s"(${p}, ${u(graft.functions.MinHashShingleSig.muls(16)(p))}::HUGEINT, " +
         s"${u(graft.functions.MinHashShingleSig.adds(16)(p))}::HUGEINT)"
     }.mkString(",\n    ")
-    s"""WITH RECURSIVE toks AS (
-       |  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS ws FROM documents
+    s"""toks AS (
+       |  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS ws FROM $docsRel
        |), dw0 AS (
        |  SELECT doc_id, lang, source, unnest(ws) AS w FROM toks
-       |), dw AS (
+       |), dw AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, lang, source, w FROM dw0 WHERE w <> ''
-       |), sizes AS ( SELECT doc_id, COUNT(*) AS sz FROM dw GROUP BY doc_id
+       |), sizes AS MATERIALIZED ( SELECT doc_id, COUNT(*) AS sz FROM dw GROUP BY doc_id
        |), blocks AS ( SELECT DISTINCT doc_id, lang, source FROM dw
        |), vocab AS ( SELECT DISTINCT w FROM dw
        |), $Xxh64WordChain, perms(p, mul, addc) AS ( VALUES
@@ -679,7 +682,7 @@ object SparkEntry {
        |  FROM pv2
        |), sigs AS (
        |  SELECT doc_id, p, min(v) AS v FROM pv3 GROUP BY doc_id, p
-       |), $MurmurBandCte, bb AS (
+       |), $MurmurBandCte, bb AS MATERIALIZED (
        |  SELECT mb3.doc_id, mb3.band, mb3.h, b.lang, b.source
        |  FROM mb3 JOIN blocks b USING (doc_id)
        |), cand AS (
@@ -692,12 +695,177 @@ object SparkEntry {
        |  JOIN dw a ON a.doc_id = c.id_a
        |  JOIN dw b ON b.doc_id = c.id_b AND b.w = a.w
        |  GROUP BY c.id_a, c.id_b
-       |), lshpairs AS (
+       |), lshpairs AS MATERIALIZED (
        |  SELECT id_a, id_b, n_inter,
        |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
        |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
        |)""".stripMargin
+  }
+
+  /** General-length xxhash64(s, seed 42) replay for GRAM STRINGS (the
+    * d36 decon stage hashes space-joined 8-grams, up to ~103 bytes on
+    * the amplified vocab): the full xxHash64 algorithm with the 4-lane
+    * stripe path unrolled for inputs < 128 bytes (3 stripe blocks + 3
+    * remaining 8-byte lanes + 4-byte lane + 3 tail bytes + avalanche),
+    * loud error() beyond. A CTE FRAGMENT expecting `gvocab(w)` and
+    * ending in `gwh(w, wh)` — distinct gx_-prefixed CTE names so it
+    * composes with [[Xxh64WordChain]] in one statement. Value-validated
+    * against Spark xxhash64 across every length class 0..127. */
+  private val GramXxh64Chain: String = {
+    import U64Sql.{M64, u, mm, rl, leAt}
+    val P1 = u(0x9E3779B185EBCA87L); val P2 = u(0xC2B2AE3D27D4EB4FL)
+    val P3 = u(0x165667B19E3779F9L); val P4 = u(0x85EBCA77C2B2AE63L)
+    val P5 = u(0x27D4EB2F165667C5L)
+    def rnd(acc: String, k: String) = mm(rl(s"(($acc) + ${mm(k, P2)}) % $M64", 31), P1)
+    def merge1(h: String, v: String) =
+      s"(${mm(s"xor($h, ${mm(rl(mm(v, P2), 31), P1)})", P1)} + $P4) % $M64"
+    def lane8(h: String, k: String) =
+      s"(${mm(rl(s"xor($h, ${mm(rl(mm(k, P2), 31), P1)})", 27), P1)} + $P4) % $M64"
+    def lane4(h: String, k: String) =
+      s"(${mm(rl(s"xor($h, ${mm(k, P1)})", 23), P2)} + $P3) % $M64"
+    def laneB(h: String, b: String) =
+      mm(rl(s"xor($h, (($b) * $P5) % $M64)", 11), P1)
+    val stripes = (0 until 3).map { i =>
+      val cond = s"n >= ${32 * (i + 1)}"
+      val upd = (0 until 4).map { j =>
+        s"CASE WHEN $cond THEN ${rnd(s"v${j + 1}", leAt(s"${32 * i + 8 * j} + 1", 8))} ELSE v${j + 1} END AS v${j + 1}"
+      }.mkString(",\n    ")
+      s"""gx_st$i AS (
+  SELECT w, n, $upd
+  FROM gx_st${if (i == 0) "_init" else (i - 1).toString}
+)"""
+    }.mkString(", ")
+    val lanes = (0 until 3).map { j =>
+      val cond = s"(n - (n // 32) * 32) >= ${8 * (j + 1)}"
+      s"""gx_l$j AS (
+  SELECT w, n,
+    CASE WHEN $cond THEN ${lane8("h", leAt(s"(n // 32) * 32 + ${8 * j} + 1", 8))} ELSE h END AS h
+  FROM ${if (j == 0) "gx_h0" else s"gx_l${j - 1}"}
+)"""
+    }.mkString(", ")
+    val tails = (0 until 3).map { j =>
+      s"""gx_t$j AS (
+  SELECT w, n,
+    CASE WHEN n % 4 >= ${j + 1} THEN ${laneB("h", s"ord(substr(w, n - (n % 4) + ${j + 1}, 1))::HUGEINT")} ELSE h END AS h
+  FROM ${if (j == 0) "gx_k4" else s"gx_t${j - 1}"}
+)"""
+    }.mkString(", ")
+    val mergeAll = merge1(merge1(merge1(merge1(
+      s"(${rl("v1", 1)} + ${rl("v2", 7)} + ${rl("v3", 12)} + ${rl("v4", 18)}) % $M64",
+      "v1"), "v2"), "v3"), "v4")
+    s"""gx_st_init AS (
+  SELECT w, octet_length(encode(w)) AS n,
+    CASE WHEN octet_length(encode(w)) > 127
+         THEN CAST(error('xxh64 gram oracle: input over 127 bytes - extend the stripe unroll') AS HUGEINT)
+         ELSE (42 + $P1 + $P2) % $M64 END::HUGEINT AS v1,
+    (42 + $P2)::HUGEINT AS v2, 42::HUGEINT AS v3,
+    ((42::HUGEINT - $P1) + 18446744073709551616::HUGEINT) % $M64 AS v4
+  FROM gvocab
+), $stripes, gx_h0 AS (
+  SELECT w, n,
+    CASE WHEN n < 32 THEN (42 + $P5 + n)::HUGEINT
+         ELSE ($mergeAll + n) % $M64
+    END AS h
+  FROM gx_st2
+), $lanes, gx_k4 AS (
+  SELECT w, n,
+    CASE WHEN n % 8 >= 4 THEN ${lane4("h", leAt("(n // 8) * 8 + 1", 4))} ELSE h END AS h
+  FROM gx_l2
+), $tails, gx_f1 AS ( SELECT w, ${mm("xor(h, h >> 33)", P2)} AS h FROM gx_t2
+), gx_f2 AS ( SELECT w, ${mm("xor(h, h >> 29)", P3)} AS h FROM gx_f1
+), gwh AS ( SELECT w, xor(h, h >> 32) AS wh FROM gx_f2 )"""
+  }
+
+  /** The d36 flagship-pipeline oracle: every stage of
+    * CorpusPipeline.buildTrainingCorpus (the registered config: scrub →
+    * minWords=3 gate → exact dedup → (lang, source)-blocked LSH near-dup
+    * → benchmark 8-gram-hash decon → 0.9 repetition gate → 0.5 domain
+    * mix → chunks) replayed in one statement, emitting the same
+    * per-stage retention counts. Deterministic throughout: the scrub is
+    * d12's regex replay, the near-dup stage is the d19/d22 pair CTE over
+    * the deduped scrubbed corpus + transitive closure, the decon stage
+    * hashes gram STRINGS with [[GramXxh64Chain]] and matches on HASH
+    * equality exactly like contaminatedIds (a 64-bit collision would
+    * drop the same doc in both dialects), the repetition gate is d25's
+    * list_distinct formulation, the mix is d26's md5-hash sample with
+    * rates computed from the gated corpus, and the chunk count is
+    * d18's window geometry ((len-1)//10 + 1 per doc). */
+  private val CorpusPipelineSql: String = {
+    val scrub = "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), " +
+      "'https?://[^ ]+', ' ', 'g'), '[^ ]+@[^ ]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+    s"""WITH RECURSIVE sc0 AS (
+       |  SELECT doc_id, lang, source, $scrub AS text FROM documents
+       |), sc AS MATERIALIZED ( SELECT * FROM sc0 WHERE text <> ''
+       |), qg AS MATERIALIZED ( SELECT * FROM sc WHERE len(string_split(text, ' ')) >= 3
+       |), ed_keep AS ( SELECT MIN(doc_id) AS doc_id FROM qg GROUP BY md5(text)
+       |), ed AS MATERIALIZED ( SELECT qg.* FROM qg JOIN ed_keep USING (doc_id)
+       |), ${jaccardLshPairsCte("ed")}, edges AS (
+       |  SELECT id_a AS node, id_b AS other FROM lshpairs
+       |  UNION SELECT id_b, id_a FROM lshpairs
+       |), reach AS (
+       |  SELECT node, other FROM edges
+       |  UNION
+       |  SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node
+       |), labels AS MATERIALIZED (
+       |  SELECT node, LEAST(node, MIN(other)) AS cid FROM reach GROUP BY node
+       |), nd AS MATERIALIZED (
+       |  SELECT ed.* FROM ed
+       |  LEFT JOIN labels l ON l.node = ed.doc_id
+       |  WHERE l.node IS NULL OR l.cid = ed.doc_id
+       |), bsc AS (
+       |  SELECT doc_id, $scrub AS text FROM documents WHERE doc_id % 7 = 0
+       |), bg AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(ws) - 7),
+       |    i -> array_to_string(ws[i:i+7], ' '))) AS w
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM bsc
+       |        WHERE text <> '' AND len(string_split(text, ' ')) >= 8)
+       |), cg AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 7),
+       |    i -> array_to_string(ws[i:i+7], ' '))) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM nd)
+       |  WHERE len(ws) >= 8
+       |), gvocab AS MATERIALIZED (
+       |  SELECT DISTINCT w FROM cg UNION SELECT w FROM bg
+       |), $GramXxh64Chain, bh AS MATERIALIZED (
+       |  SELECT DISTINCT wh FROM bg JOIN gwh USING (w)
+       |), contaminated AS MATERIALIZED (
+       |  SELECT DISTINCT cg.doc_id FROM cg JOIN gwh USING (w) JOIN bh USING (wh)
+       |), dc AS MATERIALIZED (
+       |  SELECT nd.* FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |), rg AS MATERIALIZED (
+       |  SELECT dc.* FROM (
+       |    SELECT doc_id, lang, source, text, string_split(text, ' ') AS ws FROM dc) dc
+       |  WHERE len(ws) < 3 OR
+       |    (len(ws) - 2 - len(list_distinct(list_transform(
+       |       generate_series(1, len(ws) - 2), i -> array_to_string(ws[i:i+2], ' ')))))
+       |      / (len(ws) - 2) <= 0.9
+       |), mix_counts AS ( SELECT source, COUNT(*) AS n_src FROM rg GROUP BY source
+       |), mix_rates AS (
+       |  SELECT source,
+       |    LEAST(CAST(1.0 AS DOUBLE),
+       |          CAST(0.5 AS DOUBLE) * (SELECT SUM(n_src) FROM mix_counts)
+       |            / (SELECT COUNT(*) FROM mix_counts) / n_src) AS keep_rate
+       |  FROM mix_counts
+       |), dm AS MATERIALIZED (
+       |  SELECT rg.* FROM rg JOIN mix_rates USING (source)
+       |  WHERE CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |          / 4294967296.0 < keep_rate
+       |), chn AS (
+       |  SELECT COALESCE(SUM((len(string_split(text, ' ')) - 1) // 10 + 1), 0) AS n FROM dm
+       |)
+       |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       |       CAST(n_rows AS BIGINT) AS n_rows
+       |FROM (VALUES
+       |  (0, 'scrubbed',        (SELECT COUNT(*) FROM sc)),
+       |  (1, 'quality_gate',    (SELECT COUNT(*) FROM qg)),
+       |  (2, 'exact_dedup',     (SELECT COUNT(*) FROM ed)),
+       |  (3, 'near_dedup',      (SELECT COUNT(*) FROM nd)),
+       |  (4, 'decontaminated',  (SELECT COUNT(*) FROM dc)),
+       |  (5, 'repetition_gate', (SELECT COUNT(*) FROM rg)),
+       |  (6, 'domain_mix',      (SELECT COUNT(*) FROM dm)),
+       |  (7, 'chunks',          (SELECT n FROM chn))) t(stage_idx, stage, n_rows)
+       |ORDER BY stage_idx""".stripMargin
   }
 
   /** The d3 SimHash oracle: per-doc 64-bit fingerprints (xxhash64 word
@@ -1812,6 +1980,10 @@ object SparkEntry {
     // hashes + candidate join + agreement estimate (see MinHashLshSql)
     "d2_minhash_lsh" -> MinHashLshSql,
 
+    // d36: the composed flagship pipeline, every stage replayed (see
+    // CorpusPipelineSql) — per-stage retention counts, hash-exact
+    "d36_corpus_pipeline" -> CorpusPipelineSql,
+
     // d3: the WHOLE SimHash pipeline — fingerprints + 16-bit banding +
     // hamming ≤ 3 verify (see SimHashSql)
     "d3_simhash" -> SimHashSql,
@@ -1820,7 +1992,7 @@ object SparkEntry {
     // murmur band hashes + blocked candidate join + exact jaccard
     // verify (see JaccardLshPairsCte)
     "d19_jaccard_lsh" ->
-      s"""$JaccardLshPairsCte
+      s"""WITH RECURSIVE ${jaccardLshPairsCte("documents")}
          |SELECT id_a, id_b, n_inter, jaccard FROM lshpairs
          |ORDER BY id_a, id_b""".stripMargin,
 
@@ -1828,7 +2000,7 @@ object SparkEntry {
     // deterministic in SQL) → transitive-closure components → keep the
     // min doc per cluster (d20's closure pattern on LSH edges)
     "d22_dedup_pipeline" ->
-      s"""$JaccardLshPairsCte, edges AS (
+      s"""WITH RECURSIVE ${jaccardLshPairsCte("documents")}, edges AS (
          |  SELECT id_a AS node, id_b AS other FROM lshpairs
          |  UNION SELECT id_b, id_a FROM lshpairs
          |), reach AS (
@@ -1849,7 +2021,7 @@ object SparkEntry {
     // anchors to the SAME oracle: end-state correctness is the right
     // gate for a replay-idempotent sink.
     "d23_incremental_dedup" ->
-      s"""$JaccardLshPairsCte, edges AS (
+      s"""WITH RECURSIVE ${jaccardLshPairsCte("documents")}, edges AS (
          |  SELECT id_a AS node, id_b AS other FROM lshpairs
          |  UNION SELECT id_b, id_a FROM lshpairs
          |), reach AS (
