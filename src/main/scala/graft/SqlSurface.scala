@@ -228,7 +228,6 @@ object SqlSurface {
 
   // ---- batch 2: the text-analysis / corpus-stats / near-dup battery --
   import graft.functions.{TextFns => TF}
-  import graft.operators.{CorpusStats, Similarity => _}
 
   /** `ngram_topk(docs_view[, n, k])`: d29 — top-k word n-grams
     * corpus-wide (defaults n=3, k=50) over a (doc_id, text) view. */
