@@ -796,6 +796,106 @@ object EventStream {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- q65 CEP streaming twin (AFTER MATCH SKIP TO NEXT ROW) ---------
+
+  case class CepAttempt(s_ts: Long, s_id: Long, n_mid: Int)
+  case class CepSkipCore(frontier: Long, cutoff: Long, attempts: Seq[CepAttempt])
+
+  /** Streaming twin of batch q65
+    * ([[graft.operators.Cep.eventPatternSkipToNext]]): the
+    * overlapping-match automaton run incrementally per key — the same
+    * buffer-and-settle discipline as [[CepProcessor]] (TimeMode.None,
+    * self-managed per-key event-time frontier, over-late drops, flush
+    * sentinel), but the automaton register is the LIST of open attempts
+    * ([[graft.functions.EventMatches]] skipToNext mode, verbatim): a
+    * start∩mid row (tag 4) advances every open attempt AND opens its
+    * own; an end row closes all in-span attempts, emitting one match
+    * per surviving start in start order; pure starts/others kill all;
+    * overflow/expiry kill per-attempt. State per key = the open-attempt
+    * list (bounded by the start rows inside one span window) + the
+    * ticks inside one lateness window. */
+  class CepSkipProcessor(latenessUs: Long, spanUs: Long,
+      startTypes: Set[String], midTypes: Set[String], endTypes: Set[String],
+      minMid: Int = 0, maxMid: Int = Int.MaxValue)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Tick, CepMatch] {
+    @transient private var core: org.apache.spark.sql.streaming.ValueState[CepSkipCore] = _
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[CepBuf] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      val none = org.apache.spark.sql.streaming.TTLConfig.NONE
+      core = getHandle.getValueState[CepSkipCore]("core",
+        org.apache.spark.sql.Encoders.product[CepSkipCore], none)
+      buf = getHandle.getListState[CepBuf]("buf",
+        org.apache.spark.sql.Encoders.product[CepBuf], none)
+    }
+    private def tagOf(et: String): Int =
+      if (startTypes(et) && midTypes(et)) 4
+      else if (startTypes(et)) 0
+      else if (midTypes(et)) 1
+      else if (endTypes(et)) 2
+      else 3
+    override def handleInputRows(user: Long, ticks: Iterator[Tick],
+        tv0: org.apache.spark.sql.streaming.TimerValues): Iterator[CepMatch] = {
+      val evs = ticks.toArray
+      val isFlush = evs.exists(_.event_type == "flush")
+      val incoming = evs.filter(_.event_type != "flush")
+        .map(t => CepBuf(t.event_id, tsToUs(t.ts), tagOf(t.event_type)))
+      var c = if (core.exists()) core.get()
+        else CepSkipCore(Long.MinValue, Long.MinValue, Seq.empty)
+      val front = (c.frontier +: incoming.map(_.ts_us)).max
+      val cut =
+        if (isFlush) Long.MaxValue
+        else if (front == Long.MinValue) Long.MinValue
+        else math.max(front - latenessUs, c.cutoff)
+      val live = (buf.get().map(identity).toArray ++ incoming)
+        .filter(_.ts_us > c.cutoff)
+      val (settle, stay) = live.partition(_.ts_us <= cut)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+      var open = c.attempts
+      settle.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+        // EventMatches' skip-to-next transition function, verbatim
+        open = open.filter(a => r.ts_us - a.s_ts <= spanUs)
+        r.tag match {
+          case 2 =>
+            open.foreach { a =>
+              if (a.n_mid >= minMid && a.n_mid <= maxMid)
+                out += CepMatch(user, a.s_id, usToTs(a.s_ts), r.event_id,
+                  usToTs(r.ts_us), a.n_mid)
+            }
+            open = Seq.empty
+          case 1 =>
+            open = open.map(a => a.copy(n_mid = a.n_mid + 1))
+              .filter(_.n_mid <= maxMid)
+          case 0 =>
+            open = Seq(CepAttempt(r.ts_us, r.event_id, 0))
+          case 4 =>
+            open = open.map(a => a.copy(n_mid = a.n_mid + 1))
+              .filter(_.n_mid <= maxMid) :+ CepAttempt(r.ts_us, r.event_id, 0)
+          case _ =>
+            open = Seq.empty
+        }
+      }
+      core.update(CepSkipCore(front, cut, open))
+      if (stay.isEmpty) buf.clear() else buf.put(stay)
+      out.iterator
+    }
+  }
+
+  /** See [[CepSkipProcessor]]. Defaults = the q65 pattern
+    * (`view (click|view)* purchase`). */
+  def cepSkipToNextStream(stream: Dataset[Tick],
+      maxLateness: java.time.Duration = java.time.Duration.ofMinutes(10),
+      spanUs: Long = graft.operators.Cep.SpanUs,
+      startTypes: Set[String] = Set("view"),
+      midTypes: Set[String] = Set("click", "view"),
+      endTypes: Set[String] = Set("purchase")): Dataset[CepMatch] = {
+    import stream.sparkSession.implicits._
+    stream.groupByKey(_.user_id)
+      .transformWithState(new CepSkipProcessor(maxLateness.toMillis * 1000L, spanUs,
+          startTypes, midTypes, endTypes),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup: drop re-delivered events by id within the
     * watermark horizon (at-least-once source → effectively-once sink).
     * State = seen ids inside the watermark window, evicted as event

@@ -85,6 +85,48 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("cepSkipToNextStream: arbitrary arrival order + flush == batch q65 matches") {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sc = spark.sqlContext
+      val ticks = Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[graft.streaming.EventStream.Tick].collect().toSeq
+        // deterministic shuffle: settle order must come from the
+        // processor's (ts, event_id) sort, not arrival order
+        .sortBy(t => graft.sources.TickSource.mix(11L, t.event_id))
+      val flush = ticks.map(_.user_id).distinct.map(u =>
+        graft.streaming.EventStream.Tick(-1L,
+          new java.sql.Timestamp(4102444800000L), u, "flush", 0.0))
+      val input = MemoryStream[graft.streaming.EventStream.Tick]
+      val q = graft.streaming.EventStream.cepSkipToNextStream(
+          input.toDS(), java.time.Duration.ofDays(3650)).toDF()
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName("cep_skip").start()
+      Seq(ticks.take(ticks.size / 2), ticks.drop(ticks.size / 2), flush)
+        .foreach { c => input.addData(c); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("cep_skip").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5)))
+        .sortBy(m => (m._1, m._2)).toSeq
+      val want = graft.operators.Cep.eventPatternSkipToNext(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getInt(5))).toSeq
+      assert(want.nonEmpty, "batch q65 fixture produced no matches — fixture rot")
+      // overlap must actually occur or the multi-attempt path is untested
+      assert(want.map(m => (m._1, m._3)).distinct.size < want.size,
+        "no overlapping matches in the fixture — q65 degenerated")
+      assert(got == want, s"streamed != batch (got ${got.size}, want ${want.size})")
+    } finally prev match {
+      case Some(p) => spark.conf.set(k, p)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   test("DirMemo: concurrent first callers build exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_memo_cc").toFile
     java.nio.file.Files.write(new java.io.File(dir, "t.bin").toPath, "v".getBytes)
