@@ -166,6 +166,27 @@ object SqlSurface {
     graftshim.analyzed(plan)
   }
 
+  /** `event_pattern_skip_next(events_view[, span_us[, starts, mids,
+    * ends]])`: the q65 AFTER MATCH SKIP TO NEXT ROW variant —
+    * overlapping matches; mids MAY overlap starts (that overlap is what
+    * makes matches overlap, see EventMatches). Defaults = q65's
+    * `view (click|view)* purchase`. */
+  private def eventPatternSkipBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "event_pattern_skip_next"
+    require(es.length == 1 || es.length == 2 || es.length == 5,
+      s"$fn(events_view[, span_us[, starts, mids, ends]]) takes 1, 2 or 5 args, got ${es.length}")
+    val events = table(strArg(fn, es, 0))
+    val span = if (es.length >= 2) longArg(fn, es, 1) else Cep.SpanUs
+    val plan =
+      if (es.length == 5)
+        Cep.eventPatternOf(events, span,
+          csvArg(fn, es, 2), csvArg(fn, es, 3), csvArg(fn, es, 4),
+          skipToNextRow = true)
+      else Cep.eventPatternOf(events, span,
+        midTypes = Seq("click", "view"), skipToNextRow = true)
+    graftshim.analyzed(plan)
+  }
+
   // ---- curation/dedup flagship TVFs ---------------------------------
   // One pattern for the whole family: a single docs-view argument
   // (optionally + literal params), delegating to the entry's *Of core
@@ -295,6 +316,7 @@ object SqlSurface {
     "containment_pairs" -> (containmentBuilder _),
     "bm25_search" -> (bm25Builder _),
     "event_pattern" -> (eventPatternBuilder _),
+    "event_pattern_skip_next" -> (eventPatternSkipBuilder _),
     "exact_dedup" -> exactDedupBuilder,
     "span_dedup" -> spanDedupBuilder,
     "boilerplate_scrub" -> (boilerplateBuilder _),

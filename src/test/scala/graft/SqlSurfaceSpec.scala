@@ -169,6 +169,18 @@ class SqlSurfaceSpec extends SparkSpec {
       operators.CorpusStats.unigramNll(spark, sf).count())
   }
 
+  test("event_pattern_skip_next TVF: q65 in pure SQL, hash parity") {
+    installAndViews()
+    val viaSql = spark.sql("SELECT * FROM event_pattern_skip_next('g_events')")
+    assert(canon(viaSql) == canon(operators.Cep.eventPatternSkipToNext(spark, sf)))
+    assert(viaSql.count() > 0)
+    // explicit tag sets reach the core
+    val explicit = spark.sql(
+      s"""SELECT * FROM event_pattern_skip_next('g_events',
+         |  ${operators.Cep.SpanUs}, 'view', 'click,view', 'purchase')""".stripMargin)
+    assert(canon(explicit) == canon(viaSql))
+  }
+
   test("TVF argument errors are caught with clear messages") {
     installAndViews()
     val e1 = intercept[Exception](spark.sql("SELECT * FROM asof_join('g_docs')").collect())
