@@ -149,6 +149,43 @@ object ScaleSmoke {
         uniform.withColumn("user_id",
           col("user_id") * 1000 + pmod(col("event_id"), lit(1000)))).count()
     }
+    // q65 whale: ONE user, 100k start∩mid (tag-4) rows at 1 s spacing —
+    // every segment sits inside one 48 h span, so every view holds an
+    // open attempt until the segment's purchase closes them all. The
+    // r15 per-row all-attempts advance was O(k²) on this shape (5e9
+    // attempt-steps — unfinishable); the mid-counter deque is O(k).
+    // Whale size scales with the rows arg (rows/100, default 100k) so a
+    // second run at 10× shows the linear slope directly. Segments of
+    // 19999 views + 1 purchase ⇒ exactly (whaleN/20000)×19999 matches.
+    val whaleN = math.max(100000L, rows / 100) / 20000 * 20000
+    time(s"cep skip-next ${whaleN / 1000}k whale") {
+      val whale = spark.range(whaleN).select(
+        lit(1L).as("user_id"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(20000)) === 19999, lit("purchase"))
+          .otherwise(lit("view")).as("event_type"))
+      val n = operators.Cep.eventPatternOf(whale,
+        midTypes = Seq("click", "view"), skipToNextRow = true).count()
+      require(n == whaleN / 20000 * 19999, s"whale match count $n unexpected")
+      n
+    }
+    // q64-shaped whale (bounded quantifier, single-attempt automaton):
+    // one user, view click click purchase cycles ⇒ whaleN/4 matches of
+    // nMid=2 inside [1,2]. evalPastLast is O(n) by construction; this
+    // pins it at whale scale alongside the skip-next stage.
+    time(s"cep bounded ${whaleN / 1000}k whale") {
+      val whale = spark.range(whaleN).select(
+        lit(1L).as("user_id"),
+        timestamp_seconds(lit(1700000000L) + col("id")).as("ts"),
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(4)) === 0, lit("view"))
+          .when(pmod(col("id"), lit(4)) === 3, lit("purchase"))
+          .otherwise(lit("click")).as("event_type"))
+      val n = operators.Cep.eventPatternOf(whale, minMid = 1, maxMid = 2).count()
+      require(n == whaleN / 4, s"bounded whale match count $n != ${whaleN / 4}")
+      n
+    }
     // the full d22 shape at 1M docs AS ONE PATH: LSH pairs → bounded
     // CC (materializes the mine once via its edge count) → keep-min
     // corpus. ~5000 planted duplicate pairs ⇒ expect ≈995k survivors.

@@ -1205,7 +1205,17 @@ case class EventMatches(child: Expression, spanUs: Long,
     StructField("end_ts", TimestampType, nullable = false),
     StructField("n_mid", IntegerType, nullable = false))), containsNull = false)
 
-  private final class Attempt(val sTs: Long, val sId: Long) { var nMid: Int = 0 }
+  // Open attempt for skip-to-next mode: (sTs, sId, midAtOpen) where
+  // midAtOpen is the global mid-counter value when the attempt opened,
+  // so nMid = midCount - midAtOpen without touching the attempt on every
+  // mid row. Appended in ts order, so BOTH eviction conditions are
+  // front-monotone along the deque: sTs ascends (span expiry pops the
+  // oldest first) and midAtOpen ascends (overflow nMid is largest at the
+  // front). Every row is then O(1) amortized — each attempt is appended
+  // once and removed once — where a per-row all-attempts advance would
+  // be O(open), i.e. O(span²) per key on a whale whose span holds k
+  // start∩mid rows.
+  private final case class OpenAtt(sTs: Long, sId: Long, midAtOpen: Long)
 
   override def nullSafeEval(in: Any): Any =
     if (skipToNext) evalSkipToNext(in) else evalPastLast(in)
@@ -1255,33 +1265,38 @@ case class EventMatches(child: Expression, spanUs: Long,
     val arr = in.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    val open = scala.collection.mutable.ArrayBuffer.empty[Attempt]
+    val open = scala.collection.mutable.ArrayDeque.empty[OpenAtt]
+    var midCount = 0L
     var i = 0
     while (i < n) {
       val row = arr.getStruct(i, 3)
       val ts = row.getLong(0)
       val id = row.getLong(1)
       val tag = row.getInt(2)
-      // span expiry is per attempt: an attempt the current row falls
-      // outside of could not consume ANY later row either (ts ascends)
-      if (open.nonEmpty) open.filterInPlace(a => ts - a.sTs <= spanUs)
+      // span expiry is per attempt and front-monotone: an attempt the
+      // current row falls outside of could not consume ANY later row
+      // either (ts ascends), and the oldest attempt sits at the front
+      while (open.nonEmpty && ts - open.head.sTs > spanUs) open.removeHead()
       tag match {
         case 2 => // closes every open attempt; matches emit in start order
           open.foreach { a =>
-            if (a.nMid >= minMid && a.nMid <= maxMid)
-              out += InternalRow(a.sId, a.sTs, id, ts, a.nMid)
+            val nMid = midCount - a.midAtOpen
+            if (nMid >= minMid && nMid <= maxMid)
+              out += InternalRow(a.sId, a.sTs, id, ts, nMid.toInt)
           }
           open.clear()
         case 1 =>
-          open.foreach(_.nMid += 1)
-          open.filterInPlace(_.nMid <= maxMid)
+          midCount += 1
+          while (open.nonEmpty && midCount - open.head.midAtOpen > maxMid.toLong)
+            open.removeHead()
         case 0 => // a pure start: no open attempt can consume it — all die
           open.clear()
-          open += new Attempt(ts, id)
+          open.append(OpenAtt(ts, id, midCount))
         case 4 => // start-or-mid: advances every open attempt AND opens its own
-          open.foreach(_.nMid += 1)
-          open.filterInPlace(_.nMid <= maxMid)
-          open += new Attempt(ts, id)
+          midCount += 1
+          while (open.nonEmpty && midCount - open.head.midAtOpen > maxMid.toLong)
+            open.removeHead()
+          open.append(OpenAtt(ts, id, midCount))
         case _ =>
           open.clear()
       }

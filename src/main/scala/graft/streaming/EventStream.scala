@@ -851,31 +851,49 @@ object EventStream {
         .filter(_.ts_us > c.cutoff)
       val (settle, stay) = live.partition(_.ts_us <= cut)
       val out = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
-      var open = c.attempts
+      // EventMatches' skip-to-next transition function in its O(1)/row
+      // form (see graft.functions.EventMatches.OpenAtt): a global mid
+      // counter + per-attempt midAtOpen replace the per-row all-attempts
+      // advance, and both eviction conditions (span expiry, overflow)
+      // pop front-monotonically. The PERSISTED state keeps absolute
+      // n_mid (schema unchanged, restart-compatible): restored attempts
+      // enter the deque as midAtOpen = -n_mid against a counter starting
+      // at 0 — they were appended in s_ts order with monotone
+      // non-increasing n_mid, so midAtOpen still ascends along the deque.
+      var midCount = 0L
+      val open = scala.collection.mutable.ArrayDeque.empty[(Long, Long, Long)]
+      c.attempts.foreach(a => open.append((a.s_ts, a.s_id, -a.n_mid.toLong)))
       settle.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
-        // EventMatches' skip-to-next transition function, verbatim
-        open = open.filter(a => r.ts_us - a.s_ts <= spanUs)
+        while (open.nonEmpty && r.ts_us - open.head._1 > spanUs) open.removeHead()
         r.tag match {
           case 2 =>
-            open.foreach { a =>
-              if (a.n_mid >= minMid && a.n_mid <= maxMid)
-                out += CepMatch(user, a.s_id, usToTs(a.s_ts), r.event_id,
-                  usToTs(r.ts_us), a.n_mid)
+            open.foreach { case (sTs, sId, midAtOpen) =>
+              val nMid = midCount - midAtOpen
+              if (nMid >= minMid && nMid <= maxMid)
+                out += CepMatch(user, sId, usToTs(sTs), r.event_id,
+                  usToTs(r.ts_us), nMid.toInt)
             }
-            open = Seq.empty
+            open.clear()
           case 1 =>
-            open = open.map(a => a.copy(n_mid = a.n_mid + 1))
-              .filter(_.n_mid <= maxMid)
+            midCount += 1
+            while (open.nonEmpty && midCount - open.head._3 > maxMid.toLong)
+              open.removeHead()
           case 0 =>
-            open = Seq(CepAttempt(r.ts_us, r.event_id, 0))
+            open.clear()
+            open.append((r.ts_us, r.event_id, midCount))
           case 4 =>
-            open = open.map(a => a.copy(n_mid = a.n_mid + 1))
-              .filter(_.n_mid <= maxMid) :+ CepAttempt(r.ts_us, r.event_id, 0)
+            midCount += 1
+            while (open.nonEmpty && midCount - open.head._3 > maxMid.toLong)
+              open.removeHead()
+            open.append((r.ts_us, r.event_id, midCount))
           case _ =>
-            open = Seq.empty
+            open.clear()
         }
       }
-      core.update(CepSkipCore(front, cut, open))
+      val kept = open.iterator.map { case (sTs, sId, midAtOpen) =>
+        CepAttempt(sTs, sId, (midCount - midAtOpen).toInt)
+      }.toSeq
+      core.update(CepSkipCore(front, cut, kept))
       if (stay.isEmpty) buf.clear() else buf.put(stay)
       out.iterator
     }
