@@ -408,31 +408,6 @@ object SparkEntry {
   // Shared SQL fragments for the DuckDB oracle.
   private val DEC = "DECIMAL(18,4)"
 
-  /** The d2_sigs oracle: the engine's MinHash signature pipeline
-    * (Dedup.minhashSigs / functions.MinHashShingleSig) replayed as pure
-    * mod-2^64 integer SQL in DuckDB HUGEINT arithmetic — the d37
-    * precedent applied to the LSH family. Stages, each hash-exact:
-    *
-    *  1. word hashes: Spark xxhash64(word, seed 42). The corpus is
-    *     ASCII with words ≤ 8 bytes (≤ 12 on the Amplify dirs' tagged
-    *     vocab; fails loudly via the n ≤ 16 guard if the generator ever
-    *     widens further), so the xxHash64 short path suffices: two
-    *     optional 8-byte LE lanes, one optional 4-byte lane at the
-    *     computed offset, ≤ 3 tail bytes, then the xxh64 avalanche.
-    *  2. k=3 shingles: FNV-style fold h·0x100000001B3 + next, mod 2^64
-    *     (lead() window over word positions).
-    *  3. per-permutation v = fmix64(mul_p·h + add_p) (murmur3
-    *     finalizer), constants interpolated from
-    *     MinHashShingleSig.muls/adds — one derivation, two dialects.
-    *  4. signature: SIGNED min per (doc, perm) — the engine's running
-    *     min compares Scala longs, so the unsigned value converts to
-    *     two's-complement BEFORE the MIN.
-    *
-    * (a·b) mod 2^64 splits a into 32-bit halves (a full 64×64 product
-    * overflows int128); rotl(x,r) adds the two disjoint bit ranges.
-    *
-    * The CTE ends in `sigs(doc_id, p, v)` so the d2 full-pipeline
-    * oracle can extend it with the murmur3 band hashes. */
   /** Shared DuckDB mod-2^64 helpers for the integer-replay oracles
     * (d2_sigs / d2 / d3): (a·b) mod 2^64 splits a into 32-bit halves
     * (a full 64×64 product overflows int128); rotl adds the two
@@ -468,14 +443,14 @@ object SparkEntry {
     s"""h0 AS (
        |  SELECT w, octet_length(encode(w)) AS n,
        |    (42 + $P5 + octet_length(encode(w)))::HUGEINT AS a,
-       |    CASE WHEN octet_length(encode(w)) >= 8 THEN ${le(1, 8)}
-       |         WHEN octet_length(encode(w)) > 16 THEN CAST(error('xxh64 oracle: word over 16 bytes - extend the lanes') AS HUGEINT)
+       |    CASE WHEN octet_length(encode(w)) > 16 THEN CAST(error('xxh64 oracle: word over 16 bytes - extend the lanes') AS HUGEINT)
+       |         WHEN octet_length(encode(w)) >= 8 THEN ${le(1, 8)}
        |    END AS k8a,
        |    CASE WHEN octet_length(encode(w)) >= 16 THEN ${le(9, 8)} END AS k8b
        |  FROM vocab
        |), h1 AS (
        |  SELECT w, n, a, k8a, k8b,
-       |    CASE WHEN n % 8 >= 4 AND n < 16 THEN ${leAt("(n // 8) * 8 + 1", 4)} END AS k4,
+       |    CASE WHEN n % 8 >= 4 THEN ${leAt("(n // 8) * 8 + 1", 4)} END AS k4,
        |    CASE WHEN n % 4 >= 1 THEN ord(substr(w, n - (n % 4) + 1, 1))::HUGEINT END AS t1,
        |    CASE WHEN n % 4 >= 2 THEN ord(substr(w, n - (n % 4) + 2, 1))::HUGEINT END AS t2,
        |    CASE WHEN n % 4 >= 3 THEN ord(substr(w, n - (n % 4) + 3, 1))::HUGEINT END AS t3
@@ -521,6 +496,28 @@ object SparkEntry {
        |), wh AS ( SELECT w, xor(h, h >> 32) AS wh FROM fm2 )""".stripMargin
   }
 
+  /** The d2_sigs oracle: the engine's MinHash signature pipeline
+    * (Dedup.minhashSigs / functions.MinHashShingleSig) replayed as pure
+    * mod-2^64 integer SQL in DuckDB HUGEINT arithmetic — the d37
+    * precedent applied to the LSH family. Stages, each hash-exact:
+    *
+    *  1. word hashes: Spark xxhash64(word, seed 42). The corpus is
+    *     ASCII with words ≤ 8 bytes (≤ 12 on the Amplify dirs' tagged
+    *     vocab; fails loudly via the n ≤ 16 guard if the generator ever
+    *     widens further), so the xxHash64 short path suffices: two
+    *     optional 8-byte LE lanes, one optional 4-byte lane at the
+    *     computed offset, ≤ 3 tail bytes, then the xxh64 avalanche.
+    *  2. k=3 shingles: FNV-style fold h·0x100000001B3 + next, mod 2^64
+    *     (lead() window over word positions).
+    *  3. per-permutation v = fmix64(mul_p·h + add_p) (murmur3
+    *     finalizer), constants interpolated from
+    *     MinHashShingleSig.muls/adds — one derivation, two dialects.
+    *  4. signature: SIGNED min per (doc, perm) — the engine's running
+    *     min compares Scala longs, so the unsigned value converts to
+    *     two's-complement BEFORE the MIN.
+    *
+    * The CTE ends in `sigs(doc_id, p, v)` so the d2 full-pipeline
+    * oracle can extend it with the murmur3 band hashes. */
   private val MinHashSigCte: String = {
     import U64Sql.{M64, u, mm}
     // FNV / murmur3-fmix64 constants (public algorithms)
@@ -569,15 +566,6 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** The d2 FULL-pipeline oracle: [[MinHashSigCte]]'s signatures plus
-    * Spark's murmur3 `hash()` over each 4-long band slice, replayed
-    * mod-2^32 (Murmur3_x86_32.hashLong per element: two k1-mixes over
-    * the low/high halves, `h ^= 8`, then the 32-bit avalanche —
-    * validated value-exact against Spark). Candidates come from BAND
-    * HASH equality exactly like the engine (a 2^-32 hash collision
-    * would pair docs in both dialects identically), then the positional
-    * agreement count, the /16 estimate and the 0.5 floor replay
-    * Dedup.minhashLshPairs verbatim. */
   /** Spark's murmur3 `hash()` over each 4-long band slice of the
     * signatures, replayed mod-2^32: a CTE FRAGMENT expecting a
     * preceding `sigs(doc_id, p, v)` (signed BIGINT) and ending in
@@ -620,6 +608,12 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** The d2 FULL-pipeline oracle: [[MinHashSigCte]]'s signatures plus
+    * [[MurmurBandCte]]'s band hashes. Candidates come from BAND HASH
+    * equality exactly like the engine (a 2^-32 hash collision would
+    * pair docs in both dialects identically), then the positional
+    * agreement count, the /16 estimate and the 0.5 floor replay
+    * Dedup.minhashLshPairs verbatim. */
   private val MinHashLshSql: String = {
     s"""$MinHashSigCte, $MurmurBandCte, cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
