@@ -771,6 +771,95 @@ object SparkEntry {
 ), gwh AS ( SELECT w, xor(h, h >> 32) AS wh FROM gx_f2 )"""
   }
 
+  /** The d58 KMV/theta-sketch oracle: sketch RETENTION is integer
+    * arithmetic (k smallest distinct unsigned xxhash64 values per
+    * source — `ROW_NUMBER() OVER (ORDER BY wh) <= k` over the
+    * [[GramXxh64Chain]] gram hashes), and every ESTIMATOR step is
+    * reproducible IEEE double arithmetic when the operation order is
+    * replayed verbatim: toUnit converts through the SIGNED long
+    * (cast-to-double THEN add 2^64 THEN divide — dividing first over
+    * the unsigned HUGEINT would double-round near 2^64), theta is the
+    * k-th smallest's unit position, estimates are (k-1)/θ in the
+    * saturated regime and exact counts below k, intersection counts
+    * common hashes under min-θ with the strict `<` boundary rule, and
+    * math.round replays as FLOOR(x + 0.5) (exact: x < 2^52). The
+    * jaccard column is the RAW estimator double on both sides — no
+    * decimal rounding, so the hash compare is bit-exact, not a
+    * q40-style interpolation knife edge. */
+  private val KmvSketchSql: String = {
+    val K = 512
+    // ThetaSketch.toUnit replayed from the unsigned HUGEINT hash
+    def tou(x: String): String =
+      s"""(CASE WHEN $x >= 9223372036854775808::HUGEINT
+         |  THEN CAST(CAST($x - 18446744073709551616::HUGEINT AS BIGINT) AS DOUBLE)
+         |       + 18446744073709551616.0
+         |  ELSE CAST(CAST($x AS BIGINT) AS DOUBLE) END) / 18446744073709551616.0""".stripMargin
+    s"""WITH srcs AS MATERIALIZED (
+       |  SELECT source FROM (
+       |    SELECT DISTINCT source FROM documents
+       |    WHERE len(string_split(text, ' ')) >= 3) ORDER BY source LIMIT 6
+       |), sgram AS MATERIALIZED (
+       |  SELECT DISTINCT source, unnest(list_transform(generate_series(1, len(ws) - 2),
+       |    i -> array_to_string(ws[i:i+2], ' '))) AS w
+       |  FROM (SELECT d.source, string_split(text, ' ') AS ws
+       |        FROM documents d JOIN srcs USING (source))
+       |  WHERE len(ws) >= 3
+       |), gvocab AS MATERIALIZED ( SELECT DISTINCT w FROM sgram
+       |), $GramXxh64Chain, sh AS MATERIALIZED (
+       |  SELECT DISTINCT source, wh FROM sgram JOIN gwh USING (w)
+       |), rk AS MATERIALIZED (
+       |  SELECT source, wh, ROW_NUMBER() OVER (PARTITION BY source ORDER BY wh) AS rn,
+       |         COUNT(*) OVER (PARTITION BY source) AS cnt
+       |  FROM sh
+       |), sk AS MATERIALIZED ( SELECT * FROM rk WHERE rn <= $K
+       |), tsrc AS MATERIALIZED (
+       |  SELECT source, MAX(cnt) AS cnt,
+       |    CASE WHEN MAX(cnt) >= $K
+       |      THEN MAX(CASE WHEN rn = $K THEN ${tou("wh")} END)
+       |      ELSE CAST(1.0 AS DOUBLE) END AS theta,
+       |    CASE WHEN MAX(cnt) >= $K
+       |      THEN ${K - 1}.0 / MAX(CASE WHEN rn = $K THEN ${tou("wh")} END)
+       |      ELSE CAST(MAX(cnt) AS DOUBLE) END AS est
+       |  FROM sk GROUP BY source
+       |), pth AS MATERIALIZED (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    LEAST(a.theta, b.theta) AS th, a.est AS est_ad, b.est AS est_bd
+       |  FROM tsrc a JOIN tsrc b ON a.source < b.source
+       |), cmn AS MATERIALIZED (
+       |  SELECT x.source AS src_a, y.source AS src_b, x.wh
+       |  FROM sk x JOIN sk y ON x.wh = y.wh AND x.source < y.source
+       |), ic AS MATERIALIZED (
+       |  SELECT p.src_a, p.src_b,
+       |    CAST(COUNT(c.wh) FILTER (WHERE p.th >= 1.0 OR ${tou("c.wh")} < p.th)
+       |         AS DOUBLE) / ANY_VALUE(p.th) AS est_id
+       |  FROM pth p LEFT JOIN cmn c ON c.src_a = p.src_a AND c.src_b = p.src_b
+       |  GROUP BY p.src_a, p.src_b
+       |), urk AS MATERIALIZED (
+       |  SELECT src_a, src_b, wh,
+       |    ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY wh) AS rn,
+       |    COUNT(*) OVER (PARTITION BY src_a, src_b) AS ucnt
+       |  FROM (
+       |    SELECT p.src_a, p.src_b, s.wh
+       |    FROM pth p JOIN sk s ON s.source = p.src_a OR s.source = p.src_b
+       |    GROUP BY p.src_a, p.src_b, s.wh)
+       |), uest AS MATERIALIZED (
+       |  SELECT src_a, src_b,
+       |    CASE WHEN MAX(ucnt) >= $K
+       |      THEN ${K - 1}.0 / MAX(CASE WHEN rn = $K THEN ${tou("wh")} END)
+       |      ELSE CAST(LEAST(MAX(ucnt), $K) AS DOUBLE) END AS est_ud
+       |  FROM urk WHERE rn <= $K GROUP BY src_a, src_b
+       |)
+       |SELECT p.src_a AS src_a, p.src_b AS src_b,
+       |  CAST(FLOOR(p.est_ad + 0.5) AS BIGINT) AS est_a,
+       |  CAST(FLOOR(p.est_bd + 0.5) AS BIGINT) AS est_b,
+       |  CAST(FLOOR(ic.est_id + 0.5) AS BIGINT) AS est_inter,
+       |  CASE WHEN u.est_ud = 0.0 THEN 0.0 ELSE ic.est_id / u.est_ud END AS est_jaccard
+       |FROM pth p
+       |JOIN ic ON ic.src_a = p.src_a AND ic.src_b = p.src_b
+       |JOIN uest u ON u.src_a = p.src_a AND u.src_b = p.src_b
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** The d36 flagship-pipeline oracle: every stage of
     * CorpusPipeline.buildTrainingCorpus (the registered config: scrub →
     * minWords=3 gate → exact dedup → (lang, source)-blocked LSH near-dup
@@ -2779,6 +2868,8 @@ object SparkEntry {
          |  doc_id, ROUND(CAST(s AS DOUBLE), 6) AS score
          |FROM ranked WHERE rnk <= ${graft.operators.Retrieval.TopK}
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "d58_set_sketch" -> KmvSketchSql,
 
     "d59_doc_embed" ->
       s"""WITH $D59Ctes

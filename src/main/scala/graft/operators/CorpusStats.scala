@@ -276,7 +276,13 @@ object CorpusStats {
     * crawls — at 100 TB the exact answer is a full shuffle of both
     * gram streams; the sketches ride out of the same pass that
     * computes any other per-source stat. Deterministic (k-min-of-
-    * distinct is order-free), spec-gated error bounds (rows-only). */
+    * distinct is order-free) — and since every estimator step is
+    * integer or reproducible IEEE double arithmetic (toUnit's
+    * add-then-divide order is part of the contract), the whole entry
+    * replays HASH-EXACT in DuckDB (see SparkEntry's KmvSketchSql);
+    * error bounds vs exact set ops stay spec-gated. est_jaccard is the
+    * RAW estimator double (no decimal rounding) so the oracle compare
+    * is bit-exact, not a knife edge. */
   def setOverlap(s: SparkSession, d: String, k: Int = 512,
       maxSources: Int = 6): DataFrame = {
     import graft.functions.ThetaSketch
@@ -299,8 +305,7 @@ object CorpusStats {
         math.round(ThetaSketch.estimateDistinct(ska, k)),
         math.round(ThetaSketch.estimateDistinct(skb, k)),
         math.round(ThetaSketch.estimateIntersection(ska, skb, k)),
-        BigDecimal(ThetaSketch.estimateJaccard(ska, skb, k))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        ThetaSketch.estimateJaccard(ska, skb, k))
     }
     import s.implicits._
     rows.toSeq
