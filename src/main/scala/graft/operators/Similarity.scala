@@ -557,6 +557,63 @@ object Similarity {
     (cents, cb)
   }
 
+  private val PqLayoutVersion = "graft-pq-v1"
+
+  /** Persist the (centroids, codebook) pair that is an IVF-PQ index's
+    * generation identity (see [[buildIvfPqIndex]]): centroids as their
+    * (c_id, c_vec) frame, the codebook flattened to (mi, code, c_vec)
+    * rows, and a `_layout` marker pinning version + (m, k, sub) dims —
+    * the Classifier/BpeVocab artifact precedent. Floats round-trip
+    * through parquet FLOAT columns bit-exact, so a loaded model probes
+    * identically to the trained one (spec'd); an index you must retrain
+    * per session is not an index at 100 TB. */
+  def savePqModel(s: SparkSession, cents: DataFrame,
+      cb: Array[Array[Array[Float]]], path: String): Unit = {
+    import s.implicits._
+    require(cb.nonEmpty && cb.head.nonEmpty, "empty codebook")
+    cents.select(col("c_id"), col("c_vec")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    cb.zipWithIndex.flatMap { case (subcb, mi) =>
+      subcb.zipWithIndex.map { case (v, code) => (mi, code, v.toSeq) }
+    }.toSeq.toDF("mi", "code", "c_vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((s"$PqLayoutVersion\nm=${cb.length}\nk=${cb.head.length}\n" +
+      s"sub=${cb.head.head.length}\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Load a persisted PQ model; fails fast on a missing/foreign/torn
+    * artifact, and verifies the codebook's shape against the marker. */
+  def loadPqModel(s: SparkSession, path: String): (DataFrame, Array[Array[Array[Float]]]) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no PQ artifact at $path (missing _layout marker)")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.linesIterator.toSeq
+    require(lines.headOption.contains(PqLayoutVersion),
+      s"PQ artifact at $path has layout ${lines.headOption.getOrElse("<empty>")}, " +
+        s"expected $PqLayoutVersion")
+    def dim(name: String): Int = lines.collectFirst {
+      case l if l.startsWith(s"$name=") => l.stripPrefix(s"$name=").toInt
+    }.getOrElse(sys.error(s"PQ artifact at $path lacks a $name line"))
+    val (m, k, sub) = (dim("m"), dim("k"), dim("sub"))
+    val cb = Array.fill(m, k)(null: Array[Float])
+    s.read.parquet(s"$path/codebook").collect().foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    cb.zipWithIndex.foreach { case (subcb, mi) =>
+      subcb.zipWithIndex.foreach { case (v, code) =>
+        require(v != null && v.length == sub,
+          s"PQ artifact at $path: codeword ($mi, $code) missing or wrong width")
+      }
+    }
+    (s.read.parquet(s"$path/centroids"), cb)
+  }
+
   /** Probe a persisted IVF-PQ index: nprobe nearest buckets per query
     * (broadcast centroid argmax) → ADC over the pruned buckets' code
     * column → top-`refine` per query → exact cosine re-rank reading

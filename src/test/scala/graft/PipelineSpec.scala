@@ -250,6 +250,35 @@ class PipelineSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("PQ model artifact: save -> load round-trips bit-exact, probes identically") {
+    val root = Files.createTempDirectory("graft_pqmodel").toString
+    val dir = root + "/index"
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val (cents, cb) = Similarity.buildIvfPqIndex(
+      emb, kIvf = 8, m = 16, kPq = 16, iters = 2, path = dir)
+    Similarity.savePqModel(spark, cents, cb, root + "/model")
+    val (lcents, lcb) = Similarity.loadPqModel(spark, root + "/model")
+    // codebook floats round-trip bit-exact through the parquet FLOAT column
+    assert(lcb.length == cb.length && lcb(0).length == cb(0).length)
+    cb.indices.foreach { mi =>
+      cb(mi).indices.foreach { code =>
+        assert(java.util.Arrays.equals(lcb(mi)(code), cb(mi)(code)),
+          s"codeword ($mi, $code) drifted through the artifact")
+      }
+    }
+    // a loaded model must probe EXACTLY like the trained one
+    val queries = emb.filter(col("vec_id") < 10)
+    val a = Similarity.probeIvfPq(spark, dir, cents, cb, queries,
+      topK = 5, nprobe = 2, refine = 50).collect().toSeq
+    val b = Similarity.probeIvfPq(spark, dir, lcents, lcb, queries,
+      topK = 5, nprobe = 2, refine = 50).collect().toSeq
+    assert(a == b, "loaded PQ model probe diverged from the trained model")
+    // foreign/torn artifacts fail fast
+    intercept[IllegalArgumentException] {
+      Similarity.loadPqModel(spark, root + "/nowhere")
+    }
+  }
+
   test("chains payloads parse in a STREAM: flatten + quarantine both flow") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
