@@ -29,6 +29,12 @@ import graft.plans.AsOfJoin
   *   SELECT * FROM gopher_gate('docs')
   *   SELECT * FROM corpus_report('docs')
   *   SELECT * FROM url_filter('urls', 'spam.example.com,ads.example.com')
+  *   SELECT * FROM weighted_sample('docs')
+  *   SELECT * FROM domain_mix('docs', 0.5)
+  *   SELECT * FROM stratified_split('docs', 0.9, 0.95)
+  *   SELECT * FROM token_budget_mix('docs', 0.5)
+  *   SELECT * FROM sequence_pack('docs', 256, 512)
+  *   SELECT * FROM ccnet_buckets('docs', 0.1)
   * }}}
   *
   * Dataset arguments are passed as VIEW NAMES (string literals) resolved
@@ -79,6 +85,23 @@ object SqlSurface {
 
   private def csvArg(fn: String, es: Seq[Expression], i: Int): Seq[String] =
     strArg(fn, es, i).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  // a bare SQL literal like 0.5 analyzes as DECIMAL — accept the
+  // numeric family and widen (the fraction knobs are doubles inside)
+  private def dblArg(fn: String, es: Seq[Expression], i: Int): Double = {
+    val e = es(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a numeric literal")
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case l: Long => l.toDouble
+      case n: Int => n.toDouble
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fn: argument ${i + 1} must be a numeric literal, got $other")
+    }
+  }
 
   /** `asof_join(left, right, lkey, ltime, rkey, rtime[, lseq, rseq])`:
     * the [[graft.plans.AsOfJoin]] custom plan (q26's operator) — for
@@ -304,6 +327,77 @@ object SqlSurface {
     "dup_clusters" -> (docs => Dedup.connectedComponentsAuto(
       Dedup.ngramJaccardOf(docs).select("id_a", "id_b")).orderBy("node")))
 
+  // ---- batch 3: sampling / packing / bucketing -----------------------
+
+  /** `weighted_sample(docs_view)`: d57 — deterministic weighted
+    * reservoir per source (Efraimidis–Spirakis exp-key order, char
+    * weights) over a (doc_id, source, n_chars) view. */
+  private val weightedSampleBuilder =
+    oneViewBuilder("weighted_sample", (docs: DataFrame) =>
+      Curation.weightedSampleOf(docs.select("doc_id", "source", "n_chars"))) _
+
+  /** `domain_mix(docs_view[, target_frac])`: d26 — per-source
+    * budget-balanced sampling (deterministic md5 keep-hash) over a
+    * (doc_id, source) view. */
+  private def domainMixBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "domain_mix"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(docs_view[, target_frac]) takes 1 or 2 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "source")
+    val frac = if (es.length == 2) dblArg(fn, es, 1) else 0.5
+    graftshim.analyzed(Curation.domainMixSampleOf(docs, frac))
+  }
+
+  /** `stratified_split(docs_view[, train_upper, val_upper])`: d28 —
+    * the hash-based train/val/test label appended to every input
+    * column (defaults 0.9 / 0.95). */
+  private def stratifiedSplitBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "stratified_split"
+    require(es.length == 1 || es.length == 3,
+      s"$fn(docs_view[, train_upper, val_upper]) takes 1 or 3 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0))
+    val (tu, vu) =
+      if (es.length == 3) (dblArg(fn, es, 1), dblArg(fn, es, 2)) else (0.9, 0.95)
+    graftshim.analyzed(Curation.stratifiedSplitOf(docs, tu, vu))
+  }
+
+  /** `token_budget_mix(docs_view[, target_frac])`: d31 — per-source
+    * ordered token-budget cut over a (doc_id, source, text) view. */
+  private def tokenBudgetMixBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "token_budget_mix"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(docs_view[, target_frac]) takes 1 or 2 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "source", "text")
+    val frac = if (es.length == 2) dblArg(fn, es, 1) else 0.5
+    graftshim.analyzed(Curation.tokenBudgetMixOf(docs, frac))
+  }
+
+  /** `sequence_pack(docs_view[, capacity, shard_size])`: d49 — greedy
+    * reset-accumulator packing inside bounded (source, shard) groups
+    * over a (doc_id, text, source) view. */
+  private def sequencePackBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "sequence_pack"
+    require(es.length == 1 || es.length == 3,
+      s"$fn(docs_view[, capacity, shard_size]) takes 1 or 3 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "text", "source")
+    val (cap, shard) =
+      if (es.length == 3) (longArg(fn, es, 1).toInt, longArg(fn, es, 2).toInt)
+      else (Curation.PackCapacity, Curation.PackShard)
+    graftshim.analyzed(Curation.sequencePackOf(docs, cap, shard))
+  }
+
+  /** `ccnet_buckets(docs_view[, tail_keep])`: d52 — head/middle/tail
+    * perplexity tiers from a self-trained bigram LM over a
+    * (doc_id, text) view. */
+  private def ccnetBucketsBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "ccnet_buckets"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(docs_view[, tail_keep]) takes 1 or 2 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "text")
+    val keep = if (es.length == 2) dblArg(fn, es, 1) else 0.1
+    graftshim.analyzed(Curation.ccnetBucketsOf(docs, keep))
+  }
+
   /** Name → builder for every graft TVF (one registration list shared
     * by the runtime and the conf-based extension paths). */
   val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =
@@ -322,7 +416,13 @@ object SqlSurface {
     "boilerplate_scrub" -> (boilerplateBuilder _),
     "gopher_gate" -> gopherGateBuilder,
     "corpus_report" -> corpusReportBuilder,
-    "url_filter" -> (urlFilterBuilder _))
+    "url_filter" -> (urlFilterBuilder _),
+    "weighted_sample" -> weightedSampleBuilder,
+    "domain_mix" -> (domainMixBuilder _),
+    "stratified_split" -> (stratifiedSplitBuilder _),
+    "token_budget_mix" -> (tokenBudgetMixBuilder _),
+    "sequence_pack" -> (sequencePackBuilder _),
+    "ccnet_buckets" -> (ccnetBucketsBuilder _))
 
   /** Register all TVFs on a live session (what [[Graft.install]] calls). */
   def register(spark: SparkSession): Unit = {

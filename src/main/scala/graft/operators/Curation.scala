@@ -759,8 +759,12 @@ object Curation {
     * differences, the d33 discipline) and ties break on doc_id inside
     * the aggregate's (score desc, id asc) order.
     */
-  def weightedSample(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "source", "n_chars")
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    weightedSampleOf(Tables.documents(s, d).select("doc_id", "source", "n_chars"))
+
+  /** Core of [[weightedSample]] over an explicit (doc_id, source,
+    * n_chars) frame — the TVF delegation point. */
+  def weightedSampleOf(docs: DataFrame): DataFrame = {
     // u' = (h32 + 1) / 2^32 ∈ (0, 1]: +1 keeps ln() off zero
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("bigint")

@@ -169,6 +169,47 @@ class SqlSurfaceSpec extends SparkSpec {
       operators.CorpusStats.unigramNll(spark, sf).count())
   }
 
+  test("batch-3 TVFs (sampling / packing / bucketing): hash parity") {
+    installAndViews()
+    // stratified_split keeps EVERY input column (that is its contract),
+    // so parity with the registered entry needs the entry's own
+    // (doc_id, source) projection as the view
+    Tables.documents(spark, sf).select("doc_id", "source")
+      .createOrReplaceTempView("g_docs_ds")
+    val parity = Seq(
+      "SELECT * FROM weighted_sample('g_docs')" ->
+        operators.Curation.weightedSample(spark, sf),
+      "SELECT * FROM domain_mix('g_docs')" ->
+        operators.Curation.domainMixSample(spark, sf),
+      "SELECT * FROM stratified_split('g_docs_ds')" ->
+        operators.Curation.stratifiedSplit(spark, sf),
+      "SELECT * FROM token_budget_mix('g_docs')" ->
+        operators.Curation.tokenBudgetMix(spark, sf),
+      "SELECT * FROM sequence_pack('g_docs')" ->
+        operators.Curation.sequencePack(spark, sf),
+      "SELECT * FROM ccnet_buckets('g_docs')" ->
+        operators.Curation.ccnetBuckets(spark, sf))
+    parity.foreach { case (sql, scala) =>
+      val viaSql = spark.sql(sql)
+      assert(canon(viaSql) == canon(scala), s"TVF != entry for: $sql")
+      assert(viaSql.count() > 0, s"empty TVF result for: $sql")
+    }
+    // parameter plumbing: fraction and size knobs reach the cores
+    assert(spark.sql("SELECT * FROM domain_mix('g_docs', 0.1)").count()
+      <= spark.sql("SELECT * FROM domain_mix('g_docs', 0.9)").count())
+    val splits = spark.sql("SELECT * FROM stratified_split('g_docs_ds', 0.5, 0.75)")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    // a tighter capacity can only cut MORE sequences per shard
+    assert(spark.sql("SELECT * FROM sequence_pack('g_docs', 64, 512)")
+      .select("source", "shard", "seq_id").distinct().count()
+      >= spark.sql("SELECT * FROM sequence_pack('g_docs')")
+        .select("source", "shard", "seq_id").distinct().count())
+    assert(spark.sql("SELECT * FROM ccnet_buckets('g_docs', 1.0)")
+      .filter(col("keep")).count()
+      >= spark.sql("SELECT * FROM ccnet_buckets('g_docs')").filter(col("keep")).count())
+  }
+
   test("event_pattern_skip_next TVF: q65 in pure SQL, hash parity") {
     installAndViews()
     val viaSql = spark.sql("SELECT * FROM event_pattern_skip_next('g_events')")
