@@ -210,7 +210,12 @@ object Classifier {
     * student score, and prediction. */
   def qualityClassifier(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    val nll = CorpusStats.unigramNllOf(docs, vocabCap = 1000)
+    // teacher tokenize rides the shared memoized corpus cut exactly
+    // like the registered d33 entry (same labels bit-for-bit) — the
+    // 10x stage probe measured the re-exploding form as the entry's
+    // single biggest stage (8.2 s of 13.2 s serial warm)
+    val nll = CorpusStats.unigramNllOf(docs, vocabCap = 1000,
+        wordsIn = Some(Tables.tokLong(s, d).select("doc_id", "w")))
       .select("doc_id", "nll")
     val ranked = Silver.surrogateIds(nll, Seq("nll", "doc_id"), "rnk")
     val tot = ranked.agg(count(lit(1)).as("n"))

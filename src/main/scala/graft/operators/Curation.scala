@@ -71,7 +71,7 @@ object Curation {
     * hashed relation shrinks ~6×. A hash collision (≈2⁻⁶⁴ per candidate
     * pair) could at worst drop one extra doc from a GATING path — the
     * oracle-exact d24 report ([[decontaminateOf]]) stays string-exact. */
-  private[operators] def contaminatedIds(training: DataFrame,
+  private[graft] def contaminatedIds(training: DataFrame,
       benchGramHashes: DataFrame, n: Int = 8): DataFrame =
     training
       .withColumn("ws", split(col("text"), " "))
