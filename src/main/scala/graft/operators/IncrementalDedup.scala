@@ -377,8 +377,32 @@ object IncrementalDedup {
         // bounded driver pull: ≤ `buckets` ints, prunes the id lookup
         val bks = fresh0.select(pmod(hash(col("doc_id")), lit(buckets)).as("bucket"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        val seen = s.read.parquet(docsPath(root))
-          .filter(col("bucket").isin(bks: _*)).select("doc_id")
+        // The seen-id scan is Sinks.readPruned: bucket-dir prune (same
+        // partitions the old catalyst filter kept) PLUS per-file
+        // doc_id footer-stats pruning against the batch's id box —
+        // docs/ appends one file set per upsert, so files cluster by
+        // insertion batch: a REPLAYED batch touches exactly the files
+        // its failed attempt wrote, and a fresh monotone-id batch skips
+        // the entire history (footer min/max can't overlap). Sound
+        // because a skipped file provably holds no id in the box, so
+        // none of its rows could survive the anti-join; the double
+        // footer stats are id-exact below 2^53 (guarded).
+        val idb = fresh0.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val seen =
+          if (idb.isNullAt(0)) fresh0.select("doc_id").limit(0)
+          else {
+            val (lo, hi) = (idb.getLong(0), idb.getLong(1))
+            val exact = 1L << 53
+            if (lo <= -exact || hi >= exact)
+              s.read.parquet(docsPath(root))
+                .filter(col("bucket").isin(bks: _*)).select("doc_id")
+            else {
+              val keepDirs = bks.map(b => s"bucket=$b").toSet
+              graft.sources.Sinks.readPruned(s, docsPath(root),
+                  Seq(("doc_id", lo.toDouble, hi.toDouble)), keepDirs)
+                .select("doc_id")
+            }
+          }
         fresh0.join(seen, Seq("doc_id"), "left_anti")
       }
 

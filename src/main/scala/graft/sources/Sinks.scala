@@ -334,7 +334,8 @@ object Sinks {
     * (fileMax < lo or fileMin > hi); missing/typeless stats keep the
     * file — skipping is an optimization, never a filter. */
   def prunedDataFiles(spark: SparkSession, path: String,
-      ranges: Seq[(String, Double, Double)]): (Seq[String], Seq[String]) = {
+      ranges: Seq[(String, Double, Double)],
+      dirFilter: String => Boolean = _ => true): (Seq[String], Seq[String]) = {
     require(ranges.nonEmpty, "at least one (column, lo, hi) range required")
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
@@ -342,11 +343,15 @@ object Sinks {
     // Recurse into partition subdirectories (writeDaily/compactPartitions
     // produce day=.../part-*.parquet layouts) — a flat listStatus would
     // silently classify ZERO files and readPruned would return nothing.
+    // dirFilter is the PARTITION-dir prune (by `col=value` dir name):
+    // a rejected directory is never listed and its footers are never
+    // read — the caller's equivalent of Catalyst PartitionFilters on a
+    // hand-listed read (its files appear in NEITHER returned list).
     def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
-        else if (st.isDirectory) dataFiles(st.getPath)
+        else if (st.isDirectory) { if (dirFilter(n)) dataFiles(st.getPath) else Nil }
         else Seq(st)
       }
     val cols = ranges.map(_._1)
@@ -371,8 +376,9 @@ object Sinks {
     * are recovered from the directory names. Fast when the layout
     * clusters the predicate columns. */
   def readPruned(spark: SparkSession, path: String,
-      ranges: Seq[(String, Double, Double)]): DataFrame = {
-    val (kept, _) = prunedDataFiles(spark, path, ranges)
+      ranges: Seq[(String, Double, Double)],
+      dirFilter: String => Boolean = _ => true): DataFrame = {
+    val (kept, _) = prunedDataFiles(spark, path, ranges, dirFilter)
     val residual = ranges.map { case (c, lo, hi) =>
       col(c).cast("double") >= lo && col(c).cast("double") <= hi
     }.reduce(_ && _)

@@ -244,6 +244,53 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readPruned(spark, dir, Seq(("x", 5000.0, 6000.0))).count() == 0)
   }
 
+  test("incremental-dedup restart guard: seen-id scan file-prunes to the " +
+       "batch's id box; replay inserts nothing") {
+    val root = Files.createTempDirectory("graft_incprune").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "lang", "source", "text")
+    val n = docs.agg(max("doc_id")).head.getLong(0)
+    val (cut1, cut2) = (n / 3, 2 * n / 3)
+    val batch2 = docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2)
+    operators.IncrementalDedup.upsertBatch(docs.filter(col("doc_id") <= cut1), root)
+    operators.IncrementalDedup.upsertBatch(batch2, root)
+    operators.IncrementalDedup.upsertBatch(docs.filter(col("doc_id") > cut2), root)
+    val before = operators.IncrementalDedup.corpus(spark, root)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+
+    // docs/ appends one file set per upsert, so files cluster by batch:
+    // the guard-shaped scan for batch-2's id box must SKIP files (the
+    // other two batches' appends) while staying row-identical
+    def allFiles(f: java.io.File): Seq[java.io.File] =
+      f.listFiles().toSeq.flatMap(c =>
+        if (c.isDirectory) allFiles(c)
+        else if (c.getName.endsWith(".parquet")) Seq(c) else Nil)
+    val total = allFiles(new java.io.File(s"$root/docs")).size
+    val box = Seq(("doc_id", cut1 + 1.0, cut2.toDouble))
+    val (kept, skipped) = Sinks.prunedDataFiles(spark, s"$root/docs", box)
+    assert(kept.size + skipped.size == total)
+    assert(kept.size < total, s"id-box pruning did not bite: ${kept.size}/$total")
+    val got = Sinks.readPruned(spark, s"$root/docs", box).select("doc_id")
+    val exp = spark.read.parquet(s"$root/docs")
+      .filter(col("doc_id").between(cut1 + 1, cut2)).select("doc_id")
+    assert(got.exceptAll(exp).count() == 0 && exp.exceptAll(got).count() == 0)
+
+    // the dir filter composes: restricting to a single bucket dir reads
+    // only that partition's files (none appear from other buckets)
+    val oneBucket = new java.io.File(s"$root/docs").listFiles()
+      .filter(_.getName.startsWith("bucket=")).head.getName
+    val (kb, _) = Sinks.prunedDataFiles(spark, s"$root/docs", box, Set(oneBucket))
+    assert(kb.nonEmpty || skipped.nonEmpty)
+    assert(kb.forall(_.contains(oneBucket)), s"dir filter leaked: $kb")
+
+    // replaying batch 2 must pass through the pruned guard and insert
+    // NOTHING — the persisted corpus is byte-identical
+    operators.IncrementalDedup.upsertBatch(batch2, root)
+    val after = operators.IncrementalDedup.corpus(spark, root)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(after == before, "replayed batch changed the corpus")
+  }
+
   test("readPruned: hive-partitioned layout (writeDaily) — recursive listing, " +
        "partition columns recovered, rows exact") {
     val dir = Files.createTempDirectory("graft_prune_part").toString + "/ev"
