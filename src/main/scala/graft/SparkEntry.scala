@@ -860,6 +860,119 @@ object SparkEntry {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  /** The d56 trained-classifier oracle — the d37 "global-state
+    * iteration as a recursive CTE" precedent applied to gradient
+    * descent. Replayable because every step is integer or
+    * reproducible-IEEE arithmetic once the margin is order-free:
+    *
+    *  1. teacher: the d33 NLL replay + ROW_NUMBER median cut (the
+    *     surrogate-rank labels, integer).
+    *  2. buckets: pmod(xxhash64(w), 4096) = unsigned wh % 4096
+    *     (4096 divides 2^64) over the [[Xxh64WordChain]] hashes.
+    *  3. forward margin: weights quantize to 1e-9 units
+    *     (FLOOR(w·1e9+0.5) ↔ Math.round) and the per-doc sum is EXACT
+    *     long arithmetic (Σ c·u per bucket ≡ the expression's per-word
+    *     walk); (su·1e-9)/n then sigmoid — exp() ulp differences are
+    *     absorbed by the 9 dp residual round (the d33 discipline).
+    *  4. gradients: SUM(DECIMAL(18,9)) of 9 dp-rounded r·x — exact and
+    *     order-free; weight updates replay Scala's operation order
+    *     w − (lr·l2)·w − (lr·g)/n with the lr·l2 product interpolated
+    *     as the Scala-computed double literal.
+    *  5. state (4096 weights + bias as bucket −1) iterates 8 rounds in
+    *     one WITH RECURSIVE; scoring is the same units margin under
+    *     the final state, rounded to 6 dp.
+    *
+    * The remaining knife edges (a residual exactly on a 0.5e-9 round
+    * boundary, a score exactly at 0.5) are the same measure-zero
+    * class every d33-family oracle carries. */
+  private val D56Sql: String = {
+    val lr = 10.0
+    val lrl2 = lr * 1e-6 // Scala's (lr * l2) product, interpolated exactly
+    val B = graft.operators.Classifier.QcBuckets
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT doc_id, w
+       |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''
+       |), counts AS (SELECT w, COUNT(*) AS c FROM words GROUP BY w),
+       |tot AS (SELECT SUM(c) AS total FROM counts),
+       |top AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT 1000),
+       |nll AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ROUND(CAST(SUM(CAST(ROUND(-LN(CASE WHEN c IS NOT NULL
+       |             THEN c / total ELSE CAST(0.5 AS DOUBLE) / total END), 9)
+       |           AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS nll
+       |  FROM words LEFT JOIN top USING (w) CROSS JOIN tot
+       |  GROUP BY doc_id
+       |), lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN 2 * ROW_NUMBER() OVER (ORDER BY nll, doc_id)
+       |         <= (SELECT COUNT(*) FROM nll) THEN 1.0 ELSE 0.0 END AS y
+       |  FROM nll
+       |), vocab AS MATERIALIZED (SELECT DISTINCT w FROM words
+       |), $Xxh64WordChain, wb AS MATERIALIZED (
+       |  SELECT w, CAST(wh % $B AS BIGINT) AS bucket FROM wh
+       |), dl AS MATERIALIZED (
+       |  SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id
+       |), px AS MATERIALIZED (
+       |  SELECT doc_id, bucket, c,
+       |    ROUND(CAST(c AS DOUBLE) / CAST(n_words AS DOUBLE), 9) AS x
+       |  FROM (SELECT doc_id, bucket, COUNT(*) AS c
+       |        FROM words JOIN wb USING (w) GROUP BY doc_id, bucket)
+       |  JOIN dl USING (doc_id)
+       |), nlab AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lab
+       |), state AS (
+       |  SELECT 0 AS it, CAST(bucket AS BIGINT) AS bucket, CAST(0.0 AS DOUBLE) AS w
+       |  FROM (SELECT UNNEST(generate_series(0, ${B - 1})) AS bucket)
+       |  UNION ALL SELECT 0, CAST(-1 AS BIGINT), CAST(0.0 AS DOUBLE)
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    WITH prev AS (SELECT * FROM state WHERE it < 8),
+       |    u AS (SELECT bucket, CAST(FLOOR(w * 1e9 + 0.5) AS BIGINT) AS uw
+       |          FROM prev WHERE bucket >= 0),
+       |    m AS (
+       |      SELECT d.doc_id,
+       |        ROUND(1.0 / (1.0 + EXP(-(
+       |            (CAST(mu.su AS DOUBLE) * 1e-9) / CAST(d.n_words AS DOUBLE)
+       |            + (SELECT w FROM prev WHERE bucket = -1)))) - l.y, 9) AS r
+       |      FROM dl d
+       |      JOIN (SELECT p.doc_id, SUM(p.c * u.uw) AS su
+       |            FROM px p JOIN u USING (bucket) GROUP BY p.doc_id) mu USING (doc_id)
+       |      JOIN lab l USING (doc_id)
+       |    ),
+       |    g AS (
+       |      SELECT p.bucket, SUM(CAST(ROUND(m.r * p.x, 9) AS DECIMAL(18,9))) AS gd
+       |      FROM px p JOIN m USING (doc_id) GROUP BY p.bucket
+       |    ),
+       |    bg AS (SELECT SUM(CAST(ROUND(r, 9) AS DECIMAL(18,9))) AS gd FROM m)
+       |    SELECT s.it + 1 AS it, s.bucket,
+       |      CASE WHEN s.bucket = -1
+       |        THEN s.w - ($lr * CAST((SELECT gd FROM bg) AS DOUBLE))
+       |               / (SELECT n FROM nlab)
+       |        ELSE (s.w - $lrl2 * s.w)
+       |               - ($lr * CAST(COALESCE(g.gd, 0) AS DOUBLE))
+       |               / (SELECT n FROM nlab)
+       |      END AS w
+       |    FROM prev s LEFT JOIN g USING (bucket)
+       |  )
+       |), fin AS MATERIALIZED (SELECT bucket, w FROM state WHERE it = 8
+       |), fu AS MATERIALIZED (
+       |  SELECT bucket, CAST(FLOOR(w * 1e9 + 0.5) AS BIGINT) AS uw
+       |  FROM fin WHERE bucket >= 0
+       |)
+       |SELECT d.doc_id, CAST(l.y AS INT) AS label,
+       |  ROUND(1.0 / (1.0 + EXP(-(
+       |      (CAST(mu.su AS DOUBLE) * 1e-9) / CAST(d.n_words AS DOUBLE)
+       |      + (SELECT w FROM fin WHERE bucket = -1)))), 6) AS score,
+       |  ROUND(1.0 / (1.0 + EXP(-(
+       |      (CAST(mu.su AS DOUBLE) * 1e-9) / CAST(d.n_words AS DOUBLE)
+       |      + (SELECT w FROM fin WHERE bucket = -1)))), 6) >= 0.5 AS pred
+       |FROM dl d
+       |JOIN (SELECT p.doc_id, SUM(p.c * fu.uw) AS su
+       |      FROM px p JOIN fu USING (bucket) GROUP BY p.doc_id) mu USING (doc_id)
+       |JOIN lab l USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The d36 flagship-pipeline oracle: every stage of
     * CorpusPipeline.buildTrainingCorpus (the registered config: scrub →
     * minWords=3 gate → exact dedup → (lang, source)-blocked LSH near-dup
@@ -2868,6 +2981,8 @@ object SparkEntry {
          |  doc_id, ROUND(CAST(s AS DOUBLE), 6) AS score
          |FROM ranked WHERE rnk <= ${graft.operators.Retrieval.TopK}
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "d56_quality_classifier" -> D56Sql,
 
     "d58_set_sketch" -> KmvSketchSql,
 

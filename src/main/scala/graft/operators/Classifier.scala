@@ -199,7 +199,7 @@ object Classifier {
     Model(w, bias, Seq.empty)
   }
 
-  private[operators] val QcBuckets = 4096
+  private[graft] val QcBuckets = 4096
 
   /** The registered d56 entry: CCNet end-to-end — teacher = d33
     * unigram NLL, split at the MEDIAN by the deterministic two-level
@@ -241,11 +241,22 @@ object Classifier {
 case class HashedMargin(child: Expression, weights: Array[Double])
     extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  // Weights quantized ONCE to integer 1e-9 units (Math.round(w·1e9), a
+  // plan constant like the weights themselves): the per-doc sum is then
+  // EXACT long arithmetic — word-order-free and cheaper than the old
+  // double accumulation — and the margin (su·1e-9)/n is two replayable
+  // IEEE ops. This is what makes the whole GD loop (margins → 9 dp
+  // residuals → decimal gradients → double weight updates) a pure
+  // integer/reproducible-IEEE pipeline the DuckDB oracle replays
+  // bit-exact; a double-sum margin in word order was the one
+  // order-sensitive step. |w| stays O(1), so su < 1e12·n — no overflow.
+  @transient private lazy val units: Array[Long] =
+    weights.map(w => Math.round(w * 1e9))
   override def nullSafeEval(in: Any): Any =
-    HashedMarginHelper.eval(in.asInstanceOf[ArrayData], weights)
+    HashedMarginHelper.eval(in.asInstanceOf[ArrayData], units)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
-      val ref = ctx.addReferenceObj("qcWeights", weights, "double[]")
+      val ref = ctx.addReferenceObj("qcUnits", units, "long[]")
       s"${ev.value} = graft.operators.HashedMarginHelper.eval($s, $ref);"
     })
   override protected def withNewChildInternal(c: Expression): HashedMargin =
@@ -253,18 +264,18 @@ case class HashedMargin(child: Expression, weights: Array[Double])
 }
 
 object HashedMarginHelper {
-  def eval(arr: ArrayData, weights: Array[Double]): Double = {
+  def eval(arr: ArrayData, units: Array[Long]): Double = {
     val n = arr.numElements()
     if (n == 0) return 0.0
-    val b = weights.length
-    var sum = 0.0
+    val b = units.length
+    var su = 0L
     var i = 0
     while (i < n) {
       val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
       val m = (h % b).toInt
-      sum += weights(if (m < 0) m + b else m)
+      su += units(if (m < 0) m + b else m)
       i += 1
     }
-    sum / n
+    (su.toDouble * 1e-9) / n
   }
 }
