@@ -973,6 +973,47 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The d16 int8-quantization ANN oracle: Quantize8 already computes
+    * through exact conversions (float → double is lossless), so every
+    * step replays — mx = max |f| as double (floored at Double.MIN_VALUE
+    * like the Scala accumulator's seed), q_i = HALF-UP-away-from-zero
+    * of f/mx·127 (±FLOOR(±v + 0.5) ↔ the guarded Math.round), the dot
+    * product is EXACT integer arithmetic, and the score chain
+    * ((dot·scale_c)·scale_q)/16129 replays Spark's operator order
+    * (127.0·127.0 = 16129 exactly). Ties break on vec_id over
+    * bit-equal doubles; no NaN/−0.0 can arise (scales are positive,
+    * a zero dot yields +0.0). */
+  private val D16Sql: String =
+    """WITH mx AS MATERIALIZED (
+      |  SELECT vec_id, GREATEST(MAX(ABS(CAST(f AS DOUBLE))), 4.9e-324) AS mx
+      |  FROM (SELECT vec_id, UNNEST(embedding) AS f FROM embeddings)
+      |  GROUP BY vec_id
+      |), qv AS MATERIALIZED (
+      |  SELECT vec_id, i,
+      |    CAST(CASE WHEN v < 0 THEN -FLOOR(-v + 0.5) ELSE FLOOR(v + 0.5) END
+      |         AS BIGINT) AS qi, mx
+      |  FROM (
+      |    SELECT e.vec_id, t.i,
+      |      CAST(e.embedding[t.i] AS DOUBLE) / m.mx * 127.0 AS v, m.mx
+      |    FROM embeddings e
+      |    JOIN mx m USING (vec_id),
+      |    UNNEST(generate_series(1, len(e.embedding))) AS t(i))
+      |), dots AS MATERIALIZED (
+      |  SELECT c.vec_id, s.vec_id AS q_id, SUM(c.qi * s.qi) AS dot,
+      |    ANY_VALUE(c.mx) AS c_mx, ANY_VALUE(s.mx) AS s_mx
+      |  FROM qv c JOIN qv s ON c.i = s.i AND s.vec_id < 10 AND c.vec_id <> s.vec_id
+      |  GROUP BY c.vec_id, s.vec_id
+      |), ranked AS (
+      |  SELECT q_id, vec_id,
+      |    CAST(dot AS DOUBLE) * c_mx * s_mx / 16129.0 AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY CAST(dot AS DOUBLE) * c_mx * s_mx / 16129.0 DESC,
+      |               vec_id ASC) AS rk
+      |  FROM dots
+      |)
+      |SELECT q_id, vec_id AS neighbor_id, score, CAST(rk AS INT) AS rk
+      |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   /** The d36 flagship-pipeline oracle: every stage of
     * CorpusPipeline.buildTrainingCorpus (the registered config: scrub →
     * minWords=3 gate → exact dedup → (lang, source)-blocked LSH near-dup
@@ -2981,6 +3022,8 @@ object SparkEntry {
          |  doc_id, ROUND(CAST(s AS DOUBLE), 6) AS score
          |FROM ranked WHERE rnk <= ${graft.operators.Retrieval.TopK}
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "d16_quantized_ann" -> D16Sql,
 
     "d56_quality_classifier" -> D56Sql,
 
