@@ -121,29 +121,19 @@ object Bpe {
     * enough for the single-writer discipline all graft stores follow. */
   def saveVocab(s: SparkSession, vocab: BpeVocab, path: String): Unit = {
     import s.implicits._
+    graft.ops.Artifacts.invalidate(s, path)
     vocab.merges.zipWithIndex
       .map { case ((a, b), i) => (i, a, b) }.toDF("rank", "a", "b")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
-    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"$VocabLayoutVersion\nmerges=${vocab.merges.size}\n".getBytes("UTF-8"))
-    finally out.close()
+    graft.ops.Artifacts.writeLayout(s, path, VocabLayoutVersion,
+      Seq("merges" -> vocab.merges.size.toString))
   }
 
   /** Load a persisted vocab; fails fast on a missing/foreign artifact. */
   def loadVocab(s: SparkSession, path: String): BpeVocab = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no BPE vocab artifact at $path (missing _layout marker)")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = text.linesIterator.toSeq
-    require(lines.headOption.contains(VocabLayoutVersion),
-      s"BPE vocab artifact at $path has layout ${lines.headOption.getOrElse("<empty>")}, " +
-        s"expected $VocabLayoutVersion")
-    val n = lines.collectFirst { case l if l.startsWith("merges=") =>
-      l.stripPrefix("merges=").toInt }.getOrElse(-1)
+    val layout = graft.ops.Artifacts.readLayout(s, path, VocabLayoutVersion,
+      "BPE vocab")
+    val n = layout.get("merges").map(_.toInt).getOrElse(-1)
     val merges = s.read.parquet(s"$path/merges")
       .orderBy("rank")
       .collect().map(r => (r.getString(1), r.getString(2))).toSeq

@@ -1215,7 +1215,7 @@ case class EventMatches(child: Expression, spanUs: Long,
   // once and removed once — where a per-row all-attempts advance would
   // be O(open), i.e. O(span²) per key on a whale whose span holds k
   // start∩mid rows.
-  private final case class OpenAtt(sTs: Long, sId: Long, midAtOpen: Long)
+  private final class OpenAtt(val sTs: Long, val sId: Long, val midAtOpen: Long)
 
   override def nullSafeEval(in: Any): Any =
     if (skipToNext) evalSkipToNext(in) else evalPastLast(in)
@@ -1291,12 +1291,12 @@ case class EventMatches(child: Expression, spanUs: Long,
             open.removeHead()
         case 0 => // a pure start: no open attempt can consume it — all die
           open.clear()
-          open.append(OpenAtt(ts, id, midCount))
+          open.append(new OpenAtt(ts, id, midCount))
         case 4 => // start-or-mid: advances every open attempt AND opens its own
           midCount += 1
           while (open.nonEmpty && midCount - open.head.midAtOpen > maxMid.toLong)
             open.removeHead()
-          open.append(OpenAtt(ts, id, midCount))
+          open.append(new OpenAtt(ts, id, midCount))
         case _ =>
           open.clear()
       }

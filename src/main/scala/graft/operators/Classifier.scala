@@ -163,35 +163,24 @@ object Classifier {
   /** Persist a trained model at `path` (weights parquet + `_layout`). */
   def saveModel(s: SparkSession, model: Model, path: String): Unit = {
     import s.implicits._
+    graft.ops.Artifacts.invalidate(s, path)
     model.weights.toSeq.zipWithIndex
       .map { case (wt, b) => (b.toLong, wt) }.toDF("bucket", "wt")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
-    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write((s"$ModelLayoutVersion\nbuckets=${model.weights.length}\n" +
-      s"bias=${java.lang.Double.doubleToRawLongBits(model.bias)}\n").getBytes("UTF-8"))
-    finally out.close()
+    graft.ops.Artifacts.writeLayout(s, path, ModelLayoutVersion, Seq(
+      "buckets" -> model.weights.length.toString,
+      "bias" -> java.lang.Double.doubleToRawLongBits(model.bias).toString))
   }
 
   /** Load a persisted model; fails fast on a missing/foreign/torn
     * artifact. Bias round-trips through raw long bits — bit-exact. */
   def loadModel(s: SparkSession, path: String): Model = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no classifier artifact at $path (missing _layout marker)")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = text.linesIterator.toSeq
-    require(lines.headOption.contains(ModelLayoutVersion),
-      s"classifier artifact at $path has layout ${lines.headOption.getOrElse("<empty>")}, " +
-        s"expected $ModelLayoutVersion")
-    val nb = lines.collectFirst { case l if l.startsWith("buckets=") =>
-      l.stripPrefix("buckets=").toInt }.getOrElse(
-      sys.error(s"classifier artifact at $path lacks a buckets line"))
-    val bias = lines.collectFirst { case l if l.startsWith("bias=") =>
-      java.lang.Double.longBitsToDouble(l.stripPrefix("bias=").toLong) }.getOrElse(
-      sys.error(s"classifier artifact at $path lacks a bias line"))
+    val layout = graft.ops.Artifacts.readLayout(s, path, ModelLayoutVersion,
+      "classifier")
+    val nb = graft.ops.Artifacts.layoutValue(layout, "buckets", path,
+      "classifier").toInt
+    val bias = java.lang.Double.longBitsToDouble(
+      graft.ops.Artifacts.layoutValue(layout, "bias", path, "classifier").toLong)
     val w = new Array[Double](nb)
     s.read.parquet(s"$path/weights").collect().foreach { r =>
       w(r.getLong(0).toInt) = r.getDouble(1)

@@ -374,9 +374,9 @@ object IncrementalDedup {
     val fresh =
       if (!exists(s, docsPath(root))) fresh0
       else {
-        // bounded driver pull: ≤ `buckets` ints, prunes the id lookup
-        val bks = fresh0.select(pmod(hash(col("doc_id")), lit(buckets)).as("bucket"))
-          .distinct().collect().map(_.getInt(0)).toSeq
+        // ONE bounded driver action for both prune inputs (≤ `buckets`
+        // ints + the id box) — separate bucket-collect and min/max
+        // aggs would each re-run the batch's dedup shuffle.
         // The seen-id scan is Sinks.readPruned: bucket-dir prune (same
         // partitions the old catalyst filter kept) PLUS per-file
         // doc_id footer-stats pruning against the batch's id box —
@@ -387,11 +387,14 @@ object IncrementalDedup {
         // because a skipped file provably holds no id in the box, so
         // none of its rows could survive the anti-join; the double
         // footer stats are id-exact below 2^53 (guarded).
-        val idb = fresh0.agg(min(col("doc_id")), max(col("doc_id"))).head()
+        val stats = fresh0.agg(
+          collect_set(pmod(hash(col("doc_id")), lit(buckets))).as("bks"),
+          min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).head()
+        val bks = stats.getSeq[Int](0)
         val seen =
-          if (idb.isNullAt(0)) fresh0.select("doc_id").limit(0)
+          if (stats.isNullAt(1)) fresh0.select("doc_id").limit(0)
           else {
-            val (lo, hi) = (idb.getLong(0), idb.getLong(1))
+            val (lo, hi) = (stats.getLong(1), stats.getLong(2))
             val exact = 1L << 53
             if (lo <= -exact || hi >= exact)
               s.read.parquet(docsPath(root))

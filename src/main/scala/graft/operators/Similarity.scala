@@ -571,35 +571,24 @@ object Similarity {
       cb: Array[Array[Array[Float]]], path: String): Unit = {
     import s.implicits._
     require(cb.nonEmpty && cb.head.nonEmpty, "empty codebook")
+    graft.ops.Artifacts.invalidate(s, path)
     cents.select(col("c_id"), col("c_vec")).coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     cb.zipWithIndex.flatMap { case (subcb, mi) =>
       subcb.zipWithIndex.map { case (v, code) => (mi, code, v.toSeq) }
     }.toSeq.toDF("mi", "code", "c_vec").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
-    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write((s"$PqLayoutVersion\nm=${cb.length}\nk=${cb.head.length}\n" +
-      s"sub=${cb.head.head.length}\n").getBytes("UTF-8"))
-    finally out.close()
+    graft.ops.Artifacts.writeLayout(s, path, PqLayoutVersion, Seq(
+      "m" -> cb.length.toString, "k" -> cb.head.length.toString,
+      "sub" -> cb.head.head.length.toString))
   }
 
   /** Load a persisted PQ model; fails fast on a missing/foreign/torn
     * artifact, and verifies the codebook's shape against the marker. */
   def loadPqModel(s: SparkSession, path: String): (DataFrame, Array[Array[Array[Float]]]) = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no PQ artifact at $path (missing _layout marker)")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = text.linesIterator.toSeq
-    require(lines.headOption.contains(PqLayoutVersion),
-      s"PQ artifact at $path has layout ${lines.headOption.getOrElse("<empty>")}, " +
-        s"expected $PqLayoutVersion")
-    def dim(name: String): Int = lines.collectFirst {
-      case l if l.startsWith(s"$name=") => l.stripPrefix(s"$name=").toInt
-    }.getOrElse(sys.error(s"PQ artifact at $path lacks a $name line"))
+    val layout = graft.ops.Artifacts.readLayout(s, path, PqLayoutVersion, "PQ")
+    def dim(name: String): Int =
+      graft.ops.Artifacts.layoutValue(layout, name, path, "PQ").toInt
     val (m, k, sub) = (dim("m"), dim("k"), dim("sub"))
     val cb = Array.fill(m, k)(null: Array[Float])
     s.read.parquet(s"$path/codebook").collect().foreach { r =>

@@ -343,19 +343,27 @@ object Sinks {
     // Recurse into partition subdirectories (writeDaily/compactPartitions
     // produce day=.../part-*.parquet layouts) — a flat listStatus would
     // silently classify ZERO files and readPruned would return nothing.
-    // dirFilter is the PARTITION-dir prune (by `col=value` dir name):
-    // a rejected directory is never listed and its footers are never
-    // read — the caller's equivalent of Catalyst PartitionFilters on a
-    // hand-listed read (its files appear in NEITHER returned list).
-    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    // dirFilter is the PARTITION-dir prune (by `col=value` dir name),
+    // applied to TOP-LEVEL directories ONLY: a rejected directory is
+    // never listed and its footers are never read — the caller's
+    // equivalent of Catalyst PartitionFilters on a hand-listed read
+    // (its files appear in NEITHER returned list). Deeper levels are
+    // always recursed: applying a single-level name filter at every
+    // depth would silently reject all nested partition dirs (e.g. a
+    // future bucket=N/day=D layout) and re-create the zero-files
+    // failure the recursive listing exists to prevent.
+    def dataFiles(p: org.apache.hadoop.fs.Path,
+        top: Boolean): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val n = st.getPath.getName
         if (n.startsWith("_") || n.startsWith(".")) Nil
-        else if (st.isDirectory) { if (dirFilter(n)) dataFiles(st.getPath) else Nil }
+        else if (st.isDirectory) {
+          if (!top || dirFilter(n)) dataFiles(st.getPath, top = false) else Nil
+        }
         else Seq(st)
       }
     val cols = ranges.map(_._1)
-    val (kept, skipped) = dataFiles(root).partition { st =>
+    val (kept, skipped) = dataFiles(root, top = true).partition { st =>
       val fr = footerRanges(conf, st, cols) // ONE footer read per file
       ranges.forall { case (c, lo, hi) =>
         fr(c) match {

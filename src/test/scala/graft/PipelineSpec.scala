@@ -277,6 +277,12 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.loadPqModel(spark, root + "/nowhere")
     }
+    // RE-save over an existing artifact: the old marker is invalidated
+    // first (a crash mid-overwrite must not leave a loadable mix), and
+    // a completed re-save round-trips
+    Similarity.savePqModel(spark, cents, cb, root + "/model")
+    val (_, lcb2) = Similarity.loadPqModel(spark, root + "/model")
+    assert(java.util.Arrays.equals(lcb2(0)(0), cb(0)(0)))
   }
 
   test("chains payloads parse in a STREAM: flatten + quarantine both flow") {
