@@ -875,16 +875,23 @@ object SparkEntry {
     *     walk); (su·1e-9)/n then sigmoid — exp() ulp differences are
     *     absorbed by the 9 dp residual round (the d33 discipline).
     *  4. gradients: SUM(DECIMAL(18,9)) of 9 dp-rounded r·x — exact and
-    *     order-free; weight updates replay Scala's operation order
+    *     order-free; the decimal → double step goes through the exact
+    *     1e-9-unit LONG in BOTH engines (BigDecimal.doubleValue and
+    *     DuckDB's DECIMAL→DOUBLE cast can round an ulp apart — that
+    *     ulp rode into the bias and flipped 100% of unrounded
+    *     margins); weight updates replay Scala's operation order
     *     w − (lr·l2)·w − (lr·g)/n with the lr·l2 product interpolated
     *     as the Scala-computed double literal.
     *  5. state (4096 weights + bias as bucket −1) iterates 8 rounds in
-    *     one WITH RECURSIVE; scoring is the same units margin under
-    *     the final state, rounded to 6 dp.
+    *     one WITH RECURSIVE; the OUTPUT is the raw decision margin
+    *     under the final state (exp-free and bit-exact — emitting the
+    *     6 dp sigmoid instead measured 7 of 200k rows flipped across a
+    *     round boundary at the 40× probe; pred = margin ≥ 0 ≡
+    *     sigmoid ≥ 0.5 exactly).
     *
-    * The remaining knife edges (a residual exactly on a 0.5e-9 round
-    * boundary, a score exactly at 0.5) are the same measure-zero
-    * class every d33-family oracle carries. */
+    * The remaining knife edge (a training residual exactly on a
+    * 0.5e-9 round boundary) is the same measure-zero class every
+    * d33-family oracle carries. */
   private val D56Sql: String = {
     val lr = 10.0
     val lrl2 = lr * 1e-6 // Scala's (lr * l2) product, interpolated exactly
@@ -940,16 +947,19 @@ object SparkEntry {
        |      JOIN lab l USING (doc_id)
        |    ),
        |    g AS (
-       |      SELECT p.bucket, SUM(CAST(ROUND(m.r * p.x, 9) AS DECIMAL(18,9))) AS gd
+       |      SELECT p.bucket,
+       |        ROUND(SUM(CAST(m.r AS DECIMAL(18,9)) * CAST(p.x AS DECIMAL(18,9))), 9) AS gd
        |      FROM px p JOIN m USING (doc_id) GROUP BY p.bucket
        |    ),
        |    bg AS (SELECT SUM(CAST(ROUND(r, 9) AS DECIMAL(18,9))) AS gd FROM m)
        |    SELECT s.it + 1 AS it, s.bucket,
        |      CASE WHEN s.bucket = -1
-       |        THEN s.w - ($lr * CAST((SELECT gd FROM bg) AS DOUBLE))
+       |        THEN s.w - ($lr * (CAST(CAST((SELECT gd FROM bg) * 1000000000
+       |                                AS BIGINT) AS DOUBLE) * 1e-9))
        |               / (SELECT n FROM nlab)
        |        ELSE (s.w - $lrl2 * s.w)
-       |               - ($lr * CAST(COALESCE(g.gd, 0) AS DOUBLE))
+       |               - ($lr * (CAST(CAST(COALESCE(g.gd, 0) * 1000000000
+       |                                AS BIGINT) AS DOUBLE) * 1e-9))
        |               / (SELECT n FROM nlab)
        |      END AS w
        |    FROM prev s LEFT JOIN g USING (bucket)
@@ -960,12 +970,10 @@ object SparkEntry {
        |  FROM fin WHERE bucket >= 0
        |)
        |SELECT d.doc_id, CAST(l.y AS INT) AS label,
-       |  ROUND(1.0 / (1.0 + EXP(-(
-       |      (CAST(mu.su AS DOUBLE) * 1e-9) / CAST(d.n_words AS DOUBLE)
-       |      + (SELECT w FROM fin WHERE bucket = -1)))), 6) AS score,
-       |  ROUND(1.0 / (1.0 + EXP(-(
-       |      (CAST(mu.su AS DOUBLE) * 1e-9) / CAST(d.n_words AS DOUBLE)
-       |      + (SELECT w FROM fin WHERE bucket = -1)))), 6) >= 0.5 AS pred
+       |  (CAST(mu.su AS DOUBLE) * 1e-9) / CAST(d.n_words AS DOUBLE)
+       |    + (SELECT w FROM fin WHERE bucket = -1) AS margin,
+       |  (CAST(mu.su AS DOUBLE) * 1e-9) / CAST(d.n_words AS DOUBLE)
+       |    + (SELECT w FROM fin WHERE bucket = -1) >= 0.0 AS pred
        |FROM dl d
        |JOIN (SELECT p.doc_id, SUM(p.c * fu.uw) AS su
        |      FROM px p JOIN fu USING (bucket) GROUP BY p.doc_id) mu USING (doc_id)

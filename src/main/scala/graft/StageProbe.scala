@@ -146,7 +146,7 @@ object StageProbe {
         Classifier.scoreOf(docs, model)
           .join(labels, "doc_id")
           .select(col("doc_id"), col("y").cast("int").as("label"),
-            col("score"), col("pred"))
+            col("margin"), col("pred"))
       }.unpersist()
     }
     spark.stop()

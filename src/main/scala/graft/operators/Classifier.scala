@@ -115,9 +115,16 @@ object Classifier {
         // grads join + two agg branches each re-ran the margin pass)
         .localCheckpoint(false)
       // gradients, bias gradient (bucket −1), and loss (bucket −2) in
-      // ONE bounded collect
+      // ONE bounded collect. The r·x product multiplies as EXACT
+      // decimals and only the exact SUM rounds to 9 dp: rounding the
+      // double product hit exact decimal ties (r = ±0.5 on iteration 1
+      // times a 9-decimal x ends in 5e-10), where Spark's
+      // shortest-string HALF_UP and DuckDB's binary-value round
+      // disagree ~half the time; a decimal-sum tie is exact arithmetic
+      // both engines round away-from-zero identically.
       val rows = px.join(margins.select("doc_id", "r"), "doc_id")
-        .groupBy("bucket").agg(sum(dec(col("r") * col("x"))).as("g"))
+        .groupBy("bucket").agg(round(sum(
+          col("r").cast("decimal(18,9)") * col("x").cast("decimal(18,9)")), 9).as("g"))
         .unionByName(margins.agg(sum(dec(col("r"))).as("g"))
           .select(lit(-1L).as("bucket"), col("g")))
         .unionByName(margins.agg(sum(col("l")).as("g"))
@@ -127,7 +134,12 @@ object Classifier {
       while (i < w.length) { w(i) -= lr * l2 * w(i); i += 1 }
       rows.foreach { row =>
         val b = row.getLong(0)
-        val v = if (row.isNullAt(1)) 0.0 else row.getDecimal(1).doubleValue()
+        // decimal → double through the exact 1e-9-unit LONG:
+        // BigDecimal.doubleValue and DuckDB's DECIMAL→DOUBLE cast may
+        // round an ulp apart; unscaled·1e-9 is the same two IEEE ops
+        // in both engines (unscaled < 2^53 — docs·1e9 bounded)
+        val v = if (row.isNullAt(1)) 0.0
+          else row.getDecimal(1).unscaledValue().longValueExact().toDouble * 1e-9
         if (b == -1L) bias -= lr * v / n
         else if (b == -2L) losses += v / n
         else w(b.toInt) -= lr * v / n
@@ -145,11 +157,22 @@ object Classifier {
       array_remove(split(text, " "), ""), model.weights) + model.bias))),
       6)
 
+  /** Raw decision margin (mean bucket weight + bias) — the EXACT form
+    * of the forward pass: unlike [[scoreCol]]'s sigmoid, it contains no
+    * exp(), so it is bit-identical across engines at every scale
+    * (JVM Math.exp vs libm diverge by ulps, which pushed 7 of 200k
+    * 6 dp-rounded sigmoids across a round boundary at the 40× probe).
+    * sigmoid is a monotone bijection of this value: ranking, top-k and
+    * the 0.5 gate (⇔ margin ≥ 0) are all unchanged. */
+  def marginCol(text: Column, model: Model): Column =
+    hashedMargin(array_remove(split(text, " "), ""), model.weights) + lit(model.bias)
+
   /** Score (doc_id, text) under a trained model — the same narrow
-    * plan-constant forward pass as training: (doc_id, score, pred). */
+    * plan-constant forward pass as training: (doc_id, margin, pred)
+    * with pred = margin ≥ 0 (≡ sigmoid ≥ 0.5, exactly). */
   def scoreOf(docs: DataFrame, model: Model): DataFrame =
-    docs.select(col("doc_id"), scoreCol(col("text"), model).as("score"))
-      .withColumn("pred", (col("score") >= 0.5).cast("boolean"))
+    docs.select(col("doc_id"), marginCol(col("text"), model).as("margin"))
+      .withColumn("pred", (col("margin") >= 0.0).cast("boolean"))
 
   // ---- persisted model artifact -------------------------------------
   // Train-once/score-anywhere semantics like the BPE vocab and the
@@ -215,7 +238,7 @@ object Classifier {
     scoreOf(docs, model)
       .join(labels, "doc_id")
       .select(col("doc_id"), col("y").cast("int").as("label"),
-        col("score"), col("pred"))
+        col("margin"), col("pred"))
       .orderBy("doc_id")
   }
 }

@@ -91,8 +91,9 @@ class ClassifierSpec extends SparkSpec {
     val out = Classifier.qualityClassifier(spark, sf).cache()
     val n = out.count()
     assert(n == Tables.documents(spark, sf).count(), "one row per doc")
-    val inRange = out.filter(col("score") >= 0.0 && col("score") <= 1.0).count()
-    assert(inRange == n, "scores must be probabilities")
+    // margin is the raw exp-free decision value; pred must be its sign
+    val consistent = out.filter(col("pred") === (col("margin") >= 0.0)).count()
+    assert(consistent == n, "pred must equal margin >= 0")
     val acc = out.filter((col("pred") && col("label") === 1) ||
         (!col("pred") && col("label") === 0)).count().toDouble / n
     info(s"teacher agreement on corpus: $acc")

@@ -19,6 +19,64 @@ class PropertySpec extends SparkSpec {
     "row", "fast", "slow", "window", "batch", "merge", "scan", "key")
   private val wordArray = Gen.listOfN(30, word).map(_.toArray)
 
+  test("skip-to-next CEP deque equals the quadratic reference on random tag streams") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    // reference: the per-attempt list advance (the O(span²) formulation
+    // the mid-counter deque replaced) — kept as the executable spec of
+    // the skip-to-next semantics
+    def ref(rows: Seq[(Long, Long, Int)], spanUs: Long, minMid: Int,
+        maxMid: Int): Seq[(Long, Long, Long, Long, Int)] = {
+      final class Att(val sTs: Long, val sId: Long) { var nMid = 0 }
+      val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Int)]
+      var open = collection.mutable.ArrayBuffer.empty[Att]
+      for ((ts, id, tag) <- rows) {
+        open = open.filter(a => ts - a.sTs <= spanUs)
+        tag match {
+          case 2 =>
+            open.foreach(a => if (a.nMid >= minMid && a.nMid <= maxMid)
+              out += ((a.sId, a.sTs, id, ts, a.nMid)))
+            open.clear()
+          case 1 =>
+            open.foreach(_.nMid += 1); open = open.filter(_.nMid <= maxMid)
+          case 0 =>
+            open.clear(); open += new Att(ts, id)
+          case 4 =>
+            open.foreach(_.nMid += 1); open = open.filter(_.nMid <= maxMid)
+            open += new Att(ts, id)
+          case _ => open.clear()
+        }
+      }
+      out.toSeq
+    }
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      span <- Gen.oneOf(1L, 3L, 7L, 20L, 1000L)
+      minMid <- Gen.choose(0, 2)
+      width <- Gen.choose(0, 5)
+      tags <- Gen.listOfN(n, Gen.frequency(2 -> 0, 3 -> 1, 2 -> 2, 1 -> 3, 3 -> 4))
+      gaps <- Gen.listOfN(n, Gen.choose(0L, 5L)) // zero gaps ⇒ ts ties
+    } yield (span, minMid, minMid + width, tags.zip(gaps))
+    samples(gen, 400).foreach { case (span, mn, mx, evs) =>
+      var ts = 0L
+      val rows = evs.zipWithIndex.map { case ((tag, gap), i) =>
+        ts += gap; (ts, i.toLong, tag)
+      }
+      val in: ArrayData = new GenericArrayData(
+        rows.map { case (t, id, tag) => InternalRow(t, id, tag) }.toArray[Any])
+      val got = graft.functions.EventMatches(
+          org.apache.spark.sql.graftshim.toExpr(lit(1)), span, mn, mx,
+          skipToNext = true)
+        .nullSafeEval(in).asInstanceOf[ArrayData]
+      val gotSeq = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 5)
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      }
+      assert(gotSeq == ref(rows, span, mn, mx),
+        s"span=$span mid=[$mn,$mx] rows=$rows")
+    }
+  }
+
   test("IntersectCount equals reference set-intersection size on random inputs") {
     import spark.implicits._
     samples(Gen.listOfN(20, Gen.zip(wordArray, wordArray)), 5).foreach { pairs =>
