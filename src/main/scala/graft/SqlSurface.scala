@@ -398,6 +398,20 @@ object SqlSurface {
     graftshim.analyzed(Curation.ccnetBucketsOf(docs, keep))
   }
 
+  /** `set_overlap(docs_view[, k, max_sources])`: d58 — pairwise
+    * cross-source 3-gram overlap estimates from KMV/theta sketches
+    * over a (source, text) view. */
+  private def setOverlapBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "set_overlap"
+    require(es.length == 1 || es.length == 3,
+      s"$fn(docs_view[, k, max_sources]) takes 1 or 3 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("source", "text")
+    val (k, mx) =
+      if (es.length == 3) (longArg(fn, es, 1).toInt, longArg(fn, es, 2).toInt)
+      else (512, 6)
+    graftshim.analyzed(CorpusStats.setOverlapOf(docs, k, mx))
+  }
+
   /** Name → builder for every graft TVF (one registration list shared
     * by the runtime and the conf-based extension paths). */
   val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =
@@ -422,7 +436,8 @@ object SqlSurface {
     "stratified_split" -> (stratifiedSplitBuilder _),
     "token_budget_mix" -> (tokenBudgetMixBuilder _),
     "sequence_pack" -> (sequencePackBuilder _),
-    "ccnet_buckets" -> (ccnetBucketsBuilder _))
+    "ccnet_buckets" -> (ccnetBucketsBuilder _),
+    "set_overlap" -> (setOverlapBuilder _))
 
   /** Register all TVFs on a live session (what [[Graft.install]] calls). */
   def register(spark: SparkSession): Unit = {

@@ -284,9 +284,16 @@ object CorpusStats {
     * RAW estimator double (no decimal rounding) so the oracle compare
     * is bit-exact, not a knife edge. */
   def setOverlap(s: SparkSession, d: String, k: Int = 512,
+      maxSources: Int = 6): DataFrame =
+    setOverlapOf(Tables.documents(s, d).select("source", "text"), k, maxSources)
+
+  /** Core of [[setOverlap]] over an explicit (source, text) frame —
+    * the TVF delegation point. */
+  def setOverlapOf(docs: DataFrame, k: Int = 512,
       maxSources: Int = 6): DataFrame = {
     import graft.functions.ThetaSketch
-    val grams = Tables.documents(s, d)
+    val s = docs.sparkSession
+    val grams = docs
       .select(col("source"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("source"),

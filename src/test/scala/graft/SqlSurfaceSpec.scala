@@ -188,7 +188,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT * FROM sequence_pack('g_docs')" ->
         operators.Curation.sequencePack(spark, sf),
       "SELECT * FROM ccnet_buckets('g_docs')" ->
-        operators.Curation.ccnetBuckets(spark, sf))
+        operators.Curation.ccnetBuckets(spark, sf),
+      "SELECT * FROM set_overlap('g_docs')" ->
+        operators.CorpusStats.setOverlap(spark, sf))
     parity.foreach { case (sql, scala) =>
       val viaSql = spark.sql(sql)
       assert(canon(viaSql) == canon(scala), s"TVF != entry for: $sql")
