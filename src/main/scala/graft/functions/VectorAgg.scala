@@ -25,12 +25,22 @@ import org.apache.spark.sql.types._
   * dimension: a group of only empty vectors sums to an empty array, and
   * an empty vector mixed with d-dimensional ones throws the mismatch
   * error regardless of arrival order.
+  *
+  * ORDER-FREE by construction (the d56 margin discipline): each element
+  * quantizes once to an integer 1e-6-unit long (Math.round(x·1e6)) and
+  * the accumulation is exact long addition, so ANY partitioning, merge
+  * order, or AQE re-plan yields the bit-identical sum — k-means
+  * centroids and PQ codebooks become reproducible builds instead of
+  * partition-order accidents, and a cross-engine replay is two IEEE
+  * ops (su·1e-6). The 1e-6 grid loses ~1e-7 relative precision on
+  * unit-scale embeddings — far below centroid noise — and overflows
+  * only past ~1e11 rows·unit-scale per group (require-guarded).
   */
 case class VectorSumAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Double]] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
   // lazy: the first construction wraps an UNRESOLVED column; by the
   // time update() runs we are the resolved/bound copy
@@ -44,54 +54,64 @@ case class VectorSumAgg(
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType)
 
-  override def createAggregationBuffer(): Array[Double] = null
+  override def createAggregationBuffer(): Array[Long] = null
 
-  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) return buf
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val acc = if (buf == null) new Array[Double](n) else buf
+    val acc = if (buf == null) new Array[Long](n) else buf
     if (acc.length != n)
       throw new IllegalStateException(
         s"vector_sum: mismatched vector lengths ${acc.length} vs $n")
     var i = 0
     elemType match {
-      case FloatType => while (i < n) { acc(i) += arr.getFloat(i); i += 1 }
-      case DoubleType => while (i < n) { acc(i) += arr.getDouble(i); i += 1 }
+      case FloatType =>
+        while (i < n) { acc(i) += Math.round(arr.getFloat(i).toDouble * 1e6); i += 1 }
+      case DoubleType =>
+        while (i < n) { acc(i) += Math.round(arr.getDouble(i) * 1e6); i += 1 }
       case other => throw new IllegalStateException(s"vector_sum: unsupported element $other")
     }
     acc
   }
 
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     if (a == null) return b
     if (b == null) return a
     if (a.length != b.length)
       throw new IllegalStateException(
         s"vector_sum: mismatched vector lengths ${a.length} vs ${b.length}")
     var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
+    while (i < a.length) {
+      val s = a(i) + b(i)
+      // exact-accumulation overflow must fail loudly, never wrap
+      require((a(i) >= 0) != (b(i) >= 0) || (s >= 0) == (a(i) >= 0),
+        "vector_sum: unit accumulator overflow (group > ~1e11 unit-scale rows)")
+      a(i) = s
+      i += 1
+    }
     a
   }
 
-  override def eval(buf: Array[Double]): Any =
-    if (buf == null) null else new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    if (buf == null) null
+    else new GenericArrayData(buf.map(u => u.toDouble * 1e-6))
 
-  override def serialize(buf: Array[Double]): Array[Byte] = {
+  override def serialize(buf: Array[Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     // -1 length = the uninitialized (null-buffer) sentinel
     if (buf == null) out.writeInt(-1)
-    else { out.writeInt(buf.length); buf.foreach(out.writeDouble) }
+    else { out.writeInt(buf.length); buf.foreach(out.writeLong) }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    if (n < 0) null else Array.fill(n)(in.readDouble())
+    if (n < 0) null else Array.fill(n)(in.readLong())
   }
 
   override def withNewMutableAggBufferOffset(o: Int): VectorSumAgg =
