@@ -574,7 +574,12 @@ object SparkEntry {
     * low/high 32-bit halves, `h ^= 8`, 32-bit avalanche), seed 42,
     * value-validated against Spark; the banded value is the signed
     * long's BIT PATTERN. */
-  private val MurmurBandCte: String = {
+  /** Spark murmur3 `hash()` over LONGs replayed mod-2^32
+    * (Murmur3_x86_32.hashLong: two k1-mixes over the low/high halves,
+    * `h ^= 8`, 32-bit avalanche; chaining seeds the next element with
+    * the previous hash). Shared by [[MurmurBandCte]] (band hashes) and
+    * the d6 oracle's k-means seed order. */
+  private object M32Sql {
     val M32 = "4294967296::HUGEINT"
     def r32(x: String, r: Int): String =
       s"((($x) * ${1L << r}) % $M32 + (($x) >> ${32 - r}))"
@@ -589,6 +594,10 @@ object SparkEntry {
     }
     def hashLong(h: String, u: String): String =
       fmix32(s"xor(${mix(mix(h, s"($u) % $M32"), s"($u) // $M32")}, 8)")
+  }
+
+  private val MurmurBandCte: String = {
+    import M32Sql.hashLong
     s"""su AS (
        |  SELECT doc_id, p,
        |    CASE WHEN v < 0 THEN v + 18446744073709551616::HUGEINT
@@ -1021,6 +1030,125 @@ object SparkEntry {
       |)
       |SELECT q_id, vec_id AS neighbor_id, score, CAST(rk AS INT) AS rk
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** The d6 IVF-ANN oracle — the full pipeline including DISTRIBUTED
+    * K-MEANS, possible since VectorSumAgg became order-free (exact
+    * 1e-6-unit long accumulation): centroid updates are integer
+    * arithmetic, so both engines derive bit-identical centroids from
+    * identical assignments. Stages:
+    *
+    *  1. k = adaptiveK(n) = clamp(2, 4096, round(√n)) computed in SQL.
+    *  2. seeds = the k smallest (murmur3 hash(vec_id), vec_id) rows —
+    *     [[M32Sql.hashLong]] replay, signed-int order.
+    *  3. two k-means rounds in WITH RECURSIVE (state = (it, c_id, i,
+    *     c)): squared-L2 assignment (ee − 2ec) + cc with ROW_NUMBER's
+    *     (score, c_id) order matching NearestBuckets' strict-better
+    *     scan; means = exact unit sums / count, cast through REAL like
+    *     the engine's .toFloat. Assignment comparisons use unordered
+    *     SQL sums where the engine sums in index order — a flip needs
+    *     two centroids within ulps of the same distance (≈1e-14/vec,
+    *     vs the 1e-7 exp/round-boundary class — not a q40 knife edge).
+    *  4. bucket assignment (cosine argmax, p=1 corpus / p=2 queries),
+    *     candidate join within buckets.
+    *  5. OUTPUT cosines replay DotProductF's index-order folds exactly
+    *     (a second recursive CTE accumulating (dot, ‖q‖², ‖e‖²) per
+    *     candidate), so the emitted doubles are bit-exact, and the
+    *     top-5 ranks on those exact values. */
+  private val D6Sql: String = {
+    import M32Sql.hashLong
+    s"""WITH RECURSIVE ev AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), kk AS MATERIALIZED (
+       |  SELECT GREATEST(2, LEAST(4096,
+       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k
+       |  FROM ev
+       |), hh AS (
+       |  SELECT vec_id,
+       |    CASE WHEN h >= 2147483648::HUGEINT THEN CAST(h - 4294967296::HUGEINT AS BIGINT)
+       |         ELSE CAST(h AS BIGINT) END AS h32
+       |  FROM (
+       |    SELECT vec_id, ${hashLong("42::HUGEINT", "u")} AS h
+       |    FROM (SELECT vec_id,
+       |            CASE WHEN vec_id < 0 THEN vec_id + 18446744073709551616::HUGEINT
+       |                 ELSE vec_id::HUGEINT END AS u FROM ev))
+       |), seeds AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h32, vec_id) - 1 AS BIGINT) AS c_id,
+       |         vec_id
+       |  FROM hh QUALIFY ROW_NUMBER() OVER (ORDER BY h32, vec_id) <= (SELECT k FROM kk)
+       |), exi AS MATERIALIZED (
+       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x,
+       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ux
+       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
+       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
+       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
+       |), cent AS (
+       |  SELECT 0 AS it, s.c_id, e.i, e.x AS c
+       |  FROM seeds s JOIN exi e USING (vec_id)
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    WITH prev AS (SELECT * FROM cent WHERE it < 2),
+       |    ccs AS (SELECT c_id, SUM(c * c) AS cc FROM prev GROUP BY c_id),
+       |    ecs AS (SELECT e.vec_id, p.c_id, SUM(e.x * p.c) AS ec
+       |            FROM exi e JOIN prev p ON e.i = p.i GROUP BY e.vec_id, p.c_id),
+       |    asg AS (
+       |      SELECT vec_id, c_id FROM (
+       |        SELECT ecs.vec_id, ecs.c_id,
+       |          ROW_NUMBER() OVER (PARTITION BY ecs.vec_id
+       |            ORDER BY (ee.ee - 2.0 * ecs.ec) + ccs.cc ASC, ecs.c_id ASC) AS rn
+       |        FROM ecs JOIN ccs USING (c_id) JOIN ee ON ee.vec_id = ecs.vec_id)
+       |      WHERE rn = 1),
+       |    mns AS (
+       |      SELECT a.c_id, e.i,
+       |        CAST(CAST((CAST(SUM(e.ux) AS DOUBLE) * 1e-6)
+       |               / CAST(COUNT(*) AS DOUBLE) AS REAL) AS DOUBLE) AS c
+       |      FROM asg a JOIN exi e USING (vec_id) GROUP BY a.c_id, e.i)
+       |    SELECT it0.it + 1 AS it, mns.c_id, mns.i, mns.c
+       |    FROM (SELECT DISTINCT it FROM prev) it0, mns
+       |  )
+       |), fin AS MATERIALIZED (SELECT c_id, i, c FROM cent WHERE it = 2
+       |), fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
+       |), fsc AS MATERIALIZED (
+       |  SELECT e.vec_id, f.c_id,
+       |    SUM(e.x * f.c) / (SQRT(ANY_VALUE(ee.ee)) * SQRT(ANY_VALUE(fcc.cc))) AS s
+       |  FROM exi e JOIN fin f ON e.i = f.i
+       |  JOIN ee ON ee.vec_id = e.vec_id JOIN fcc ON fcc.c_id = f.c_id
+       |  GROUP BY e.vec_id, f.c_id
+       |), cb AS MATERIALIZED (
+       |  SELECT vec_id, c_id AS bucket FROM (
+       |    SELECT vec_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id ASC) AS rn
+       |    FROM fsc) WHERE rn = 1
+       |), qb AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, c_id AS bucket FROM (
+       |    SELECT vec_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c_id ASC) AS rn
+       |    FROM fsc WHERE vec_id < 10) WHERE rn <= 2
+       |), cand AS MATERIALIZED (
+       |  SELECT q.q_id, c.vec_id
+       |  FROM cb c JOIN qb q USING (bucket)
+       |  WHERE c.vec_id <> q.q_id
+       |), fold AS (
+       |  SELECT q_id, vec_id, 0 AS i,
+       |    CAST(0.0 AS DOUBLE) AS sqe, CAST(0.0 AS DOUBLE) AS sqq,
+       |    CAST(0.0 AS DOUBLE) AS see
+       |  FROM cand
+       |  UNION ALL
+       |  SELECT f.q_id, f.vec_id, f.i + 1,
+       |    f.sqe + eq.x * ec2.x, f.sqq + eq.x * eq.x, f.see + ec2.x * ec2.x
+       |  FROM fold f
+       |  JOIN exi eq ON eq.vec_id = f.q_id AND eq.i = f.i + 1
+       |  JOIN exi ec2 ON ec2.vec_id = f.vec_id AND ec2.i = f.i + 1
+       |  WHERE f.i < (SELECT d FROM dimn)
+       |), fcos AS (
+       |  SELECT q_id, vec_id, sqe / (SQRT(sqq) * SQRT(see)) AS cos
+       |  FROM fold WHERE i = (SELECT d FROM dimn)
+       |)
+       |SELECT q_id, vec_id AS neighbor_id, cos, CAST(rk AS INT) AS rk
+       |FROM (SELECT q_id, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+       |      FROM fcos)
+       |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
 
   /** The d36 flagship-pipeline oracle: every stage of
     * CorpusPipeline.buildTrainingCorpus (the registered config: scrub →
@@ -3030,6 +3158,8 @@ object SparkEntry {
          |  doc_id, ROUND(CAST(s AS DOUBLE), 6) AS score
          |FROM ranked WHERE rnk <= ${graft.operators.Retrieval.TopK}
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "d6_ivf_ann" -> D6Sql,
 
     "d16_quantized_ann" -> D16Sql,
 
