@@ -1054,15 +1054,15 @@ object SparkEntry {
     *     (a second recursive CTE accumulating (dot, ‖q‖², ‖e‖²) per
     *     candidate), so the emitted doubles are bit-exact, and the
     *     top-5 ranks on those exact values. */
-  private val D6Sql: String = {
+  /** Shared k-means replay fragment (scaladoc at [[D6Sql]]): expects
+    * `ev(vec_id, …)`, `exi(vec_id, i, x, ux)` and `ee(vec_id, ee)`
+    * CTEs plus a `kk(k)` CTE for the centroid count; emits `seeds`
+    * (murmur3-ordered), the recursive `cent` state and
+    * `fin(c_id, i, c)` — the centroids after `iters` rounds. Must be
+    * spliced into a WITH RECURSIVE list. */
+  private def kmeansReplayCtes(iters: Int): String = {
     import M32Sql.hashLong
-    s"""WITH RECURSIVE ev AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings
-       |), kk AS MATERIALIZED (
-       |  SELECT GREATEST(2, LEAST(4096,
-       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k
-       |  FROM ev
-       |), hh AS (
+    s"""hh AS (
        |  SELECT vec_id,
        |    CASE WHEN h >= 2147483648::HUGEINT THEN CAST(h - 4294967296::HUGEINT AS BIGINT)
        |         ELSE CAST(h AS BIGINT) END AS h32
@@ -1075,18 +1075,12 @@ object SparkEntry {
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h32, vec_id) - 1 AS BIGINT) AS c_id,
        |         vec_id
        |  FROM hh QUALIFY ROW_NUMBER() OVER (ORDER BY h32, vec_id) <= (SELECT k FROM kk)
-       |), exi AS MATERIALIZED (
-       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x,
-       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ux
-       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
-       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
-       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
        |), cent AS (
        |  SELECT 0 AS it, s.c_id, e.i, e.x AS c
        |  FROM seeds s JOIN exi e USING (vec_id)
        |  UNION ALL
        |  SELECT * FROM (
-       |    WITH prev AS (SELECT * FROM cent WHERE it < 2),
+       |    WITH prev AS (SELECT * FROM cent WHERE it < $iters),
        |    ccs AS (SELECT c_id, SUM(c * c) AS cc FROM prev GROUP BY c_id),
        |    ecs AS (SELECT e.vec_id, p.c_id, SUM(e.x * p.c) AS ec
        |            FROM exi e JOIN prev p ON e.i = p.i GROUP BY e.vec_id, p.c_id),
@@ -1105,8 +1099,24 @@ object SparkEntry {
        |    SELECT it0.it + 1 AS it, mns.c_id, mns.i, mns.c
        |    FROM (SELECT DISTINCT it FROM prev) it0, mns
        |  )
-       |), fin AS MATERIALIZED (SELECT c_id, i, c FROM cent WHERE it = 2
-       |), fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
+       |), fin AS MATERIALIZED (SELECT c_id, i, c FROM cent WHERE it = $iters)""".stripMargin
+  }
+
+  private val D6Sql: String = {
+    s"""WITH RECURSIVE ev AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), kk AS MATERIALIZED (
+       |  SELECT GREATEST(2, LEAST(4096,
+       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k
+       |  FROM ev
+       |), exi AS MATERIALIZED (
+       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x,
+       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ux
+       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
+       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
+       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
+       |), ${kmeansReplayCtes(2)}
+       |, fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
        |), fsc AS MATERIALIZED (
        |  SELECT e.vec_id, f.c_id,
        |    SUM(e.x * f.c) / (SQRT(ANY_VALUE(ee.ee)) * SQRT(ANY_VALUE(fcc.cc))) AS s
@@ -1148,6 +1158,151 @@ object SparkEntry {
        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
        |      FROM fcos)
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** The d61 topic-clusters oracle: the [[kmeansReplayCtes]] machinery
+    * over the d59-derived dense corpus embeddings (D59Ctes' w_norm is
+    * already oracle-exact; the vector is its bucket expansion cast
+    * through REAL like collapseDense's array<float>), k = 16, 5
+    * rounds. Per-cluster exemplar = argmin (d2, vec_id); the OUTPUT d2
+    * replays NearestBuckets' (ee − 2ec) + cc with all three sums
+    * folded in index order for the 16 winners — bit-exact before the
+    * 6 dp round. */
+  private val D61Sql: String = {
+    val dims = graft.operators.Retrieval.EmbedDims
+    s"""WITH RECURSIVE $D59Ctes,
+       |ev AS MATERIALIZED (SELECT DISTINCT doc_id AS vec_id FROM demb
+       |), kk AS MATERIALIZED (SELECT CAST(16 AS BIGINT) AS k
+       |), exi AS MATERIALIZED (
+       |  SELECT g.vec_id, g.b + 1 AS i,
+       |    CAST(CAST(COALESCE(d.w_norm, 0.0) AS REAL) AS DOUBLE) AS x,
+       |    CAST(FLOOR(CAST(CAST(COALESCE(d.w_norm, 0.0) AS REAL) AS DOUBLE) * 1e6
+       |               + 0.5) AS BIGINT) AS ux
+       |  FROM (SELECT e.vec_id, t.b FROM ev e,
+       |        UNNEST(generate_series(0, ${dims - 1})) AS t(b)) g
+       |  LEFT JOIN demb d ON d.doc_id = g.vec_id AND d.bucket = g.b
+       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
+       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
+       |), ${kmeansReplayCtes(5)}
+       |, fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
+       |), fec AS MATERIALIZED (
+       |  SELECT e.vec_id, f.c_id, SUM(e.x * f.c) AS ec
+       |  FROM exi e JOIN fin f ON e.i = f.i GROUP BY e.vec_id, f.c_id
+       |), fasg AS MATERIALIZED (
+       |  SELECT vec_id, c_id, d2a FROM (
+       |    SELECT fec.vec_id, fec.c_id,
+       |      (ee.ee - 2.0 * fec.ec) + fcc.cc AS d2a,
+       |      ROW_NUMBER() OVER (PARTITION BY fec.vec_id
+       |        ORDER BY (ee.ee - 2.0 * fec.ec) + fcc.cc ASC, fec.c_id ASC) AS rn
+       |    FROM fec JOIN fcc USING (c_id) JOIN ee ON ee.vec_id = fec.vec_id)
+       |  WHERE rn = 1
+       |), wcand AS MATERIALIZED (
+       |  -- exact-fold every vector within 1e-9 of the cluster's approx
+       |  -- min: the unordered-sum reorder error is ≤ ~1e-12, so the
+       |  -- true argmin is always inside this band — and IDENTICAL
+       |  -- embeddings (Amplify rotation copies) whose unordered sums
+       |  -- land ulps apart are re-ranked on exact values where they
+       |  -- tie and break on vec_id like the engine
+       |  SELECT f.c_id, f.vec_id
+       |  FROM fasg f JOIN (SELECT c_id, MIN(d2a) AS mn FROM fasg GROUP BY c_id) m
+       |    USING (c_id)
+       |  WHERE f.d2a <= m.mn + 1e-9
+       |), wfold AS (
+       |  SELECT c_id, vec_id, 0 AS i, CAST(0.0 AS DOUBLE) AS see,
+       |    CAST(0.0 AS DOUBLE) AS sec, CAST(0.0 AS DOUBLE) AS scc
+       |  FROM wcand
+       |  UNION ALL
+       |  SELECT w.c_id, w.vec_id, w.i + 1,
+       |    w.see + e.x * e.x, w.sec + e.x * f.c, w.scc + f.c * f.c
+       |  FROM wfold w
+       |  JOIN exi e ON e.vec_id = w.vec_id AND e.i = w.i + 1
+       |  JOIN fin f ON f.c_id = w.c_id AND f.i = w.i + 1
+       |  WHERE w.i < (SELECT d FROM dimn)
+       |), wd2 AS MATERIALIZED (
+       |  SELECT c_id, vec_id, d2 FROM (
+       |    SELECT c_id, vec_id, (see - 2.0 * sec) + scc AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY c_id
+       |        ORDER BY (see - 2.0 * sec) + scc ASC, vec_id ASC) AS rn
+       |    FROM wfold WHERE i = (SELECT d FROM dimn)) WHERE rn = 1
+       |)
+       |SELECT CAST(a.c_id AS INT) AS cluster_id, COUNT(*) AS n_docs,
+       |  ANY_VALUE(w.vec_id) AS exemplar_id,
+       |  ROUND(ANY_VALUE(w.d2), 6) AS exemplar_d2
+       |FROM fasg a JOIN wd2 w USING (c_id)
+       |GROUP BY a.c_id ORDER BY cluster_id""".stripMargin
+  }
+
+  /** The d11 cosine near-dup oracle: [[kmeansReplayCtes]] blocking
+    * (top-2 L2 buckets per vector), then the pair mine with the
+    * exact-band discipline — approximate (unordered-sum) cosines admit
+    * every pair within 1e-9 of the 0.30 threshold (reorder error is
+    * ≤ ~1e-12), and the admitted pairs re-derive their dot in
+    * DotProductF's index order (recursive fold), so both the THRESHOLD
+    * decision and the emitted cos doubles are bit-exact. Per-vector
+    * norms fold exactly the same way. */
+  private val D11Sql: String = {
+    s"""WITH RECURSIVE ev AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), kk AS MATERIALIZED (
+       |  SELECT GREATEST(2, LEAST(4096,
+       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k
+       |  FROM ev
+       |), exi AS MATERIALIZED (
+       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x,
+       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ux
+       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
+       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
+       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
+       |), ${kmeansReplayCtes(2)}
+       |, fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
+       |), fec AS MATERIALIZED (
+       |  SELECT e.vec_id, f.c_id, SUM(e.x * f.c) AS ec
+       |  FROM exi e JOIN fin f ON e.i = f.i GROUP BY e.vec_id, f.c_id
+       |), blk AS MATERIALIZED (
+       |  SELECT vec_id, c_id AS bucket FROM (
+       |    SELECT fec.vec_id, fec.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY fec.vec_id
+       |        ORDER BY (ee.ee - 2.0 * fec.ec) + fcc.cc ASC, fec.c_id ASC) AS rn
+       |    FROM fec JOIN fcc USING (c_id) JOIN ee ON ee.vec_id = fec.vec_id)
+       |  WHERE rn <= 2
+       |), nfold AS (
+       |  SELECT vec_id, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM ev
+       |  UNION ALL
+       |  SELECT f.vec_id, f.i + 1, f.s + e.x * e.x
+       |  FROM nfold f JOIN exi e ON e.vec_id = f.vec_id AND e.i = f.i + 1
+       |  WHERE f.i < (SELECT d FROM dimn)
+       |), nrm AS MATERIALIZED (
+       |  SELECT vec_id, SQRT(s) AS nrm FROM nfold WHERE i = (SELECT d FROM dimn)
+       |), prs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, MIN(a.bucket) AS bucket
+       |  FROM blk a JOIN blk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id
+       |), band AS MATERIALIZED (
+       |  SELECT d.id_a, d.id_b, d.bucket, na.nrm AS n_a, nb.nrm AS n_b
+       |  FROM (
+       |    SELECT p.id_a, p.id_b, p.bucket, SUM(ea.x * eb.x) AS dota
+       |    FROM prs p
+       |    JOIN exi ea ON ea.vec_id = p.id_a
+       |    JOIN exi eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+       |    GROUP BY p.id_a, p.id_b, p.bucket) d
+       |  JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
+       |  WHERE d.dota / (na.nrm * nb.nrm) >= CAST(0.3 AS DOUBLE) - 1e-9
+       |), pfold AS (
+       |  SELECT id_a, id_b, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM band
+       |  UNION ALL
+       |  SELECT f.id_a, f.id_b, f.i + 1, f.s + ea.x * eb.x
+       |  FROM pfold f
+       |  JOIN exi ea ON ea.vec_id = f.id_a AND ea.i = f.i + 1
+       |  JOIN exi eb ON eb.vec_id = f.id_b AND eb.i = f.i + 1
+       |  WHERE f.i < (SELECT d FROM dimn)
+       |)
+       |SELECT CAST(b.bucket AS INT) AS bucket, b.id_a AS id_a, b.id_b AS id_b,
+       |  pf.s / (b.n_a * b.n_b) AS cos
+       |FROM band b
+       |JOIN pfold pf ON pf.id_a = b.id_a AND pf.id_b = b.id_b
+       |  AND pf.i = (SELECT d FROM dimn)
+       |WHERE pf.s / (b.n_a * b.n_b) >= CAST(0.3 AS DOUBLE)
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** The d36 flagship-pipeline oracle: every stage of
@@ -3160,6 +3315,10 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin,
 
     "d6_ivf_ann" -> D6Sql,
+
+    "d11_near_dup_cosine" -> D11Sql,
+
+    "d61_topic_clusters" -> D61Sql,
 
     "d16_quantized_ann" -> D16Sql,
 
