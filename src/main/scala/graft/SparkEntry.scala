@@ -1305,6 +1305,188 @@ object SparkEntry {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** The d45 SemDeDup oracle: the d11 pair-mine replay (banded
+    * threshold, exact folds), a recursive transitive closure with the
+    * d36 LEAST-label rule for groups, and the keep-rule argmin over
+    * EXACT per-vector centroid cosines — cent_cos is an output column
+    * for every vector, so each vector folds (ee, ec) against its
+    * approx-argmax centroid in index order (cc folds per centroid),
+    * making both the emitted double and the (cent_cos, vec_id)
+    * representative choice bit-exact. */
+  private val D45Sql: String = {
+    s"""WITH RECURSIVE ev AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), kk AS MATERIALIZED (
+       |  SELECT GREATEST(2, LEAST(4096,
+       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k
+       |  FROM ev
+       |), exi AS MATERIALIZED (
+       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x,
+       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ux
+       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
+       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
+       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
+       |), ${kmeansReplayCtes(2)}
+       |, fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
+       |), fec AS MATERIALIZED (
+       |  SELECT e.vec_id, f.c_id, SUM(e.x * f.c) AS ec
+       |  FROM exi e JOIN fin f ON e.i = f.i GROUP BY e.vec_id, f.c_id
+       |), ccfold AS (
+       |  SELECT c_id, 0 AS i, CAST(0.0 AS DOUBLE) AS s
+       |  FROM (SELECT DISTINCT c_id FROM fin)
+       |  UNION ALL
+       |  SELECT cf.c_id, cf.i + 1, cf.s + f.c * f.c
+       |  FROM ccfold cf JOIN fin f ON f.c_id = cf.c_id AND f.i = cf.i + 1
+       |  WHERE cf.i < (SELECT d FROM dimn)
+       |), ccx AS MATERIALIZED (
+       |  SELECT c_id, s AS cc FROM ccfold WHERE i = (SELECT d FROM dimn)
+       |), wincent AS MATERIALIZED (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT fec.vec_id, fec.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY fec.vec_id
+       |        ORDER BY fec.ec / (SQRT(ee.ee) * SQRT(fcc.cc)) DESC, fec.c_id ASC) AS rn
+       |    FROM fec JOIN fcc USING (c_id) JOIN ee ON ee.vec_id = fec.vec_id)
+       |  WHERE rn = 1
+       |), vfold AS (
+       |  SELECT vec_id, c_id, 0 AS i, CAST(0.0 AS DOUBLE) AS see,
+       |    CAST(0.0 AS DOUBLE) AS sec
+       |  FROM wincent
+       |  UNION ALL
+       |  SELECT v.vec_id, v.c_id, v.i + 1,
+       |    v.see + e.x * e.x, v.sec + e.x * f.c
+       |  FROM vfold v
+       |  JOIN exi e ON e.vec_id = v.vec_id AND e.i = v.i + 1
+       |  JOIN fin f ON f.c_id = v.c_id AND f.i = v.i + 1
+       |  WHERE v.i < (SELECT d FROM dimn)
+       |), centcos AS MATERIALIZED (
+       |  SELECT v.vec_id, v.sec / (SQRT(v.see) * SQRT(cx.cc)) AS cent_cos
+       |  FROM vfold v JOIN ccx cx USING (c_id)
+       |  WHERE v.i = (SELECT d FROM dimn)
+       |), blk AS MATERIALIZED (
+       |  SELECT vec_id, c_id AS bucket FROM (
+       |    SELECT fec.vec_id, fec.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY fec.vec_id
+       |        ORDER BY (ee.ee - 2.0 * fec.ec) + fcc.cc ASC, fec.c_id ASC) AS rn
+       |    FROM fec JOIN fcc USING (c_id) JOIN ee ON ee.vec_id = fec.vec_id)
+       |  WHERE rn <= 2
+       |), nfold AS (
+       |  SELECT vec_id, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM ev
+       |  UNION ALL
+       |  SELECT f.vec_id, f.i + 1, f.s + e.x * e.x
+       |  FROM nfold f JOIN exi e ON e.vec_id = f.vec_id AND e.i = f.i + 1
+       |  WHERE f.i < (SELECT d FROM dimn)
+       |), nrm AS MATERIALIZED (
+       |  SELECT vec_id, SQRT(s) AS nrm FROM nfold WHERE i = (SELECT d FROM dimn)
+       |), prs AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM blk a JOIN blk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), band AS MATERIALIZED (
+       |  SELECT d.id_a, d.id_b
+       |  FROM (
+       |    SELECT p.id_a, p.id_b, SUM(ea.x * eb.x) AS dota
+       |    FROM prs p
+       |    JOIN exi ea ON ea.vec_id = p.id_a
+       |    JOIN exi eb ON eb.vec_id = p.id_b AND eb.i = ea.i
+       |    GROUP BY p.id_a, p.id_b) d
+       |  JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
+       |  WHERE d.dota / (na.nrm * nb.nrm) >= CAST(0.3 AS DOUBLE) - 1e-9
+       |), pfold AS (
+       |  SELECT id_a, id_b, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM band
+       |  UNION ALL
+       |  SELECT f.id_a, f.id_b, f.i + 1, f.s + ea.x * eb.x
+       |  FROM pfold f
+       |  JOIN exi ea ON ea.vec_id = f.id_a AND ea.i = f.i + 1
+       |  JOIN exi eb ON eb.vec_id = f.id_b AND eb.i = f.i + 1
+       |  WHERE f.i < (SELECT d FROM dimn)
+       |), dpairs AS MATERIALIZED (
+       |  SELECT b.id_a, b.id_b
+       |  FROM band b
+       |  JOIN pfold pf ON pf.id_a = b.id_a AND pf.id_b = b.id_b
+       |    AND pf.i = (SELECT d FROM dimn)
+       |  JOIN nrm na ON na.vec_id = b.id_a JOIN nrm nb ON nb.vec_id = b.id_b
+       |  WHERE pf.s / (na.nrm * nb.nrm) >= CAST(0.3 AS DOUBLE)
+       |), edges AS (
+       |  SELECT id_a AS node, id_b AS other FROM dpairs
+       |  UNION SELECT id_b, id_a FROM dpairs
+       |), reach AS (
+       |  SELECT node, other FROM edges
+       |  UNION
+       |  SELECT r.node, e.other FROM reach r JOIN edges e ON r.other = e.node
+       |), labels AS MATERIALIZED (
+       |  SELECT node, LEAST(node, MIN(other)) AS cid FROM reach GROUP BY node
+       |), reps AS MATERIALIZED (
+       |  SELECT cid, vec_id AS rep_id FROM (
+       |    SELECT l.cid, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY l.cid
+       |        ORDER BY c.cent_cos ASC, c.vec_id ASC) AS rn
+       |    FROM labels l JOIN centcos c ON c.vec_id = l.node) WHERE rn = 1
+       |)
+       |SELECT c.vec_id,
+       |  COALESCE(l.cid, c.vec_id) AS group_id,
+       |  CASE WHEN l.cid IS NULL THEN TRUE ELSE c.vec_id = r.rep_id END AS kept,
+       |  c.cent_cos
+       |FROM centcos c
+       |LEFT JOIN labels l ON l.node = c.vec_id
+       |LEFT JOIN reps r ON r.cid = l.cid
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** The d38 semantic-decontamination oracle: benchmark = the vec_id %
+    * 97 slice mapped onto dense slots in id order; per corpus vector
+    * the argmax-cosine benchmark slot (approx ranking, ulp-safe), then
+    * the exact-band discipline for the 0.80 threshold — winners within
+    * 1e-9 of the cut fold (ee, ec, cc) in NearestBuckets' index order
+    * so the decision and the emitted bench_cos are bit-exact. */
+  private val D38Sql: String = {
+    s"""WITH RECURSIVE ev AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), bv AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS slot,
+       |         vec_id AS bench_vec_id, embedding
+       |  FROM ev WHERE vec_id % 97 = 0
+       |), exi AS MATERIALIZED (
+       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
+       |), bxi AS MATERIALIZED (
+       |  SELECT slot, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM bv, UNNEST(generate_series(1, len(embedding))) AS t(i)
+       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
+       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
+       |), bcc AS MATERIALIZED (SELECT slot, SUM(x * x) AS cc FROM bxi GROUP BY slot
+       |), win AS MATERIALIZED (
+       |  SELECT vec_id, slot, sa FROM (
+       |    SELECT s.vec_id, s.slot, s.sa,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |        ORDER BY s.sa DESC, s.slot ASC) AS rn
+       |    FROM (
+       |      SELECT e.vec_id, b.slot,
+       |        SUM(e.x * b.x) / (SQRT(ANY_VALUE(ee.ee)) * SQRT(ANY_VALUE(bcc.cc))) AS sa
+       |      FROM exi e JOIN bxi b ON b.i = e.i
+       |      JOIN ee ON ee.vec_id = e.vec_id JOIN bcc ON bcc.slot = b.slot
+       |      GROUP BY e.vec_id, b.slot) s)
+       |  WHERE rn = 1
+       |), band AS MATERIALIZED (
+       |  SELECT vec_id, slot FROM win WHERE sa >= CAST(0.8 AS DOUBLE) - 1e-9
+       |), wfold AS (
+       |  SELECT vec_id, slot, 0 AS i, CAST(0.0 AS DOUBLE) AS see,
+       |    CAST(0.0 AS DOUBLE) AS sec, CAST(0.0 AS DOUBLE) AS scc
+       |  FROM band
+       |  UNION ALL
+       |  SELECT w.vec_id, w.slot, w.i + 1,
+       |    w.see + e.x * e.x, w.sec + e.x * b.x, w.scc + b.x * b.x
+       |  FROM wfold w
+       |  JOIN exi e ON e.vec_id = w.vec_id AND e.i = w.i + 1
+       |  JOIN bxi b ON b.slot = w.slot AND b.i = w.i + 1
+       |  WHERE w.i < (SELECT d FROM dimn)
+       |)
+       |SELECT w.vec_id, bv.bench_vec_id,
+       |  w.sec / (SQRT(w.see) * SQRT(w.scc)) AS bench_cos
+       |FROM wfold w JOIN bv USING (slot)
+       |WHERE w.i = (SELECT d FROM dimn)
+       |  AND w.sec / (SQRT(w.see) * SQRT(w.scc)) >= CAST(0.8 AS DOUBLE)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** The d36 flagship-pipeline oracle: every stage of
     * CorpusPipeline.buildTrainingCorpus (the registered config: scrub →
     * minWords=3 gate → exact dedup → (lang, source)-blocked LSH near-dup
@@ -3317,6 +3499,10 @@ object SparkEntry {
     "d6_ivf_ann" -> D6Sql,
 
     "d11_near_dup_cosine" -> D11Sql,
+
+    "d38_semantic_decon" -> D38Sql,
+
+    "d45_semdedup" -> D45Sql,
 
     "d61_topic_clusters" -> D61Sql,
 
