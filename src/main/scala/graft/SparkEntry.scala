@@ -1487,6 +1487,145 @@ object SparkEntry {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** The d32 PQ/ADC oracle — the last float ANN pipeline, and the one
+    * with NO approximation anywhere in the replay: every FP step is
+    * exactly ordered. NormalizeF folds the norm in index order and
+    * divides through double→REAL; the per-subspace distances pivot the
+    * 4 elements into one expression whose association matches the
+    * encode loop (((t1²+t2²)+t3²)+t4², float−float differences are
+    * exact in double), so assignments are EXACT, not ulp-ranked;
+    * codebook means are unit-exact with COALESCE keeping memberless
+    * codewords (PqEncode's next = clone semantics); the ADC score
+    * folds the 16 table lookups in subspace order; and the refine
+    * re-rank folds the full 64-dim dot like the d6 output stage.
+    * Config mirrors the registered entry: m=16, k=16 (sub=4 at the
+    * 64-dim corpus), 4 training rounds, refine 50, top 5. */
+  private val D32Sql: String = {
+    val (m, k, iters, refine, topK) = (16, 16, 4, 50, 5)
+    // exactly-ordered 4-term expressions (the encode/table loops'
+    // association): (((a1+a2)+a3)+a4
+    def d4(x: Int => String, c: Int => String): String =
+      (1 to 4).map(j => s"((${x(j)}) - (${c(j)})) * ((${x(j)}) - (${c(j)}))")
+        .reduce((a, b) => s"($a) + ($b)")
+    def dot4(x: Int => String, c: Int => String): String =
+      (1 to 4).map(j => s"(${x(j)}) * (${c(j)})")
+        .reduce((a, b) => s"($a) + ($b)")
+    val dvc = d4(j => s"v.x$j", j => s"c.c$j")
+    val qdc = dot4(j => s"v.x$j", j => s"c.c$j")
+    def pivot(src: String) = (1 to 4)
+      .map(j => s"MAX(CASE WHEN j = $j THEN $src END) AS ${src.split('.').last}$j")
+      .mkString(", ")
+    s"""WITH RECURSIVE ev AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |), exi AS MATERIALIZED (
+       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
+       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
+       |), nfold AS (
+       |  SELECT vec_id, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM ev
+       |  UNION ALL
+       |  SELECT f.vec_id, f.i + 1, f.s + e.x * e.x
+       |  FROM nfold f JOIN exi e ON e.vec_id = f.vec_id AND e.i = f.i + 1
+       |  WHERE f.i < (SELECT d FROM dimn)
+       |), nrm AS MATERIALIZED (
+       |  SELECT vec_id, GREATEST(SQRT(s), 1e-30) AS nrm
+       |  FROM nfold WHERE i = (SELECT d FROM dimn)
+       |), nexi AS MATERIALIZED (
+       |  -- NormalizeF: (float / double-nrm).toFloat, per element
+       |  SELECT e.vec_id, e.i,
+       |    CAST((e.i - 1) // 4 AS BIGINT) AS mi, CAST((e.i - 1) % 4 + 1 AS BIGINT) AS j,
+       |    CAST(CAST(e.x / n.nrm AS REAL) AS DOUBLE) AS x,
+       |    CAST(FLOOR(CAST(CAST(e.x / n.nrm AS REAL) AS DOUBLE) * 1e6 + 0.5)
+       |         AS BIGINT) AS u
+       |  FROM exi e JOIN nrm n USING (vec_id)
+       |), vsub AS MATERIALIZED (
+       |  SELECT vec_id, mi, ${pivot("x")}
+       |  FROM nexi GROUP BY vec_id, mi
+       |), hh AS (
+       |  SELECT vec_id,
+       |    CASE WHEN h >= 2147483648::HUGEINT THEN CAST(h - 4294967296::HUGEINT AS BIGINT)
+       |         ELSE CAST(h AS BIGINT) END AS h32
+       |  FROM (
+       |    SELECT vec_id, ${M32Sql.hashLong("42::HUGEINT", "u")} AS h
+       |    FROM (SELECT vec_id,
+       |            CASE WHEN vec_id < 0 THEN vec_id + 18446744073709551616::HUGEINT
+       |                 ELSE vec_id::HUGEINT END AS u FROM ev))
+       |), seeds AS MATERIALIZED (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h32, vec_id) - 1 AS BIGINT) AS code,
+       |         vec_id
+       |  FROM hh QUALIFY ROW_NUMBER() OVER (ORDER BY h32, vec_id) <= $k
+       |), cbst AS (
+       |  SELECT 0 AS it, n.mi, s.code, n.j, n.x AS c
+       |  FROM seeds s JOIN nexi n USING (vec_id)
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    WITH prev AS (SELECT * FROM cbst WHERE it < $iters),
+       |    cbp AS (SELECT mi, code, ${pivot("c")} FROM prev GROUP BY mi, code),
+       |    asgn AS (
+       |      SELECT vec_id, mi, code FROM (
+       |        SELECT v.vec_id, v.mi, c.code,
+       |          ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.mi
+       |            ORDER BY $dvc ASC, c.code ASC) AS rn
+       |        FROM vsub v JOIN cbp c ON c.mi = v.mi) WHERE rn = 1),
+       |    mns AS (
+       |      SELECT a.mi, a.code, e.j,
+       |        CAST(CAST((CAST(SUM(e.u) AS DOUBLE) * 1e-6)
+       |               / CAST(COUNT(*) AS DOUBLE) AS REAL) AS DOUBLE) AS c
+       |      FROM asgn a JOIN nexi e ON e.vec_id = a.vec_id AND e.mi = a.mi
+       |      GROUP BY a.mi, a.code, e.j)
+       |    SELECT it0.it + 1 AS it, p.mi, p.code, p.j, COALESCE(m.c, p.c) AS c
+       |    FROM prev p
+       |    LEFT JOIN mns m ON m.mi = p.mi AND m.code = p.code AND m.j = p.j,
+       |    (SELECT DISTINCT it FROM prev) it0
+       |  )
+       |), fcb AS MATERIALIZED (
+       |  SELECT mi, code, ${pivot("c")} FROM cbst WHERE it = $iters GROUP BY mi, code
+       |), codes AS MATERIALIZED (
+       |  SELECT vec_id, mi, code FROM (
+       |    SELECT v.vec_id, v.mi, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.mi
+       |        ORDER BY $dvc ASC, c.code ASC) AS rn
+       |    FROM vsub v JOIN (SELECT mi, code, c1, c2, c3, c4 FROM fcb) c ON c.mi = v.mi)
+       |  WHERE rn = 1
+       |), qtab AS MATERIALIZED (
+       |  SELECT v.vec_id AS q_id, v.mi, c.code, $qdc AS t
+       |  FROM (SELECT * FROM vsub WHERE vec_id < 10) v
+       |  JOIN fcb c ON c.mi = v.mi
+       |), prs AS MATERIALIZED (
+       |  SELECT q.q_id, c.vec_id
+       |  FROM (SELECT DISTINCT q_id FROM qtab) q, (SELECT DISTINCT vec_id FROM codes) c
+       |  WHERE c.vec_id <> q.q_id
+       |), afold AS (
+       |  SELECT q_id, vec_id, CAST(-1 AS BIGINT) AS mi, CAST(0.0 AS DOUBLE) AS s
+       |  FROM prs
+       |  UNION ALL
+       |  SELECT f.q_id, f.vec_id, f.mi + 1, f.s + qt.t
+       |  FROM afold f
+       |  JOIN codes cd ON cd.vec_id = f.vec_id AND cd.mi = f.mi + 1
+       |  JOIN qtab qt ON qt.q_id = f.q_id AND qt.mi = f.mi + 1 AND qt.code = cd.code
+       |  WHERE f.mi < ${m - 1}
+       |), cand AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rn
+       |    FROM afold WHERE mi = ${m - 1}) WHERE rn <= $refine
+       |), rfold AS (
+       |  SELECT q_id, vec_id, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM cand
+       |  UNION ALL
+       |  SELECT f.q_id, f.vec_id, f.i + 1, f.s + ec2.x * eq.x
+       |  FROM rfold f
+       |  JOIN nexi ec2 ON ec2.vec_id = f.vec_id AND ec2.i = f.i + 1
+       |  JOIN nexi eq ON eq.vec_id = f.q_id AND eq.i = f.i + 1
+       |  WHERE f.i < (SELECT d FROM dimn)
+       |)
+       |SELECT q_id, vec_id AS neighbor_id, s AS score, CAST(rk AS INT) AS rk
+       |FROM (
+       |  SELECT q_id, vec_id, s,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk
+       |  FROM rfold WHERE i = (SELECT d FROM dimn))
+       |WHERE rk <= $topK ORDER BY q_id, rk""".stripMargin
+  }
+
   /** The d36 flagship-pipeline oracle: every stage of
     * CorpusPipeline.buildTrainingCorpus (the registered config: scrub →
     * minWords=3 gate → exact dedup → (lang, source)-blocked LSH near-dup
@@ -3499,6 +3638,8 @@ object SparkEntry {
     "d6_ivf_ann" -> D6Sql,
 
     "d11_near_dup_cosine" -> D11Sql,
+
+    "d32_pq_ann" -> D32Sql,
 
     "d38_semantic_decon" -> D38Sql,
 
