@@ -35,6 +35,12 @@ import org.apache.spark.sql.types._
   * ops (su·1e-6). The 1e-6 grid loses ~1e-7 relative precision on
   * unit-scale embeddings — far below centroid noise — and overflows
   * only past ~1e11 rows·unit-scale per group (require-guarded).
+  *
+  * array<long> input is treated as ALREADY-quantized units
+  * (VectorExprs.QuantizeUnits) — update() becomes a pure checked long
+  * add. Measured r17: routing the internal k-means/PQ loops through a
+  * pre-quantized column is perf-neutral-to-worse (see QuantizeUnits),
+  * so this path serves callers whose vectors already live as units.
   */
 case class VectorSumAgg(
     child: Expression,
@@ -71,6 +77,10 @@ case class VectorSumAgg(
         while (i < n) { acc(i) = addExact(acc(i), Math.round(arr.getFloat(i).toDouble * 1e6)); i += 1 }
       case DoubleType =>
         while (i < n) { acc(i) = addExact(acc(i), Math.round(arr.getDouble(i) * 1e6)); i += 1 }
+      case LongType =>
+        // PRE-quantized 1e-6 units (VectorExprs.QuantizeUnits):
+        // a pure checked long add — same grid, bit-identical sums
+        while (i < n) { acc(i) = addExact(acc(i), arr.getLong(i)); i += 1 }
       case other => throw new IllegalStateException(s"vector_sum: unsupported element $other")
     }
     acc

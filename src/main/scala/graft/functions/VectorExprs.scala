@@ -628,6 +628,45 @@ case class GopherAll(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Quantize an array<float|double> vector to integer 1e-6-unit longs —
+  * Math.round(x·1e6) per element, the EXACT grid VectorSumAgg's
+  * float/double update path applies. Pairs with VectorSumAgg's
+  * array<long> input: a caller can quantize once into a projected
+  * column and sum pure longs. Measured r17 (interleaved A/B at the 1M
+  * ScaleSmoke stages): hoisting the quantization this way is
+  * perf-NEUTRAL for the k-means/PQ loops (the in-update Math.round is
+  * not a bottleneck — old 7.9/8.3 s vs hoisted 8.0/8.5 s pq train;
+  * caching the extra long column for kmeans measured WORSE), so the
+  * internal loops keep the simpler float path; the long-input route
+  * exists for callers whose vectors already live as unit longs. Any
+  * drift between this grid and VectorSumAgg's would silently change
+  * centroids — the cross-engine k-means replays assume ONE grid
+  * (VectorAggSpec pins the equivalence).
+  */
+case class QuantizeUnits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // lazy: the first construction can wrap an unresolved column
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"quantize_units expects array<float|double>, got $other")
+  }
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    if (isFloat)
+      while (i < n) { out(i) = Math.round(arr.getFloat(i).toDouble * 1e6); i += 1 }
+    else
+      while (i < n) { out(i) = Math.round(arr.getDouble(i) * 1e6); i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): QuantizeUnits = copy(child = c)
+}
+
 /** L2-normalize an array<float> vector in one tight loop (norm floored
   * at 1e-30 so a zero vector maps to zeros, not NaN). The
   * transform(x -> x / nrm) HOF formulation runs interpreted per
@@ -1340,6 +1379,7 @@ object VectorExprs {
   def legLookup(legs: Column, legId: Column): Column =
     toCol(LegLookup(toExpr(legs), toExpr(legId)))
   def normalizeF(c: Column): Column = toCol(NormalizeF(toExpr(c)))
+  def quantizeUnits(c: Column): Column = toCol(QuantizeUnits(toExpr(c)))
   def pqEncode(c: Column, cb: Array[Array[Array[Float]]]): Column =
     toCol(PqEncode(toExpr(c), cb))
   def pqQueryTable(c: Column, cb: Array[Array[Array[Float]]]): Column =

@@ -32,6 +32,36 @@ class VectorAggSpec extends SparkSpec {
       "vector_sum must be bit-identical under any partitioning")
   }
 
+  test("pre-quantized long input is bit-identical to the float path") {
+    // the hoisted grid (QuantizeUnits projected once) must match the
+    // in-update quantization exactly — k-means replay oracles assume
+    // ONE grid. Exercise negatives, halfway points, and merges.
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .withColumn("grp", col("vec_id") % 7)
+      .repartition(8)
+    val viaFloat = emb.groupBy("grp")
+      .agg(VectorAgg.vectorSum(col("embedding")).as("vs"))
+    val viaLong = emb
+      .withColumn("q", graft.functions.VectorExprs.quantizeUnits(col("embedding")))
+      .groupBy("grp")
+      .agg(VectorAgg.vectorSum(col("q")).as("vl"))
+    val j = viaFloat.join(viaLong, "grp")
+      .select(col("grp"), posexplode(arrays_zip(col("vs"), col("vl"))).as(Seq("dim", "z")))
+    assert(j.count() > 0)
+    assert(j.filter(col("z.vs") =!= col("z.vl")).count() == 0,
+      "hoisted quantization must be bit-identical to the update-path grid")
+    // and the double grid agrees with the float grid after the same
+    // float→double widening (the double path is what DuckDB replays)
+    import spark.implicits._
+    val vals = Seq(Seq(0.0000005f, -0.0000005f, 1.5e-6f, -2.5e-6f, 0.123456789f))
+    val viaF = vals.map((0, _)).toDF("g", "v")
+      .groupBy("g").agg(VectorAgg.vectorSum(col("v")).as("s")).head.getSeq[Double](1)
+    val viaQ = vals.map((0, _)).toDF("g", "v")
+      .withColumn("q", graft.functions.VectorExprs.quantizeUnits(col("v")))
+      .groupBy("g").agg(VectorAgg.vectorSum(col("q")).as("s")).head.getSeq[Double](1)
+    assert(viaF == viaQ)
+  }
+
   test("vector_sum ignores null vectors and returns null for all-null groups") {
     import spark.implicits._
     val df = Seq(

@@ -81,4 +81,15 @@ for n, r in skips:
 for n, msg in fails:
     print(f"FAIL {n}: {msg}")
 print(f"\n{len(passes)} pass, {len(skips)} rows-only, {len(fails)} fail")
+
+# optional machine-readable result (arg 3): feeds the scale-coverage
+# matrix (tools/scale_coverage.py) so "which entry is verified at which
+# amplified scale" is a tracked artifact, not tribal knowledge
+if len(sys.argv) > 3:
+    json.dump({
+        "sf_dir": SF_DIR,
+        "pass": sorted(n for n, _ in passes),
+        "rows_only": sorted(n for n, _ in skips),
+        "fail": {n: m for n, m in fails},
+    }, open(sys.argv[3], "w"), indent=2)
 sys.exit(1 if fails else 0)
