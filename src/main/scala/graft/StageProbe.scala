@@ -121,6 +121,40 @@ object StageProbe {
         .filter(size(split(col("text"), " ")) >= 3).count())
     }
 
+    if (only.contains("decon")) {
+      // decompose the decontaminate stage: bench gram build vs corpus
+      // gram explode vs the contaminated-id join vs the final anti-join
+      val docs = Tables.documents(spark, d).select("doc_id", "text", "lang", "source")
+      val bench = docs.filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+      docs.count()
+      val nd = CorpusPipeline.scrubText(docs)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .localCheckpoint(eager = true)
+      nd.count()
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[decon] $name%-32s ${(System.nanoTime() - t0) / 1e9}%6.2f s n=$n")
+      }
+      t("benchmarkGrams count")(CorpusPipeline.benchmarkGrams(bench).count())
+      val bg = CorpusPipeline.benchmarkGrams(bench).localCheckpoint(eager = true)
+      t("benchmarkGrams cut (again)")(bg.count())
+      t("corpus gram explode only")(nd
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 8)
+        .select(explode(graft.functions.VectorExprs.ngramHashes(col("ws"), 8)).as("ngh"))
+        .count())
+      t("contaminatedIds (bench pre-cut)")(
+        Curation.contaminatedIds(nd.select("doc_id", "text"), bg).count())
+      t("contaminatedIds (fused bench)")(
+        Curation.contaminatedIds(nd.select("doc_id", "text"),
+          CorpusPipeline.benchmarkGrams(bench)).count())
+      t("full decon anti-join")(nd.join(
+        Curation.contaminatedIds(nd.select("doc_id", "text"),
+          CorpusPipeline.benchmarkGrams(bench)),
+        Seq("doc_id"), "left_anti").count())
+    }
+
     if (only.forall(_ == "d56")) {
       println(s"[stageprobe] d56_quality_classifier stages at $d")
       val docs = Tables.documents(spark, d).select("doc_id", "text")

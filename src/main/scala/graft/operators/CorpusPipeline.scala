@@ -198,7 +198,10 @@ object CorpusPipeline {
       case Some(b) => observed("decontaminated",
         pruned.join(
           Curation.contaminatedIds(pruned0.select("doc_id", "text"),
-            benchmarkGrams(b)),
+            // lazy cut: the bench scrub + gram explode + distinct
+            // otherwise re-run inside the broadcast branch (measured
+            // ~0.7 s of the 10× decon stage — StageProbe decon mode)
+            benchmarkGrams(b).localCheckpoint(eager = false)),
           Seq("doc_id"), "left_anti"))
       case None => pruned
     }

@@ -927,10 +927,15 @@ object Dedup {
 
   def ngramJaccardViaLsh(docs: DataFrame, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq.empty): DataFrame = {
-    val toks = lshTokens(docs, blockCols)
+    // lazy cuts on the two multi-consumed frames (the d48 shared-branch
+    // lesson): toks feeds the band build AND both verify joins, banded
+    // feeds both sides of the candidate self-join — un-cut, the
+    // split+distinct pass ran up to 4× and the 16-permutation MinHash
+    // pass 2× per mine
+    val toks = lshTokens(docs, blockCols).localCheckpoint(eager = false)
     // LSH candidates WITHOUT the signature-agreement filter: banding is
     // the recall gate, the exact jaccard below is the precision gate.
-    val banded = lshBands(toks, blockCols)
+    val banded = lshBands(toks, blockCols).localCheckpoint(eager = false)
     val joinKey = Seq("band", "band_hash") ++ blockCols
     val cands = banded
       .withColumnRenamed("doc_id", "id_a")
