@@ -38,6 +38,13 @@ object Amplify {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sfamp"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional arg 4: bound parquet row groups to N MB. The harness's
+    // single-file SINGLE-ROW-GROUP layout serializes every scan-bound
+    // stage onto one task (row group = parquet's split atom — CLAUDE.md
+    // q54/d36 lessons); a bounded-row-group twin dir lets ScaleSmoke /
+    // the probes measure the same entries with a splittable input, i.e.
+    // what the decode floors do on real multi-file cluster layouts.
+    val rowGroupMB = if (args.length > 3) Some(args(3).toInt) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +70,9 @@ object Amplify {
     // (selfcheck's DuckDB views point at the file path, not a glob)
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = s"$out/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val w = df.coalesce(1).write.mode("overwrite")
+      rowGroupMB.fold(w)(mb => w.option("parquet.block.size",
+        (mb.toLong * 1024 * 1024).toString)).parquet(tmp)
       val dir = new java.io.File(tmp)
       val part = dir.listFiles().filter(_.getName.endsWith(".parquet")) match {
         case Array(p) => p

@@ -19,6 +19,12 @@ object QProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_MAX_PART_BYTES: shrink scan splits below the single-file
+    // size so a bounded-row-group dir (Amplify arg 4) actually fans a
+    // scan across tasks — row group = the split atom, but Spark also
+    // needs maxPartitionBytes under the file size to cut ranges
+    sys.env.get("GRAFT_MAX_PART_BYTES").foreach(v =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", v))
     // parse-only probe names (q49_parse/q53_parse) resolve through
     // ParseProbes: scaffold payloads are materialized OUTSIDE the
     // timed section, so the probe measures parse, not generation

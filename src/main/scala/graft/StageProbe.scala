@@ -27,6 +27,9 @@ object StageProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // see QProbe: pairs with Amplify's bounded-row-group dirs
+    sys.env.get("GRAFT_MAX_PART_BYTES").foreach(v =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", v))
 
     def timed(name: String)(f: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
