@@ -403,6 +403,20 @@ object SparkEntry {
         ceil(length(col("text")) / lit(4.0)).cast("long").as("n_tokens_est"))
         .orderBy("doc_id")
     }),
+    // temperature-scaled source mixing (the multilingual α-sampling
+    // shape): q_s ∝ (n_s/N)^0.3 shares, replayable md5-uniform cut;
+    // oracle-exact under the d33/d57 9dp-round + decimal-sum discipline
+    "d64_temperature_mix" -> (Curation.temperatureMix _),
+    // PageRank centrality over the exact d4 near-dup pair graph —
+    // link-analysis keep-policy signal. EXACT integer 1e-9-unit
+    // arithmetic end to end (zero floats), 8 fixed barrier-free
+    // rounds; oracle = recursive-CTE power iteration (d37/d56 shape)
+    "d65_graph_pagerank"  -> (Dedup.pageRank _),
+    // MMR diversity selection over embeddings: top-128 relevance pool
+    // (cosine to the exact unit-sum corpus mean) + 24 greedy
+    // λ=0.5 rounds; oracle = pivot-exact rel/sims + a depth-24
+    // recursive selection replay
+    "d66_mmr_diversity"   -> (Similarity.mmrSelect _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1180,6 +1194,73 @@ object SparkEntry {
        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
        |      FROM fcos)
        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** The d66 MMR oracle: pivot-exact relevance to the exact unit-sum
+    * corpus mean (the k-means mns formula — REAL-cast per-dim means),
+    * top-128 relevance pool, pairwise pivot-exact pool sims, then a
+    * depth-24 recursive greedy replay. Each round carries the full
+    * selected set forward (the recursive reference sees only the last
+    * iteration — the d37/d56 state-carry shape) and appends the
+    * (0.5·rel − 0.5·MAX sim-to-selected) argmax with (score desc,
+    * vec_id asc) tie-break — exactly Similarity.mmrSelectOf\'s driver
+    * loop, whose float ops are the same left-associated expressions. */
+  private val D66Sql: String = {
+    import Vec64Sql.{dot, sq, col}
+    val relDot = dot(col("v.x"), col("m.m"))
+    val simDot = dot(col("va.x"), col("vb.x"))
+    s"""WITH RECURSIVE ${Vec64Sql.embPreamble}
+       |, mv AS MATERIALIZED (
+       |  SELECT i, CAST(CAST((CAST(SUM(ux) AS DOUBLE) * 1e-6)
+       |    / CAST(COUNT(*) AS DOUBLE) AS REAL) AS DOUBLE) AS m
+       |  FROM exi GROUP BY i
+       |), mvp AS MATERIALIZED (SELECT ${Vec64Sql.pivotCols("m", "m")} FROM mv
+       |), mm AS MATERIALIZED (SELECT ${sq(col("m"))} AS mm FROM mvp
+       |), relv AS MATERIALIZED (
+       |  SELECT v.vec_id, ($relDot) / (SQRT(ee.ee) * SQRT(mm.mm)) AS rel
+       |  FROM evp v CROSS JOIN mvp m CROSS JOIN mm
+       |  JOIN ee ON ee.vec_id = v.vec_id
+       |), pool AS MATERIALIZED (
+       |  SELECT vec_id, rel FROM relv
+       |  QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) <= 128
+       |), sims AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ($simDot) / (SQRT(ea.ee) * SQRT(eb.ee)) AS sim
+       |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+       |  JOIN evp va ON va.vec_id = a.vec_id JOIN evp vb ON vb.vec_id = b.vec_id
+       |  JOIN ee ea ON ea.vec_id = a.vec_id JOIN ee eb ON eb.vec_id = b.vec_id
+       |), sel AS (
+       |  SELECT 1 AS it, 1 AS rnd, vec_id
+       |  FROM (SELECT vec_id FROM pool ORDER BY rel DESC, vec_id ASC LIMIT 1)
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    -- joins only: DuckDB mis-binds the recursive working table
+       |    -- inside correlated scalar subqueries (measured: the
+       |    -- subquery saw an EMPTY prev every round → NULL scores →
+       |    -- vec_id-ascending picks), so candidate exclusion is a
+       |    -- LEFT-JOIN anti filter and max-sim a join + GROUP BY.
+       |    -- Empty-prev termination: the sel_b join yields nothing →
+       |    -- scored/pick empty → both branches empty → recursion stops.
+       |    WITH prev AS (SELECT * FROM sel WHERE it < 24),
+       |    mx AS (SELECT MAX(it) AS mit FROM prev),
+       |    scored AS (
+       |      SELECT p.vec_id, p.rel, MAX(s.sim) AS msim
+       |      FROM pool p
+       |      JOIN sims s ON s.ia = p.vec_id
+       |      JOIN prev sel_b ON sel_b.vec_id = s.ib
+       |      LEFT JOIN prev done ON done.vec_id = p.vec_id
+       |      WHERE done.vec_id IS NULL
+       |      GROUP BY p.vec_id, p.rel),
+       |    pick AS (
+       |      SELECT vec_id FROM scored
+       |      ORDER BY CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * msim DESC,
+       |        vec_id ASC LIMIT 1)
+       |    SELECT mx.mit + 1 AS it, prev.rnd, prev.vec_id FROM prev, mx, pick
+       |    UNION ALL
+       |    SELECT mx.mit + 1, mx.mit + 1, pick.vec_id FROM pick, mx))
+       |SELECT CAST(s.rnd AS BIGINT) AS rnd, s.vec_id, r.rel
+       |FROM sel s JOIN relv r ON r.vec_id = s.vec_id
+       |WHERE s.it = (SELECT MAX(it) FROM sel) ORDER BY rnd""".stripMargin
   }
 
   /** The d61 topic-clusters oracle: [[kmeansReplayCtes]] over the
@@ -3669,5 +3750,84 @@ object SparkEntry {
         |      FROM documents)
         |SELECT doc_id, source FROM u JOIN rates USING (source)
         |WHERE u < keep_rate ORDER BY doc_id""".stripMargin,
+
+    // d64: the α=0.3 temperature shares replay with the exact op order
+    // of Curation.temperatureMixOf — 9dp-rounded pow terms (absorbs
+    // JVM-vs-libm pow ulps), exact DECIMAL(18,9) denominator (unscaled
+    // ≪ 2^53 so the double cast is the same single rounding), 9dp
+    // keep_rate. Literal halves/alpha CAST to DOUBLE (a bare DuckDB
+    // numeric literal is DECIMAL).
+    "d64_temperature_mix" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 100 < 55 THEN 'g0'
+        |         WHEN doc_id % 100 < 80 THEN 'g1'
+        |         WHEN doc_id % 100 < 92 THEN 'g2'
+        |         WHEN doc_id % 100 < 98 THEN 'g3'
+        |         ELSE 'g4' END AS source
+        |  FROM documents),
+        |counts AS (SELECT source, COUNT(*) AS n_src FROM docs GROUP BY source),
+        |tot AS (SELECT SUM(n_src) AS total FROM counts),
+        |terms AS (SELECT source, n_src,
+        |    ROUND(POWER(CAST(n_src AS DOUBLE) / CAST((SELECT total FROM tot) AS DOUBLE),
+        |      CAST(0.3 AS DOUBLE)), 9) AS t
+        |  FROM counts),
+        |den AS (SELECT SUM(CAST(t AS DECIMAL(18,9))) AS den FROM terms),
+        |rates AS (SELECT source,
+        |    ROUND(LEAST(CAST(1.0 AS DOUBLE),
+        |      CAST(0.5 AS DOUBLE) * CAST((SELECT total FROM tot) AS DOUBLE)
+        |        * (t / CAST((SELECT den FROM den) AS DOUBLE))
+        |        / CAST(n_src AS DOUBLE)), 9) AS keep_rate
+        |  FROM terms),
+        |u AS (SELECT doc_id, source,
+        |    CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM docs)
+        |SELECT doc_id, source, keep_rate FROM u JOIN rates USING (source)
+        |WHERE u < keep_rate ORDER BY doc_id""".stripMargin,
+
+    // d65: the d4/d20 pair CTE feeding an 8-round recursive power
+    // iteration in EXACT integer 1e-9 units (// is DuckDB integer
+    // division, matching Spark's DIV on positive values; SUM(BIGINT)
+    // is HUGEINT, cast back down — masses are ≤1e9 units so 85·sum
+    // fits BIGINT). Multi-consumed CTEs MATERIALIZED (the recursion
+    // re-reads edges/deg every round).
+    "d65_graph_pagerank" ->
+      """WITH RECURSIVE tok0 AS (
+        |  SELECT doc_id, lang, source, UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |tok AS MATERIALIZED (SELECT DISTINCT doc_id, lang, source, w FROM tok0 WHERE w <> ''),
+        |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM deg),
+        |pr AS (
+        |  SELECT 0 AS it, src AS node,
+        |    CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r FROM deg
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    WITH prev AS (SELECT * FROM pr WHERE it < 8),
+        |    contrib AS (
+        |      SELECT e.dst AS node, p.r // d.deg AS c
+        |      FROM edges e JOIN prev p ON p.node = e.src JOIN deg d ON d.src = e.src),
+        |    nxt AS (
+        |      SELECT node,
+        |        CAST(150000000 // (SELECT n FROM nn) + (85 * SUM(c)) // 100 AS BIGINT) AS r
+        |      FROM contrib GROUP BY node)
+        |    SELECT it0.it + 1 AS it, nxt.node, nxt.r
+        |    FROM (SELECT DISTINCT it FROM prev) it0, nxt))
+        |SELECT p.node, d.deg, p.r AS r_units, CAST(p.r AS DOUBLE) * 1e-9 AS pagerank
+        |FROM pr p JOIN deg d ON d.src = p.node WHERE p.it = 8 ORDER BY p.node""".stripMargin,
+
+    "d66_mmr_diversity" -> D66Sql,
   )
 }

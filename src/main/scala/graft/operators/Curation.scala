@@ -860,4 +860,70 @@ object Curation {
           "x -> x.blk), ' ')").as("text_clean"))
       .orderBy("doc_id")
   }
+
+  /** d64: temperature-scaled source mixing — the multilingual α-sampling
+    * shape (Lample & Conneau 2019 §3.1, public: sample language s with
+    * probability ∝ p_s^α). Source s's share of the output follows
+    * q_s ∝ (n_s/N)^α: α < 1 FLATTENS the source distribution without
+    * d26's hard uniform target — rare sources gain share, dominant ones
+    * are trimmed, relative order is preserved (α=1 keeps the natural
+    * mix, α=0 degenerates to d26's uniform). keep_rate_s =
+    * min(1, targetFrac·N·q_s/n_s); selection is the d26/d28 replayable
+    * md5 uniform, never rand(), so re-runs and late shards keep the
+    * same docs.
+    *
+    * Scale shape: identical to d26 — one tiny per-source count agg
+    * (sources ≪ rows), rates broadcast back onto a single filtering
+    * map pass; no corpus shuffle, restart-safe.
+    *
+    * Float parity (d33/d57 discipline): each pow() term rounds to 9 dp
+    * (absorbs JVM-vs-libm pow ulps), the share denominator sums the
+    * rounded terms as exact DECIMAL(18,9) (order-free; its unscaled
+    * value ≪ 2^53 so the double cast is the same single rounding in
+    * both engines), and keep_rate itself is a 9 dp round so the
+    * u < keep_rate cut compares identical bits across engines.
+    *
+    * The synthetic corpus has EXACTLY uniform sources (the d26 lesson:
+    * any rebalancer is a no-op demo on it), so the registered entry
+    * regroups docs into a deterministic Zipf-ish 55/25/12/6/2% skew
+    * first — small groups then boost toward keep_rate 1, the dominant
+    * one is trimmed hardest, which is the semantics under test. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMixOf(Tables.documents(s, d).select(col("doc_id"),
+      skewedSourceGroups.as("source")))
+
+  /** Deterministic skewed regrouping (mirrored in the oracle SQL). */
+  private def skewedSourceGroups: org.apache.spark.sql.Column =
+    when(col("doc_id") % 100 < 55, "g0")
+      .when(col("doc_id") % 100 < 80, "g1")
+      .when(col("doc_id") % 100 < 92, "g2")
+      .when(col("doc_id") % 100 < 98, "g3")
+      .otherwise("g4")
+
+  /** Core of [[temperatureMix]] over an explicit (doc_id, source)
+    * frame. Every double op is ordered exactly as the oracle SQL writes
+    * it: t = round(pow(n_s/N, α), 9); keep_rate =
+    * round(min(1, ((targetFrac·N)·(t/den))/n_s), 9). */
+  def temperatureMixOf(docs: DataFrame, alpha: Double = 0.3,
+      targetFrac: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val totals = counts.agg(sum(col("n_src")).as("total"))
+    val terms = counts.crossJoin(broadcast(totals))
+      .withColumn("t", round(
+        pow(col("n_src").cast("double") / col("total").cast("double"),
+          lit(alpha)), 9))
+    val denom = terms.agg(sum(col("t").cast("decimal(18,9)")).as("den"))
+    val rates = terms.crossJoin(broadcast(denom))
+      .select(col("source"),
+        round(least(lit(1.0),
+          lit(targetFrac) * col("total").cast("double")
+            * (col("t") / col("den").cast("double"))
+            / col("n_src").cast("double")), 9).as("keep_rate"))
+    docs
+      .withColumn("u", hashU)
+      .join(broadcast(rates), "source")
+      .filter(col("u") < col("keep_rate"))
+      .select("doc_id", "source", "keep_rate")
+      .orderBy("doc_id")
+  }
 }

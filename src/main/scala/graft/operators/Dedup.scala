@@ -537,6 +537,63 @@ object Dedup {
     parent.keys.toSeq.map(x => (x, find(x))).toDF("node", "cluster_id")
   }
 
+  /** d65: PageRank centrality over the exact near-dup pair graph —
+    * link-analysis importance for dedup keep-policies and corpus
+    * weighting (which copy of a duplicate family is the "canonical"
+    * one: the most-connected). Semantics: the classic power iteration
+    * r' = (1−β)/n + β·Σ_{u→v} r_u/deg_u with β = 0.85 over the
+    * UNDIRECTED pair graph (both edge directions; nodes = docs in ≥1
+    * pair, so deg ≥ 1 and there are no dangling nodes), a fixed 8
+    * rounds from the uniform start.
+    *
+    * Determinism/oracle parity: ranks live as EXACT integer 1e-9
+    * units (BIGINT) — r0 = 1e9 DIV n, contribution = r DIV deg,
+    * update = 0.15e9 DIV n + (85·Σcontrib) DIV 100 — so every engine
+    * computes bit-identical values with zero float ops anywhere (the
+    * VectorSumAgg unit-arithmetic discipline applied to graph
+    * iteration; sums of ≤1e9-unit masses never overflow 85·2^30 ≪
+    * 2^63). The emitted double is the exact unit long × 1e-9 — one
+    * rounding, same op both dialects.
+    *
+    * Scale shape: the degree-annotated edge frame is built once and
+    * lazily localCheckpointed (an un-cut loop would re-run the pair
+    * miner every round); each round is ONE shuffle (edges ⋈ ranks on
+    * src, groupBy dst) with a lazy per-round cut — barrier-free like
+    * connectedComponentsBounded (node count arrives as a broadcast
+    * one-row frame, not a driver action), so the whole 8-round DAG
+    * executes as one job at the consuming action. */
+  def pageRank(s: SparkSession, d: String): DataFrame =
+    pageRankOf(ngramJaccard(s, d).select("id_a", "id_b"))
+
+  /** Core of [[pageRank]] over an explicit (id_a, id_b) pair frame. */
+  def pageRankOf(pairs: DataFrame, iters: Int = 8): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = false)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(eager = false)
+    val nn = broadcast(deg.agg(count(lit(1)).as("n")))
+    var ranks = deg.crossJoin(nn)
+      .select(col("src").as("node"), expr("1000000000L DIV n").as("r"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      ranks = edgesDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .crossJoin(nn)
+        .select(col("dst").as("node"),
+          expr("150000000L DIV n + (85L * sc) DIV 100L").as("r"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.join(deg, col("node") === col("src"))
+      .select(col("node"), col("deg"),
+        col("r").as("r_units"),
+        (col("r").cast("double") * lit(1e-9)).as("pagerank"))
+      .orderBy("node")
+  }
+
   /** End-to-end dedup: near-dup pairs → components → keep the smallest
     * doc_id per cluster → the deduplicated corpus (non-clustered docs
     * pass through). The complete keep-policy a training-data pipeline

@@ -696,6 +696,118 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** d66: MMR diversity selection (Carbonell & Goldstein 1998, public)
+    * — the training-data subset-selection shape: greedily pick k
+    * exemplars maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected, so the picks are both central AND mutually
+    * diverse (the seed-selection / demo-selection / dedup-aware
+    * sampling primitive). Relevance = cosine to the corpus mean
+    * direction (the exact unit-sum mean, REAL-cast — the k-means mean
+    * formula); similarity = pairwise cosine.
+    *
+    * Scale shape: the greedy walk is restricted to a candidate POOL of
+    * the top-`poolSize` by relevance — the distributed part is one
+    * narrow NearestBuckets projection (cosine to a plan-constant mean)
+    * + TakeOrdered, which scales to any corpus; the O(pool²·dim)
+    * greedy then runs on the driver over a CONSTANT-sized pull
+    * (poolSize×64 floats), corpus-size-independent by construction —
+    * the d58 bounded-driver-work discipline.
+    *
+    * Oracle parity: the driver loop's float ops replicate the
+    * pivot-exact SQL bit for bit — dot/norm accumulate left-to-right
+    * over the 64 dims exactly like the Vec64Sql expressions (and like
+    * [[graft.functions.ExprHelpers.nearestBuckets]], which computes
+    * the distributed rel column), maxSim is an exact running max, and
+    * the score is (0.5·rel) − (0.5·maxSim) with literal halves in both
+    * dialects; ties break (score desc, vec_id asc) everywhere. */
+  def mmrSelect(s: SparkSession, d: String): DataFrame =
+    mmrSelectOf(Tables.embeddings(s, d).select("vec_id", "embedding"))
+
+  /** Core of [[mmrSelect]] over an explicit (vec_id, embedding) frame.
+    * `lambda` must be a double whose complement 1−λ is exact (0.5
+    * default) — the oracle writes both as literals. */
+  def mmrSelectOf(embs: DataFrame, k: Int = 24, poolSize: Int = 128,
+      lambda: Double = 0.5): DataFrame = {
+    val s = embs.sparkSession
+    import s.implicits._
+    val mrow = embs.agg(
+      graft.functions.VectorAgg.vectorSum(col("embedding")).as("vs"),
+      count(lit(1)).as("n")).collect()(0)
+    require(!mrow.isNullAt(0), "mmrSelectOf: empty embedding frame")
+    val n = mrow.getLong(1)
+    val mean = mrow.getSeq[Double](0).map(x => (x / n).toFloat).toArray
+    val meanSet = CentroidSet(Array((0, mean)))
+    // pool: top-poolSize by (rel desc, vec_id asc) — TakeOrdered (no
+    // window, per-partition partial top-k), embedding carried along
+    val pool = embs
+      .select(col("vec_id"), col("embedding"),
+        VectorExprs.nearestBuckets(col("embedding"), meanSet, 1, cosine = true)
+          .getItem(0).getField("score").as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(poolSize)
+      .collect()
+    // Σx² with the same left-to-right float→double loop as the SQL
+    // pivot expressions and ExprHelpers.nearestBuckets
+    def sq(v: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+      acc
+    }
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val ids = pool.map(_.getLong(0))
+    val vecs = pool.map(_.getSeq[Float](1).toArray)
+    val rels = pool.map(_.getDouble(2))
+    val ees = vecs.map(sq)
+    val m = ids.length
+    // −∞ init: after the first pick every slot takes its true max (sims
+    // can be NEGATIVE — a 0.0 floor would diverge from the oracle's
+    // MAX over the selected set). Round 1 scores on rel alone (the
+    // oracle's seed row), which λ·rel ranks identically.
+    val maxSim = Array.fill(m)(Double.NegativeInfinity)
+    val taken = Array.fill(m)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var rnd = 0
+    while (rnd < math.min(k, m)) {
+      var best = -1
+      var bestScore = 0.0
+      var i = 0
+      while (i < m) {
+        if (!taken(i)) {
+          val score =
+            if (rnd == 0) lambda * rels(i)
+            else lambda * rels(i) - (1.0 - lambda) * maxSim(i)
+          val c = java.lang.Double.compare(score, bestScore)
+          // (score desc, vec_id asc): ids are pool-ordered by (rel
+          // desc, id asc), but equal scores can pair ids out of pool
+          // order, so compare ids explicitly
+          if (best < 0 || c > 0 || (c == 0 && ids(i) < ids(best))) {
+            best = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      rnd += 1
+      out += ((rnd.toLong, ids(best), rels(best)))
+      // incremental running max against the newest pick ≡ MAX over the
+      // selected set (exact, order-free)
+      var j = 0
+      while (j < m) {
+        if (!taken(j)) {
+          val sim = dotd(vecs(j), vecs(best)) /
+            (Math.sqrt(ees(j)) * Math.sqrt(ees(best)))
+          if (java.lang.Double.compare(sim, maxSim(j)) > 0) maxSim(j) = sim
+        }
+        j += 1
+      }
+    }
+    out.toSeq.toDF("rnd", "vec_id", "rel").orderBy("rnd")
+  }
+
   /** d11: embedding-cosine near-duplicate pairs, blocked by the
     * operator's OWN IVF buckets (the d6 quantizer) — self-contained:
     * no reliance on a pre-existing cluster column. k defaults to

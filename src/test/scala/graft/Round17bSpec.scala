@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Dedup, Similarity}
+
+/** Round 17 (cont.): the three new training-pipeline operators —
+  * d64 temperature mixing, d65 integer-unit PageRank, d66 MMR
+  * diversity selection. Each gets an independent reference check
+  * beyond the DuckDB oracle gate: planted inputs whose expected
+  * behavior is computed by a straightforward driver-side reference,
+  * plus the determinism/boundary properties the oracle can't see.
+  */
+class Round17bSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- d64 temperature mix -------------------------------------------
+
+  /** Skewed corpus: source sizes 60/25/10/5. */
+  private def skewedDocs = {
+    val rows = (0 until 100).map { i =>
+      val src = if (i < 60) "big" else if (i < 85) "mid"
+      else if (i < 95) "small" else "rare"
+      (i.toLong, src)
+    }
+    rows.toDF("doc_id", "source")
+  }
+
+  test("d64: alpha<1 flattens — rarer sources keep strictly higher rates") {
+    val rates = Curation.temperatureMixOf(skewedDocs, alpha = 0.3, targetFrac = 0.5)
+      .select("source", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // every kept group's rate is emitted; rare sources boost toward 1
+    assert(rates("big") < rates("mid"), rates.toString)
+    assert(rates("mid") < rates("small"), rates.toString)
+    // rates are capped at 1
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0), rates.toString)
+  }
+
+  test("d64: alpha=1 preserves the natural mix (every rate = targetFrac)") {
+    val rates = Curation.temperatureMixOf(skewedDocs, alpha = 1.0, targetFrac = 0.5)
+      .select("keep_rate").distinct().collect().map(_.getDouble(0))
+    // t = n_s/N exactly, den = Σ = 1 (9dp-rounded terms sum within 4e-9
+    // of 1), so rate = 0.5·N·(n_s/N)/n_s = 0.5 to the 9dp round
+    assert(rates.forall(r => math.abs(r - 0.5) <= 1e-8), rates.mkString(","))
+  }
+
+  test("d64: replayable — identical kept set on re-run, subset of input") {
+    val a = Curation.temperatureMixOf(skewedDocs).collect().map(_.getLong(0)).toSeq
+    val b = Curation.temperatureMixOf(skewedDocs).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.toSet.subsetOf((0L until 100L).toSet))
+  }
+
+  // ---- d65 integer-unit PageRank -------------------------------------
+
+  /** Driver-side reference: the same integer 1e-9-unit power iteration
+    * over an undirected pair list. */
+  private def refPageRank(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val edges = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val n = deg.size.toLong
+    var r = deg.keys.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = in.map { case (node, sc) => node -> (150000000L / n + 85L * sc / 100L) }
+    }
+    r
+  }
+
+  test("d65: pageRankOf matches the driver reference exactly (unit longs)") {
+    // a hub-and-spoke plus a separate triangle and a 2-chain
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    val got = Dedup.pageRankOf(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val want = refPageRank(pairs, 8)
+    assert(got.length == want.size)
+    got.foreach { case (node, deg, units, pr) =>
+      assert(units == want(node), s"node $node: $units != ${want(node)}")
+      assert(pr == units.toDouble * 1e-9)
+    }
+    // the hub out-ranks its spokes; total mass stays within the 1e9 budget
+    val byNode = got.map(g => g._1 -> g._3).toMap
+    assert(byNode(1L) > byNode(2L))
+    assert(got.map(_._3).sum <= 1000000000L)
+    // spokes of the same hub tie exactly (symmetry under exact arithmetic)
+    assert(Set(byNode(2L), byNode(3L), byNode(4L), byNode(5L)).size == 1)
+  }
+
+  test("d65: registered entry runs on testdata with sane shape") {
+    val df = Dedup.pageRank(spark, sf)
+    val rows = df.collect()
+    // sf0.001 may or may not have near-dup pairs; when it does, ranks
+    // are positive and nodes unique
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach(r => assert(r.getLong(2) > 0L))
+  }
+
+  // ---- d66 MMR diversity selection ------------------------------------
+
+  /** Two tight clusters around orthogonal axes + a lone outlier. */
+  private def plantedEmbs = {
+    def v(axis: Int, jitter: Float, id: Long): (Long, Array[Float]) = {
+      val a = Array.fill(64)(0.01f * ((id % 3) + 1))
+      a(axis) = 1.0f + jitter
+      (id, a)
+    }
+    val rows =
+      (0L until 10L).map(i => v(0, 0.001f * i, i)) ++ // cluster A
+        (10L until 20L).map(i => v(1, 0.001f * (i - 10), i)) ++ // cluster B
+        Seq(v(7, 0.5f, 20L)) // outlier
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("d66: first two picks span different clusters; pure top-rel would not") {
+    val sel = Similarity.mmrSelectOf(plantedEmbs, k = 4, poolSize = 21)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def cluster(id: Long): Int = if (id < 10) 0 else if (id < 20) 1 else 2
+    assert(sel.length == 4)
+    assert(sel.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // diversity: the second pick leaves the first pick's cluster
+    assert(cluster(sel(0)._2) != cluster(sel(1)._2), sel.mkString(","))
+    // ids unique
+    assert(sel.map(_._2).distinct.length == 4)
+  }
+
+  test("d66: round 1 is the relevance argmax; greedy rounds maximize the MMR score") {
+    val embs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val k = 8
+    val sel = Similarity.mmrSelectOf(embs, k = k, poolSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sel.length == k)
+    // independent reference: recompute pool + greedy with the same
+    // float-op order and assert the same choice sequence
+    val mrow = embs.agg(graft.functions.VectorAgg.vectorSum(col("embedding")).as("vs"),
+      count(lit(1)).as("n")).collect()(0)
+    val n = mrow.getLong(1)
+    val mean = mrow.getSeq[Double](0).map(x => (x / n).toFloat).toArray
+    def sq(v: Array[Float]) = { var s = 0.0; var i = 0; while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }; s }
+    def dot(a: Array[Float], b: Array[Float]) = { var s = 0.0; var i = 0; while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s }
+    val mm = sq(mean)
+    val all = embs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .map { case (id, v) => (id, v, dot(v, mean) / (Math.sqrt(sq(v)) * Math.sqrt(mm))) }
+    val pool = all.sortBy(t => (-t._3, t._1)).take(32)
+    var selected = List.empty[(Long, Array[Float], Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    val picks = (1 to k).map { r =>
+      val scored = remaining.map { case (id, v, rel) =>
+        val score = if (r == 1) 0.5 * rel
+        else 0.5 * rel - 0.5 * selected.map { case (_, sv, _) =>
+          dot(v, sv) / (Math.sqrt(sq(v)) * Math.sqrt(sq(sv)))
+        }.max
+        (id, v, rel, score)
+      }
+      val best = scored.minBy(t => (-t._4, t._1))
+      remaining -= ((best._1, best._2, best._3))
+      selected ::= ((best._1, best._2, best._3))
+      (r.toLong, best._1, best._3)
+    }
+    assert(sel.toSeq == picks, s"got ${sel.toSeq}\nwant $picks")
+  }
+
+  test("d66: deterministic across re-runs") {
+    val a = Similarity.mmrSelect(spark, sf).collect().toSeq
+    val b = Similarity.mmrSelect(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}
