@@ -417,6 +417,11 @@ object SparkEntry {
     // λ=0.5 rounds; oracle = pivot-exact rel/sims + a depth-24
     // recursive selection replay
     "d66_mmr_diversity"   -> (Similarity.mmrSelect _),
+    // winnowing fingerprint overlap (MOSS): window-min k-gram hash
+    // selection (tight-loop expression, ~2/(w+1) density, shared-run
+    // guarantee) + blocked overlap join; oracle replays the xxh64
+    // gram chain + per-window MIN(STRUCT) argmin
+    "d67_winnowing"       -> (Dedup.winnowOverlap _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1262,6 +1267,60 @@ object SparkEntry {
        |FROM sel s JOIN relv r ON r.vec_id = s.vec_id
        |WHERE s.it = (SELECT MAX(it) FROM sel) ORDER BY rnd""".stripMargin
   }
+
+  /** The d67 winnowing oracle: 4-gram strings per position → the
+    * general-length xxh64 chain ([[GramXxh64Chain]]) → SIGNED hashes
+    * (the MinHash sign lesson: Spark's window min compares signed
+    * longs) → per-window-start argmin via MIN(STRUCT(h, pos)) (ties →
+    * leftmost, exactly [[graft.functions.WinnowSelect]]'s strict-<
+    * scan) → distinct per-doc fingerprints → the d4-shaped blocked
+    * overlap join. Short docs (0 < m < 8 grams) winnow one
+    * whole-array window, mirrored by wl = LEAST(8, m). */
+  private val D67Sql: String =
+    s"""WITH pdocs AS MATERIALIZED (
+       |  SELECT doc_id, lang, source,
+       |    CASE WHEN doc_id % 4 = 0 THEN text || ' ' ||
+       |      array_to_string(list_transform(generate_series(1, 24),
+       |        i -> 'p' || source || lang || CAST(doc_id // 2048 AS VARCHAR)
+       |             || 'w' || CAST(i AS VARCHAR)), ' ')
+       |    ELSE text END AS text
+       |  FROM documents
+       |), tk AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS ws FROM pdocs
+       |), gp AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, t.i - 1 AS pos,
+       |    array_to_string(ws[t.i:t.i+3], ' ') AS w
+       |  FROM tk, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+       |  WHERE len(ws) >= 4
+       |), gvocab AS MATERIALIZED (SELECT DISTINCT w FROM gp
+       |), $GramXxh64Chain, ph AS MATERIALIZED (
+       |  SELECT gp.doc_id, gp.lang, gp.source, gp.pos,
+       |    CASE WHEN wh >= 9223372036854775808::HUGEINT
+       |         THEN CAST(wh - 18446744073709551616::HUGEINT AS BIGINT)
+       |         ELSE CAST(wh AS BIGINT) END AS hs
+       |  FROM gp JOIN gwh USING (w)
+       |), dm AS MATERIALIZED (SELECT doc_id, MAX(pos) + 1 AS m FROM ph GROUP BY doc_id
+       |), wins AS MATERIALIZED (
+       |  SELECT d.doc_id, t.s, LEAST(8, d.m) AS wl
+       |  FROM dm d, UNNEST(generate_series(0, d.m - LEAST(8, d.m))) AS t(s)
+       |), sel AS MATERIALIZED (
+       |  SELECT w.doc_id, MIN({'h': q.hs, 'p': q.pos}) AS mn
+       |  FROM wins w JOIN ph q ON q.doc_id = w.doc_id
+       |    AND q.pos BETWEEN w.s AND w.s + w.wl - 1
+       |  GROUP BY w.doc_id, w.s
+       |), fps AS MATERIALIZED (
+       |  SELECT DISTINCT s.doc_id, p.lang, p.source, (s.mn).h AS h
+       |  FROM sel s JOIN ph p ON p.doc_id = s.doc_id AND p.pos = (s.mn).p
+       |), sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+       |  FROM fps a JOIN fps b ON a.lang = b.lang AND a.source = b.source
+       |    AND a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, n_shared,
+       |  CAST(n_shared AS DOUBLE) / (sa.n_fp + sb.n_fp - n_shared) AS resemblance
+       |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin
 
   /** The d61 topic-clusters oracle: [[kmeansReplayCtes]] over the
     * d59-derived dense corpus embeddings (D59Ctes\' w_norm is already
@@ -3829,5 +3888,7 @@ object SparkEntry {
         |FROM pr p JOIN deg d ON d.src = p.node WHERE p.it = 8 ORDER BY p.node""".stripMargin,
 
     "d66_mmr_diversity" -> D66Sql,
+
+    "d67_winnowing" -> D67Sql,
   )
 }

@@ -1080,6 +1080,49 @@ case class NgramHashes(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): NgramHashes = copy(child = c)
 }
 
+/** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003
+  * — the MOSS scheme, public): over a k-gram hash array, every window
+  * of `w` consecutive hashes contributes its MINIMUM (ties → leftmost,
+  * i.e. min by (hash, pos) on SIGNED longs — the order the oracle's
+  * MIN(STRUCT(h, pos)) replays), deduplicated across overlapping
+  * windows. Guarantee: any shared token run of ≥ w+k−1 tokens yields
+  * ≥1 shared fingerprint, while only ~2/(w+1) of the grams are kept.
+  * Docs with 0 < m < w hashes winnow one whole-array window. Returns
+  * the selected hashes in position order (duplicate hash VALUES from
+  * distinct positions may repeat — callers distinct per doc). One
+  * tight loop per row: no explode, no per-doc window shuffle.
+  */
+case class WinnowSelect(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w >= 1, s"w must be >= 1, got $w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val wl = if (m < w) m else w
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    // leftmost-min selections are position-monotone, so consecutive
+    // windows re-selecting the same position dedupe with one cursor
+    var lastPos = -1
+    var s = 0
+    while (s <= m - wl) {
+      var bp = s
+      var bh = arr.getLong(s)
+      var q = s + 1
+      while (q < s + wl) {
+        val h = arr.getLong(q)
+        if (h < bh) { bh = h; bp = q }
+        q += 1
+      }
+      if (bp != lastPos) { out += bh; lastPos = bp }
+      s += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): WinnowSelect = copy(child = c)
+}
+
 /** Merge a SORTED array<int> of shared k-gram positions into maximal
   * runs → array<struct<start_tok int, n_tokens int>>: consecutive
   * positions p, p+1 overlap as k-grams, so a maximal consecutive
@@ -1368,6 +1411,7 @@ object VectorExprs {
       topKs: Seq[(Int, Double)], dupKs: Seq[(Int, Double)]): Column =
     toCol(GopherAll(toExpr(ws), toExpr(nChars), topKs, dupKs))
   def ngramHashes(c: Column, k: Int): Column = toCol(NgramHashes(toExpr(c), k))
+  def winnowSelect(c: Column, w: Int): Column = toCol(WinnowSelect(toExpr(c), w))
   def islandRuns(c: Column, k: Int): Column = toCol(IslandRuns(toExpr(c), k))
   def packSeqs(c: Column, capacity: Int): Column = toCol(PackSeqs(toExpr(c), capacity))
   def eventMatches(c: Column, spanUs: Long): Column = toCol(EventMatches(toExpr(c), spanUs))

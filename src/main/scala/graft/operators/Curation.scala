@@ -906,12 +906,17 @@ object Curation {
     * round(min(1, ((targetFrac·N)·(t/den))/n_s), 9). */
   def temperatureMixOf(docs: DataFrame, alpha: Double = 0.3,
       targetFrac: Double = 0.5): DataFrame = {
+    // counts feeds totals AND terms (and terms feeds denom AND rates):
+    // lazy cuts keep the corpus-scan aggregation to ONE execution
+    // instead of four plan-branch re-runs
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .localCheckpoint(eager = false)
     val totals = counts.agg(sum(col("n_src")).as("total"))
     val terms = counts.crossJoin(broadcast(totals))
       .withColumn("t", round(
         pow(col("n_src").cast("double") / col("total").cast("double"),
           lit(alpha)), 9))
+      .localCheckpoint(eager = false)
     val denom = terms.agg(sum(col("t").cast("decimal(18,9)")).as("den"))
     val rates = terms.crossJoin(broadcast(denom))
       .select(col("source"),

@@ -594,6 +594,82 @@ object Dedup {
       .orderBy("node")
   }
 
+  /** d67: winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local-fingerprinting scheme, public): each doc
+    * keeps the window-minimum of every `w`-window over its k-gram
+    * xxhash64 stream ([[graft.functions.WinnowSelect]]) — ~2/(w+1) of
+    * the grams, with the GUARANTEE that any shared token run of
+    * ≥ w+k−1 tokens produces a shared fingerprint. Pairs sharing
+    * ≥ `minShared` fingerprints are reported with a winnowed
+    * resemblance estimate — the position-robust overlap detector that
+    * catches long shared passages the d2/d19 whole-doc MinHash dilutes
+    * away and d41's exact-gram islands pay a full posting join for.
+    *
+    * Scale shape: fingerprint selection is ONE narrow map pass (tight
+    * loop per row, no explode/window/shuffle); the overlap join moves
+    * only the winnowed ~22% of gram postings, blocked on
+    * (lang, source) like the rest of the dedup family. Oracle: gram
+    * hashes replay via the general-length xxh64 chain, window minima
+    * via per-start MIN(STRUCT(hash, pos)) on SIGNED hashes (the
+    * MinHash sign lesson), identical joins.
+    *
+    * The registered entry plants shared passages first
+    * ([[plantPassages]]): the synthetic corpus is word-SET near-dup
+    * dense but shares almost no CONTIGUOUS runs (3 natural pairs at
+    * sf0.1) — without the plant, winnowing is a no-op demo (the
+    * d26/d27 lesson). */
+  def winnowOverlap(s: SparkSession, d: String): DataFrame =
+    winnowOverlapOf(plantPassages(Tables.documents(s, d)))
+
+  /** Deterministic shared-passage plant (mirrored in the oracle SQL):
+    * docs with doc_id % 4 == 0 append a 24-token passage keyed by
+    * (source, lang, doc_id DIV 2048) — same-key docs are block-join-
+    * compatible by construction and share a ≥ w+k−1 = 11-token run
+    * (24 tokens ⇒ two disjoint 11-token stretches ⇒ ≥2 distinct
+    * shared fingerprints, clearing minShared). The id-bucket key
+    * keeps per-cell population CONSTANT as the corpus grows, so
+    * planted pair volume is LINEAR in corpus size — a fixed family
+    * count would grow it quadratically and make the entry
+    * output-bound at 10× (the unblocked-near-dup-miner trap). */
+  def plantPassages(docs: DataFrame): DataFrame =
+    docs.withColumn("text", expr(
+      """CASE WHEN doc_id % 4 = 0 THEN concat(text, ' ',
+        |  array_join(transform(sequence(1, 24),
+        |    i -> concat('p', source, lang, cast(doc_id div 2048 as string),
+        |                'w', cast(i as string))), ' '))
+        |ELSE text END""".stripMargin))
+
+  /** Core of [[winnowOverlap]] over an explicit (doc_id, text, lang,
+    * source) frame. */
+  def winnowOverlapOf(docs: DataFrame, k: Int = 4, w: Int = 8,
+      minShared: Int = 2): DataFrame = {
+    val fps = docs
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.VectorExprs.winnowSelect(
+          graft.functions.VectorExprs.ngramHashes(
+            split(lower(col("text")), " "), k), w).as("fp"))
+      .filter(size(col("fp")) > 0)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array_distinct(col("fp"))).as("h"))
+      // feeds sizes + BOTH sides of the overlap self-join: one cut,
+      // one fingerprint pass
+      .localCheckpoint(eager = false)
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val inter = fps.as("a").join(fps.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        (col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared"))).as("resemblance"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** End-to-end dedup: near-dup pairs → components → keep the smallest
     * doc_id per cluster → the deduplicated corpus (non-clustered docs
     * pass through). The complete keep-policy a training-data pipeline

@@ -170,4 +170,67 @@ class Round17bSpec extends SparkSpec {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  // ---- d67 winnowing ---------------------------------------------------
+
+  /** Reference winnowing over a hash array: per-window leftmost
+    * (hash, pos) argmin, distinct selections. */
+  private def refWinnow(hs: Seq[Long], w: Int): Seq[Long] = {
+    if (hs.isEmpty) return Seq.empty
+    val wl = math.min(w, hs.size)
+    (0 to hs.size - wl).map { s =>
+      (s until s + wl).minBy(p => (hs(p), p))
+    }.distinct.map(hs)
+  }
+
+  test("d67: WinnowSelect equals the reference argmin scan, incl. ties and short docs") {
+    val rnd = new scala.util.Random(17)
+    val cases = Seq(
+      Seq.empty[Long], Seq(5L), Seq(3L, 3L, 3L), (1L to 7L).reverse.toSeq,
+      Seq.fill(40)(rnd.nextLong()), Seq.fill(100)(rnd.nextInt(5).toLong)) ++
+      (1 to 20).map(n => Seq.fill(n + rnd.nextInt(60))(rnd.nextInt(8).toLong))
+    val df = cases.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "hs")
+      .select(col("i"),
+        graft.functions.VectorExprs.winnowSelect(col("hs"), 8).as("sel"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    cases.zipWithIndex.foreach { case (h, i) =>
+      assert(got(i) == refWinnow(h, 8), s"case $i: ${h.take(20)}")
+    }
+  }
+
+  test("d67: the MOSS guarantee — a shared >= w+k-1 token run yields a shared fingerprint") {
+    val shared = (1 to 11).map(i => s"run$i").mkString(" ") // w+k-1 = 11
+    val rnd = new scala.util.Random(23)
+    def noise(n: Int) = Seq.fill(n)(s"x${rnd.nextInt(1000)}").mkString(" ")
+    val docs = Seq(
+      (1L, s"${noise(30)} $shared ${noise(20)}", "en", "s1"),
+      (2L, s"${noise(25)} $shared ${noise(15)}", "en", "s1"),
+      (3L, noise(60), "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val pairs = Dedup.winnowOverlapOf(docs, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+  }
+
+  test("d67: fingerprint density lands near 2/(w+1) and the registered entry pairs planted docs") {
+    val docs = Dedup.plantPassages(Tables.documents(spark, sf))
+    val withFp = docs.select(
+      graft.functions.VectorExprs.winnowSelect(
+        graft.functions.VectorExprs.ngramHashes(split(lower(col("text")), " "), 4), 8)
+        .as("fp"),
+      size(split(lower(col("text")), " ")).as("n_toks"))
+      .filter(col("n_toks") >= 50)
+      .select((size(col("fp")).cast("double") / (col("n_toks") - 3)).as("density"))
+      .agg(avg("density")).collect()(0).getDouble(0)
+    // theory: 2/(w+1) = 0.222 for random hashes; repeated grams push it
+    // slightly off — accept a generous band
+    assert(withFp > 0.12 && withFp < 0.35, s"density $withFp")
+    val rep = Dedup.winnowOverlap(spark, sf)
+    val rows = rep.collect()
+    assert(rows.nonEmpty, "planted passages produced no pairs")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2)
+      val res = r.getDouble(3)
+      assert(res > 0.0 && res <= 1.0)
+    }
+  }
 }
