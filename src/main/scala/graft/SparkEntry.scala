@@ -422,6 +422,10 @@ object SparkEntry {
     // guarantee) + blocked overlap join; oracle replays the xxh64
     // gram chain + per-window MIN(STRUCT) argmin
     "d67_winnowing"       -> (Dedup.winnowOverlap _),
+    // Bloom-filter benchmark decon: 512 KB plan-constant filter, one
+    // narrow probe pass (the constant-memory d24); oracle replays the
+    // position arithmetic exactly, false positives included
+    "d68_bloom_decon"     -> (Curation.bloomDecon _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1321,6 +1325,52 @@ object SparkEntry {
        |  CAST(n_shared AS DOUBLE) / (sa.n_fp + sb.n_fp - n_shared) AS resemblance
        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
        |WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin
+
+  /** The d68 Bloom-decon oracle: bench + training 8-gram strings →
+    * [[GramXxh64Chain]] → the filter's position arithmetic replayed on
+    * the UNSIGNED hash (h1 = wh mod 2^22 ≡ the engine's signed-long
+    * low-bit mask; odd stride h2 from bits 18.., p_i = (h1 + i·h2)
+    * mod 2^22) → a gram hits iff all 3 positions appear in the bench
+    * position set — three equi-joins. Exact INCLUDING the Bloom's
+    * false positives: the approximation replays bit-for-bit. */
+  private val D68Sql: String = {
+    val m = graft.operators.Curation.BloomM
+    s"""WITH tr AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |  WHERE doc_id % 7 <> 0 AND len(string_split(text, ' ')) >= 8
+       |), be AS MATERIALIZED (
+       |  SELECT string_split(text, ' ') AS ws FROM documents
+       |  WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 8
+       |), bg AS MATERIALIZED (
+       |  SELECT DISTINCT array_to_string(ws[t.i:t.i+7], ' ') AS w
+       |  FROM be, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+       |), cg AS MATERIALIZED (
+       |  SELECT doc_id, array_to_string(ws[t.i:t.i+7], ' ') AS w
+       |  FROM tr, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+       |), gvocab AS MATERIALIZED (SELECT DISTINCT w FROM cg UNION SELECT w FROM bg
+       |), $GramXxh64Chain, bset AS MATERIALIZED (
+       |  SELECT DISTINCT ((wh % $m) + t.i *
+       |      ((((wh >> 18) % $m) - ((wh >> 18) % $m) % 2) + 1)) % $m AS p
+       |  FROM (SELECT DISTINCT wh FROM bg JOIN gwh USING (w)) bwh,
+       |    UNNEST([0, 1, 2]) AS t(i)
+       |), dp AS MATERIALIZED (
+       |  SELECT doc_id, (wh % $m) AS h1,
+       |    ((((wh >> 18) % $m) - ((wh >> 18) % $m) % 2) + 1) AS h2
+       |  FROM cg JOIN gwh USING (w)
+       |), hits AS MATERIALIZED (
+       |  SELECT d.doc_id, COUNT(*) AS n_hits
+       |  FROM dp d
+       |  JOIN bset b0 ON b0.p = d.h1 % $m
+       |  JOIN bset b1 ON b1.p = (d.h1 + d.h2) % $m
+       |  JOIN bset b2 ON b2.p = (d.h1 + 2 * d.h2) % $m
+       |  GROUP BY d.doc_id
+       |), ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id)
+       |SELECT ng.doc_id, ng.n_grams,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+       |FROM ng LEFT JOIN hits h ON h.doc_id = ng.doc_id
+       |ORDER BY ng.doc_id""".stripMargin
+  }
 
   /** The d61 topic-clusters oracle: [[kmeansReplayCtes]] over the
     * d59-derived dense corpus embeddings (D59Ctes\' w_norm is already
@@ -3890,5 +3940,7 @@ object SparkEntry {
     "d66_mmr_diversity" -> D66Sql,
 
     "d67_winnowing" -> D67Sql,
+
+    "d68_bloom_decon" -> D68Sql,
   )
 }

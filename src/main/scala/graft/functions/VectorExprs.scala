@@ -1080,6 +1080,71 @@ case class NgramHashes(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): NgramHashes = copy(child = c)
 }
 
+/** A Bloom filter over 64-bit gram hashes, baked into the plan as a
+  * constant (the CentroidSet/BpeVocab discipline: no broadcast join, no
+  * shuffle — the probe rides the scan projection). m must be a power
+  * of two; kk probe positions come from double hashing on the SIGNED
+  * gram hash reinterpreted as unsigned bits: h1 = h & (m−1),
+  * h2 = ((h >>> 18) & (m−1)) | 1 (odd stride), p_i = (h1 + i·h2) &
+  * (m−1) — every step replays exactly on the oracle's unsigned
+  * HUGEINT (low-bit masks ≡ mod 2^k). Serializable: ships once per
+  * task via the expression's reference object. */
+final class BloomBits(val m: Int, val kk: Int, val words: Array[Long])
+    extends Serializable {
+  require(Integer.bitCount(m) == 1, s"m must be a power of two, got $m")
+  require(words.length == m / 64, s"need ${m / 64} words, got ${words.length}")
+  def test(pos: Int): Boolean = (words(pos >>> 6) & (1L << (pos & 63))) != 0
+}
+
+object BloomBits {
+  /** Probe positions for hash `h` (kk entries). */
+  def positions(h: Long, m: Int, kk: Int): Array[Int] = {
+    val mask = m - 1
+    val h1 = (h & mask).toInt
+    val h2 = (((h >>> 18) & mask) | 1L).toInt
+    Array.tabulate(kk)(i => (h1 + i * h2) & mask)
+  }
+
+  /** Build from the distinct gram-hash set (driver-side; the bench
+    * side is eval-suite-sized by contract, like semanticDecon's
+    * CentroidSet pull). */
+  def build(hashes: Array[Long], m: Int, kk: Int): BloomBits = {
+    val words = new Array[Long](m / 64)
+    hashes.foreach { h =>
+      positions(h, m, kk).foreach(p => words(p >>> 6) |= 1L << (p & 63))
+    }
+    new BloomBits(m, kk, words)
+  }
+}
+
+/** Count of gram hashes whose kk Bloom positions are ALL set — the
+  * streaming-friendly decontamination gate: the benchmark gram set
+  * compresses to m bits of plan constant, and the corpus-side test is
+  * a narrow map (vs d24's broadcast semi-join materializing the full
+  * bench gram table per task). Counts every OCCURRENCE (array
+  * element), duplicates included — mirrored by the oracle's
+  * per-occurrence join. */
+case class BloomProbe(child: Expression, bits: BloomBits)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(in: Any): Any = {
+    val arr = in.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val ps = BloomBits.positions(arr.getLong(i), bits.m, bits.kk)
+      var ok = true
+      var j = 0
+      while (ok && j < ps.length) { ok = bits.test(ps(j)); j += 1 }
+      if (ok) hits += 1L
+      i += 1
+    }
+    hits
+  }
+  override protected def withNewChildInternal(c: Expression): BloomProbe = copy(child = c)
+}
+
 /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003
   * — the MOSS scheme, public): over a k-gram hash array, every window
   * of `w` consecutive hashes contributes its MINIMUM (ties → leftmost,
@@ -1412,6 +1477,7 @@ object VectorExprs {
     toCol(GopherAll(toExpr(ws), toExpr(nChars), topKs, dupKs))
   def ngramHashes(c: Column, k: Int): Column = toCol(NgramHashes(toExpr(c), k))
   def winnowSelect(c: Column, w: Int): Column = toCol(WinnowSelect(toExpr(c), w))
+  def bloomProbe(c: Column, bits: BloomBits): Column = toCol(BloomProbe(toExpr(c), bits))
   def islandRuns(c: Column, k: Int): Column = toCol(IslandRuns(toExpr(c), k))
   def packSeqs(c: Column, capacity: Int): Column = toCol(PackSeqs(toExpr(c), capacity))
   def eventMatches(c: Column, spanUs: Long): Column = toCol(EventMatches(toExpr(c), spanUs))

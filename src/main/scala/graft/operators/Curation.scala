@@ -900,6 +900,54 @@ object Curation {
       .when(col("doc_id") % 100 < 98, "g3")
       .otherwise("g4")
 
+  /** d68 Bloom geometry: 2^22 bits = 512 KB of plan constant, 3
+    * probes. At the sf0.1 bench-slice gram count (~70k) the fill is
+    * ~5%, FP rate ~1e-4; the FILTER SIZE is corpus-independent — the
+    * property that makes this the 100 TB shape (d24's broadcast
+    * semi-join ships the whole bench gram table; this ships 512 KB
+    * however large the eval suite's vocabulary grows). */
+  val BloomM: Int = 1 << 22
+  val BloomK: Int = 3
+
+  /** d68: Bloom-filter benchmark decontamination — the constant-memory
+    * variant of d24: benchmark 8-grams compress into a [[graft.functions.BloomBits]]
+    * plan constant; each training doc's gram stream probes it in ONE
+    * narrow map pass (no explode, no join, no shuffle — the cheapest
+    * possible decon gate). One-sided by construction: NO false
+    * negatives (every truly contaminated doc is flagged — the Bloom
+    * guarantee, spec-gated against d24's exact semi-join), a
+    * deterministic false-positive set that the ORACLE REPLAYS EXACTLY
+    * (positions are pure hash arithmetic, so the DuckDB twin flags
+    * the same FP docs bit-for-bit — an approximation with an exact
+    * gate, like the LSH family). */
+  def bloomDecon(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    bloomDeconOf(docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 7 === 0))
+  }
+
+  /** Core of [[bloomDecon]] over explicit training/benchmark frames.
+    * The benchmark side is eval-suite-sized by contract (its distinct
+    * gram hashes are a driver pull, the semanticDecon discipline). */
+  def bloomDeconOf(training: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    val benchHashes = benchmark
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= n)
+      .select(explode(graft.functions.VectorExprs.ngramHashes(col("ws"), n)).as("ngh"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    val bits = graft.functions.BloomBits.build(benchHashes, BloomM, BloomK)
+    training
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        (size(col("ws")) - (n - 1)).cast("long").as("n_grams"),
+        graft.functions.VectorExprs.bloomProbe(
+          graft.functions.VectorExprs.ngramHashes(col("ws"), n), bits).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Core of [[temperatureMix]] over an explicit (doc_id, source)
     * frame. Every double op is ordered exactly as the oracle SQL writes
     * it: t = round(pow(n_s/N, α), 9); keep_rate =

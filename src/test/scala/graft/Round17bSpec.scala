@@ -233,4 +233,45 @@ class Round17bSpec extends SparkSpec {
       assert(res > 0.0 && res <= 1.0)
     }
   }
+
+  // ---- d68 Bloom decontamination --------------------------------------
+
+  test("d68: no false negatives — bloom flags every doc the exact d24 gate flags") {
+    val sfd = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sfd).select("doc_id", "text")
+    val exact = Curation.decontaminateOf(
+      docs.filter(col("doc_id") % 7 =!= 0), docs.filter(col("doc_id") % 7 === 0))
+      .collect().map(_.getLong(0)).toSet
+    val bloom = Curation.bloomDecon(spark, sfd)
+      .filter(col("contaminated")).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(bloom),
+      s"false negatives: ${(exact -- bloom).take(5)}")
+    // and the FP overhead is bounded at this fill (~5%, 3 probes)
+    assert(bloom.size <= exact.size + math.max(5, exact.size / 2),
+      s"bloom ${bloom.size} vs exact ${exact.size}")
+  }
+
+  test("d68: a true member's every gram hits (bench probed against itself)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val self = Curation.bloomDeconOf(bench, bench).collect()
+    assert(self.nonEmpty)
+    self.foreach(r => assert(r.getLong(2) === r.getLong(1),
+      s"doc ${r.getLong(0)}: ${r.getLong(2)} hits of ${r.getLong(1)} grams"))
+  }
+
+  test("d68: disjoint-vocab clean docs stay clean (deterministic FP check)") {
+    val bench = (0L until 20L)
+      .map(i => (i, (1 to 30).map(j => s"bench${i}tok$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val clean = (100L until 120L)
+      .map(i => (i, (1 to 30).map(j => s"clean${i}tok$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rep = Curation.bloomDeconOf(clean, bench).collect()
+    assert(rep.length == 20)
+    // ~440 bench grams fill ~0.03% of 2^22 bits: a 3-probe FP at this
+    // fill is ~1e-11 per gram — deterministic inputs, so this is a
+    // fixed outcome, not a flaky sample
+    rep.foreach(r => assert(r.getLong(2) == 0L, s"FP on doc ${r.getLong(0)}"))
+  }
 }
