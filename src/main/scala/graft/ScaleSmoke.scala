@@ -471,7 +471,26 @@ object ScaleSmoke {
         s"assignment must stay a narrow projection, got:\n$plan")
       assigned.count()
     }
+    // MMR diversity (d66) at 1M×64: the distributed half is ONE
+    // narrow cosine-to-mean projection + TakeOrdered — the greedy
+    // over the 128-pool is corpus-size-independent driver work, so
+    // the stage cost IS the scan+top-k cost.
+    time("mmr select 1M vecs") {
+      operators.Similarity.mmrSelectOf(vecsBig).count()
+    }
     vecsBig.unpersist()
+
+    // PageRank (d65) over a 2M-edge hash-random graph on ~864k live
+    // nodes: 8 barrier-free rounds, each one shuffle of the
+    // degree-annotated edges against the rank frame — the iterative
+    // graph shape at ~400× the bench entry's pair volume.
+    time("pagerank 2M edges") {
+      val edges = spark.range(2000000).select(
+        pmod(xxhash64(col("id")), lit(1000000L)).as("id_a"),
+        pmod(xxhash64(col("id") + lit(7000000000L)), lit(1000000L)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      operators.Dedup.pageRankOf(edges).count()
+    }
 
     // SemDeDup (d45) at 200k×64 vectors with ~200-vector clusters
     // (k = n/200): pair volume is Σ bucket-size² — bounded by cluster

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.graftshim
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.{Cep, CorpusStats, Curation, Dedup, Retrieval}
+import graft.operators.{Cep, CorpusStats, Curation, Dedup, Retrieval, Similarity}
 import graft.plans.AsOfJoin
 
 /** SQL-surface access to the engine: table-valued functions that make
@@ -412,6 +412,73 @@ object SqlSurface {
     graftshim.analyzed(CorpusStats.setOverlapOf(docs, k, mx))
   }
 
+  // ---- batch 4: mixing / graph / diversity / fingerprint decon -------
+
+  /** `temperature_mix(docs_view[, alpha, target_frac])`: d64 —
+    * α-sampling source rebalance over a (doc_id, source) view. */
+  private def temperatureMixBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "temperature_mix"
+    require(es.length == 1 || es.length == 3,
+      s"$fn(docs_view[, alpha, target_frac]) takes 1 or 3 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "source")
+    val (a, f) =
+      if (es.length == 3) (dblArg(fn, es, 1), dblArg(fn, es, 2)) else (0.3, 0.5)
+    graftshim.analyzed(Curation.temperatureMixOf(docs, a, f))
+  }
+
+  /** `graph_pagerank(pairs_view[, iters])`: d65 — integer-unit
+    * PageRank over an undirected (id_a, id_b) pair view. */
+  private def pageRankBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "graph_pagerank"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(pairs_view[, iters]) takes 1 or 2 args, got ${es.length}")
+    val pairs = table(strArg(fn, es, 0)).select("id_a", "id_b")
+    val iters = if (es.length == 2) longArg(fn, es, 1).toInt else 8
+    graftshim.analyzed(Dedup.pageRankOf(pairs, iters))
+  }
+
+  /** `mmr_select(embs_view[, k, pool])`: d66 — greedy MMR diversity
+    * picks over a (vec_id, embedding) view. Builder-time driver work
+    * (mean + pool pull) is bounded, the setOverlap precedent. */
+  private def mmrSelectBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "mmr_select"
+    require(es.length == 1 || es.length == 3,
+      s"$fn(embs_view[, k, pool]) takes 1 or 3 args, got ${es.length}")
+    val embs = table(strArg(fn, es, 0)).select("vec_id", "embedding")
+    val (k, p) =
+      if (es.length == 3) (longArg(fn, es, 1).toInt, longArg(fn, es, 2).toInt)
+      else (24, 128)
+    graftshim.analyzed(Similarity.mmrSelectOf(embs, k, p))
+  }
+
+  /** `winnow_overlap(docs_view[, k, w, min_shared])`: d67 — winnowing
+    * fingerprint overlap pairs over a (doc_id, text, lang, source)
+    * view (no passage planting — the caller's corpus is the input). */
+  private def winnowOverlapBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "winnow_overlap"
+    require(es.length == 1 || es.length == 4,
+      s"$fn(docs_view[, k, w, min_shared]) takes 1 or 4 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0))
+    val (k, w, ms) =
+      if (es.length == 4) (longArg(fn, es, 1).toInt, longArg(fn, es, 2).toInt,
+        longArg(fn, es, 3).toInt)
+      else (4, 8, 2)
+    graftshim.analyzed(Dedup.winnowOverlapOf(docs, k, w, ms))
+  }
+
+  /** `bloom_decon(train_view, bench_view[, n])`: d68 — Bloom-filter
+    * benchmark decon; the bench view's gram set is a builder-time
+    * driver pull (eval-suite-sized by contract). */
+  private def bloomDeconBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "bloom_decon"
+    require(es.length == 2 || es.length == 3,
+      s"$fn(train_view, bench_view[, n]) takes 2 or 3 args, got ${es.length}")
+    val tr = table(strArg(fn, es, 0)).select("doc_id", "text")
+    val be = table(strArg(fn, es, 1)).select("doc_id", "text")
+    val n = if (es.length == 3) longArg(fn, es, 2).toInt else 8
+    graftshim.analyzed(Curation.bloomDeconOf(tr, be, n))
+  }
+
   /** Name → builder for every graft TVF (one registration list shared
     * by the runtime and the conf-based extension paths). */
   val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =
@@ -437,7 +504,12 @@ object SqlSurface {
     "token_budget_mix" -> (tokenBudgetMixBuilder _),
     "sequence_pack" -> (sequencePackBuilder _),
     "ccnet_buckets" -> (ccnetBucketsBuilder _),
-    "set_overlap" -> (setOverlapBuilder _))
+    "set_overlap" -> (setOverlapBuilder _),
+    "temperature_mix" -> (temperatureMixBuilder _),
+    "graph_pagerank" -> (pageRankBuilder _),
+    "mmr_select" -> (mmrSelectBuilder _),
+    "winnow_overlap" -> (winnowOverlapBuilder _),
+    "bloom_decon" -> (bloomDeconBuilder _))
 
   /** Register all TVFs on a live session (what [[Graft.install]] calls). */
   def register(spark: SparkSession): Unit = {

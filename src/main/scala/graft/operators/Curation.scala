@@ -889,8 +889,12 @@ object Curation {
     * first — small groups then boost toward keep_rate 1, the dominant
     * one is trimmed hardest, which is the semantics under test. */
   def temperatureMix(s: SparkSession, d: String): DataFrame =
-    temperatureMixOf(Tables.documents(s, d).select(col("doc_id"),
-      skewedSourceGroups.as("source")))
+    temperatureMixOf(skewedMixInput(s, d))
+
+  /** The registered d64 input: docs under the deterministic skew
+    * regroup (exposed for the TVF parity spec). */
+  private[graft] def skewedMixInput(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), skewedSourceGroups.as("source"))
 
   /** Deterministic skewed regrouping (mirrored in the oracle SQL). */
   private def skewedSourceGroups: org.apache.spark.sql.Column =

@@ -212,6 +212,48 @@ class SqlSurfaceSpec extends SparkSpec {
       >= spark.sql("SELECT * FROM ccnet_buckets('g_docs')").filter(col("keep")).count())
   }
 
+  test("batch-4 TVFs (mixing / graph / diversity / fingerprints): hash parity") {
+    installAndViews()
+    // the registered d64 entry regroups sources (the uniform-corpus
+    // lesson); the TVF takes the caller's own grouping — feed it the
+    // same regrouped view for parity
+    operators.Curation.skewedMixInput(spark, sf)
+      .createOrReplaceTempView("g_docs_skew")
+    operators.Dedup.ngramJaccard(spark, sf).select("id_a", "id_b")
+      .createOrReplaceTempView("g_pairs")
+    Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .createOrReplaceTempView("g_embs")
+    operators.Dedup.plantPassages(Tables.documents(spark, sf))
+      .createOrReplaceTempView("g_docs_planted")
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") % 7 =!= 0).createOrReplaceTempView("g_train")
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") % 7 === 0).createOrReplaceTempView("g_bench")
+    val parity = Seq(
+      "SELECT * FROM temperature_mix('g_docs_skew')" ->
+        operators.Curation.temperatureMix(spark, sf),
+      "SELECT * FROM graph_pagerank('g_pairs')" ->
+        operators.Dedup.pageRank(spark, sf),
+      "SELECT * FROM mmr_select('g_embs')" ->
+        operators.Similarity.mmrSelect(spark, sf),
+      "SELECT * FROM winnow_overlap('g_docs_planted')" ->
+        operators.Dedup.winnowOverlap(spark, sf),
+      "SELECT * FROM bloom_decon('g_train', 'g_bench')" ->
+        operators.Curation.bloomDecon(spark, sf))
+    parity.foreach { case (sql, scala) =>
+      assert(canon(spark.sql(sql)) == canon(scala), s"TVF != entry for: $sql")
+    }
+    // parameter plumbing: alpha=1 keeps the natural mix (rate 0.5
+    // everywhere), fewer pagerank iters still covers all nodes,
+    // k cuts the MMR pick count
+    val r1 = spark.sql("SELECT DISTINCT keep_rate FROM temperature_mix('g_docs_skew', 1.0, 0.5)")
+      .collect().map(_.getDouble(0))
+    assert(r1.forall(r => math.abs(r - 0.5) <= 1e-8), r1.mkString(","))
+    assert(spark.sql("SELECT * FROM graph_pagerank('g_pairs', 2)").count()
+      == spark.sql("SELECT * FROM graph_pagerank('g_pairs')").count())
+    assert(spark.sql("SELECT * FROM mmr_select('g_embs', 5, 64)").count() == 5L)
+  }
+
   test("event_pattern_skip_next TVF: q65 in pure SQL, hash parity") {
     installAndViews()
     val viaSql = spark.sql("SELECT * FROM event_pattern_skip_next('g_events')")
