@@ -426,6 +426,11 @@ object SparkEntry {
     // narrow probe pass (the constant-memory d24); oracle replays the
     // position arithmetic exactly, false positives included
     "d68_bloom_decon"     -> (Curation.bloomDecon _),
+    // WEIGHTED PageRank (d65 with jaccard-weighted contributions in
+    // exact integer 1e-6 units) + per-node convergence delta of the
+    // final round; same barrier-free integer-unit loop, oracle =
+    // recursive-CTE replay carrying r_prev
+    "d69_weighted_pagerank" -> (Dedup.pageRankWeighted _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -3943,6 +3948,55 @@ object SparkEntry {
         |    FROM (SELECT DISTINCT it FROM prev) it0, nxt))
         |SELECT p.node, d.deg, p.r AS r_units, CAST(p.r AS DOUBLE) * 1e-9 AS pagerank
         |FROM pr p JOIN deg d ON d.src = p.node WHERE p.it = 8 ORDER BY p.node""".stripMargin,
+
+    // d69: the d65 replay with jaccard-weighted contributions — pairs
+    // gain an exact integer 1e-6-unit weight w = (1e6·inter)//union,
+    // contributions are (r·w)//W_u, and the recursion carries the
+    // previous round's rank so the final rows emit the per-node
+    // convergence delta. Same integer-division/HUGEINT notes as d65.
+    "d69_weighted_pagerank" ->
+      """WITH RECURSIVE tok0 AS (
+        |  SELECT doc_id, lang, source, UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |tok AS MATERIALIZED (SELECT DISTINCT doc_id, lang, source, w FROM tok0 WHERE w <> ''),
+        |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b,
+        |    CAST((1000000 * n_inter) // (sa.sz + sb.sz - n_inter) AS BIGINT) AS w
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+        |    AND (1000000 * n_inter) // (sa.sz + sb.sz - n_inter) >= 1),
+        |edges AS MATERIALIZED (
+        |  SELECT id_a AS src, id_b AS dst, w FROM pairs
+        |  UNION ALL SELECT id_b, id_a, w FROM pairs),
+        |wout AS MATERIALIZED (
+        |  SELECT src, CAST(SUM(w) AS BIGINT) AS w_out, COUNT(*) AS deg
+        |  FROM edges GROUP BY src),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM wout),
+        |pr AS (
+        |  SELECT 0 AS it, src AS node,
+        |    CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r,
+        |    CAST(NULL AS BIGINT) AS r_prev FROM wout
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    WITH prev AS (SELECT * FROM pr WHERE it < 8),
+        |    contrib AS (
+        |      SELECT e.dst AS node, (p.r * e.w) // d.w_out AS c
+        |      FROM edges e JOIN prev p ON p.node = e.src JOIN wout d ON d.src = e.src),
+        |    nxt AS (
+        |      SELECT node,
+        |        CAST(150000000 // (SELECT n FROM nn) + (85 * SUM(c)) // 100 AS BIGINT) AS r
+        |      FROM contrib GROUP BY node)
+        |    SELECT it0.it + 1 AS it, nxt.node, nxt.r, pv.r AS r_prev
+        |    FROM (SELECT DISTINCT it FROM prev) it0, nxt JOIN prev pv ON pv.node = nxt.node))
+        |SELECT p.node, d.deg, d.w_out AS w_out_units, p.r AS r_units,
+        |  CAST(p.r AS DOUBLE) * 1e-9 AS pagerank, ABS(p.r - p.r_prev) AS delta_units
+        |FROM pr p JOIN wout d ON d.src = p.node WHERE p.it = 8 ORDER BY p.node""".stripMargin,
 
     "d66_mmr_diversity" -> D66Sql,
 

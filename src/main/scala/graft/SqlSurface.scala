@@ -437,6 +437,18 @@ object SqlSurface {
     graftshim.analyzed(Dedup.pageRankOf(pairs, iters))
   }
 
+  /** `graph_pagerank_weighted(pairs_view[, iters])`: d69 —
+    * integer-unit weighted PageRank over an (id_a, id_b, w_units)
+    * pair view; w_units ≥ 1 (zero-weight rows are dropped). */
+  private def pageRankWeightedBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "graph_pagerank_weighted"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(pairs_view[, iters]) takes 1 or 2 args, got ${es.length}")
+    val pairs = table(strArg(fn, es, 0)).select("id_a", "id_b", "w_units")
+    val iters = if (es.length == 2) longArg(fn, es, 1).toInt else 8
+    graftshim.analyzed(Dedup.pageRankWeightedOf(pairs, iters))
+  }
+
   /** `mmr_select(embs_view[, k, pool])`: d66 — greedy MMR diversity
     * picks over a (vec_id, embedding) view. Builder-time driver work
     * (mean + pool pull) is bounded, the setOverlap precedent. */
@@ -458,7 +470,7 @@ object SqlSurface {
     val fn = "winnow_overlap"
     require(es.length == 1 || es.length == 4,
       s"$fn(docs_view[, k, w, min_shared]) takes 1 or 4 args, got ${es.length}")
-    val docs = table(strArg(fn, es, 0))
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "text", "lang", "source")
     val (k, w, ms) =
       if (es.length == 4) (longArg(fn, es, 1).toInt, longArg(fn, es, 2).toInt,
         longArg(fn, es, 3).toInt)
@@ -507,6 +519,7 @@ object SqlSurface {
     "set_overlap" -> (setOverlapBuilder _),
     "temperature_mix" -> (temperatureMixBuilder _),
     "graph_pagerank" -> (pageRankBuilder _),
+    "graph_pagerank_weighted" -> (pageRankWeightedBuilder _),
     "mmr_select" -> (mmrSelectBuilder _),
     "winnow_overlap" -> (winnowOverlapBuilder _),
     "bloom_decon" -> (bloomDeconBuilder _))

@@ -594,6 +594,84 @@ object Dedup {
       .orderBy("node")
   }
 
+  /** d69: WEIGHTED PageRank over the exact near-dup pair graph — the
+    * canonical-copy keep-policy signal [[pageRank]]'s scaladoc
+    * promises: contributions are proportional to edge jaccard, so the
+    * "most central" copy of a duplicate family is the one most
+    * STRONGLY tied to its neighbours, not merely the most-connected.
+    * Semantics: r' = (1−β)/n + β·Σ_{u→v} r_u·w_uv/W_u with β = 0.85,
+    * W_u = Σ_v w_uv, over the undirected pair graph.
+    *
+    * Determinism/oracle parity: the edge weight is the pair's jaccard
+    * in EXACT integer 1e-6 units — w = (10^6·|A∩B|) DIV |A∪B|, both
+    * operands exact integers from the d4 miner — and ranks stay in
+    * integer 1e-9 units as in [[pageRankOf]], so the whole iteration
+    * is zero-float and bit-identical cross-engine. Overflow headroom:
+    * r ≤ ~1.15e9 units, w ≤ 1e6 ⇒ r·w ≤ ~1.2e15 ≪ 2^63.
+    *
+    * Convergence readout: each output row carries
+    * delta_units = |r_iters − r_{iters−1}| — the per-node L1 step of
+    * the final round. One agg over the result gives the global
+    * convergence gauge without any in-loop driver action (the
+    * connectedComponentsBounded discipline: the loop itself stays
+    * barrier-free). */
+  def pageRankWeighted(s: SparkSession, d: String): DataFrame = {
+    // exact per-doc distinct-token sizes, same tokenization as the d4
+    // miner (split of lower(text) ≡ lower of split tokens for " ")
+    val sizes = Tables.tokLong(s, d)
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), lower(col("w")).as("w")).distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairsW = ngramJaccard(s, d)
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("(1000000L * n_inter) DIV (sz_a + sz_b - n_inter)").as("w_units"))
+    pageRankWeightedOf(pairsW)
+  }
+
+  /** Core of [[pageRankWeighted]] over an explicit
+    * (id_a, id_b, w_units) pair frame. Contract: w_units ≥ 1 (rows
+    * below are dropped — a zero-weight edge would contribute nothing
+    * but a zero W_u would divide by zero under ANSI). */
+  def pageRankWeightedOf(pairsW: DataFrame, iters: Int = 8): DataFrame = {
+    val edges = pairsW.filter(col("w_units") >= 1)
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("w_units"))
+      .union(pairsW.filter(col("w_units") >= 1)
+        .select(col("id_b").as("src"), col("id_a").as("dst"), col("w_units")))
+      .localCheckpoint(eager = false)
+    val wout = edges.groupBy("src")
+      .agg(sum(col("w_units")).as("w_out"), count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false)
+    val edgesW = edges.join(wout.select(col("src"), col("w_out")), "src")
+      .localCheckpoint(eager = false)
+    val nn = broadcast(wout.agg(count(lit(1)).as("n")))
+    var ranks = wout.crossJoin(nn)
+      .select(col("src").as("node"), expr("1000000000L DIV n").as("r"))
+      .localCheckpoint(eager = false)
+    var prev = ranks
+    for (_ <- 1 to iters) {
+      prev = ranks
+      ranks = edgesW
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("(r * w_units) DIV w_out").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+        .crossJoin(nn)
+        .select(col("dst").as("node"),
+          expr("150000000L DIV n + (85L * sc) DIV 100L").as("r"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+      .join(prev.select(col("node").as("pnode"), col("r").as("r_prev")),
+        col("node") === col("pnode"))
+      .join(wout, col("node") === col("src"))
+      .select(col("node"), col("deg"), col("w_out").as("w_out_units"),
+        col("r").as("r_units"),
+        (col("r").cast("double") * lit(1e-9)).as("pagerank"),
+        abs(col("r") - col("r_prev")).as("delta_units"))
+      .orderBy("node")
+  }
+
   /** d67: winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken
     * 2003 — the MOSS local-fingerprinting scheme, public): each doc
     * keeps the window-minimum of every `w`-window over its k-gram

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Round 18: d69 weighted PageRank — jaccard-weighted contributions in
+  * exact integer 1e-6-unit weights plus the per-node convergence delta
+  * of the final round. Reference checks beyond the DuckDB oracle:
+  * planted weighted graphs whose expected unit ranks come from a
+  * driver-side replay of the same integer arithmetic, the
+  * uniform-weight degeneration to d65, and the weight-asymmetry signal
+  * the unweighted variant cannot see.
+  */
+class Round18Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Driver-side reference: integer 1e-9-unit weighted power iteration
+    * with 1e-6-unit edge weights; returns node -> (r, rPrev). */
+  private def refWeighted(pairsW: Seq[(Long, Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val edges = pairsW.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wout = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+    val n = wout.size.toLong
+    var r = wout.keys.map(_ -> 1000000000L / n).toMap
+    var prev = r
+    for (_ <- 1 to iters) {
+      prev = r
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => r(src) * w / wout(src) }.sum
+      }
+      r = in.map { case (node, sc) => node -> (150000000L / n + 85L * sc / 100L) }
+    }
+    r.map { case (k, v) => k -> (v, prev(k)) }
+  }
+
+  test("d69: pageRankWeightedOf matches the driver reference exactly") {
+    // star with one heavy spoke + a light triangle; weights span the
+    // jaccard-unit range the registered entry produces (8e5..1e6)
+    val pairsW = Seq((1L, 2L, 1000000L), (1L, 3L, 800000L), (1L, 4L, 800000L),
+      (10L, 11L, 900000L), (11L, 12L, 850000L), (10L, 12L, 800000L))
+    val got = Dedup.pageRankWeightedOf(pairsW.toDF("id_a", "id_b", "w_units"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    val want = refWeighted(pairsW, 8)
+    assert(got.length == want.size)
+    got.foreach { case (node, _, _, units, pr, delta) =>
+      val (wr, wprev) = want(node)
+      assert(units == wr, s"node $node: $units != $wr")
+      assert(delta == math.abs(wr - wprev), s"node $node delta")
+      assert(pr == units.toDouble * 1e-9)
+    }
+    // the heavy spoke out-ranks the light spokes of the same hub
+    val byNode = got.map(g => g._1 -> g._4).toMap
+    assert(byNode(2L) > byNode(3L), byNode.toString)
+    // equal-weight spokes tie exactly
+    assert(byNode(3L) == byNode(4L), byNode.toString)
+  }
+
+  test("d69: uniform weights degenerate exactly to the unweighted d65") {
+    // (r·w) DIV (deg·w) = r DIV deg for any constant w ≥ 1, so the two
+    // variants must agree node-for-node in unit longs
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    val unweighted = Dedup.pageRankOf(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val weighted = Dedup.pageRankWeightedOf(
+      pairs.map { case (a, b) => (a, b, 777L) }.toDF("id_a", "id_b", "w_units"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(weighted == unweighted)
+  }
+
+  test("d69: weight asymmetry re-ranks where the unweighted variant ties") {
+    // two 2-chains: {1,2} tied strongly, {3,4} tied weakly, then both
+    // pairs share a common hub 5. Unweighted sees identical structure;
+    // weighted must rank the strong pair above the weak one.
+    val pairsW = Seq((1L, 2L, 1000000L), (3L, 4L, 100000L),
+      (1L, 5L, 500000L), (3L, 5L, 500000L))
+    val w = Dedup.pageRankWeightedOf(pairsW.toDF("id_a", "id_b", "w_units"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val u = Dedup.pageRankOf(pairsW.map(p => (p._1, p._2)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(u(2L) == u(4L), "unweighted must tie the symmetric spokes")
+    assert(w(2L) > w(4L), s"weighted must prefer the strong tie: $w")
+  }
+
+  test("d69: zero/negative-weight rows are dropped, not divided by") {
+    val pairsW = Seq((1L, 2L, 1000000L), (3L, 4L, 0L))
+    val nodes = Dedup.pageRankWeightedOf(pairsW.toDF("id_a", "id_b", "w_units"))
+      .collect().map(_.getLong(0)).toSet
+    assert(nodes == Set(1L, 2L))
+  }
+
+  test("d69: registered entry runs on testdata with sane shape") {
+    val rows = Dedup.pageRankWeighted(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(3) > 0L)          // r_units positive
+      assert(r.getLong(2) >= r.getLong(1) * 800000L) // W_u ≥ deg·0.8e6 (j ≥ 0.8)
+      assert(r.getLong(5) >= 0L)         // delta non-negative
+    }
+  }
+
+  test("d69: graph_pagerank_weighted TVF hash parity + iters plumbing") {
+    Graft.install(spark)
+    val pairsW = Seq((1L, 2L, 1000000L), (1L, 3L, 800000L), (2L, 3L, 900000L))
+      .toDF("id_a", "id_b", "w_units")
+    pairsW.createOrReplaceTempView("g_pairs_w18")
+    val viaTvf = spark.sql("SELECT * FROM graph_pagerank_weighted('g_pairs_w18')")
+      .collect().map(_.toSeq).toSet
+    val direct = Dedup.pageRankWeightedOf(pairsW)
+      .collect().map(_.toSeq).toSet
+    assert(viaTvf == direct)
+    assert(spark.sql("SELECT * FROM graph_pagerank_weighted('g_pairs_w18', 2)")
+      .count() == 3L)
+  }
+}
