@@ -292,7 +292,8 @@ object CorpusPipeline {
     * computed once at stream start, not per batch. */
   def curateBatch(docs: DataFrame, benchGrams: Option[DataFrame] = None,
       minWords: Int = 5, maxRepFrac: Double = 1.0,
-      qualityModel: Option[Classifier.Model] = None): DataFrame = {
+      qualityModel: Option[Classifier.Model] = None,
+      bloomBits: Option[graft.functions.BloomBits] = None): DataFrame = {
     val scrubbed = scrubText(docs)
       .filter(size(split(col("text"), " ")) >= minWords)
     val repGated =
@@ -308,14 +309,42 @@ object CorpusPipeline {
       case Some(m) => repGated.filter(Classifier.scoreCol(col("text"), m) >= 0.5)
       case None => repGated
     }
-    benchGrams match {
-      case Some(bg) =>
-        modelGated.join(
-          Curation.contaminatedIds(modelGated.select("doc_id", "text"), bg),
-          Seq("doc_id"), "left_anti")
+    // constant-memory decon gate (d68): the 512 KB plan-constant Bloom
+    // probe replaces the exact gram semi-join — one narrow filter, no
+    // join, no gram broadcast. One-sided: everything the exact gate
+    // drops, this drops too (plus a deterministic hash-arithmetic FP
+    // set), so the Bloom-gated corpus is a SUBSET of the exact-gated
+    // one and replay idempotence is untouched (pure row function).
+    val bloomGated = bloomBits match {
+      case Some(bits) =>
+        modelGated.filter {
+          val ws = split(col("text"), " ")
+          when(size(ws) < 8, lit(true)).otherwise(
+            graft.functions.VectorExprs.bloomProbe(
+              graft.functions.VectorExprs.ngramHashes(ws, 8), bits) === 0L)
+        }
       case None => modelGated
     }
+    benchGrams match {
+      case Some(bg) =>
+        bloomGated.join(
+          Curation.contaminatedIds(bloomGated.select("doc_id", "text"), bg),
+          Seq("doc_id"), "left_anti")
+      case None => bloomGated
+    }
   }
+
+  /** The benchmark side of the CONSTANT-MEMORY decon gate: the same
+    * scrubbed distinct 8-gram hashes as [[benchmarkGrams]], compressed
+    * into the d68 512 KB [[graft.functions.BloomBits]] plan constant.
+    * Call once at stream start (eval suites are tiny and static); the
+    * per-batch gate is then one narrow probe filter — nothing
+    * benchmark-sized ships with any batch, however large the eval
+    * suite's vocabulary grows. */
+  def benchmarkBloom(benchmark: DataFrame, n: Int = 8): graft.functions.BloomBits =
+    graft.functions.BloomBits.build(
+      benchmarkGrams(benchmark, n).collect().map(_.getLong(0)),
+      Curation.BloomM, Curation.BloomK)
 
   /** The benchmark side of [[curateBatch]]'s decontamination gate:
     * scrub (identically to the corpus) and collect the distinct word

@@ -1016,10 +1016,23 @@ object EventStream {
       blockCols: Seq[String] = Seq("lang", "source"), buckets: Int = 64,
       bucketedIndex: Boolean = false,
       monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None,
-      qualityModel: Option[graft.operators.Classifier.Model] = None
+      qualityModel: Option[graft.operators.Classifier.Model] = None,
+      bloomGate: Boolean = false
   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    // decon gate, chosen once at stream start. Exact (default): the
+    // bench gram set is cached and each batch runs the d24 broadcast
+    // semi-join — zero false positives. Bloom (`bloomGate`, the d68
+    // 100 TB shape): the grams compress into ONE 512 KB plan constant
+    // and each batch pays a narrow probe filter instead of shipping a
+    // benchmark-sized gram table — at the price of the deterministic
+    // hash-arithmetic FP set (the Bloom-gated corpus is a spec-proven
+    // SUBSET of the exact-gated one; no false negatives either way).
+    // Both gates are pure functions of the row, so replay idempotence
+    // is identical.
+    val benchBloom = if (bloomGate) benchmark.map(
+      graft.operators.CorpusPipeline.benchmarkBloom(_)) else None
     // materialized once; every batch closure reuses the cached grams
-    val benchGrams = benchmark.map { b =>
+    val benchGrams = if (bloomGate) None else benchmark.map { b =>
       val g = graft.operators.CorpusPipeline.benchmarkGrams(b).cache()
       g.count()
       g
@@ -1029,7 +1042,8 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val curated = graft.operators.CorpusPipeline.curateBatch(
-          batch.toDF(), benchGrams, minWords, maxRepFrac, qualityModel)
+          batch.toDF(), benchGrams, minWords, maxRepFrac, qualityModel,
+          bloomBits = benchBloom)
         graft.operators.IncrementalDedup.upsertBatch(
           curated, root, threshold, blockCols, buckets,
           bucketedIndex = bucketedIndex)

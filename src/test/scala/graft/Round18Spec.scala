@@ -103,6 +103,67 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  // ---- streaming Bloom-gated intake (d68's gate in the curated sink) --
+
+  private def streamCorpusIds(root: String): Set[Long] =
+    graft.operators.IncrementalDedup.corpus(spark, root).collect()
+      .map(_.getLong(0)).toSet
+
+  test("curatedInsertStream bloomGate: superset-of-exact drops, batch parity, replay-stable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bloom_ckpt").toString
+
+    def doc(i: Int, words: Seq[String]) = (i.toLong, words.mkString(" "), "en", "src0")
+    val benchWords = (1 to 20).map(i => s"ev$i")
+    val bench = Seq((100L, benchWords.mkString(" "))).toDF("doc_id", "text")
+    val cleanA = doc(1, (1 to 30).map(i => s"aw$i"))
+    val cleanB = doc(2, (1 to 30).map(i => s"bw$i"))
+    val contam = doc(5, benchWords.take(12) ++ (1 to 18).map(i => s"cw$i"))
+    val all = Seq(cleanA, cleanB, contam)
+
+    val in1 = MemoryStream[(Long, String, String, String)]
+    val q1 = graft.streaming.EventStream.curatedInsertStream(
+      in1.toDF().toDF("doc_id", "text", "lang", "source"), root, ckpt,
+      benchmark = Some(bench), minWords = 5, bloomGate = true)
+    in1.addData(Seq(cleanA, contam))
+    q1.processAllAvailable()
+    in1.addData(Seq(cleanB))
+    q1.processAllAvailable()
+    q1.stop()
+    val streamed = streamCorpusIds(root)
+    // no false negatives: the truly contaminated doc is gone
+    assert(!streamed.contains(5L), s"bloom gate missed the contaminated doc: $streamed")
+    // subset of the exact gate's keep set (FPs only ever REMOVE more)
+    val exactKept = graft.operators.CorpusPipeline.curateBatch(
+      all.toDF("doc_id", "text", "lang", "source"),
+      benchGrams = Some(graft.operators.CorpusPipeline.benchmarkGrams(bench)),
+      minWords = 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.subsetOf(exactKept), s"$streamed not a subset of $exactKept")
+    // batch parity: the streamed corpus equals the one-shot Bloom-gated batch
+    val batchKept = graft.operators.CorpusPipeline.curateBatch(
+      all.toDF("doc_id", "text", "lang", "source"),
+      minWords = 5,
+      bloomBits = Some(graft.operators.CorpusPipeline.benchmarkBloom(bench)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchKept, s"stream $streamed != batch $batchKept")
+    // on THIS fixture the filter is far under fill: no FPs, clean docs kept
+    assert(streamed == Set(1L, 2L), streamed.toString)
+
+    // replay: a fresh query re-delivers everything; the deterministic
+    // gate + store-authority guard must land zero new rows
+    val in2 = MemoryStream[(Long, String, String, String)]
+    val q2 = graft.streaming.EventStream.curatedInsertStream(
+      in2.toDF().toDF("doc_id", "text", "lang", "source"), root,
+      java.nio.file.Files.createTempDirectory("graft_bloom_ckpt2").toString,
+      benchmark = Some(bench), minWords = 5, bloomGate = true)
+    in2.addData(all)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(streamCorpusIds(root) == streamed, "replay changed the corpus")
+  }
+
   test("d69: graph_pagerank_weighted TVF hash parity + iters plumbing") {
     Graft.install(spark)
     val pairsW = Seq((1L, 2L, 1000000L), (1L, 3L, 800000L), (2L, 3L, 900000L))
