@@ -273,6 +273,60 @@ object ScaleSmoke {
         .filter(size(array_distinct(col("ngs"))) > 0).count()
     }
     gramCached.unpersist()
+    // d67 winnowing at 1M LONG docs (128 tokens — 4× the corpus docs,
+    // the length regime where WinnowSelect's O(m·w) window rescan
+    // would show if it mattered; run with stageFilter "winnow").
+    // Sources are CONTIGUOUS id blocks so each planted passage bucket
+    // (id div 1024, constant 4 planted docs per bucket → pair volume
+    // LINEAR in corpus size, the d67 registered-entry geometry) lies
+    // inside one blocking cell. Stage 1 isolates the fingerprint
+    // expression (narrow map pass, no join); stage 2 runs the full
+    // overlap miner and checks the ~5.8k planted pairs arrive.
+    val winN = math.max(250000L, math.min(rows, 4000000L))
+    val winDocs = spark.range(winN)
+      .select(col("id").as("doc_id"), lit("en").as("lang"),
+        expr("concat('s', cast((id div 1024) % 20 as string))").as("source"),
+        expr(
+          """CASE WHEN id % 256 = 0 THEN concat(
+            |  concat_ws(' ', transform(sequence(0, 127),
+            |    i -> concat('w', cast(pmod(xxhash64(id * 131 + i), 100000) as string)))),
+            |  ' ', concat_ws(' ', transform(sequence(1, 24),
+            |    i -> concat('p', cast(id div 1024 as string), 'w', cast(i as string)))))
+            |ELSE concat_ws(' ', transform(sequence(0, 127),
+            |  i -> concat('w', cast(pmod(xxhash64(id * 131 + i), 100000) as string))))
+            |END""".stripMargin).as("text"))
+      .cache()
+    time(s"winnow probe cache prime ${winN / 1000}k") { winDocs.count() }
+    // paired probe: gram hashing alone vs hashing + window-min loop
+    // over the SAME cached input — the difference IS the WinnowSelect
+    // loop (sum-of-sizes on both sides so neither pays an explode)
+    time(s"winnow probe hashes only ${winN / 1000}k") {
+      winDocs.select(size(graft.functions.VectorExprs.ngramHashes(
+        split(lower(col("text")), " "), 4)).as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+    }
+    time(s"winnow probe hash+select ${winN / 1000}k") {
+      winDocs.select(size(graft.functions.VectorExprs.winnowSelect(
+        graft.functions.VectorExprs.ngramHashes(
+          split(lower(col("text")), " "), 4), 8)).as("n"))
+        .agg(sum("n")).collect()(0).getLong(0)
+    }
+    time(s"winnow fingerprints ${winN / 1000}k long") {
+      winDocs.select(
+        graft.functions.VectorExprs.winnowSelect(
+          graft.functions.VectorExprs.ngramHashes(
+            split(lower(col("text")), " "), 4), 8).as("fp"))
+        .select(explode(col("fp")).as("h")).count()
+    }
+    time(s"winnow overlap ${winN / 1000}k long docs") {
+      // planted geometry: 6 pairs per full 1024-id bucket, minus
+      // boundary effects — pair volume LINEAR in winN by construction
+      val pairs = operators.Dedup.winnowOverlapOf(winDocs).count()
+      require(pairs >= winN * 55 / 10000 && pairs < winN * 70 / 10000,
+        s"unexpected winnow pair count $pairs for $winN docs")
+      pairs
+    }
+    winDocs.unpersist()
     // skewed mixture: one source holds 70% of the corpus, nine split
     // the rest — the budget form must bite the big one only
     time("domain mix sample 1M docs") {

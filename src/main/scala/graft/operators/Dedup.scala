@@ -733,7 +733,25 @@ object Dedup {
       // one fingerprint pass
       .localCheckpoint(eager = false)
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-    val inter = fps.as("a").join(fps.as("b"),
+    // SHARED-fingerprint prune before any pairwise work (the d41
+    // count≥2 discipline): a map-side-combined count finds the
+    // fingerprints held by ≥2 docs in a block — in any non-degenerate
+    // corpus that's the overlap-dense sliver — and only THOSE postings
+    // enter the self-join (typically broadcast-sized; AQE falls back
+    // to a shuffle join if a pathological corpus makes them big).
+    // vs self-joining the full posting table: both join sides shipped
+    // all ~27 fingerprints/doc through SMJ sorts where ~99.9% of
+    // postings can never pair. Interleaved A/B on the 2M-long-doc
+    // ScaleSmoke stage: 1.7x faster (103 vs 175 s contended; parity at
+    // 1M where the join fits comfortably). A collect_list posting-list
+    // formulation was also measured and REJECTED: 27M near-singleton
+    // groups force ObjectHashAggregate and it lost to both shapes.
+    val shared = fps.groupBy("lang", "source", "h")
+      .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      .select("lang", "source", "h")
+    val hot = fps.join(shared, Seq("lang", "source", "h"))
+      .localCheckpoint(eager = false)
+    val inter = hot.as("a").join(hot.as("b"),
         col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
