@@ -431,6 +431,12 @@ object SparkEntry {
     // final round; same barrier-free integer-unit loop, oracle =
     // recursive-CTE replay carrying r_prev
     "d69_weighted_pagerank" -> (Dedup.pageRankWeighted _),
+    // contrastive triplet mining (SimCSE/DPR training-set shape):
+    // near-dup pairs as (anchor, positive) both ways + deterministic
+    // hash-indexed negatives (3 salted md5 candidates, first valid
+    // wins, validity = not anchor/pos/direct near-dup); oracle =
+    // pair CTE + ROW_NUMBER index + md5 replay + MIN(STRUCT) argmin
+    "d70_contrastive_triplets" -> (Curation.contrastiveTriplets _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -3997,6 +4003,57 @@ object SparkEntry {
         |SELECT p.node, d.deg, d.w_out AS w_out_units, p.r AS r_units,
         |  CAST(p.r AS DOUBLE) * 1e-9 AS pagerank, ABS(p.r - p.r_prev) AS delta_units
         |FROM pr p JOIN wout d ON d.src = p.node WHERE p.it = 8 ORDER BY p.node""".stripMargin,
+
+    // d70: the d4 pair CTE + deterministic negatives. idx is a plain
+    // ROW_NUMBER over doc_id (the Spark side's two-level surrogate ids
+    // are window-identical by contract); candidates replay the
+    // established md5-hex-parse uniform; the min-salt pick is the
+    // MIN(STRUCT) argmin. pairs is MATERIALIZED (consumed by both
+    // orientations AND the validity anti-join).
+    "d70_contrastive_triplets" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, lang, source, UNNEST(string_split(lower(text), ' ')) AS w FROM documents),
+        |tok AS MATERIALIZED (SELECT DISTINCT doc_id, lang, source, w FROM tok0 WHERE w <> ''),
+        |sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        |inter AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |  FROM tok a JOIN tok b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b,
+        |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS j
+        |  FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8),
+        |idx AS MATERIALIZED (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS idx FROM documents),
+        |nn AS (SELECT COUNT(*) AS n FROM documents),
+        |ori AS (
+        |  SELECT id_a AS anchor_id, id_b AS pos_id, j FROM pairs
+        |  UNION ALL SELECT id_b, id_a, j FROM pairs),
+        |cand AS (
+        |  SELECT o.anchor_id, o.pos_id, o.j, sv.s,
+        |    1 + CAST(CONCAT('0x', SUBSTRING(md5(
+        |      CAST(o.anchor_id AS VARCHAR) || '#' || CAST(o.pos_id AS VARCHAR)
+        |        || '#' || CAST(sv.s AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % (SELECT n FROM nn) AS nidx
+        |  FROM ori o, (SELECT UNNEST([0, 1, 2]) AS s) sv),
+        |withneg AS (
+        |  SELECT c.anchor_id, c.pos_id, c.j, c.s, i.doc_id AS neg_id
+        |  FROM cand c JOIN idx i ON i.idx = c.nidx),
+        |valid AS (
+        |  SELECT w.* FROM withneg w
+        |  LEFT JOIN pairs p ON p.id_a = LEAST(w.anchor_id, w.neg_id)
+        |    AND p.id_b = GREATEST(w.anchor_id, w.neg_id)
+        |  WHERE w.neg_id <> w.anchor_id AND w.neg_id <> w.pos_id
+        |    AND p.id_a IS NULL),
+        |win AS (
+        |  SELECT anchor_id, pos_id,
+        |    MIN({'s': s, 'neg_id': neg_id}) AS m, MIN(j) AS j_pos
+        |  FROM valid GROUP BY anchor_id, pos_id)
+        |SELECT anchor_id, pos_id, m.neg_id AS neg_id, j_pos
+        |FROM win ORDER BY anchor_id, pos_id""".stripMargin,
 
     "d66_mmr_diversity" -> D66Sql,
 

@@ -449,6 +449,19 @@ object SqlSurface {
     graftshim.analyzed(Dedup.pageRankWeightedOf(pairs, iters))
   }
 
+  /** `contrastive_triplets(pairs_view, docs_view[, salts])`: d70 —
+    * (anchor, positive, negative) training triplets from an
+    * (id_a, id_b, jaccard) pair view and a (doc_id) corpus view. */
+  private def contrastiveTripletsBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "contrastive_triplets"
+    require(es.length == 2 || es.length == 3,
+      s"$fn(pairs_view, docs_view[, salts]) takes 2 or 3 args, got ${es.length}")
+    val pairs = table(strArg(fn, es, 0)).select("id_a", "id_b", "jaccard")
+    val docs = table(strArg(fn, es, 1)).select("doc_id")
+    val salts = if (es.length == 3) longArg(fn, es, 2).toInt else 3
+    graftshim.analyzed(Curation.contrastiveTripletsOf(pairs, docs, salts))
+  }
+
   /** `mmr_select(embs_view[, k, pool])`: d66 — greedy MMR diversity
     * picks over a (vec_id, embedding) view. Builder-time driver work
     * (mean + pool pull) is bounded, the setOverlap precedent. */
@@ -520,6 +533,7 @@ object SqlSurface {
     "temperature_mix" -> (temperatureMixBuilder _),
     "graph_pagerank" -> (pageRankBuilder _),
     "graph_pagerank_weighted" -> (pageRankWeightedBuilder _),
+    "contrastive_triplets" -> (contrastiveTripletsBuilder _),
     "mmr_select" -> (mmrSelectBuilder _),
     "winnow_overlap" -> (winnowOverlapBuilder _),
     "bloom_decon" -> (bloomDeconBuilder _))

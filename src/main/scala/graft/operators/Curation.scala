@@ -983,4 +983,71 @@ object Curation {
       .select("doc_id", "source", "keep_rate")
       .orderBy("doc_id")
   }
+
+  /** d70: contrastive TRIPLET mining — training-set construction for
+    * embedding/retrieval models (the SimCSE/DPR data shape): each
+    * near-dup pair becomes (anchor, positive) in BOTH orientations,
+    * and the negative is a deterministic hash-indexed corpus draw
+    * that is verified NOT to be the anchor, the positive, or a direct
+    * near-dup of the anchor. Three salted candidates per triplet, the
+    * first valid one wins (min salt); a triplet with no valid
+    * candidate drops (deterministic — no rand(), replayable and
+    * restart-stable like every sampling op in this engine).
+    *
+    * Scale shape: positives are the d4/d19 pair set (bounded by
+    * near-dup density, never corpus²); the negative lookup indexes
+    * docs by the two-level surrogate-id scheme (no single-partition
+    * window) and pays ONE corpus-scale co-shuffle of (idx → doc_id)
+    * against the 3·|pairs| candidate rows; validity checks are
+    * anti-joins against the pair set. Corpus count arrives as a
+    * broadcast one-row frame (no driver action).
+    *
+    * Oracle parity: candidate index = 1 + (first-8-hex-digits of
+    * md5("anchor#pos#salt") as integer) mod n — the established
+    * md5-uniform replay (d26/d28/d57) — and the min-salt pick is the
+    * documented MIN(STRUCT) argmin, so the whole construction is
+    * hash-exact in DuckDB. */
+  def contrastiveTriplets(s: SparkSession, d: String): DataFrame =
+    contrastiveTripletsOf(
+      Dedup.ngramJaccard(s, d).select("id_a", "id_b", "jaccard"),
+      Tables.documents(s, d).select("doc_id"))
+
+  /** Core of [[contrastiveTriplets]] over explicit (id_a, id_b,
+    * jaccard) pairs (id_a < id_b) and a (doc_id) corpus frame. */
+  def contrastiveTripletsOf(pairs: DataFrame, docs: DataFrame,
+      salts: Int = 3): DataFrame = {
+    // multi-consumed: both orientations + the negative-validity
+    // anti-join — one cut, one mining pass
+    val p = pairs.localCheckpoint(eager = false)
+    val idx = Silver.surrogateIds(docs.select("doc_id"), Seq("doc_id"), "idx")
+    val nn = broadcast(docs.agg(count(lit(1)).as("n")))
+    val ori = p.select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"),
+        col("jaccard"))
+      .union(p.select(col("id_b").as("anchor_id"), col("id_a").as("pos_id"),
+        col("jaccard")))
+    val cand = ori.crossJoin(nn)
+      .select(col("anchor_id"), col("pos_id"), col("jaccard"), col("n"),
+        explode(array((0 until salts).map(lit(_)): _*)).as("s"))
+      .withColumn("nidx", expr(
+        """1L + cast(conv(substring(md5(concat(
+          |  cast(anchor_id as string), '#', cast(pos_id as string), '#',
+          |  cast(s as string))), 1, 8), 16, 10) as bigint) % n""".stripMargin))
+    val withNeg = cand.join(
+      idx.select(col("idx").as("nidx"), col("doc_id").as("neg_id")), "nidx")
+    val valid = withNeg
+      .filter(col("neg_id") =!= col("anchor_id") &&
+        col("neg_id") =!= col("pos_id"))
+      .join(p.select("id_a", "id_b"),
+        least(col("anchor_id"), col("neg_id")) === col("id_a") &&
+          greatest(col("anchor_id"), col("neg_id")) === col("id_b"),
+        "left_anti")
+    // min-salt winner via the struct argmin (group sizes ≤ salts —
+    // the SortAggregate fallback is irrelevant at this row count)
+    valid.groupBy("anchor_id", "pos_id")
+      .agg(min(struct(col("s"), col("neg_id"))).as("m"),
+        min(col("jaccard")).as("j_pos"))
+      .select(col("anchor_id"), col("pos_id"),
+        col("m.neg_id").as("neg_id"), col("j_pos"))
+      .orderBy("anchor_id", "pos_id")
+  }
 }

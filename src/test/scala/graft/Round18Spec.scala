@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
 
 /** Round 18: d69 weighted PageRank — jaccard-weighted contributions in
   * exact integer 1e-6-unit weights plus the per-node convergence delta
@@ -162,6 +162,77 @@ class Round18Spec extends SparkSpec {
     q2.processAllAvailable()
     q2.stop()
     assert(streamCorpusIds(root) == streamed, "replay changed the corpus")
+  }
+
+  // ---- d70 contrastive triplets ---------------------------------------
+
+  /** Driver-side reference of the whole construction: md5-indexed
+    * candidates, validity (not self/pos/direct near-dup), min salt. */
+  private def refTriplets(pairs: Seq[(Long, Long, Double)], docIds: Seq[Long],
+      salts: Int = 3): Seq[(Long, Long, Long, Double)] = {
+    val sorted = docIds.sorted
+    val n = sorted.length.toLong
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    def md5idx(a: Long, p: Long, s: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$a#$p#$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % n).toInt
+    }
+    val ori = pairs.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+    ori.flatMap { case (anchor, pos, j) =>
+      (0 until salts).iterator.map { s =>
+        sorted(md5idx(anchor, pos, s))
+      }.find { neg =>
+        neg != anchor && neg != pos &&
+          !pairSet.contains((math.min(anchor, neg), math.max(anchor, neg)))
+      }.map(neg => (anchor, pos, neg, j))
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  test("d70: contrastiveTripletsOf matches the driver reference exactly") {
+    val pairs = Seq((1L, 2L, 0.9), (3L, 4L, 0.85), (10L, 40L, 0.82))
+    val docIds = (1L to 100L)
+    val got = Curation.contrastiveTripletsOf(
+      pairs.toDF("id_a", "id_b", "jaccard"), docIds.toDF("doc_id"))
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val want = refTriplets(pairs, docIds)
+    assert(got == want, s"got $got\nwant $want")
+    // both orientations of every pair survived on this roomy corpus
+    assert(got.length == 6)
+    got.foreach { case (a, p, neg, _) =>
+      assert(neg != a && neg != p, s"invalid negative in ($a,$p,$neg)")
+      assert(!pairs.exists(q => Set(q._1, q._2) == Set(a, neg)),
+        s"negative $neg is a near-dup of anchor $a")
+    }
+  }
+
+  test("d70: triplets with no valid negative drop deterministically") {
+    // a 2-doc corpus: every candidate lands on the anchor or the
+    // positive, so the whole pair produces zero triplets
+    val out = Curation.contrastiveTripletsOf(
+      Seq((1L, 2L, 0.9)).toDF("id_a", "id_b", "jaccard"),
+      Seq(1L, 2L).toDF("doc_id"))
+    assert(out.count() == 0L)
+    // replay-stable on a real corpus slice
+    val a = Curation.contrastiveTriplets(spark, sf).collect().toSeq
+    val b = Curation.contrastiveTriplets(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("d70: contrastive_triplets TVF parity") {
+    Graft.install(spark)
+    val pairs = Seq((1L, 2L, 0.9), (5L, 6L, 0.88)).toDF("id_a", "id_b", "jaccard")
+    val docs = (1L to 50L).toDF("doc_id")
+    pairs.createOrReplaceTempView("g_trip_pairs")
+    docs.createOrReplaceTempView("g_trip_docs")
+    val viaTvf = spark.sql(
+      "SELECT * FROM contrastive_triplets('g_trip_pairs', 'g_trip_docs')")
+      .collect().map(_.toSeq).toSet
+    val direct = Curation.contrastiveTripletsOf(pairs, docs)
+      .collect().map(_.toSeq).toSet
+    assert(viaTvf == direct)
   }
 
   test("d69: graph_pagerank_weighted TVF hash parity + iters plumbing") {
