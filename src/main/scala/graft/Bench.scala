@@ -49,12 +49,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same hook as QProbe/StageProbe: on a row-group-bounded twin dir
+    // (Amplify arg 4) shrink scan splits so the scan floors fan out —
+    // meaningless on the harness's single-row-group files
+    sys.env.get("GRAFT_MAX_PART_BYTES").foreach(v =>
+      b.config("spark.sql.files.maxPartitionBytes", v))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Session warmup: executor threads, codegen compiler, parquet
     // footer reads — so init cost isn't billed to the first query.
@@ -71,6 +76,8 @@ object Bench {
     val heavyFirst = Seq("d23_incremental_dedup", "d36_corpus_pipeline",
       "d56_quality_classifier", "d61_topic_clusters", "d22_dedup_pipeline",
       "d20_dup_clusters", "q54_silver_import", "d4_ngram_jaccard",
+      "d69_weighted_pagerank", "d65_graph_pagerank",
+      "d70_contrastive_triplets",
       "q53_order_legs", "d42_substr_clip", "q49_chain_flatten",
       "d45_semdedup", "d32_pq_ann", "d35_split_leakage",
       "d19_jaccard_lsh", "d11_near_dup_cosine",
