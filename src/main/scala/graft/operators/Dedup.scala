@@ -842,7 +842,17 @@ object Dedup {
     // explode PROVABLY covers pairs at the exact 4:5 boundary ratio —
     // a raw FP floor(log/log1.25) could misround each side by one and
     // silently drop such a pair.
-    ngramJaccardOf(Tables.documents(s, d))
+    // DirMemo-keyed shared cut: SIX registered entries consume this
+    // exact pair frame (d4 itself, d20 clusters, d35 split leakage,
+    // d65/d69 pagerank, d70 triplets) — without the memo each one
+    // re-ran the full miner per bench pass. The frame is
+    // deterministic (plan-constant vocab, exact integer verify), the
+    // lazy localCheckpoint fills at the first consumer's action, and
+    // DirMemo re-fingerprints the dir so a regenerated corpus
+    // invalidates the cut.
+    graft.ops.DirMemo.cached(s, d, "d4pairs") {
+      ngramJaccardOf(Tables.documents(s, d)).localCheckpoint(eager = false)
+    }
   }
 
   /** Core of [[ngramJaccard]]. Adaptive token representation, three
