@@ -567,6 +567,25 @@ object ScaleSmoke {
       dropped
     }
 
+    // d71 hard-negative triplets at the same 200k×64 geometry: the
+    // planted twin pairs are the guaranteed positives, bucket
+    // co-members of hash-random vectors supply sub-threshold hard
+    // negatives — every planted anchor must emit a triplet, so the
+    // floor is 2×2000 rows; pair volume bounded by bucket size like
+    // the semdedup stage above.
+    time("hard negatives 200k vecs") {
+      val hnVecs = spark.range(200000).select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63),
+               |  i -> cast(pmod(xxhash64((if(id % 100 < 2, (id div 2) * 2, id)) * 64 + i),
+               |                 2000) / 1000.0 - 1.0 as float))""".stripMargin)
+          .as("embedding")).cache()
+      hnVecs.count()
+      val n = operators.Similarity.hardTripletsOf(hnVecs, k = Some(1000)).count()
+      hnVecs.unpersist()
+      require(n >= 4000, s"unexpected hard-triplet count $n")
+      n
+    }
+
     // Market-data end-to-end chain, the tick-side twin of the corpus
     // pipeline above (reference /root/reference/docs/services_flow.mmd:
     // stream collector → daily parquet → import → verts): DSv2 tick

@@ -437,6 +437,11 @@ object SparkEntry {
     // wins, validity = not anchor/pos/direct near-dup); oracle =
     // pair CTE + ROW_NUMBER index + md5 replay + MIN(STRUCT) argmin
     "d70_contrastive_triplets" -> (Curation.contrastiveTriplets _),
+    // HARD-negative triplets (DPR shape): per anchor the strongest
+    // positive AND the hardest sub-threshold negative from ONE d11
+    // bucket-blocked candidate join; pivot-exact oracle with
+    // conditional MIN(STRUCT) folds
+    "d71_hard_negatives" -> (Similarity.hardTriplets _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1482,6 +1487,38 @@ object SparkEntry {
        |  JOIN ee ea ON ea.vec_id = p.id_a JOIN ee eb ON eb.vec_id = p.id_b)
        |WHERE cos >= CAST(0.3 AS DOUBLE)
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** The d71 hard-triplet oracle: the d11 blocking + pivot-exact pair
+    * cosines, then per-anchor conditional MIN(STRUCT(−cos, id)) folds
+    * for the strongest positive and the hardest sub-threshold
+    * negative — single-expression doubles end to end, no unordered
+    * sums (the pivot-exact discipline). */
+  private val D71Sql: String = {
+    s"""WITH RECURSIVE ${Vec64Sql.embPreamble}
+       |, ${Vec64Sql.adaptiveK}
+       |, ${kmeansReplayCtes(2)}
+       |, $BlkCte
+       |, cpairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id
+       |  FROM blk a JOIN blk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id
+       |), scored AS MATERIALIZED (
+       |  SELECT p.anchor_id, p.cand_id, $PairCosSelect AS cos
+       |  FROM cpairs p
+       |  JOIN evp a ON a.vec_id = p.anchor_id JOIN evp b ON b.vec_id = p.cand_id
+       |  JOIN ee ea ON ea.vec_id = p.anchor_id JOIN ee eb ON eb.vec_id = p.cand_id
+       |), win AS (
+       |  SELECT anchor_id,
+       |    MIN(CASE WHEN cos >= CAST(0.3 AS DOUBLE)
+       |      THEN {'c': -cos, 'v': cand_id} END) AS p,
+       |    MIN(CASE WHEN cos < CAST(0.3 AS DOUBLE)
+       |      THEN {'c': -cos, 'v': cand_id} END) AS n
+       |  FROM scored GROUP BY anchor_id)
+       |SELECT anchor_id, p.v AS pos_id, -p.c AS cos_pos,
+       |  n.v AS neg_id, -n.c AS cos_neg
+       |FROM win WHERE p IS NOT NULL AND n IS NOT NULL
+       |ORDER BY anchor_id""".stripMargin
   }
 
   /** The d45 SemDeDup oracle: the d11 pair mine, the d36
@@ -4056,6 +4093,8 @@ object SparkEntry {
         |FROM win ORDER BY anchor_id, pos_id""".stripMargin,
 
     "d66_mmr_diversity" -> D66Sql,
+
+    "d71_hard_negatives" -> D71Sql,
 
     "d67_winnowing" -> D67Sql,
 

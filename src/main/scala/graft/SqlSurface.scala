@@ -462,6 +462,20 @@ object SqlSurface {
     graftshim.analyzed(Curation.contrastiveTripletsOf(pairs, docs, salts))
   }
 
+  /** `hard_negatives(embs_view[, k, multi_assign])`: d71 — per-anchor
+    * strongest positive + hardest sub-threshold negative over a
+    * (vec_id, embedding) view. */
+  private def hardNegativesBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "hard_negatives"
+    require(es.length == 1 || es.length == 3,
+      s"$fn(embs_view[, k, multi_assign]) takes 1 or 3 args, got ${es.length}")
+    val embs = table(strArg(fn, es, 0)).select("vec_id", "embedding")
+    val (k, ma) =
+      if (es.length == 3) (Some(longArg(fn, es, 1).toInt), longArg(fn, es, 2).toInt)
+      else (None: Option[Int], 2)
+    graftshim.analyzed(Similarity.hardTripletsOf(embs, k, ma))
+  }
+
   /** `mmr_select(embs_view[, k, pool])`: d66 — greedy MMR diversity
     * picks over a (vec_id, embedding) view. Builder-time driver work
     * (mean + pool pull) is bounded, the setOverlap precedent. */
@@ -534,6 +548,7 @@ object SqlSurface {
     "graph_pagerank" -> (pageRankBuilder _),
     "graph_pagerank_weighted" -> (pageRankWeightedBuilder _),
     "contrastive_triplets" -> (contrastiveTripletsBuilder _),
+    "hard_negatives" -> (hardNegativesBuilder _),
     "mmr_select" -> (mmrSelectBuilder _),
     "winnow_overlap" -> (winnowOverlapBuilder _),
     "bloom_decon" -> (bloomDeconBuilder _))

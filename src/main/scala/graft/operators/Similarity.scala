@@ -858,6 +858,62 @@ object Similarity {
       .select("bucket", "id_a", "id_b", "cos")
   }
 
+  /** d71: HARD-negative triplet mining (the DPR/contrastive-training
+    * recipe, Karpukhin et al. 2020, public) — d70 draws negatives
+    * uniformly; retrieval training wants the HARDEST ones: for every
+    * anchor, the highest-cosine candidate that is NOT a near-dup.
+    * One bucket-blocked candidate join (the d11 front end: own IVF
+    * buckets, multi-assign recall knob, never corpus²) yields per
+    * anchor BOTH the strongest positive (argmax cos among ≥ threshold
+    * candidates) and the hardest negative (argmax cos among
+    * < threshold candidates); anchors missing either side drop.
+    * Deterministic tie-break (cos desc, vec_id asc) via the
+    * MIN(STRUCT(−cos, id)) argmin — the negate round trip is
+    * hash-safe (q54 discipline).
+    *
+    * Oracle parity: the d11 pivot-exact pair cosines + the same
+    * conditional struct-min folds — every emitted double is a single
+    * expression whose association matches the engine, no unordered
+    * sums anywhere (the r16 pivot-exact lesson). Approximation
+    * surface: candidates are bucket-blocked, so "hardest" means
+    * hardest WITHIN the multi-assigned buckets — the same documented
+    * trade as d11/d45, and exactly what the oracle replays. */
+  def hardTriplets(s: SparkSession, d: String): DataFrame =
+    hardTripletsOf(Tables.embeddings(s, d).select("vec_id", "embedding"))
+
+  /** Core of [[hardTriplets]] over any (vec_id, embedding) frame. */
+  def hardTripletsOf(emb0: DataFrame, k: Option[Int] = None,
+      multiAssign: Int = 2, threshold: Double = 0.30): DataFrame = {
+    val emb = emb0.select("vec_id", "embedding")
+      .withColumn("nrm", norm(col("embedding")))
+    val kk = k.getOrElse(adaptiveK(emb.count()))
+    val blocked = explodeNearest(emb, centroidSetOf(kmeans(emb, kk, iters = 2)),
+        multiAssign, cosine = false, Seq("vec_id", "embedding", "nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("nb.bucket").as("bucket"))
+    val a = blocked.select(col("bucket"), col("vec_id").as("anchor_id"),
+      col("embedding").as("v_a"), col("nrm").as("n_a"))
+    val b = blocked.select(col("bucket"), col("vec_id").as("cand_id"),
+      col("embedding").as("v_b"), col("nrm").as("n_b"))
+    val scored = a.join(b, Seq("bucket"))
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      // multi-assignment dedup: identical cos in every shared bucket
+      .groupBy("anchor_id", "cand_id")
+      .agg(max(col("cos")).as("cos"))
+    scored.groupBy("anchor_id")
+      .agg(
+        min(when(col("cos") >= lit(threshold),
+          struct(negate(col("cos")).as("c"), col("cand_id").as("v")))).as("p"),
+        min(when(col("cos") < lit(threshold),
+          struct(negate(col("cos")).as("c"), col("cand_id").as("v")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        col("p.v").as("pos_id"), negate(col("p.c")).as("cos_pos"),
+        col("n.v").as("neg_id"), negate(col("n.c")).as("cos_neg"))
+      .orderBy("anchor_id")
+  }
+
   /** d45: SemDeDup-style semantic dedup (Abbas et al. 2023, public) —
     * embedding near-duplicate GROUPS resolved to one kept
     * representative each. Candidate pairs come from the d11

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, Similarity}
 
 /** Round 18: d69 weighted PageRank — jaccard-weighted contributions in
   * exact integer 1e-6-unit weights plus the per-node convergence delta
@@ -233,6 +233,73 @@ class Round18Spec extends SparkSpec {
     val direct = Curation.contrastiveTripletsOf(pairs, docs)
       .collect().map(_.toSeq).toSet
     assert(viaTvf == direct)
+  }
+
+  // ---- d71 hard-negative triplets -------------------------------------
+
+  private def cosine(x: Array[Float], y: Array[Float]): Double = {
+    var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < x.length) {
+      d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+      ny += y(i).toDouble * y(i); i += 1
+    }
+    d / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  test("d71: single-bucket hardTriplets match a brute-force reference") {
+    // axis-anchored vectors with a known cosine ladder: ids 1,2 are
+    // near-twins (cos≈1), ids 3..6 fan out at decreasing cosine to 1,
+    // id 7 is near-orthogonal. k=1 ⇒ one bucket ⇒ candidates = all.
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val vecs = Seq(
+      1L -> v(0 -> 1.0f),
+      2L -> v(0 -> 1.0f, 1 -> 0.05f),
+      3L -> v(0 -> 1.0f, 1 -> 1.0f),          // cos to 1 ≈ 0.707
+      4L -> v(0 -> 0.4f, 1 -> 1.0f),          // cos to 1 ≈ 0.37
+      5L -> v(0 -> 0.28f, 1 -> 1.0f),         // cos to 1 ≈ 0.27 (< 0.3)
+      6L -> v(0 -> 0.1f, 1 -> 1.0f),          // cos to 1 ≈ 0.10
+      7L -> v(2 -> 1.0f))                     // cos to 1 = 0
+    val got = Similarity.hardTripletsOf(
+      vecs.toDF("vec_id", "embedding"), k = Some(1))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // brute-force reference per anchor
+    vecs.foreach { case (aid, av) =>
+      val cands = vecs.filter(_._1 != aid)
+        .map { case (cid, cv) => (cid, cosine(cv, av)) }
+      val pos = cands.filter(_._2 >= 0.30)
+      val neg = cands.filter(_._2 < 0.30)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val bp = pos.minBy(c => (-c._2, c._1))
+        val bn = neg.minBy(c => (-c._2, c._1))
+        val (gp, gpc, gn, gnc) = got(aid)
+        assert(gp == bp._1 && gn == bn._1,
+          s"anchor $aid: got ($gp,$gn) want (${bp._1},${bn._1})")
+        assert(math.abs(gpc - bp._2) < 1e-9 && math.abs(gnc - bn._2) < 1e-9)
+      } else assert(!got.contains(aid), s"anchor $aid should drop")
+    }
+    // margins are real: pos strictly above threshold side of neg
+    got.values.foreach { case (_, cp, _, cn) => assert(cp >= 0.30 && cn < 0.30) }
+  }
+
+  test("d71: all-twin corpus (no sub-threshold candidate) emits nothing") {
+    val twins = (1L to 4L).map { i =>
+      val a = Array.fill(64)(1.0f); a(0) = 1.0f + 0.001f * i; (i, a)
+    }
+    assert(Similarity.hardTripletsOf(twins.toDF("vec_id", "embedding"),
+      k = Some(1)).count() == 0L)
+  }
+
+  test("d71: registered entry — deterministic, thresholds respected") {
+    val a = Similarity.hardTriplets(spark, sf).collect()
+    val b = Similarity.hardTriplets(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    a.foreach { r =>
+      assert(r.getDouble(2) >= 0.30 && r.getDouble(4) < 0.30)
+      assert(r.getLong(1) != r.getLong(3))
+    }
   }
 
   test("d69: graph_pagerank_weighted TVF hash parity + iters plumbing") {
