@@ -914,6 +914,52 @@ object Similarity {
       .orderBy("anchor_id")
   }
 
+  /** [[hardTriplets]] against a FROZEN quantizer and an explicit
+    * candidate pool — the streaming/incremental face of d71: anchors
+    * multi-probe their nearest `multiAssign` frozen buckets (the
+    * standard IVF query pattern), candidates come from the pool's
+    * STORED single-assignment bucket column (the persisted index
+    * layout appendToIvfIndex maintains). Per-batch cost is bounded by
+    * the probed buckets' population — never pool². Deterministic
+    * under frozen centroids, which is what makes the streaming sink
+    * replay-idempotent. */
+  /** @param requireBoth true (the batch/d71 semantics) emits only
+    *   anchors with BOTH a positive and a negative; false keeps every
+    *   SCORED anchor with nullable sides — the streaming sink needs
+    *   the "no triplet at insertion time" decision as a row, or a
+    *   replayed/re-delivered anchor whose future positive has since
+    *   arrived would re-qualify and break replay idempotence. */
+  def hardTripletsAgainst(anchors0: DataFrame, pool0: DataFrame,
+      cents: DataFrame, multiAssign: Int = 2,
+      threshold: Double = 0.30, requireBoth: Boolean = true): DataFrame = {
+    val anchors = anchors0.select("vec_id", "embedding")
+      .withColumn("nrm", norm(col("embedding")))
+    val probed = explodeNearest(anchors, centroidSetOf(cents), multiAssign,
+        cosine = false, Seq("vec_id", "embedding", "nrm"))
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("v_a"),
+        col("nrm").as("n_a"), col("nb.bucket").as("bucket"))
+    val members = pool0.select(col("vec_id").as("cand_id"),
+        col("embedding").as("v_b"), col("bucket"))
+      .withColumn("n_b", norm(col("v_b")))
+    val scored = probed.join(members, Seq("bucket"))
+      .filter(col("anchor_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .groupBy("anchor_id", "cand_id")
+      .agg(max(col("cos")).as("cos"))
+    val folded = scored.groupBy("anchor_id")
+      .agg(
+        min(when(col("cos") >= lit(threshold),
+          struct(negate(col("cos")).as("c"), col("cand_id").as("v")))).as("p"),
+        min(when(col("cos") < lit(threshold),
+          struct(negate(col("cos")).as("c"), col("cand_id").as("v")))).as("n"))
+    (if (requireBoth) folded.filter(col("p").isNotNull && col("n").isNotNull)
+     else folded)
+      .select(col("anchor_id"),
+        col("p.v").as("pos_id"), negate(col("p.c")).as("cos_pos"),
+        col("n.v").as("neg_id"), negate(col("n.c")).as("cos_neg"))
+      .orderBy("anchor_id")
+  }
+
   /** d45: SemDeDup-style semantic dedup (Abbas et al. 2023, public) —
     * embedding near-duplicate GROUPS resolved to one kept
     * representative each. Candidate pairs come from the d11

@@ -1079,6 +1079,60 @@ object EventStream {
       .start()
   }
 
+  /** Streaming HARD-TRIPLET mining — continual training-data
+    * generation for retrieval models (the streaming face of d71):
+    * each micro-batch of (vec_id, embedding) vectors is appended into
+    * the persisted IVF index (frozen centroids — appendToIvfIndex's
+    * replay-idempotent store-authority append), then every batch
+    * vector is mined as an ANCHOR against the post-append index:
+    * strongest positive + hardest sub-threshold negative among its
+    * multi-probed buckets ([[graft.operators.Similarity.hardTripletsAgainst]]).
+    *
+    * Contract: triplets reflect the index state AT INSERTION TIME —
+    * later arrivals do not retro-update earlier anchors (the
+    * training-data-as-it-streams semantics; a periodic batch re-mine
+    * over the full index is the refresh path, same trade as the IVF
+    * drift/re-cluster discipline). The store is a MANIFEST: every
+    * processed anchor gets exactly one row, with NULL pos/neg when no
+    * triplet existed at insertion time — recording the drop decision
+    * is what makes redelivery exact (an anchor whose future positive
+    * arrives later must NOT re-qualify; filter `pos_id IS NOT NULL`
+    * for the training pairs). Replay-idempotent end to end: the index
+    * append is guarded by the index itself, the mine is a
+    * deterministic function of the post-append state, and
+    * already-manifested anchors are anti-joined away. */
+  def tripletMineStream(stream: DataFrame, cents: DataFrame,
+      indexPath: String, outPath: String, checkpoint: String,
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    monitor.foreach(_.register(outPath))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val b = batch.toDF().dropDuplicates("vec_id")
+          .select("vec_id", "embedding")
+        graft.operators.Similarity.appendToIvfIndex(b, cents, indexPath): Unit
+        // full manifest: scored anchors with nullable sides, plus a
+        // left join so even zero-candidate anchors get their row
+        val trips = b.select(col("vec_id").as("anchor_id"))
+          .join(graft.operators.Similarity.hardTripletsAgainst(
+            b, s.read.parquet(indexPath), cents, requireBoth = false),
+            Seq("anchor_id"), "left")
+          .localCheckpoint(eager = true)
+        val outP = new org.apache.hadoop.fs.Path(outPath)
+        val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val novel =
+          if (!fs.exists(outP)) trips
+          else trips.join(s.read.parquet(outPath).select("anchor_id"),
+            Seq("anchor_id"), "left_anti")
+        if (!novel.isEmpty) novel.write.mode("append").parquet(outPath)
+        trips.unpersist()
+        monitor.foreach(_.record(outPath))
+      }
+      .start()
+  }
+
   /** Streaming SELF-EMBEDDING index maintenance: each micro-batch of
     * raw (doc_id, text) docs is hashed-embedded IN-ENGINE
     * (Retrieval.denseEmbedOf — the d59 bridge) and appended into the

@@ -302,6 +302,83 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  // ---- streaming hard-triplet mining ----------------------------------
+
+  test("tripletMineStream: one-batch == batch twin, insertion-time semantics, replay-stable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_trip_stream").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val initial = emb.filter(col("vec_id") >= 100)
+    val idxPath = dir + "/idx"
+    val outPath = dir + "/trips"
+    val cents = Similarity.buildIvfIndex(initial, k = 8, iters = 2, idxPath)
+    val rows = emb.filter(col("vec_id") < 100)
+      .as[(Long, Array[Float])].collect()
+    val (batch1, batch2) = rows.splitAt(rows.length / 2)
+
+    def snapshot(): Map[Long, (Option[Long], Option[Double], Option[Long], Option[Double])] =
+      spark.read.parquet(outPath).collect().map { r =>
+        def l(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        def d(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+        r.getLong(0) -> (l(1), d(2), l(3), d(4))
+      }.toMap
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EventStream.tripletMineStream(
+      input.toDF().toDF("vec_id", "embedding"), cents, idxPath, outPath,
+      java.nio.file.Files.createTempDirectory("graft_trip_ck").toString)
+    input.addData(batch1.toSeq)
+    q.processAllAvailable()
+    // snapshot after batch 1: batch-1 anchors vs (initial ∪ batch1)
+    val after1 = snapshot()
+    input.addData(batch2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val after2 = snapshot()
+
+    // the store is a MANIFEST: every streamed anchor has exactly one row
+    assert(after1.keySet == batch1.map(_._1).toSet)
+    assert(after2.keySet == rows.map(_._1).toSet)
+    // insertion-time semantics: batch-1 rows (incl. recorded "no
+    // triplet" decisions) are UNCHANGED by batch 2
+    after1.foreach { case (a, t) => assert(after2(a) == t, s"anchor $a retro-updated") }
+    // one-batch parity: batch-1 TRIPLET rows equal the frozen-centroid
+    // twin mined against the same post-append pool
+    val pool1 = initial
+      .join(Similarity.assign(initial, cents).select("vec_id", "bucket"), "vec_id")
+      .unionByName(
+        batch1.toSeq.toDF("vec_id", "embedding")
+          .join(Similarity.assign(batch1.toSeq.toDF("vec_id", "embedding"), cents)
+            .select("vec_id", "bucket"), "vec_id"))
+    val twin = Similarity.hardTripletsAgainst(
+      batch1.toSeq.toDF("vec_id", "embedding"), pool1, cents)
+      .collect().map(r => r.getLong(0) ->
+        (Some(r.getLong(1)), Some(r.getDouble(2)), Some(r.getLong(3)), Some(r.getDouble(4)))).toMap
+    assert(after1.filter(t => t._2._1.isDefined && t._2._3.isDefined) == twin,
+      "stream triplets != frozen-centroid batch twin")
+    // validity of full triplets
+    after2.values.foreach {
+      case (Some(p), Some(cp), Some(n), Some(cn)) =>
+        assert(cp >= 0.30 && cn < 0.30 && p != n)
+      case _ => ()
+    }
+
+    // replay: a fresh query re-delivers everything; index guard +
+    // manifest anti-join must land nothing new — INCLUDING anchors
+    // whose future positive has since arrived (the recorded-decision
+    // property the manifest exists for)
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.EventStream.tripletMineStream(
+      in2.toDF().toDF("vec_id", "embedding"), cents, idxPath, outPath,
+      java.nio.file.Files.createTempDirectory("graft_trip_ck2").toString)
+    in2.addData(rows.toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(snapshot() == after2, "replay changed the triplet store")
+  }
+
   test("d69: graph_pagerank_weighted TVF hash parity + iters plumbing") {
     Graft.install(spark)
     val pairsW = Seq((1L, 2L, 1000000L), (1L, 3L, 800000L), (2L, 3L, 900000L))
