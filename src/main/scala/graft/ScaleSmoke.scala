@@ -545,6 +545,16 @@ object ScaleSmoke {
         .filter(col("id_a") =!= col("id_b"))
       operators.Dedup.pageRankOf(edges).count()
     }
+    // d69 weighted twin at the same graph scale: hash-varied integer
+    // 1e-6-unit weights (the registered entry's jaccard-unit range)
+    time("pagerank weighted 2M edges") {
+      val edgesW = spark.range(2000000).select(
+        pmod(xxhash64(col("id")), lit(1000000L)).as("id_a"),
+        pmod(xxhash64(col("id") + lit(7000000000L)), lit(1000000L)).as("id_b"),
+        (lit(800000L) + pmod(xxhash64(col("id") + lit(3)), lit(200001L))).as("w_units"))
+        .filter(col("id_a") =!= col("id_b"))
+      operators.Dedup.pageRankWeightedOf(edgesW).count()
+    }
 
     // SemDeDup (d45) at 200k×64 vectors with ~200-vector clusters
     // (k = n/200): pair volume is Σ bucket-size² — bounded by cluster
