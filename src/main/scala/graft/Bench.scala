@@ -77,7 +77,7 @@ object Bench {
       "d56_quality_classifier", "d61_topic_clusters", "d22_dedup_pipeline",
       "d20_dup_clusters", "q54_silver_import", "d4_ngram_jaccard",
       "d69_weighted_pagerank", "d65_graph_pagerank",
-      "d70_contrastive_triplets", "d71_hard_negatives",
+      "d70_contrastive_triplets", "d71_hard_negatives", "d72_knn_graph",
       "q53_order_legs", "d42_substr_clip", "q49_chain_flatten",
       "d45_semdedup", "d32_pq_ann", "d35_split_leakage",
       "d19_jaccard_lsh", "d11_near_dup_cosine",

@@ -442,6 +442,11 @@ object SparkEntry {
     // bucket-blocked candidate join; pivot-exact oracle with
     // conditional MIN(STRUCT) folds
     "d71_hard_negatives" -> (Similarity.hardTriplets _),
+    // k-NN graph over the self-derived d59 embeddings (RETRO-style
+    // neighbor table): IVF-blocked anchors multi-probe, bounded
+    // TopKByScore per anchor; oracle = d61 preamble + pivot-exact
+    // cosines + (cos DESC, id ASC) ROW_NUMBER
+    "d72_knn_graph" -> (Similarity.knnGraph _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1519,6 +1524,54 @@ object SparkEntry {
        |  n.v AS neg_id, -n.c AS cos_neg
        |FROM win WHERE p IS NOT NULL AND n IS NOT NULL
        |ORDER BY anchor_id""".stripMargin
+  }
+
+  /** The d72 k-NN-graph oracle: the d61 preamble (d59 unit weights →
+    * pivoted vectors → k-means replay), blk top-2 anchor probes +
+    * rn=1 candidate assignments, pivot-exact pair cosines, and the
+    * (cos DESC, id ASC) ROW_NUMBER top-k the engine's TopKByScore is
+    * row-for-row equal to. */
+  private val D72Sql: String = {
+    import Vec64Sql.{dot, col}
+    val ec = dot(col("v.x"), col("c.c"))
+    val dims = graft.operators.Retrieval.EmbedDims
+    s"""WITH RECURSIVE $D59Ctes,
+       |ev AS MATERIALIZED (SELECT DISTINCT doc_id AS vec_id FROM demb
+       |), kk AS MATERIALIZED (SELECT CAST(16 AS BIGINT) AS k
+       |), exi AS MATERIALIZED (
+       |  SELECT g.vec_id, g.b + 1 AS i,
+       |    CAST(CAST(COALESCE(d.w_norm, 0.0) AS REAL) AS DOUBLE) AS x,
+       |    CAST(FLOOR(CAST(CAST(COALESCE(d.w_norm, 0.0) AS REAL) AS DOUBLE) * 1e6
+       |               + 0.5) AS BIGINT) AS ux
+       |  FROM (SELECT e.vec_id, t.b FROM ev e,
+       |        UNNEST(generate_series(0, ${dims - 1})) AS t(b)) g
+       |  LEFT JOIN demb d ON d.doc_id = g.vec_id AND d.bucket = g.b
+       |), ${Vec64Sql.derived}
+       |, ${kmeansReplayCtes(5)}
+       |, $BlkCte
+       |, fasg AS MATERIALIZED (
+       |  SELECT vec_id, c_id FROM (
+       |    SELECT v.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY (ee.ee - 2.0 * ($ec)) + fcc.cc ASC, c.c_id ASC) AS rn
+       |    FROM evp v CROSS JOIN fcp c
+       |    JOIN fcc ON fcc.c_id = c.c_id JOIN ee ON ee.vec_id = v.vec_id)
+       |  WHERE rn = 1
+       |), cpairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS q_id, f.vec_id AS cand_id
+       |  FROM blk a JOIN fasg f ON f.c_id = a.bucket AND f.vec_id <> a.vec_id
+       |  GROUP BY a.vec_id, f.vec_id
+       |), scored AS MATERIALIZED (
+       |  SELECT p.q_id, p.cand_id, $PairCosSelect AS cos
+       |  FROM cpairs p
+       |  JOIN evp a ON a.vec_id = p.q_id JOIN evp b ON b.vec_id = p.cand_id
+       |  JOIN ee ea ON ea.vec_id = p.q_id JOIN ee eb ON eb.vec_id = p.cand_id)
+       |SELECT q_id, cand_id AS neighbor_id, cos, CAST(rk AS INT) AS rk FROM (
+       |  SELECT q_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, cand_id ASC) AS rk
+       |  FROM scored) WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
   }
 
   /** The d45 SemDeDup oracle: the d11 pair mine, the d36
@@ -4095,6 +4148,8 @@ object SparkEntry {
     "d66_mmr_diversity" -> D66Sql,
 
     "d71_hard_negatives" -> D71Sql,
+
+    "d72_knn_graph" -> D72Sql,
 
     "d67_winnowing" -> D67Sql,
 

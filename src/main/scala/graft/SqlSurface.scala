@@ -476,6 +476,17 @@ object SqlSurface {
     graftshim.analyzed(Similarity.hardTripletsOf(embs, k, ma))
   }
 
+  /** `knn_graph(embs_view[, k_neighbors])`: d72 — per-vector top-k
+    * neighbor table over a (vec_id, embedding) view. */
+  private def knnGraphBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "knn_graph"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(embs_view[, k_neighbors]) takes 1 or 2 args, got ${es.length}")
+    val embs = table(strArg(fn, es, 0)).select("vec_id", "embedding")
+    val kn = if (es.length == 2) longArg(fn, es, 1).toInt else 5
+    graftshim.analyzed(Similarity.knnGraphOf(embs, kn))
+  }
+
   /** `mmr_select(embs_view[, k, pool])`: d66 — greedy MMR diversity
     * picks over a (vec_id, embedding) view. Builder-time driver work
     * (mean + pool pull) is bounded, the setOverlap precedent. */
@@ -549,6 +560,7 @@ object SqlSurface {
     "graph_pagerank_weighted" -> (pageRankWeightedBuilder _),
     "contrastive_triplets" -> (contrastiveTripletsBuilder _),
     "hard_negatives" -> (hardNegativesBuilder _),
+    "knn_graph" -> (knnGraphBuilder _),
     "mmr_select" -> (mmrSelectBuilder _),
     "winnow_overlap" -> (winnowOverlapBuilder _),
     "bloom_decon" -> (bloomDeconBuilder _))

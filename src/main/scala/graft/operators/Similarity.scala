@@ -1045,6 +1045,51 @@ object Similarity {
   def topicClusters(s: SparkSession, d: String): DataFrame =
     topicClustersOf(Retrieval.denseEmbed(s, d))
 
+  /** d72: k-NN GRAPH construction over the self-derived d59 corpus
+    * embeddings — the neighbor table retrieval-augmented pretraining
+    * (RETRO-style preprocessing), graph-based clustering and
+    * curriculum mining all start from: every document's top-k nearest
+    * OTHER documents by cosine. IVF-blocked like the whole ANN
+    * family: anchors multi-probe their `multiAssign` nearest buckets,
+    * candidates sit in their single assigned bucket, per-anchor top-k
+    * via the bounded TopKByScore partial aggregate (one ≤k state per
+    * (anchor, partition) — no corpus-wide rank window). "Nearest"
+    * is bucket-scoped — the documented d11/d45/d71 trade; recall
+    * rises with multiAssign.
+    *
+    * Oracle parity: the d61 preamble (d59 unit weights → pivoted
+    * vectors → k-means replay) + pivot-exact pair cosines + a
+    * (cos DESC, id ASC) ROW_NUMBER — TopKByScore is row-for-row equal
+    * to that window by contract. */
+  def knnGraph(s: SparkSession, d: String): DataFrame =
+    knnGraphOf(Retrieval.denseEmbed(s, d))
+
+  /** Core of [[knnGraph]] over any (vec_id, embedding) frame. */
+  def knnGraphOf(emb0: DataFrame, kNeighbors: Int = 5, k: Int = 16,
+      iters: Int = 5, multiAssign: Int = 2): DataFrame = {
+    // cut before the iterative quantizer: kmeans re-reads its input
+    // once per round (the d61 un-cut-iterative-input lesson)
+    val emb = emb0.select("vec_id", "embedding").localCheckpoint(false)
+      .withColumn("nrm", norm(col("embedding")))
+    val cs = centroidSetOf(kmeans(emb, k, iters))
+    val anchors = explodeNearest(emb, cs, multiAssign, cosine = false,
+        Seq("vec_id", "embedding", "nrm"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("v_a"),
+        col("nrm").as("n_a"), col("nb.bucket").as("bucket"))
+    val cands = explodeNearest(emb, cs, 1, cosine = false,
+        Seq("vec_id", "embedding", "nrm"))
+      .select(col("vec_id"), col("embedding").as("v_b"),
+        col("nrm").as("n_b"), col("nb.bucket").as("bucket"))
+    val scored = anchors.join(cands, Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      // multi-probe dedup: identical cos in every shared bucket
+      .groupBy("q_id", "vec_id")
+      .agg(max(col("cos")).as("cos"))
+    topKExplode(scored, "cos", kNeighbors)
+      .orderBy("q_id", "rk")
+  }
+
   /** Core over any (vec_id, embedding) frame — runs equally on the
     * pre-embedded `embeddings` table. Scale shape: kmeans is iters
     * narrow passes + a k×dim vector-sum shuffle each (centroids ride

@@ -302,6 +302,39 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  // ---- d72 k-NN graph --------------------------------------------------
+
+  test("d72: k=2 + multiAssign=2 probes cover everything — exact brute-force kNN") {
+    // anchors probe BOTH buckets, so the bucket blocking prunes
+    // nothing and the graph must equal the exact kNN
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.01f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val vecs = (0 until 12).map(i => (i.toLong, v(i % 4 -> 1.0f, 5 -> 0.1f * (i / 4))))
+    val got = Similarity.knnGraphOf(vecs.toDF("vec_id", "embedding"),
+      kNeighbors = 3, k = 2, iters = 2, multiAssign = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = vecs.flatMap { case (aid, av) =>
+      vecs.filter(_._1 != aid)
+        .map { case (cid, cv) => (cid, cosine(cv, av)) }
+        .sortBy(c => (-c._2, c._1)).take(3).zipWithIndex
+        .map { case ((cid, _), i) => (aid, cid, i + 1) }
+    }.toSet
+    assert(got == want, s"got ${got.toSeq.sorted}\nwant ${want.toSeq.sorted}")
+  }
+
+  test("d72: registered entry — no self edges, ranks contiguous, deterministic") {
+    val a = Similarity.knnGraph(spark, sf).collect()
+    val b = Similarity.knnGraph(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    val byQ = a.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.forall(_.getLong(1) != q), s"self edge at $q")
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length).toSeq)
+      assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    }
+  }
+
   // ---- streaming hard-triplet mining ----------------------------------
 
   test("tripletMineStream: one-batch == batch twin, insertion-time semantics, replay-stable") {
