@@ -1537,8 +1537,8 @@ object SparkEntry {
     val dims = graft.operators.Retrieval.EmbedDims
     s"""WITH RECURSIVE $D59Ctes,
        |ev AS MATERIALIZED (SELECT DISTINCT doc_id AS vec_id FROM demb
-       |), kk AS MATERIALIZED (SELECT CAST(16 AS BIGINT) AS k
-       |), exi AS MATERIALIZED (
+       |), ${Vec64Sql.adaptiveK}
+       |, exi AS MATERIALIZED (
        |  SELECT g.vec_id, g.b + 1 AS i,
        |    CAST(CAST(COALESCE(d.w_norm, 0.0) AS REAL) AS DOUBLE) AS x,
        |    CAST(FLOOR(CAST(CAST(COALESCE(d.w_norm, 0.0) AS REAL) AS DOUBLE) * 1e6

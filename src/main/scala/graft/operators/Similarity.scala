@@ -1064,14 +1064,19 @@ object Similarity {
   def knnGraph(s: SparkSession, d: String): DataFrame =
     knnGraphOf(Retrieval.denseEmbed(s, d))
 
-  /** Core of [[knnGraph]] over any (vec_id, embedding) frame. */
-  def knnGraphOf(emb0: DataFrame, kNeighbors: Int = 5, k: Int = 16,
+  /** Core of [[knnGraph]] over any (vec_id, embedding) frame.
+    * k defaults to [[adaptiveK]](n): blocked pair volume is n²/k, so a
+    * FIXED k grows it quadratically with the corpus while √n buckets
+    * keep it at n^1.5 — measured before the fix, the 10× oracle sat on
+    * ~300 M pivot-dot pair rows at k=16 vs ~22 M adaptive. */
+  def knnGraphOf(emb0: DataFrame, kNeighbors: Int = 5, k: Option[Int] = None,
       iters: Int = 5, multiAssign: Int = 2): DataFrame = {
     // cut before the iterative quantizer: kmeans re-reads its input
     // once per round (the d61 un-cut-iterative-input lesson)
     val emb = emb0.select("vec_id", "embedding").localCheckpoint(false)
       .withColumn("nrm", norm(col("embedding")))
-    val cs = centroidSetOf(kmeans(emb, k, iters))
+    val kk = k.getOrElse(adaptiveK(emb.count()))
+    val cs = centroidSetOf(kmeans(emb, kk, iters))
     val anchors = explodeNearest(emb, cs, multiAssign, cosine = false,
         Seq("vec_id", "embedding", "nrm"))
       .select(col("vec_id").as("q_id"), col("embedding").as("v_a"),

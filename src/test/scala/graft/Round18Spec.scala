@@ -312,7 +312,7 @@ class Round18Spec extends SparkSpec {
     }
     val vecs = (0 until 12).map(i => (i.toLong, v(i % 4 -> 1.0f, 5 -> 0.1f * (i / 4))))
     val got = Similarity.knnGraphOf(vecs.toDF("vec_id", "embedding"),
-      kNeighbors = 3, k = 2, iters = 2, multiAssign = 2)
+      kNeighbors = 3, k = Some(2), iters = 2, multiAssign = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
     val want = vecs.flatMap { case (aid, av) =>
       vecs.filter(_._1 != aid)
