@@ -42,6 +42,11 @@ EXCLUDED = {
     ("d68_bloom_decon", "40x"):
         "same xxh64 gram-chain oracle cost class as d67. Verified "
         "hash-exact on the 40x-of-sf0.01 dir instead (17,142 rows).",
+    ("d72_knn_graph", "40x"):
+        "blocked pair volume is n^1.5 with adaptiveK: ~180M pivot-dot "
+        "oracle rows on the 200k-doc dir (the 10x run's ~22M already "
+        "takes ~20 min in DuckDB). Verified hash-exact on the "
+        "40x-of-sf0.01 dir instead (the d67/d68 precedent).",
     ("d13_sketch_profile", "*"):
         "rows-only by design: Spark-internal HLL++/GK bias tables are "
         "not replayable SQL; error-bound spec-gated.",
