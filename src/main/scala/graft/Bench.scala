@@ -78,6 +78,7 @@ object Bench {
       "d20_dup_clusters", "q54_silver_import", "d4_ngram_jaccard",
       "d69_weighted_pagerank", "d65_graph_pagerank",
       "d70_contrastive_triplets", "d71_hard_negatives", "d72_knn_graph",
+      "d73_mutual_knn",
       "q53_order_legs", "d42_substr_clip", "q49_chain_flatten",
       "d45_semdedup", "d32_pq_ann", "d35_split_leakage",
       "d19_jaccard_lsh", "d11_near_dup_cosine",
@@ -251,7 +252,24 @@ object Bench {
     def loaded(c: Double, e: Double, w: Double, i: Double) =
       calTrip(c) || e > ExtCoresThreshold || warmAnomaly(w) ||
         i > IoStallThreshold
-    if (loaded(cal, ext, wallWarm, io)) {
+    // Re-capture band is WIDER than the contended flag: a warm wall
+    // just under the 0.9× trip (r18 shipped 0.898 that re-read 14.7 s
+    // vs 22.4 minutes later) is already a suspect snapshot — worth a
+    // bounded retry, not worth flagging if it holds.
+    def suspect(w: Double): Boolean = wallCold > 0 && w >= 0.85 * wallCold
+    // Bounded retry loop (≤2 re-runs, r19): the r18 official artifact
+    // shipped contended despite four quiet captures existing, because
+    // ONE retry hit the same load window. Before each retry, sync the
+    // page cache and settle — the io_stall thief (writeback/reclaim
+    // after big parquet writes) drains in seconds, and a CPU thief
+    // gets a window to finish.
+    var retries = 0
+    while ((loaded(cal, ext, wallWarm, io) || suspect(wallWarm)) && retries < 2) {
+      retries += 1
+      try {
+        new ProcessBuilder("sync").inheritIO().start().waitFor(): Unit
+        Thread.sleep(8000)
+      } catch { case _: Throwable => () }
       val (warm2, wallWarm2, ext2, io2) = runSuite()
       val cal2 = calOnce(spark)
       // "less contended" judged on whichever gauge can actually compare
@@ -350,6 +368,6 @@ object Bench {
       .mkString("{", ",", "}")
     // `wall` (warm) is repeated as the LAST field: the driver captures
     // the tail of long lines and the headline must survive truncation.
-    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"ext_cores":${f3(ext)},"io_stall":${f3(io)},"contended":$contended,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
+    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"ext_cores":${f3(ext)},"io_stall":${f3(io)},"contended":$contended,"retries":$retries,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
   }
 }

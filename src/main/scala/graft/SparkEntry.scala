@@ -447,6 +447,11 @@ object SparkEntry {
     // TopKByScore per anchor; oracle = d61 preamble + pivot-exact
     // cosines + (cos DESC, id ASC) ROW_NUMBER
     "d72_knn_graph" -> (Similarity.knnGraph _),
+    // mutual-kNN graph + component labels (clustering/curriculum
+    // hand-off): keep (a,b) iff each is in the other's top-k and
+    // cos >= 0.3, label with connectedComponentsAuto; oracle = the
+    // d72 knn CTE self-joined on the swapped key + reach-closure
+    "d73_mutual_knn" -> (Similarity.mutualKnn _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1531,11 +1536,15 @@ object SparkEntry {
     * rn=1 candidate assignments, pivot-exact pair cosines, and the
     * (cos DESC, id ASC) ROW_NUMBER top-k the engine's TopKByScore is
     * row-for-row equal to. */
-  private val D72Sql: String = {
+  /** Shared d72 CTE chain — the d59 self-embedding preamble, the
+    * k-means replay, the IVF-blocked pair cosines, and the ranked
+    * `knn` neighbor CTE. D72Sql selects the top-k rows; D73Sql chains
+    * the mutual self-join + reach-closure labels on top of it. */
+  private val D72KnnCtes: String = {
     import Vec64Sql.{dot, col}
     val ec = dot(col("v.x"), col("c.c"))
     val dims = graft.operators.Retrieval.EmbedDims
-    s"""WITH RECURSIVE $D59Ctes,
+    s"""$D59Ctes,
        |ev AS MATERIALIZED (SELECT DISTINCT doc_id AS vec_id FROM demb
        |), ${Vec64Sql.adaptiveK}
        |, exi AS MATERIALIZED (
@@ -1566,13 +1575,46 @@ object SparkEntry {
        |  FROM cpairs p
        |  JOIN evp a ON a.vec_id = p.q_id JOIN evp b ON b.vec_id = p.cand_id
        |  JOIN ee ea ON ea.vec_id = p.q_id JOIN ee eb ON eb.vec_id = p.cand_id)
-       |SELECT q_id, cand_id AS neighbor_id, cos, CAST(rk AS INT) AS rk FROM (
+       |, knn AS MATERIALIZED (
        |  SELECT q_id, cand_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY q_id
        |      ORDER BY cos DESC, cand_id ASC) AS rk
-       |  FROM scored) WHERE rk <= 5
-       |ORDER BY q_id, rk""".stripMargin
+       |  FROM scored)""".stripMargin
   }
+
+  private val D72Sql: String =
+    s"""WITH RECURSIVE $D72KnnCtes
+       |SELECT q_id, cand_id AS neighbor_id, cos, CAST(rk AS INT) AS rk
+       |FROM knn WHERE rk <= 5
+       |ORDER BY q_id, rk""".stripMargin
+
+  /** The d73 mutual-kNN oracle: the d72 knn CTE joined to itself on
+    * the swapped (q, cand) key (mutuality), the 0.3 cos bar on both
+    * directions (identical scores — the pivot-exact dot is
+    * bit-symmetric), then the d45 reach-closure LEAST-label rule for
+    * component ids. */
+  private val D73Sql: String =
+    s"""WITH RECURSIVE $D72KnnCtes
+       |, ke AS MATERIALIZED (
+       |  SELECT q_id, cand_id, cos FROM knn
+       |  WHERE rk <= 5 AND cos >= CAST(0.3 AS DOUBLE))
+       |, mut AS MATERIALIZED (
+       |  SELECT f.q_id AS id_a, f.cand_id AS id_b, f.cos
+       |  FROM ke f JOIN ke r ON r.q_id = f.cand_id AND r.cand_id = f.q_id
+       |  WHERE f.q_id < f.cand_id)
+       |, medges AS (
+       |  SELECT id_a AS node, id_b AS other FROM mut
+       |  UNION SELECT id_b, id_a FROM mut)
+       |, mreach AS (
+       |  SELECT node, other FROM medges
+       |  UNION
+       |  SELECT r.node, e.other FROM mreach r JOIN medges e ON r.other = e.node)
+       |, mlabels AS MATERIALIZED (
+       |  SELECT node, LEAST(node, MIN(other)) AS cluster_id
+       |  FROM mreach GROUP BY node)
+       |SELECT m.id_a, m.id_b, m.cos, l.cluster_id
+       |FROM mut m JOIN mlabels l ON l.node = m.id_a
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** The d45 SemDeDup oracle: the d11 pair mine, the d36
     * transitive-closure LEAST-label rule for groups, and the keep-rule
@@ -4150,6 +4192,7 @@ object SparkEntry {
     "d71_hard_negatives" -> D71Sql,
 
     "d72_knn_graph" -> D72Sql,
+    "d73_mutual_knn" -> D73Sql,
 
     "d67_winnowing" -> D67Sql,
 

@@ -464,7 +464,13 @@ object SqlSurface {
 
   /** `hard_negatives(embs_view[, k, multi_assign])`: d71 — per-anchor
     * strongest positive + hardest sub-threshold negative over a
-    * (vec_id, embedding) view. */
+    * (vec_id, embedding) view. COST NOTE: unlike the bounded
+    * setOverlap/mmr builder-time work, this builder runs CORPUS-SCALE
+    * driver actions at SQL ANALYSIS time (adaptive-k count + the full
+    * k-means centroid train are eager inside hardTripletsOf), and
+    * analysis is serialized under the session lock — pass an explicit
+    * `k` to skip the count, and prefer the Scala API when the TVF
+    * would appear in many concurrently-analyzed queries. */
   private def hardNegativesBuilder(es: Seq[Expression]): LogicalPlan = {
     val fn = "hard_negatives"
     require(es.length == 1 || es.length == 3,
@@ -477,7 +483,10 @@ object SqlSurface {
   }
 
   /** `knn_graph(embs_view[, k_neighbors])`: d72 — per-vector top-k
-    * neighbor table over a (vec_id, embedding) view. */
+    * neighbor table over a (vec_id, embedding) view. COST NOTE: the
+    * same analysis-time weight as `hard_negatives` — knnGraphOf
+    * eagerly runs the adaptive-k count and the k-means train inside
+    * this builder; prefer the Scala API for concurrent analysis paths. */
   private def knnGraphBuilder(es: Seq[Expression]): LogicalPlan = {
     val fn = "knn_graph"
     require(es.length == 1 || es.length == 2,
@@ -485,6 +494,19 @@ object SqlSurface {
     val embs = table(strArg(fn, es, 0)).select("vec_id", "embedding")
     val kn = if (es.length == 2) longArg(fn, es, 1).toInt else 5
     graftshim.analyzed(Similarity.knnGraphOf(embs, kn))
+  }
+
+  /** `mutual_knn(knn_view[, min_cos])`: d73 — mutual-kNN edges +
+    * component labels over a (q_id, neighbor_id, cos) neighbor view
+    * (the `knn_graph` output shape). Pure composition — no
+    * analysis-time driver work beyond the CC gate at execution. */
+  private def mutualKnnBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "mutual_knn"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(knn_view[, min_cos]) takes 1 or 2 args, got ${es.length}")
+    val knn = table(strArg(fn, es, 0)).select("q_id", "neighbor_id", "cos")
+    val mc = if (es.length == 2) dblArg(fn, es, 1) else 0.30
+    graftshim.analyzed(Similarity.mutualKnnOf(knn, mc))
   }
 
   /** `mmr_select(embs_view[, k, pool])`: d66 — greedy MMR diversity
@@ -561,6 +583,7 @@ object SqlSurface {
     "contrastive_triplets" -> (contrastiveTripletsBuilder _),
     "hard_negatives" -> (hardNegativesBuilder _),
     "knn_graph" -> (knnGraphBuilder _),
+    "mutual_knn" -> (mutualKnnBuilder _),
     "mmr_select" -> (mmrSelectBuilder _),
     "winnow_overlap" -> (winnowOverlapBuilder _),
     "bloom_decon" -> (bloomDeconBuilder _))

@@ -1013,14 +1013,19 @@ object Curation {
       Tables.documents(s, d).select("doc_id"))
 
   /** Core of [[contrastiveTriplets]] over explicit (id_a, id_b,
-    * jaccard) pairs (id_a < id_b) and a (doc_id) corpus frame. */
+    * jaccard) pairs (id_a < id_b) and a (doc_id) corpus frame. The
+    * corpus count is count(DISTINCT doc_id) so it always matches the
+    * surrogate index's max idx (Silver.surrogateIds ranks DISTINCT
+    * ids): a docs view carrying duplicate doc_ids draws from the same
+    * uniform range the index covers instead of silently invalidating
+    * the candidates whose nidx lands past the index. */
   def contrastiveTripletsOf(pairs: DataFrame, docs: DataFrame,
       salts: Int = 3): DataFrame = {
     // multi-consumed: both orientations + the negative-validity
     // anti-join — one cut, one mining pass
     val p = pairs.localCheckpoint(eager = false)
     val idx = Silver.surrogateIds(docs.select("doc_id"), Seq("doc_id"), "idx")
-    val nn = broadcast(docs.agg(count(lit(1)).as("n")))
+    val nn = broadcast(docs.agg(count_distinct(col("doc_id")).as("n")))
     val ori = p.select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"),
         col("jaccard"))
       .union(p.select(col("id_b").as("anchor_id"), col("id_a").as("pos_id"),

@@ -635,9 +635,15 @@ object Dedup {
     * below are dropped — a zero-weight edge would contribute nothing
     * but a zero W_u would divide by zero under ANSI). */
   def pageRankWeightedOf(pairsW: DataFrame, iters: Int = 8): DataFrame = {
-    val edges = pairsW.filter(col("w_units") >= 1)
+    // filter ONCE into a lazily checkpointed frame: both orientation
+    // projections consume it, so an un-cut filter would re-run the
+    // upstream pairs⋈sizes join twice (the multi-consumed-frame rule)
+    val f = pairsW.filter(col("w_units") >= 1)
+      .select(col("id_a"), col("id_b"), col("w_units"))
+      .localCheckpoint(eager = false)
+    val edges = f
       .select(col("id_a").as("src"), col("id_b").as("dst"), col("w_units"))
-      .union(pairsW.filter(col("w_units") >= 1)
+      .union(f
         .select(col("id_b").as("src"), col("id_a").as("dst"), col("w_units")))
       .localCheckpoint(eager = false)
     val wout = edges.groupBy("src")

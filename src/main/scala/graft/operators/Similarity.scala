@@ -970,8 +970,10 @@ object Similarity {
     * prototypical member carries the most marginal information.
     * Deterministic end to end (hash-seeded k-means, argmin tie-break
     * on vec_id), so a re-run keeps exactly the same vectors.
-    * rows-only: gated by the k=1 brute-force parity + keep-rule specs
-    * (Round11Spec) instead of a SQL oracle.
+    * Oracle-exact since r16 via the pivot-exact recipe (Vec64Sql dot
+    * columns + kmeansReplayCtes + recursive-CTE closure); the k=1
+    * brute-force parity + keep-rule specs (Round11Spec) remain as the
+    * structural gate.
     */
   def semDedup(s: SparkSession, d: String): DataFrame =
     semDedupOf(Tables.embeddings(s, d).select("vec_id", "embedding"))
@@ -1038,10 +1040,12 @@ object Similarity {
     * SELF-DERIVED hashed embeddings (Retrieval.denseEmbed's memoized
     * cut) — the mixture-balancing / SemDeDup-prep view: how the corpus
     * splits into embedding-space groups, how big each group is, and
-    * which doc exemplifies it. rows-only: a k-means fixpoint isn't SQL;
-    * Round12dSpec gates assignment optimality (every vector sits in its
-    * true nearest cluster), size conservation, exemplar minimality, and
-    * same-session determinism. */
+    * which doc exemplifies it. Oracle-exact since r16: the k-means
+    * fixpoint replays in DuckDB via kmeansReplayCtes (WITH RECURSIVE
+    * rounds over Vec64Sql pivot columns, unit-exact means);
+    * Round12dSpec still gates assignment optimality (every vector sits
+    * in its true nearest cluster), size conservation, exemplar
+    * minimality, and same-session determinism. */
   def topicClusters(s: SparkSession, d: String): DataFrame =
     topicClustersOf(Retrieval.denseEmbed(s, d))
 
@@ -1062,7 +1066,18 @@ object Similarity {
     * (cos DESC, id ASC) ROW_NUMBER — TopKByScore is row-for-row equal
     * to that window by contract. */
   def knnGraph(s: SparkSession, d: String): DataFrame =
-    knnGraphOf(Retrieval.denseEmbed(s, d))
+    knnTable(s, d).orderBy("q_id", "rk")
+
+  /** DirMemo-keyed shared cut of the d72 neighbor table: d72 itself
+    * and d73 (mutual-kNN) both consume it — without the memo d73
+    * would re-run the whole kmeans + bucketed pair mine per bench
+    * pass (the d4-family lesson). Deterministic (hash-seeded k-means,
+    * pivot-exact cosines), lazily checkpointed, re-fingerprinted per
+    * dir content. */
+  private def knnTable(s: SparkSession, d: String): DataFrame =
+    graft.ops.DirMemo.cached(s, d, "knnGraph") {
+      knnGraphOf(Retrieval.denseEmbed(s, d)).localCheckpoint(eager = false)
+    }
 
   /** Core of [[knnGraph]] over any (vec_id, embedding) frame.
     * k defaults to [[adaptiveK]](n): blocked pair volume is n²/k, so a
@@ -1074,9 +1089,25 @@ object Similarity {
     // cut before the iterative quantizer: kmeans re-reads its input
     // once per round (the d61 un-cut-iterative-input lesson)
     val emb = emb0.select("vec_id", "embedding").localCheckpoint(false)
-      .withColumn("nrm", norm(col("embedding")))
     val kk = k.getOrElse(adaptiveK(emb.count()))
-    val cs = centroidSetOf(kmeans(emb, kk, iters))
+    knnAgainstImpl(emb, kmeans(emb, kk, iters), kNeighbors, multiAssign)
+  }
+
+  /** Frozen-centroid twin of [[knnGraphOf]]: the same IVF-blocked
+    * neighbor table with EXTERNALLY supplied centroids — the batch
+    * parity target for the streaming neighbor-log maintenance
+    * ([[graft.streaming.EventStream.knnMaintainStream]]), same role
+    * [[hardTripletsAgainst]] plays for d71. */
+  def knnGraphAgainst(emb0: DataFrame, cents: DataFrame,
+      kNeighbors: Int = 5, multiAssign: Int = 2): DataFrame =
+    knnAgainstImpl(
+      emb0.select("vec_id", "embedding").localCheckpoint(false),
+      cents, kNeighbors, multiAssign)
+
+  private def knnAgainstImpl(embCut: DataFrame, cents: DataFrame,
+      kNeighbors: Int, multiAssign: Int): DataFrame = {
+    val emb = embCut.withColumn("nrm", norm(col("embedding")))
+    val cs = centroidSetOf(cents)
     val anchors = explodeNearest(emb, cs, multiAssign, cosine = false,
         Seq("vec_id", "embedding", "nrm"))
       .select(col("vec_id").as("q_id"), col("embedding").as("v_a"),
@@ -1093,6 +1124,69 @@ object Similarity {
       .agg(max(col("cos")).as("cos"))
     topKExplode(scored, "cos", kNeighbors)
       .orderBy("q_id", "rk")
+  }
+
+  /** Read view over a streaming neighbor-candidate LOG (the
+    * [[graft.streaming.EventStream.knnMaintainStream]] store): the
+    * current per-anchor top-k. (q_id, vec_id) duplicates collapse via
+    * max(cos) FIRST (scores for a pair are identical by construction —
+    * frozen centroids, deterministic dot — so replay-appended rows
+    * can't occupy two top-k slots), then the bounded TopKByScore pass.
+    * Equals [[knnGraphAgainst]] over the same vectors and centroids
+    * row-for-row — the spec-gated stream≡batch contract. */
+  def knnFromLog(log: DataFrame, kNeighbors: Int = 5): DataFrame =
+    topKExplode(
+      log.select("q_id", "vec_id", "cos")
+        .groupBy("q_id", "vec_id").agg(max(col("cos")).as("cos")),
+      "cos", kNeighbors)
+      .orderBy("q_id", "rk")
+
+  /** d73: MUTUAL-kNN graph + component labels — the clustering /
+    * curriculum hand-off the d72 neighbor table exists for: keep the
+    * undirected edge (a, b) iff EACH endpoint is in the other's top-k
+    * AND the similarity clears `minCos` (the family's 0.30 near-dup
+    * bar — mutuality alone still chains weak links on a near-random
+    * corpus), then label the surviving graph with connected
+    * components. One row per mutual edge: (id_a, id_b, cos,
+    * cluster_id), cluster_id = component-minimum id on both ends.
+    *
+    * Scale shape: input is the d72 table (n·k rows, n^1.5 build), the
+    * mutual check is ONE equi-self-join on (id_a, id_b) — no new pair
+    * volume — and components go through connectedComponentsAuto
+    * (driver union-find below the edge gate, barrier-free bounded
+    * label propagation above it). The minCos prune bounds component
+    * size by true similarity density, so the closure never inherits a
+    * giant weak-link component.
+    *
+    * Oracle parity: the d72 knn CTE joined to itself on the swapped
+    * key + the d45 reach-closure LEAST-label rule; cos is the d72
+    * pivot-exact dot (bit-symmetric — products commute element-wise
+    * and the accumulation order is the vector index both ways, so the
+    * (a→b) score IS the (b→a) score). */
+  def mutualKnn(s: SparkSession, d: String): DataFrame =
+    mutualKnnOf(knnTable(s, d))
+
+  /** Core of [[mutualKnn]] over any (q_id, neighbor_id, cos, rk)
+    * neighbor table (d72 shape). */
+  def mutualKnnOf(knn: DataFrame, minCos: Double = 0.30): DataFrame = {
+    // one cut feeds both sides of the mutual self-join + the CC input
+    // (the multi-consumed-frame rule)
+    val k = knn.select("q_id", "neighbor_id", "cos")
+      .filter(col("cos") >= minCos)
+      .localCheckpoint(eager = false)
+    val fwd = k.filter(col("q_id") < col("neighbor_id"))
+      .select(col("q_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("cos"))
+    val rev = k.filter(col("q_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("id_a"), col("q_id").as("id_b"))
+    val mutual = fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
+      .localCheckpoint(eager = false)
+    val labels = graft.operators.Dedup
+      .connectedComponentsAuto(mutual.select("id_a", "id_b"))
+    mutual
+      .join(labels.select(col("node").as("id_a"), col("cluster_id")), "id_a")
+      .select(col("id_a"), col("id_b"), col("cos"), col("cluster_id"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Core over any (vec_id, embedding) frame — runs equally on the

@@ -1100,34 +1100,89 @@ object EventStream {
     * for the training pairs). Replay-idempotent end to end: the index
     * append is guarded by the index itself, the mine is a
     * deterministic function of the post-append state, and
-    * already-manifested anchors are anti-joined away. */
+    * already-manifested anchors are anti-joined away BEFORE mining.
+    *
+    * The manifest is hive-partitioned by
+    * `abucket = pmod(hash(anchor_id), manifestBuckets)` and the
+    * restart guard reads it through [[graft.sources.Sinks.readPruned]]:
+    * bucket-dir prune (only the batch's anchor buckets are listed)
+    * plus per-file anchor_id footer-stats pruning against the batch's
+    * id box — manifest files cluster by insertion batch, so a
+    * REPLAYED batch touches exactly the files its failed attempt
+    * wrote and a fresh monotone-id batch skips the entire history,
+    * instead of anti-joining a manifest scan that grows with corpus
+    * lifetime (the IncrementalDedup.upsertBatch guard discipline).
+    * Duplicate vec_ids within a micro-batch resolve to the
+    * (hash(embedding), embedding)-min row — deterministic across
+    * first deliveries, where an arbitrary dropDuplicates pick would
+    * freeze a nondeterministic winner into index + manifest. */
   def tripletMineStream(stream: DataFrame, cents: DataFrame,
       indexPath: String, outPath: String, checkpoint: String,
-      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None,
+      manifestBuckets: Int = 64
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     monitor.foreach(_.register(outPath))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
-        val b = batch.toDF().dropDuplicates("vec_id")
-          .select("vec_id", "embedding")
-        graft.operators.Similarity.appendToIvfIndex(b, cents, indexPath): Unit
-        // full manifest: scored anchors with nullable sides, plus a
-        // left join so even zero-candidate anchors get their row
-        val trips = b.select(col("vec_id").as("anchor_id"))
-          .join(graft.operators.Similarity.hardTripletsAgainst(
-            b, s.read.parquet(indexPath), cents, requireBoth = false),
-            Seq("anchor_id"), "left")
+        // deterministic duplicate pick (vs dropDuplicates' arbitrary
+        // row); multi-consumed below (index append, guard stats, both
+        // mining sides) — one eager cut
+        val b = batch.toDF().select("vec_id", "embedding")
+          .groupBy("vec_id")
+          .agg(min(struct(hash(col("embedding")).as("h"),
+            col("embedding").as("e"))).as("p"))
+          .select(col("vec_id"), col("p.e").as("embedding"))
           .localCheckpoint(eager = true)
+        graft.operators.Similarity.appendToIvfIndex(b, cents, indexPath): Unit
+        // ---- pruned restart guard: the manifest is the authority ---
         val outP = new org.apache.hadoop.fs.Path(outPath)
         val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
         val novel =
-          if (!fs.exists(outP)) trips
-          else trips.join(s.read.parquet(outPath).select("anchor_id"),
-            Seq("anchor_id"), "left_anti")
-        if (!novel.isEmpty) novel.write.mode("append").parquet(outPath)
-        trips.unpersist()
+          if (!fs.exists(outP)) b
+          else {
+            // ONE bounded driver action for both prune inputs
+            // (≤ manifestBuckets ints + the id box)
+            val stats = b.agg(
+              collect_set(pmod(hash(col("vec_id")), lit(manifestBuckets)))
+                .as("bks"),
+              min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+              .head()
+            if (stats.isNullAt(1)) b.limit(0)
+            else {
+              val bks = stats.getSeq[Int](0)
+              val (lo, hi) = (stats.getLong(1), stats.getLong(2))
+              val exact = 1L << 53
+              val seen =
+                if (lo <= -exact || hi >= exact)
+                  s.read.parquet(outPath)
+                    .filter(col("abucket").isin(bks: _*)).select("anchor_id")
+                else {
+                  val keepDirs = bks.map(bk => s"abucket=$bk").toSet
+                  graft.sources.Sinks.readPruned(s, outPath,
+                      Seq(("anchor_id", lo.toDouble, hi.toDouble)), keepDirs)
+                    .select("anchor_id")
+                }
+              b.join(seen, col("vec_id") === seen("anchor_id"), "left_anti")
+            }
+          }
+        if (!novel.isEmpty) {
+          // full manifest: scored anchors with nullable sides, plus a
+          // left join so even zero-candidate anchors get their row;
+          // mining runs on NOVEL anchors only (replays skip it)
+          val trips = novel.select(col("vec_id").as("anchor_id"))
+            .join(graft.operators.Similarity.hardTripletsAgainst(
+              novel, s.read.parquet(indexPath), cents, requireBoth = false),
+              Seq("anchor_id"), "left")
+            .withColumn("abucket",
+              pmod(hash(col("anchor_id")), lit(manifestBuckets)))
+          // repartition on the partition column FIRST (the tasks×dirs
+          // tiny-file rule): one file set per insertion batch
+          trips.repartition(col("abucket"))
+            .write.mode("append").partitionBy("abucket").parquet(outPath)
+        }
+        b.unpersist()
         monitor.foreach(_.record(outPath))
       }
       .start()

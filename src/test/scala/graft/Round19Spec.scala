@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Round 19: tripletMineStream's manifest guard follows the
+  * IncrementalDedup store-pruning discipline (abucket-partitioned
+  * manifest + Sinks.readPruned bucket-dir/footer-box prune), and the
+  * within-batch duplicate pick is deterministic. The end-to-end
+  * replay/no-retro-update/batch-parity contract stays gated by
+  * Round18Spec's tripletMineStream test.
+  */
+class Round19Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("tripletMineStream: manifest is abucket-partitioned and the guard's " +
+      "pruned read skips other batches' files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_trip_prune").toString
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val idxPath = dir + "/idx"
+    val outPath = dir + "/trips"
+    val cents = Similarity.buildIvfIndex(
+      emb.filter(col("vec_id") >= 100), k = 8, iters = 2, idxPath)
+    val rows = emb.filter(col("vec_id") < 100)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (batch1, batch2) = rows.partition(_._1 < 50)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EventStream.tripletMineStream(
+      input.toDF().toDF("vec_id", "embedding"), cents, idxPath, outPath,
+      java.nio.file.Files.createTempDirectory("graft_trip_ck19").toString)
+    input.addData(batch1.toSeq)
+    q.processAllAvailable()
+    input.addData(batch2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // layout: every top-level child of the manifest is an abucket= dir
+    val root = new java.io.File(outPath)
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("abucket=")), dirs.toSeq)
+
+    // the guard's prune inputs for a batch-2 REPLAY: id box [50, 99].
+    // Batch-1's files hold only ids < 50, so their footer stats prove
+    // non-overlap — every one of them must be SKIPPED without a read.
+    val (kept, skipped) = graft.sources.Sinks.prunedDataFiles(
+      spark, outPath, Seq(("anchor_id", 50.0, 99.0)))
+    assert(skipped.nonEmpty, "batch-1 files were not footer-pruned")
+    val keptIds = spark.read.option("basePath", outPath)
+      .parquet(kept: _*).select("anchor_id").as[Long].collect().toSet
+    assert(keptIds == batch2.map(_._1).toSet,
+      s"kept files must be exactly batch-2's (got ${keptIds.size} ids)")
+
+    // the full guard read (dir filter + box + residual) returns
+    // exactly the batch-2 anchors the anti-join needs
+    val bks = batch2.map(_._1).toSeq.toDF("vec_id")
+      .select(pmod(hash(col("vec_id")), lit(64)).as("bk"))
+      .distinct().as[Int].collect().toSet
+    val seen = graft.sources.Sinks.readPruned(spark, outPath,
+        Seq(("anchor_id", 50.0, 99.0)), n => bks.contains(n.stripPrefix("abucket=").toInt))
+      .select("anchor_id").as[Long].collect().toSet
+    assert(seen == batch2.map(_._1).toSet)
+
+    // manifest completeness is unchanged by the layout: one row per anchor
+    val manifest = spark.read.parquet(outPath)
+    assert(manifest.select("anchor_id").as[Long].collect().toSet ==
+      rows.map(_._1).toSet)
+    assert(manifest.count() == rows.length.toLong)
+  }
+
+  // ---- d73 mutual-kNN -------------------------------------------------
+
+  /** Driver-side reference over an explicit directed knn edge list. */
+  private def refMutual(knn: Seq[(Long, Long, Double)], minCos: Double)
+      : (Set[(Long, Long)], Map[Long, Long]) = {
+    val kept = knn.filter(_._3 >= minCos).map(e => (e._1, e._2)).toSet
+    val mutual = kept.filter { case (a, b) => a < b && kept((b, a)) }
+    // component-min labels via driver union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long =
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    mutual.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = mutual.flatMap(e => Seq(e._1, e._2))
+    (mutual, nodes.map(n => n -> find(n)).toMap)
+  }
+
+  test("d73: mutualKnnOf matches the driver reference on a planted graph") {
+    // 1↔2 mutual strong; 3→4 one-directional (dropped); 5↔6 mutual but
+    // below the cos bar (dropped); 2↔7 mutual strong chains 1-2-7 into
+    // one component; 8↔9 separate component
+    val knn = Seq(
+      (1L, 2L, 0.9), (2L, 1L, 0.9),
+      (3L, 4L, 0.8),
+      (5L, 6L, 0.2), (6L, 5L, 0.2),
+      (2L, 7L, 0.7), (7L, 2L, 0.7),
+      (8L, 9L, 0.5), (9L, 8L, 0.5))
+    val got = graft.operators.Similarity
+      .mutualKnnOf(knn.toDF("q_id", "neighbor_id", "cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val (wantEdges, wantLabels) = refMutual(knn, 0.30)
+    assert(got.map(g => (g._1, g._2)).toSet == wantEdges)
+    got.foreach { case (a, b, c, cid) =>
+      assert(cid == wantLabels(a) && cid == wantLabels(b), s"label of ($a,$b)")
+      assert(c == knn.find(e => e._1 == a && e._2 == b).get._3)
+    }
+    // the chain 1-2-7 is ONE component labeled by its min id
+    val labels = got.map(g => g._1 -> g._4).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(8L) == 8L)
+  }
+
+  test("d73: registered entry — edges ⊆ d72 both ways, labels consistent, " +
+      "deterministic") {
+    val knn = graft.operators.Similarity.knnGraph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val a = graft.operators.Similarity.mutualKnn(spark, sf).collect()
+    val b = graft.operators.Similarity.mutualKnn(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty, "planted-free corpus still has mutual neighbors")
+    val labels = scala.collection.mutable.Map.empty[Long, Long]
+    a.foreach { r =>
+      val (x, y, c, cid) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(x < y)
+      assert(knn.contains((x, y)) && knn.contains((y, x)), s"($x,$y) not mutual in d72")
+      assert(c >= 0.30 && c == knn((x, y)))
+      // every node carries ONE label across all its edges
+      assert(labels.getOrElseUpdate(x, cid) == cid)
+      assert(labels.getOrElseUpdate(y, cid) == cid)
+      assert(cid <= math.min(x, y), "label must be a component-min id")
+    }
+  }
+
+  test("d73: mutual_knn TVF parity") {
+    Graft.install(spark)
+    val knn = Seq((1L, 2L, 0.9), (2L, 1L, 0.9), (3L, 1L, 0.8))
+      .toDF("q_id", "neighbor_id", "cos")
+    knn.createOrReplaceTempView("g_knn19")
+    val viaTvf = spark.sql("SELECT * FROM mutual_knn('g_knn19')")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.operators.Similarity.mutualKnnOf(knn)
+      .collect().map(_.toSeq).toSet
+    assert(viaTvf == direct && viaTvf.nonEmpty)
+    assert(spark.sql("SELECT * FROM mutual_knn('g_knn19', 0.95)").count() == 0L)
+  }
+
+  test("tripletMineStream: duplicate vec_id within a batch resolves " +
+      "deterministically (arrival-order independent)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") >= 100)
+    val two = emb.filter(col("vec_id") < 2)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(two.length == 2)
+    // two conflicting embeddings for the SAME vec_id in one batch
+    val dup = Seq((7777L, two(0)._2), (7777L, two(1)._2))
+
+    def run(batch: Seq[(Long, Array[Float])]): (Array[Float], Map[Long, Seq[Any]]) = {
+      val d = java.nio.file.Files.createTempDirectory("graft_trip_dup").toString
+      val cents = Similarity.buildIvfIndex(base, k = 8, iters = 2, d + "/idx")
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.EventStream.tripletMineStream(
+        in.toDF().toDF("vec_id", "embedding"), cents, d + "/idx", d + "/trips",
+        d + "/ck")
+      in.addData(batch)
+      q.processAllAvailable()
+      q.stop()
+      val stored = spark.read.parquet(d + "/idx")
+        .filter(col("vec_id") === 7777L)
+        .select("embedding").as[Array[Float]].collect()
+      assert(stored.length == 1, "index must hold ONE row for the dup id")
+      val man = spark.read.parquet(d + "/trips")
+        .select("anchor_id", "pos_id", "neg_id")
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      (stored.head, man)
+    }
+
+    val (e1, m1) = run(dup)
+    val (e2, m2) = run(dup.reverse)
+    assert(e1.toSeq == e2.toSeq, "duplicate pick depends on arrival order")
+    assert(m1 == m2)
+  }
+}
