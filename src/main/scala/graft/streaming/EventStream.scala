@@ -1126,15 +1126,7 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val s = batch.sparkSession
-        // deterministic duplicate pick (vs dropDuplicates' arbitrary
-        // row); multi-consumed below (index append, guard stats, both
-        // mining sides) — one eager cut
-        val b = batch.toDF().select("vec_id", "embedding")
-          .groupBy("vec_id")
-          .agg(min(struct(hash(col("embedding")).as("h"),
-            col("embedding").as("e"))).as("p"))
-          .select(col("vec_id"), col("p.e").as("embedding"))
-          .localCheckpoint(eager = true)
+        val b = dedupVectors(batch.toDF()).localCheckpoint(eager = true)
         graft.operators.Similarity.appendToIvfIndex(b, cents, indexPath): Unit
         // ---- pruned restart guard: the manifest is the authority ---
         val outP = new org.apache.hadoop.fs.Path(outPath)
@@ -1184,6 +1176,165 @@ object EventStream {
         }
         b.unpersist()
         monitor.foreach(_.record(outPath))
+      }
+      .start()
+  }
+
+  /** Deterministic within-batch duplicate pick for (vec_id, embedding)
+    * vector batches: the (hash(embedding), embedding)-min row wins —
+    * replay- and arrival-order-stable, where dropDuplicates would
+    * freeze an arbitrary winner into a persisted store. */
+  private def dedupVectors(batch: DataFrame): DataFrame =
+    batch.select("vec_id", "embedding")
+      .groupBy("vec_id")
+      .agg(min(struct(hash(col("embedding")).as("h"),
+        col("embedding").as("e"))).as("p"))
+      .select(col("vec_id"), col("p.e").as("embedding"))
+
+  /** Streaming k-NN NEIGHBOR-TABLE maintenance — the incremental face
+    * of batch d72 ([[graft.operators.Similarity.knnGraphOf]]): each
+    * micro-batch of (vec_id, embedding) vectors is appended into the
+    * persisted IVF index (frozen centroids), mined for its OWN top-k
+    * neighbors, and — the retro half a production neighbor table
+    * needs — pushed into the lists of every EARLIER anchor whose probe
+    * buckets the batch landed in. Three persisted stores:
+    *
+    *  - `indexPath`: the IVF index (appendToIvfIndex's store-authority
+    *    append; single-assign bucket partitions).
+    *  - `subPath`: the SUBSCRIPTION table, hive-partitioned by
+    *    `pbucket` — each anchor appears once per probe bucket
+    *    (multiAssign rows) with its embedding. "Which anchors must see
+    *    a new vector in bucket B?" becomes a PARTITION-PRUNED read of
+    *    `pbucket=B`, never an index scan (the guard discipline that
+    *    fixed tripletMineStream, applied at write-time design).
+    *  - `logPath`: an APPEND-ONLY candidate log (q_id, vec_id, cos).
+    *    Per batch, each affected anchor appends its top-k of THAT
+    *    batch's candidates; the current table is the
+    *    [[graft.operators.Similarity.knnFromLog]] read view (max-cos
+    *    dedup + bounded TopKByScore). Per-batch top-k truncation is
+    *    LOSSLESS for the view: a pair in the global top-k beats fewer
+    *    than k rivals globally, hence fewer than k within its own
+    *    batch, so it survives its batch cut.
+    *
+    * Stream ≡ batch: the union of per-batch appends covers exactly the
+    * [[graft.operators.Similarity.knnGraphAgainst]] candidate set
+    * (insertion-time mining covers pairs whose anchor arrives last,
+    * subscription retro-mining covers pairs whose candidate arrives
+    * last, same-batch pairs come from insertion mining of both ends),
+    * and scores are the identical frozen-centroid dot — so the read
+    * view equals the one-shot batch twin row-for-row under ANY split.
+    * Replay-idempotent WITHOUT a log guard: a re-delivered batch
+    * appends byte-identical (q_id, vec_id, cos) rows, which collapse
+    * in the view's max-cos dedup before the top-k — duplicates can
+    * never occupy two slots. The index append keeps its own guard;
+    * duplicate subscription rows likewise only duplicate candidate
+    * rows, which collapse. Bootstrap: stream history through an empty
+    * index — pre-loaded index vectors without subscription rows would
+    * never gain retro updates. */
+  def knnMaintainStream(stream: DataFrame, cents: DataFrame,
+      indexPath: String, subPath: String, logPath: String,
+      checkpoint: String, kNeighbors: Int = 5, multiAssign: Int = 2,
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    monitor.foreach(_.register(logPath))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val Sim = graft.operators.Similarity
+        val b = dedupVectors(batch.toDF()).localCheckpoint(eager = true)
+        if (!b.isEmpty) {
+          Sim.appendToIvfIndex(b, cents, indexPath): Unit
+          // batch probe rows: (vec_id, embedding, pbucket) × multiAssign
+          val probes = b.select(col("vec_id"), col("embedding"),
+              explode(graft.functions.VectorExprs.nearestBuckets(
+                col("embedding"), Sim.centroidSetOf(cents), multiAssign,
+                cosine = false)).as("nb"))
+            .select(col("vec_id"), col("embedding"),
+              col("nb.bucket").as("pbucket"))
+            .localCheckpoint(eager = true)
+          // ---- subscription append (guarded like the manifest) ----
+          val subP = new org.apache.hadoop.fs.Path(subPath)
+          val fs = subP.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val subNovel =
+            if (!fs.exists(subP)) probes
+            else {
+              val stats = probes.agg(
+                collect_set(col("pbucket")).as("bks"),
+                min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
+                .head()
+              val bks = stats.getSeq[Int](0)
+              val (lo, hi) = (stats.getLong(1), stats.getLong(2))
+              val exact = 1L << 53
+              val seen =
+                if (lo <= -exact || hi >= exact)
+                  s.read.parquet(subPath)
+                    .filter(col("pbucket").isin(bks: _*))
+                    .select("vec_id", "pbucket")
+                else
+                  graft.sources.Sinks.readPruned(s, subPath,
+                      Seq(("vec_id", lo.toDouble, hi.toDouble)),
+                      bks.map(bk => s"pbucket=$bk").toSet)
+                    .select("vec_id", "pbucket")
+              probes.join(seen, Seq("vec_id", "pbucket"), "left_anti")
+            }
+          if (!subNovel.isEmpty)
+            subNovel.repartition(col("pbucket"))
+              .write.mode("append").partitionBy("pbucket").parquet(subPath)
+          // ---- insertion-time mining: batch anchors vs the post-
+          // append index, restricted to their probe buckets ----------
+          val pbks = probes.select("pbucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val idx = s.read.parquet(indexPath)
+            .filter(col("bucket").isin(pbks: _*))
+            .select(col("vec_id").as("c_id"), col("embedding").as("v_b"),
+              col("bucket").as("pbucket"))
+          val own = probes
+            .select(col("vec_id").as("q_id"), col("embedding").as("v_a"),
+              col("pbucket"))
+            .join(idx, Seq("pbucket"))
+            .filter(col("q_id") =!= col("c_id"))
+          // ---- retro mining: earlier subscribed anchors vs the
+          // batch's single-assigned vectors (partition-pruned read;
+          // same-batch anchors excluded — insertion mining covers
+          // them, and identical re-appends would only collapse) ------
+          val assigned = b.join(
+            Sim.assign(b, cents).select("vec_id", "bucket"), "vec_id")
+          val sbks = assigned.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val subs = s.read.parquet(subPath)
+            .filter(col("pbucket").isin(sbks: _*))
+            .join(b.select("vec_id"), Seq("vec_id"), "left_anti")
+            .select(col("vec_id").as("q_id"), col("embedding").as("v_a"),
+              col("pbucket"))
+          val retro = subs.join(
+              assigned.select(col("vec_id").as("c_id"),
+                col("embedding").as("v_b"), col("bucket").as("pbucket")),
+              Seq("pbucket"))
+            .filter(col("q_id") =!= col("c_id"))
+          // per-(anchor, batch) top-k append; multi-probe duplicate
+          // (q, c) scores are identical, max-dedup before the cut
+          def nrm(c: org.apache.spark.sql.Column) =
+            sqrt(graft.functions.VectorExprs.dotF(c, c))
+          val contrib = own.unionByName(retro)
+            .withColumn("cos",
+              graft.functions.VectorExprs.dotF(col("v_a"), col("v_b"))
+                / (nrm(col("v_a")) * nrm(col("v_b"))))
+            .groupBy(col("q_id"), col("c_id").as("vec_id"))
+            .agg(max(col("cos")).as("cos"))
+          val topk = contrib
+            .groupBy("q_id")
+            .agg(graft.functions.TopKAgg.topKByScore(
+              struct(col("cos"), col("vec_id")), kNeighbors).as("top"))
+            .select(col("q_id"), explode(col("top")).as("t"))
+            .select(col("q_id"), col("t.id").as("vec_id"),
+              col("t.score").as("cos"))
+          if (!topk.isEmpty)
+            topk.write.mode("append").parquet(logPath)
+          probes.unpersist()
+        }
+        b.unpersist()
+        monitor.foreach(_.record(logPath))
       }
       .start()
   }

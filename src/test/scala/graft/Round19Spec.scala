@@ -138,6 +138,66 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  // ---- streaming k-NN neighbor-table maintenance -----------------------
+
+  test("knnMaintainStream: split-stream view == frozen-centroid batch d72, " +
+      "replay collapses in the view") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cents = Similarity.kmeans(emb, 8, 2).localCheckpoint(true)
+    val twin = Similarity.knnGraphAgainst(emb, cents)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    def runStream(dir: String, batches: Seq[Seq[(Long, Array[Float])]]): Unit = {
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.EventStream.knnMaintainStream(
+        in.toDF().toDF("vec_id", "embedding"), cents,
+        dir + "/idx", dir + "/subs", dir + "/log", dir + "/ck" + batches.length)
+      batches.foreach { bt => in.addData(bt); q.processAllAvailable() }
+      q.stop()
+    }
+    def view(dir: String) =
+      Similarity.knnFromLog(spark.read.parquet(dir + "/log"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_stream").toString
+    // three uneven splits, out of id order
+    val batches = Seq(
+      rows.filter(_._1 % 3 == 1).toSeq,
+      rows.filter(_._1 % 3 == 2).toSeq,
+      rows.filter(_._1 % 3 == 0).toSeq)
+    runStream(dir, batches)
+    val got = view(dir)
+    assert(got.toSeq == twin.toSeq, "stream view != batch twin under splits")
+
+    // subscription store is partition-pruned by design: pbucket dirs
+    val dirs = new java.io.File(dir + "/subs").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("pbucket=")), dirs.toSeq)
+
+    // full redelivery in ONE batch with a fresh checkpoint: the log
+    // grows but the VIEW is unchanged (max-cos collapse before top-k)
+    val in2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.EventStream.knnMaintainStream(
+      in2.toDF().toDF("vec_id", "embedding"), cents,
+      dir + "/idx", dir + "/subs", dir + "/log", dir + "/ck_replay")
+    in2.addData(rows.toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(view(dir).toSeq == twin.toSeq, "replay changed the view")
+
+    // one-batch stream in a fresh dir equals the twin too (the
+    // degenerate split — covers insertion-only mining)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_knn_one").toString
+    runStream(dir2, Seq(rows.toSeq))
+    assert(view(dir2).toSeq == twin.toSeq, "one-batch stream != batch twin")
+  }
+
   test("d73: mutual_knn TVF parity") {
     Graft.install(spark)
     val knn = Seq((1L, 2L, 0.9), (2L, 1L, 0.9), (3L, 1L, 0.8))
