@@ -596,6 +596,49 @@ object ScaleSmoke {
       n
     }
 
+    // d72 k-NN graph at the family's 200k×64 geometry with adaptiveK
+    // (√n ≈ 448 buckets): the bucketed pair volume is n^1.5 BY DESIGN
+    // — the fixed-k n²/k quadratic is the documented d72 scale trap
+    // this stage exists to watch — and the per-anchor top-k must be
+    // the bounded TopKByScore aggregate, never a corpus rank window.
+    time("knn graph 200k vecs") {
+      val kgVecs = spark.range(200000).select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63),
+               |  i -> cast(pmod(xxhash64(id * 64 + i), 2000) / 1000.0 - 1.0 as float))""".stripMargin)
+          .as("embedding")).cache()
+      kgVecs.count()
+      val kg = operators.Similarity.knnGraphOf(kgVecs)
+      val plan = kg.queryExecution.executedPlan.toString
+      require(!plan.contains("Window"),
+        s"per-anchor top-k must stay a bounded aggregate, got:\n$plan")
+      val n = kg.count()
+      kgVecs.unpersist()
+      require(n == 200000L * 5, s"expected full 5-NN coverage, got $n")
+      n
+    }
+
+    // d70 contrastive triplets against a 1M-doc corpus: 50k near-dup
+    // pairs → 100k anchor orientations → 3 salted md5 draws each,
+    // resolved through the two-level surrogate index — the ONE
+    // corpus-scale co-shuffle the scaladoc admits — plus the validity
+    // anti-joins. Watching: no single-partition window, no corpus²
+    // explode; cost should track |pairs|, not |corpus|.
+    time("contrastive triplets 1M corpus") {
+      val docs1m2 = spark.range(1000000).select(col("id").as("doc_id"))
+      val prs = spark.range(50000).select(
+        pmod(xxhash64(col("id")), lit(1000000L)).as("id_a"),
+        pmod(xxhash64(col("id") + lit(99)), lit(1000000L)).as("id_b"),
+        (pmod(xxhash64(col("id") + lit(7)), lit(200L)).cast("double")
+          / lit(1000.0) + lit(0.8)).as("jaccard"))
+        .filter(col("id_a") < col("id_b")) // keeps ~25k of the 50k draws
+      val t = operators.Curation.contrastiveTripletsOf(prs, docs1m2)
+      val n = t.count()
+      // ~25k pairs → ~50k oriented anchors, and md5 negatives against a
+      // 1M corpus virtually never collide with the pair set
+      require(n > 45000L, s"most anchors must find a valid negative, got $n")
+      n
+    }
+
     // Market-data end-to-end chain, the tick-side twin of the corpus
     // pipeline above (reference /root/reference/docs/services_flow.mmd:
     // stream collector → daily parquet → import → verts): DSv2 tick

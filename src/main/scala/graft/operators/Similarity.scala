@@ -1141,6 +1141,37 @@ object Similarity {
       "cos", kNeighbors)
       .orderBy("q_id", "rk")
 
+  /** Compact a knnMaintainStream candidate log down to the current
+    * per-anchor top-k rows (the log otherwise grows by ≤k rows per
+    * affected anchor per batch). Crash-safe WITHOUT markers or
+    * renames, because the [[knnFromLog]] view collapses (q, cand)
+    * duplicates and ignores beaten candidates: the protocol is
+    * snapshot-files → append the top-k rows → delete the snapshot
+    * files, and at EVERY crash point the surviving row set is
+    * (top-k rows) ∪ (subset of old rows), whose view equals the
+    * original exactly. Concurrent stream appends land in files
+    * outside the snapshot and are never deleted. */
+  def compactKnnLog(s: SparkSession, logPath: String,
+      kNeighbors: Int = 5): Unit = {
+    val root = new org.apache.hadoop.fs.Path(logPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val old = fs.listStatus(root).toSeq
+      .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (old.isEmpty) return
+    // read EXACTLY the snapshot files; cut lineage before appending to
+    // the same directory (the write must not re-list the input path)
+    val topk = knnFromLog(
+        s.read.parquet(old.map(_.toString): _*), kNeighbors)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"), col("cos"))
+      .localCheckpoint(eager = true)
+    topk.write.mode("append").parquet(logPath)
+    topk.unpersist()
+    old.foreach(fs.delete(_, false))
+  }
+
   /** d73: MUTUAL-kNN graph + component labels — the clustering /
     * curriculum hand-off the d72 neighbor table exists for: keep the
     * undirected edge (a, b) iff EACH endpoint is in the other's top-k

@@ -198,6 +198,49 @@ class Round19Spec extends SparkSpec {
     assert(view(dir2).toSeq == twin.toSeq, "one-batch stream != batch twin")
   }
 
+  test("compactKnnLog: view-identical, file count drops, every crash " +
+      "point of append-then-delete leaves the view unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cents = Similarity.kmeans(emb, 8, 2).localCheckpoint(true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_knn_compact").toString
+    val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.EventStream.knnMaintainStream(
+      in.toDF().toDF("vec_id", "embedding"), cents,
+      dir + "/idx", dir + "/subs", dir + "/log", dir + "/ck")
+    rows.grouped(rows.length / 4 + 1).foreach { bt =>
+      in.addData(bt.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    def view() = Similarity.knnFromLog(spark.read.parquet(dir + "/log"))
+      .collect().map(_.toSeq).toSeq
+    def files() = new java.io.File(dir + "/log").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith(".")).map(_.getName).toSet
+    val before = view()
+    val oldFiles = files()
+    Similarity.compactKnnLog(spark, dir + "/log")
+    assert(view() == before, "compaction changed the view")
+    val after = files()
+    assert(after.intersect(oldFiles).isEmpty, "old files must be deleted")
+    assert(spark.read.parquet(dir + "/log").count() == before.size.toLong,
+      "compacted log must hold exactly the top-k rows")
+
+    // crash-point invariant: append the top-k again (the compaction's
+    // first half) and delete only HALF the current files (an
+    // interrupted second half) — the view must still be identical
+    val topk = Similarity.knnFromLog(spark.read.parquet(dir + "/log"))
+      .select(col("q_id"), col("neighbor_id").as("vec_id"), col("cos"))
+      .localCheckpoint(true)
+    topk.write.mode("append").parquet(dir + "/log")
+    val half = after.toSeq.sorted.take(after.size / 2)
+    half.foreach(n => new java.io.File(dir + "/log", n).delete())
+    assert(view() == before, "partial compaction crash changed the view")
+  }
+
   test("d73: mutual_knn TVF parity") {
     Graft.install(spark)
     val knn = Seq((1L, 2L, 0.9), (2L, 1L, 0.9), (3L, 1L, 0.8))
