@@ -452,6 +452,10 @@ object SparkEntry {
     // cos >= 0.3, label with connectedComponentsAuto; oracle = the
     // d72 knn CTE self-joined on the swapped key + reach-closure
     "d73_mutual_knn" -> (Similarity.mutualKnn _),
+    // ANN recall gauge: exact brute-force top-5 for a 100-query panel
+    // vs the d72 blocked table — in-engine quality measurement of the
+    // recall/probe-cost trade; exact tier is panel×n broadcast+TopK
+    "d74_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -1615,6 +1619,34 @@ object SparkEntry {
        |SELECT m.id_a, m.id_b, m.cos, l.cluster_id
        |FROM mut m JOIN mlabels l ON l.node = m.id_a
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** The d74 ANN-recall oracle: exact top-5 per panel query (pivot-
+    * exact cosines, (cos DESC, id ASC) — bit-equal scores, strict
+    * total order) left-joined against the shared d72 knn CTE; the
+    * hit count and the count/5 double division replay exactly. */
+  private val D74Sql: String =
+    s"""WITH RECURSIVE $D72KnnCtes
+       |, qs AS MATERIALIZED (SELECT vec_id FROM ev ORDER BY vec_id LIMIT 100)
+       |, epairs AS MATERIALIZED (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS cand_id
+       |  FROM qs q JOIN ev e ON e.vec_id <> q.vec_id)
+       |, escored AS MATERIALIZED (
+       |  SELECT p.q_id, p.cand_id, $PairCosSelect AS cos
+       |  FROM epairs p
+       |  JOIN evp a ON a.vec_id = p.q_id JOIN evp b ON b.vec_id = p.cand_id
+       |  JOIN ee ea ON ea.vec_id = p.q_id JOIN ee eb ON eb.vec_id = p.cand_id)
+       |, etop AS MATERIALIZED (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, cand_id ASC) AS rn
+       |    FROM escored) WHERE rn <= 5)
+       |SELECT e.q_id, COUNT(k.cand_id) AS n_hit,
+       |  CAST(COUNT(k.cand_id) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+       |FROM etop e LEFT JOIN (SELECT q_id, cand_id FROM knn WHERE rk <= 5) k
+       |  ON k.q_id = e.q_id AND k.cand_id = e.cand_id
+       |GROUP BY e.q_id
+       |ORDER BY e.q_id""".stripMargin
 
   /** The d45 SemDeDup oracle: the d11 pair mine, the d36
     * transitive-closure LEAST-label rule for groups, and the keep-rule
@@ -4193,6 +4225,7 @@ object SparkEntry {
 
     "d72_knn_graph" -> D72Sql,
     "d73_mutual_knn" -> D73Sql,
+    "d74_ann_recall" -> D74Sql,
 
     "d67_winnowing" -> D67Sql,
 

@@ -509,6 +509,23 @@ object SqlSurface {
     graftshim.analyzed(Similarity.mutualKnnOf(knn, mc))
   }
 
+  /** `ann_recall(embs_view, knn_view[, panel, top_k])`: d74 — per-query
+    * recall of an approximate neighbor view (the `knn_graph` output
+    * shape) against the exact brute-force top-k over a
+    * (vec_id, embedding) corpus view. Pure composition — no
+    * analysis-time driver work. */
+  private def annRecallBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "ann_recall"
+    require(es.length == 2 || es.length == 4,
+      s"$fn(embs_view, knn_view[, panel, top_k]) takes 2 or 4 args, got ${es.length}")
+    val emb = table(strArg(fn, es, 0)).select("vec_id", "embedding")
+    val knn = table(strArg(fn, es, 1)).select("q_id", "neighbor_id", "rk")
+    val (p, k) =
+      if (es.length == 4) (longArg(fn, es, 2).toInt, longArg(fn, es, 3).toInt)
+      else (100, 5)
+    graftshim.analyzed(Similarity.annRecallOf(emb, knn, p, k))
+  }
+
   /** `mmr_select(embs_view[, k, pool])`: d66 — greedy MMR diversity
     * picks over a (vec_id, embedding) view. Builder-time driver work
     * (mean + pool pull) is bounded, the setOverlap precedent. */
@@ -584,6 +601,7 @@ object SqlSurface {
     "hard_negatives" -> (hardNegativesBuilder _),
     "knn_graph" -> (knnGraphBuilder _),
     "mutual_knn" -> (mutualKnnBuilder _),
+    "ann_recall" -> (annRecallBuilder _),
     "mmr_select" -> (mmrSelectBuilder _),
     "winnow_overlap" -> (winnowOverlapBuilder _),
     "bloom_decon" -> (bloomDeconBuilder _))

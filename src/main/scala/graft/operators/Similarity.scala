@@ -1126,6 +1126,49 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** d74: ANN RECALL gauge — in-engine evaluation of the
+    * bucket-blocked d72 neighbor table against the EXACT brute-force
+    * top-k for a fixed query panel (the `panel` lowest vec_ids): per
+    * query, how many of the exact top-k neighbors the IVF-blocked
+    * graph found. The recall/probe-cost trade every ANN tier's
+    * scaladoc cites (multiAssign, adaptiveK) becomes a per-corpus
+    * measured number — the quality-side complement of the IvfDrift
+    * gauge, runnable on any corpus without labels.
+    *
+    * Scale shape: the exact tier is |panel| × n through the d5
+    * broadcast + bounded TopKByScore shape (panel is a constant —
+    * never corpus²); the approx side slices the DirMemo-shared d72
+    * cut; the comparison is one left join on (q_id, neighbor_id).
+    *
+    * Oracle parity: exact top-k CTE over pivot-exact cosines
+    * (cos DESC, id ASC — bit-equal scores, strict total order) + the
+    * shared d72 knn CTE; the intersection count and the
+    * count/topK double division replay exactly. */
+  def annRecall(s: SparkSession, d: String, panel: Int = 100,
+      topK: Int = 5): DataFrame = {
+    require(topK <= 5, "the memoized d72 table holds 5 neighbors")
+    annRecallOf(Retrieval.denseEmbed(s, d).select("vec_id", "embedding"),
+      knnTable(s, d), panel, topK)
+  }
+
+  /** Core of [[annRecall]] over explicit (vec_id, embedding) corpus
+    * and (q_id, neighbor_id, …, rk) approximate-neighbor frames. */
+  def annRecallOf(emb: DataFrame, knn: DataFrame, panel: Int = 100,
+      topK: Int = 5): DataFrame = {
+    val qs = emb.orderBy("vec_id").limit(panel)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = embedTopKAggOf(emb, qs, topK)
+      .select("q_id", "neighbor_id")
+    val approx = knn.filter(col("rk") <= topK)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("q_id", "neighbor_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / lit(topK).cast("double")).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** Read view over a streaming neighbor-candidate LOG (the
     * [[graft.streaming.EventStream.knnMaintainStream]] store): the
     * current per-anchor top-k. (q_id, vec_id) duplicates collapse via

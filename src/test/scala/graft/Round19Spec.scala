@@ -138,6 +138,53 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  // ---- d74 ANN recall ---------------------------------------------------
+
+  test("d74: full-coverage blocking scores recall 1.0; planted misses count") {
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.01f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val vecs = (0 until 12).map(i => (i.toLong, v(i % 4 -> 1.0f, 5 -> 0.1f * (i / 4))))
+      .toDF("vec_id", "embedding")
+    // k=2 + multiAssign=2 probes cover everything → knn IS exact → 1.0
+    val full = graft.operators.Similarity.knnGraphOf(
+      vecs, kNeighbors = 3, k = Some(2), iters = 2, multiAssign = 2)
+    val r1 = graft.operators.Similarity.annRecallOf(vecs, full, panel = 12, topK = 3)
+      .collect()
+    assert(r1.length == 12)
+    r1.foreach(r => assert(r.getLong(1) == 3L && r.getDouble(2) == 1.0, r.toString))
+    // an empty approx view scores recall 0.0 for every panel query
+    val r0 = graft.operators.Similarity.annRecallOf(
+      vecs, full.limit(0), panel = 12, topK = 3).collect()
+    r0.foreach(r => assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0))
+  }
+
+  test("d74: registered entry — panel size, bounds, determinism") {
+    val a = graft.operators.Similarity.annRecall(spark, sf).collect()
+    val b = graft.operators.Similarity.annRecall(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 100)
+    a.foreach { r =>
+      val (h, rec) = (r.getLong(1), r.getDouble(2))
+      assert(h >= 0L && h <= 5L)
+      assert(rec == h.toDouble / 5.0)
+    }
+  }
+
+  test("d74: ann_recall TVF parity") {
+    Graft.install(spark)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    emb.createOrReplaceTempView("g_emb19")
+    graft.operators.Similarity.knnGraphOf(emb, k = Some(4), iters = 2)
+      .createOrReplaceTempView("g_knn19r")
+    val viaTvf = spark.sql(
+      "SELECT * FROM ann_recall('g_emb19', 'g_knn19r', 20, 5)")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.operators.Similarity.annRecallOf(
+      emb, spark.table("g_knn19r"), 20, 5).collect().map(_.toSeq).toSet
+    assert(viaTvf == direct && viaTvf.size == 20)
+  }
+
   // ---- streaming k-NN neighbor-table maintenance -----------------------
 
   test("knnMaintainStream: split-stream view == frozen-centroid batch d72, " +
