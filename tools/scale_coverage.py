@@ -47,6 +47,14 @@ EXCLUDED = {
         "oracle rows on the 200k-doc dir (the 10x run's ~22M already "
         "takes ~20 min in DuckDB). Verified hash-exact on the "
         "40x-of-sf0.01 dir instead (the d67/d68 precedent).",
+    ("d73_mutual_knn", "40x"):
+        "oracle embeds the full d72 CTE chain (same ~180M pivot-dot "
+        "rows on the 200k-doc dir) plus the reach closure. Verified "
+        "hash-exact on the 40x-of-sf0.01 dir instead.",
+    ("d74_ann_recall", "40x"):
+        "oracle embeds the full d72 CTE chain (same pair-volume cost "
+        "class on the 200k-doc dir). Verified hash-exact on the "
+        "40x-of-sf0.01 dir instead.",
     ("d13_sketch_profile", "*"):
         "rows-only by design: Spark-internal HLL++/GK bias tables are "
         "not replayable SQL; error-bound spec-gated.",
@@ -119,6 +127,13 @@ def main():
                 "spec-gated) · — excluded\n(documented structural "
                 "reason, footnotes below) · `·` not run at that "
                 "scale.\n\n")
+        f.write("40x policy: the full battery runs at sf0.01/sf0.1/10x "
+                "every round; the 40x dirs are reserved for (a) the "
+                "float-knife-edge family (exp/percentile/decimal "
+                "boundaries only visible at 40x), (b) the scale-trap "
+                "families' cheaper twin dir, and (c) a rotating slice "
+                "of the relational battery — a `·` at 40x is "
+                "policy-not-run, not unknown.\n\n")
         f.write("| entry | " + " | ".join(scales) + " |\n")
         f.write("|---|" + "---|" * len(scales) + "\n")
         for e in entries:
