@@ -139,8 +139,7 @@ object SparkEntry {
     "d17_hamming_ann"     -> (Similarity.hammingTopK _),
     "d18_chunking"        -> (TextFns.chunkDocs _),
     "d19_jaccard_lsh"     -> ((s, d) =>
-      Dedup.ngramJaccardViaLsh(Tables.documents(s, d),
-        blockCols = Seq("lang", "source")).orderBy("id_a", "id_b")),
+      Dedup.jaccardLsh(s, d).orderBy("id_a", "id_b")),
     // duplicate-CLUSTER formation: iterative min-label propagation over
     // the exact d4 pair list — oracle-exact via a DuckDB recursive-CTE
     // transitive closure (graph ops ARE SQL-expressible for bounded
@@ -456,6 +455,10 @@ object SparkEntry {
     // vs the d72 blocked table — in-engine quality measurement of the
     // recall/probe-cost trade; exact tier is panel×n broadcast+TopK
     "d74_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    // LSH recall gauge: the d19 banding's capture rate against the
+    // exact d4 pair set per fine jaccard band — both sides DirMemo
+    // shared cuts, the gauge is one join + a ≤5-group aggregate
+    "d75_lsh_recall" -> (Dedup.lshRecall _),
   )
 
   // Shared SQL fragments for the DuckDB oracle.
@@ -4226,6 +4229,34 @@ object SparkEntry {
     "d72_knn_graph" -> D72Sql,
     "d73_mutual_knn" -> D73Sql,
     "d74_ann_recall" -> D74Sql,
+
+    // d75: the d4 blocked-exact pair CTE (renamed e* to dodge the LSH
+    // CTE's `sizes`) left-joined against the d19 lshpairs CTE; band =
+    // FLOOR(jaccard·20) of the same integer-input double both engines
+    // compute, recall = CAST/CAST count division
+    "d75_lsh_recall" ->
+      s"""WITH RECURSIVE ${jaccardLshPairsCte("documents")}
+         |, etok0 AS (
+         |  SELECT doc_id, lang, source, UNNEST(string_split(lower(text), ' ')) AS w FROM documents)
+         |, etok AS (SELECT DISTINCT doc_id, lang, source, w FROM etok0 WHERE w <> '')
+         |, esizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM etok GROUP BY doc_id)
+         |, einter AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+         |  FROM etok a JOIN etok b
+         |    ON a.lang = b.lang AND a.source = b.source AND a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |, eexact AS MATERIALIZED (
+         |  SELECT id_a, id_b,
+         |    CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+         |  FROM einter JOIN esizes sa ON sa.doc_id = id_a JOIN esizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8)
+         |SELECT CAST(FLOOR(e.jaccard * 20) AS INT) AS band,
+         |  COUNT(*) AS n_exact, COUNT(l.id_a) AS n_caught,
+         |  CAST(COUNT(l.id_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM eexact e LEFT JOIN lshpairs l
+         |  ON l.id_a = e.id_a AND l.id_b = e.id_b
+         |GROUP BY CAST(FLOOR(e.jaccard * 20) AS INT)
+         |ORDER BY band""".stripMargin,
 
     "d67_winnowing" -> D67Sql,
 

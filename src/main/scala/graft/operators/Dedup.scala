@@ -1170,6 +1170,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** DirMemo-keyed shared cut of the registered d19 blocked-LSH pair
+    * frame ((lang, source) blocking over the raw documents): d19
+    * itself and d75 (the LSH recall gauge) slice it — the d4-memo
+    * lesson. Deterministic (fixed permutations, exact verify). */
+  def jaccardLsh(s: SparkSession, d: String): DataFrame =
+    graft.ops.DirMemo.cached(s, d, "lshPairs") {
+      ngramJaccardViaLsh(Tables.documents(s, d),
+        blockCols = Seq("lang", "source")).localCheckpoint(eager = false)
+    }
+
+  /** d75: LSH-capture RECALL gauge — in-engine evaluation of the d19
+    * banding against the exact d4 pair set, per fine jaccard band
+    * (floor(j·20): 16..20 over the ≥0.8 miners): how many true
+    * near-dup pairs the 16-band MinHash capture actually caught, as
+    * data instead of a spec assertion. The curation-quality readout a
+    * production dedup deployment watches when tuning bands/rows — the
+    * pair-level complement of d74's ANN recall gauge (Round4Spec's
+    * per-bucket recall bound stays the spec gate; this makes the
+    * number per-corpus and per-band).
+    *
+    * Scale shape: both inputs are the DirMemo shared cuts (d4 exact
+    * pairs, d19 LSH pairs — near-dup-density-bounded, never corpus²);
+    * the gauge itself is one equi left join + a ≤5-group aggregate.
+    *
+    * Oracle parity: the d4 blocked-exact CTE + the d19 lshpairs CTE
+    * joined on the pair key; the band is FLOOR(jaccard·20) of the
+    * SAME double both engines compute from integer inputs (one IEEE
+    * division + multiply — identical formula, identical result), and
+    * recall is a CAST/CAST count division. */
+  def lshRecall(s: SparkSession, d: String): DataFrame =
+    lshRecallOf(ngramJaccard(s, d), jaccardLsh(s, d))
+
+  /** Core of [[lshRecall]] over explicit exact / LSH pair frames
+    * (both (id_a, id_b, …, jaccard)-shaped, pairs unique). */
+  def lshRecallOf(exact: DataFrame, lsh: DataFrame): DataFrame =
+    exact.select(col("id_a"), col("id_b"), col("jaccard"))
+      .join(lsh.select(col("id_a"), col("id_b"), lit(1).as("hit")),
+        Seq("id_a", "id_b"), "left")
+      .groupBy(floor(col("jaccard") * lit(20)).cast("int").as("band"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_caught"))
+      .select(col("band"), col("n_exact"), col("n_caught"),
+        (col("n_caught").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+      .orderBy("band")
+
   def ngramJaccardViaLsh(docs: DataFrame, threshold: Double = 0.8,
       blockCols: Seq[String] = Seq.empty): DataFrame = {
     // lazy cuts on the two multi-consumed frames (the d48 shared-branch

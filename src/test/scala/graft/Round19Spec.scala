@@ -138,6 +138,39 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  // ---- d75 LSH recall ----------------------------------------------------
+
+  test("d75: lshRecallOf bands and counts a planted miss correctly") {
+    val exact = Seq((1L, 2L, 0.80), (1L, 3L, 0.84), (2L, 3L, 0.86),
+      (4L, 5L, 0.97), (6L, 7L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val lsh = Seq((1L, 2L), (2L, 3L), (4L, 5L), (6L, 7L)) // missed (1,3)
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.lshRecallOf(exact, lsh)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (16, 2L, 1L, 0.5), // 0.80, 0.84 — one missed
+      (17, 1L, 1L, 1.0), // 0.86
+      (19, 1L, 1L, 1.0), // 0.97
+      (20, 1L, 1L, 1.0)), got.toSeq.toString) // 1.0
+  }
+
+  test("d75: registered entry — bands 16..20, counts bounded, deterministic") {
+    val a = graft.operators.Dedup.lshRecall(spark, sf).collect()
+    val b = graft.operators.Dedup.lshRecall(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (band, ne, nc, rec) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(band >= 16 && band <= 20)
+      assert(nc <= ne && ne > 0)
+      assert(rec == nc.toDouble / ne.toDouble)
+    }
+    // banding is the only recall gate: capture must be perfect at j=1
+    val exactDup = a.find(_.getInt(0) == 20)
+    exactDup.foreach(r => assert(r.getDouble(3) == 1.0, "exact dups missed"))
+  }
+
   // ---- d74 ANN recall ---------------------------------------------------
 
   test("d74: full-coverage blocking scores recall 1.0; planted misses count") {
