@@ -438,9 +438,37 @@ object Similarity {
     val novel =
       if (!fs.exists(hPath)) assigned
       else {
-        // bounded driver pull: ≤ k bucket ids, prunes the guard scan
-        val bks = assigned.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
-        val seen = s.read.parquet(path).filter(col("bucket").isin(bks: _*)).select("vec_id")
+        // ONE bounded driver action (≤ k bucket ids + the id box).
+        // The guard scan is bucket-dir pruned AND vec_id-footer-box
+        // pruned (Sinks.readPruned): index files cluster by insertion
+        // batch, so a replayed batch touches exactly the files its
+        // failed attempt wrote and a fresh monotone-id batch skips the
+        // touched buckets' whole history — the guard cost stops
+        // growing with index lifetime (the r19 tripletMineStream
+        // discipline applied to the index itself).
+        val stats = assigned.agg(
+          collect_set(col("bucket")).as("bks"),
+          min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi")).head()
+        val bks = stats.getSeq[Int](0)
+        val exact = 1L << 53
+        val longIds = assigned.schema("vec_id").dataType ==
+          org.apache.spark.sql.types.LongType
+        val boxed =
+          if (!longIds || stats.isNullAt(1)) None
+          else {
+            val (lo, hi) = (stats.getLong(1), stats.getLong(2))
+            if (lo <= -exact || hi >= exact) None else Some((lo, hi))
+          }
+        val seen = boxed match {
+          case Some((lo, hi)) =>
+            graft.sources.Sinks.readPruned(s, path,
+                Seq(("vec_id", lo.toDouble, hi.toDouble)),
+                bks.map(b => s"bucket=$b").toSet)
+              .select("vec_id")
+          case None =>
+            s.read.parquet(path)
+              .filter(col("bucket").isin(bks: _*)).select("vec_id")
+        }
         assigned.join(seen, Seq("vec_id"), "left_anti")
       }
     // zero-row partitioned append would poison a fresh path; repartition

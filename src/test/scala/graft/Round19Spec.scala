@@ -138,6 +138,34 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  // ---- appendToIvfIndex pruned guard -------------------------------------
+
+  test("appendToIvfIndex: guard is footer-box pruned — a monotone second " +
+      "batch skips the first batch's files") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_prune").toString
+    val idx = dir + "/idx"
+    val b1 = emb.filter(col("vec_id") < 50)
+    val b2 = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+    val cents = Similarity.buildIvfIndex(b1, k = 4, iters = 2, idx)
+    Similarity.appendToIvfIndex(b2, cents, idx): Unit
+    // replay batch 2: already-landed ids must be dropped (store wins)
+    Similarity.appendToIvfIndex(b2, cents, idx): Unit
+    val stored = spark.read.parquet(idx)
+    assert(stored.count() == 100L)
+    assert(stored.select("vec_id").distinct().count() == 100L)
+    // the prune the guard relies on: with batch-2's id box, every
+    // batch-1 file (ids < 50) is skippable by footer stats alone
+    val (kept, skipped) = graft.sources.Sinks.prunedDataFiles(
+      spark, idx, Seq(("vec_id", 50.0, 99.0)))
+    assert(skipped.nonEmpty, "batch-1 files were not footer-pruned")
+    import spark.implicits._
+    val keptIds = spark.read.option("basePath", idx).parquet(kept: _*)
+      .select("vec_id").as[Long].collect().toSet
+    assert(keptIds == (50L until 100L).toSet)
+  }
+
   // ---- d75 LSH recall ----------------------------------------------------
 
   test("d75: lshRecallOf bands and counts a planted miss correctly") {
