@@ -1540,7 +1540,8 @@ object SparkEntry {
 
   /** The d72 k-NN-graph oracle: the d61 preamble (d59 unit weights →
     * pivoted vectors → k-means replay), blk top-2 anchor probes +
-    * rn=1 candidate assignments, pivot-exact pair cosines, and the
+    * top-2 candidate assignments (candAssign=2, the r20 knee default —
+    * RecallSweep's measured curve), pivot-exact pair cosines, and the
     * (cos DESC, id ASC) ROW_NUMBER top-k the engine's TopKByScore is
     * row-for-row equal to. */
   /** Shared d72 CTE chain — the d59 self-embedding preamble, the
@@ -1572,7 +1573,7 @@ object SparkEntry {
        |        ORDER BY (ee.ee - 2.0 * ($ec)) + fcc.cc ASC, c.c_id ASC) AS rn
        |    FROM evp v CROSS JOIN fcp c
        |    JOIN fcc ON fcc.c_id = c.c_id JOIN ee ON ee.vec_id = v.vec_id)
-       |  WHERE rn = 1
+       |  WHERE rn <= 2
        |), cpairs AS MATERIALIZED (
        |  SELECT a.vec_id AS q_id, f.vec_id AS cand_id
        |  FROM blk a JOIN fasg f ON f.c_id = a.bucket AND f.vec_id <> a.vec_id
@@ -1629,7 +1630,9 @@ object SparkEntry {
     * hit count and the count/5 double division replay exactly. */
   private val D74Sql: String =
     s"""WITH RECURSIVE $D72KnnCtes
-       |, qs AS MATERIALIZED (SELECT vec_id FROM ev ORDER BY vec_id LIMIT 100)
+       |, qs AS MATERIALIZED (
+       |  SELECT vec_id FROM ev
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 100)
        |, epairs AS MATERIALIZED (
        |  SELECT q.vec_id AS q_id, e.vec_id AS cand_id
        |  FROM qs q JOIN ev e ON e.vec_id <> q.vec_id)

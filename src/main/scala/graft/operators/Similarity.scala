@@ -1083,11 +1083,14 @@ object Similarity {
     * curriculum mining all start from: every document's top-k nearest
     * OTHER documents by cosine. IVF-blocked like the whole ANN
     * family: anchors multi-probe their `multiAssign` nearest buckets,
-    * candidates sit in their single assigned bucket, per-anchor top-k
-    * via the bounded TopKByScore partial aggregate (one ≤k state per
-    * (anchor, partition) — no corpus-wide rank window). "Nearest"
-    * is bucket-scoped — the documented d11/d45/d71 trade; recall
-    * rises with multiAssign.
+    * candidates index into their `candAssign` nearest buckets (both 2
+    * — the knee of the measured r20 recall/cost curve, see
+    * [[knnGraphOf]]), per-anchor top-k via the bounded TopKByScore
+    * partial aggregate (one ≤k state per (anchor, partition) — no
+    * corpus-wide rank window). "Nearest" is bucket-scoped — the
+    * documented d11/d45/d71 trade; d74 measures it per corpus
+    * (sf0.1 md5-panel recall@5: 0.650 at the default, up from 0.498
+    * single-assign).
     *
     * Oracle parity: the d61 preamble (d59 unit weights → pivoted
     * vectors → k-means replay) + pivot-exact pair cosines + a
@@ -1111,14 +1114,29 @@ object Similarity {
     * k defaults to [[adaptiveK]](n): blocked pair volume is n²/k, so a
     * FIXED k grows it quadratically with the corpus while √n buckets
     * keep it at n^1.5 — measured before the fix, the 10× oracle sat on
-    * ~300 M pivot-dot pair rows at k=16 vs ~22 M adaptive. */
+    * ~300 M pivot-dot pair rows at k=16 vs ~22 M adaptive.
+    *
+    * `candAssign` is the IVF recall lever the d74 gauge measured
+    * (r20): indexing each CANDIDATE into its `candAssign` nearest
+    * buckets multiplies blocked pair volume by ~candAssign but lets an
+    * anchor find neighbors that fell just across its probe-bucket
+    * boundary. Measured sf0.1 curve (RecallSweep, md5-panel recall@5
+    * vs pre-dedup blocked pair volume, n=5000/k=71):
+    * (anchor,cand)=(2,1) 0.498 @ 0.86 M pairs → (3,1) 0.582 @ 1.30 M →
+    * (2,2) 0.650 @ 1.76 M → (3,2) 0.738 @ 2.66 M → (3,3) 0.810 @
+    * 4.04 M. At EQUAL pair volume the symmetric config wins: (2,2)
+    * 0.650 ≥ (4,1) 0.646 @ 1.75 M, and halving k is strictly worse
+    * ((2,1) k=35 reads 0.530 @ 1.72 M). Marginal recall per pair drops
+    * past (2,2) — +0.9 M pairs buys +0.152 up to it, +0.088 after —
+    * so the default rides that knee. */
   def knnGraphOf(emb0: DataFrame, kNeighbors: Int = 5, k: Option[Int] = None,
-      iters: Int = 5, multiAssign: Int = 2): DataFrame = {
+      iters: Int = 5, multiAssign: Int = 2, candAssign: Int = 2): DataFrame = {
     // cut before the iterative quantizer: kmeans re-reads its input
     // once per round (the d61 un-cut-iterative-input lesson)
     val emb = emb0.select("vec_id", "embedding").localCheckpoint(false)
     val kk = k.getOrElse(adaptiveK(emb.count()))
-    knnAgainstImpl(emb, kmeans(emb, kk, iters), kNeighbors, multiAssign)
+    knnAgainstImpl(emb, kmeans(emb, kk, iters), kNeighbors, multiAssign,
+      candAssign)
   }
 
   /** Frozen-centroid twin of [[knnGraphOf]]: the same IVF-blocked
@@ -1132,15 +1150,22 @@ object Similarity {
       emb0.select("vec_id", "embedding").localCheckpoint(false),
       cents, kNeighbors, multiAssign)
 
+  /** `candAssign` defaults to 1 here (candidates in their single
+    * nearest bucket — the physical IVF index layout): knnGraphAgainst
+    * is the batch parity target of [[graft.streaming.EventStream
+    * .knnMaintainStream]], whose persisted index stores each vector
+    * once. The registered d72 builds with candAssign from
+    * [[knnGraphOf]] instead, where the candidate side is a plan-time
+    * explode, not a store layout. */
   private def knnAgainstImpl(embCut: DataFrame, cents: DataFrame,
-      kNeighbors: Int, multiAssign: Int): DataFrame = {
+      kNeighbors: Int, multiAssign: Int, candAssign: Int = 1): DataFrame = {
     val emb = embCut.withColumn("nrm", norm(col("embedding")))
     val cs = centroidSetOf(cents)
     val anchors = explodeNearest(emb, cs, multiAssign, cosine = false,
         Seq("vec_id", "embedding", "nrm"))
       .select(col("vec_id").as("q_id"), col("embedding").as("v_a"),
         col("nrm").as("n_a"), col("nb.bucket").as("bucket"))
-    val cands = explodeNearest(emb, cs, 1, cosine = false,
+    val cands = explodeNearest(emb, cs, candAssign, cosine = false,
         Seq("vec_id", "embedding", "nrm"))
       .select(col("vec_id"), col("embedding").as("v_b"),
         col("nrm").as("n_b"), col("nb.bucket").as("bucket"))
@@ -1180,10 +1205,15 @@ object Similarity {
   }
 
   /** Core of [[annRecall]] over explicit (vec_id, embedding) corpus
-    * and (q_id, neighbor_id, …, rk) approximate-neighbor frames. */
+    * and (q_id, neighbor_id, …, rk) approximate-neighbor frames.
+    * The panel is md5-ordered (the d26/d28 replayable-uniform
+    * discipline, r20): the `panel` LOWEST ids would be a biased sample
+    * wherever id order correlates with insertion order or content;
+    * md5(id) order is a deterministic uniform draw that replays
+    * verbatim in the oracle dialect. */
   def annRecallOf(emb: DataFrame, knn: DataFrame, panel: Int = 100,
       topK: Int = 5): DataFrame = {
-    val qs = emb.orderBy("vec_id").limit(panel)
+    val qs = emb.orderBy(md5(col("vec_id").cast("string"))).limit(panel)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val exact = embedTopKAggOf(emb, qs, topK)
       .select("q_id", "neighbor_id")
