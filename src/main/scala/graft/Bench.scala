@@ -264,7 +264,15 @@ object Bench {
     // after big parquet writes) drains in seconds, and a CPU thief
     // gets a window to finish.
     var retries = 0
-    while ((loaded(cal, ext, wallWarm, io) || suspect(wallWarm)) && retries < 2) {
+    // A workload whose warm/cold ratio is STRUCTURALLY above 0.85 would
+    // otherwise pay 2 extra suite runs + sleeps on every capture: when a
+    // suspect-only trip's re-run is itself gauge-clean and reproduces
+    // the wall within the 5% comparability band, the ratio is the
+    // workload, not load — stop retrying (ADVICE r19).
+    var suspectSettled = false
+    while ((loaded(cal, ext, wallWarm, io) ||
+        (suspect(wallWarm) && !suspectSettled)) && retries < 2) {
+      val suspectOnly = !loaded(cal, ext, wallWarm, io)
       retries += 1
       try {
         new ProcessBuilder("sync").inheritIO().start().waitFor(): Unit
@@ -283,6 +291,9 @@ object Bench {
       val ioComparable = io >= 0 && io2 >= 0 && math.abs(io2 - io) > 0.05
       val wallComparable = math.abs(wallWarm2 - wallWarm) > 0.05 * math.max(wallWarm, wallWarm2)
       val calComparable = cal >= 0 && cal2 >= 0
+      if (suspectOnly && !wallComparable &&
+          !loaded(cal2, ext2, wallWarm2, io2))
+        suspectSettled = true
       val keepRerun =
         if (extComparable) ext2 < ext
         else if (ioComparable) io2 < io

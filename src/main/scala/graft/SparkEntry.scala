@@ -252,9 +252,9 @@ object SparkEntry {
     }),
     // semantic decontamination: embedding-space eval-leakage report —
     // the paraphrase complement of d24's gram decon; one NearestBuckets
-    // projection against the broadcast benchmark set (rows-only:
-    // float cosine thresholds aren't oracle-stable; spec-gated against
-    // the brute-force formulation)
+    // projection against the broadcast benchmark set (oracle-exact:
+    // pivot-exact winner folds since r16; also spec-gated against the
+    // brute-force formulation)
     "d38_semantic_decon"  -> (Similarity.semanticDecon _),
     // token-budget chunking: context-length packing in BPE tokens —
     // first-fit word-atomic chunks of ≤64 tokens. Oracle-checked since
@@ -298,7 +298,8 @@ object SparkEntry {
     "d44_bigram_lm"       -> (Curation.bigramNll _),
     // SemDeDup: embedding near-dup groups keep ONE least-prototypical
     // member (bucket-blocked pairs + CC + centroid-cosine argmin;
-    // rows-only: spec-gated brute-force parity + keep-rule)
+    // oracle-exact since r16: D45Sql closure + keep-rule argmin
+    // replay; also spec-gated brute-force parity + keep-rule)
     "d45_semdedup"        -> (Similarity.semDedup _),
     // DSIR importance weights: mean target-vs-raw unigram log-ratio
     // per doc (add-one over the union vocab, benchmark-slice target);
@@ -350,8 +351,9 @@ object SparkEntry {
     // cross-source set-overlap estimates via theta/KMV sketches (the
     // set-operation sketch HLL can't do): per-source 3-gram sketches
     // in one aggregate + driver-side pairwise union/intersect/jaccard.
-    // rows-only: estimates aren't SQL; spec-gated error bounds +
-    // order-free merge exactness
+    // oracle-exact since r17 (KMV retention = a rank filter over the
+    // hash CTE, raw estimator doubles replayed op-for-op); spec-gated
+    // error bounds + order-free merge exactness on top
     "d58_set_sketch"      -> ((s, d) => operators.CorpusStats.setOverlap(s, d)),
     // feature-hashing doc embeddings DERIVED in-engine (Weinberger et
     // al. 2009 / HashingVectorizer shape): signed md5 buckets,
@@ -365,9 +367,10 @@ object SparkEntry {
     "d60_hybrid_rrf"      -> (Retrieval.hybridRrf _),
     // k-means topic clustering over the SELF-DERIVED d59 embeddings:
     // cluster sizes + nearest-to-centroid exemplars (the mixture-
-    // balancing / SemDeDup-prep view). rows-only: a k-means fixpoint
-    // isn't SQL; spec-gated assignment optimality + size conservation
-    // + exemplar minimality + determinism
+    // balancing / SemDeDup-prep view). Oracle-exact since r16: the
+    // k-means fixpoint replays as kmeansReplayCtes (WITH RECURSIVE);
+    // spec-gated assignment optimality + size conservation
+    // + exemplar minimality + determinism on top
     "d61_topic_clusters"  -> (Similarity.topicClusters _),
     // asymmetric word-set containment |A∩B|/|A| ≥ 0.9 (Broder's second
     // measure — catches quotes/subsets jaccard dilutes away): exact
@@ -381,8 +384,9 @@ object SparkEntry {
     // trained quality classifier (the CCNet/fastText filter family):
     // hashed-unigram logistic regression trained IN-ENGINE against the
     // d33 perplexity teacher, deterministic via decimal-sum gradients.
-    // rows-only: a gradient loop isn't SQL; spec-gated on planted
-    // separable classes + bit-reproducible retrain + teacher agreement
+    // Oracle-exact since r16: the gradient loop replays as the D56Sql
+    // recursive CTE; spec-gated on planted separable classes +
+    // bit-reproducible retrain + teacher agreement on top
     "d56_quality_classifier" -> (operators.Classifier.qualityClassifier _),
     // BPE token accounting (graft.functions.Bpe): merges trained on the
     // corpus's own word dictionary (one distributed pass + driver merge

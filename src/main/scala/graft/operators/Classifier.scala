@@ -47,8 +47,9 @@ import graft.Tables
   * perplexity signal (d33 unigram NLL) is the TEACHER — label 1 =
   * NLL in the lower (better) half by deterministic rank — and the
   * fast hashed-linear student is trained to reproduce it, then
-  * scores every doc. Spec
-  * gates (rows-only entry — a gradient loop isn't SQL): exact
+  * scores every doc. Oracle-exact since r16: the whole gradient loop
+  * replays as SparkEntry's D56Sql recursive CTE (integer-unit weights,
+  * decimal-sum gradients). Spec gates on top of that: exact
   * separation on planted separable classes, monotone loss descent,
   * bit-identical retraining, and teacher agreement on the corpus.
   */

@@ -186,9 +186,10 @@ object Dedup {
     * DuckDB gate: the signature pipeline (xxhash64 word hashes → FNV
     * shingle fold → per-permutation fmix64 → signed min) is
     * deterministic integer arithmetic, replayed mod-2^64 in HUGEINT SQL
-    * (SparkEntry's d2_sigs oracle). Candidate RECALL stays
-    * probabilistic (rows-only d2), but with hash-exact signatures the
-    * only unverified step left is the banding join itself. */
+    * (SparkEntry's d2_sigs oracle). The full d2 pipeline (signatures →
+    * banding → verify) replays hash-exact end to end since r15; only
+    * candidate RECALL vs the exact pair set stays probabilistic, and
+    * Round4Spec gates it per jaccard bucket. */
   def minhashSigs(s: SparkSession, d: String): DataFrame =
     wordArrays(s, d, 3)
       .withColumn("sig",

@@ -574,7 +574,8 @@ object Relational {
   /** q25: flatten-nested round trip: build the nested form the reference
     * ingests (chains JSON: expiry → strikes → contract list,
     * services/schwab_chains_service.py process_options), then flatten it
-    * back with explode + struct field projection. rows-only oracle.
+    * back with explode + struct field projection. Oracle-exact: the
+    * build + flatten round trip replays in the DuckDB twin.
     */
   def flattenNested(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)

@@ -1242,6 +1242,17 @@ object Similarity {
       "cos", kNeighbors)
       .orderBy("q_id", "rk")
 
+  /** Streaming d73: mutual-kNN clustering over the LIVE candidate log
+    * — the incremental clustering hand-off. Because [[knnFromLog]] is
+    * spec-equal to the [[knnGraphAgainst]] batch twin under any split
+    * and replay, this is the one-line corollary: mutual edges +
+    * component labels over the current view equal batch
+    * [[mutualKnnOf]] over the same vectors and centroids row-for-row
+    * (Round20Spec gates it under a 3-way split + replay). */
+  def mutualKnnFromLog(log: DataFrame, kNeighbors: Int = 5,
+      minCos: Double = 0.30): DataFrame =
+    mutualKnnOf(knnFromLog(log, kNeighbors), minCos)
+
   /** Compact a knnMaintainStream candidate log down to the current
     * per-anchor top-k rows (the log otherwise grows by ≤k rows per
     * affected anchor per batch). Crash-safe WITHOUT markers or
@@ -1251,16 +1262,26 @@ object Similarity {
     * files, and at EVERY crash point the surviving row set is
     * (top-k rows) ∪ (subset of old rows), whose view equals the
     * original exactly. Concurrent stream appends land in files
-    * outside the snapshot and are never deleted. */
+    * outside the snapshot and are never deleted.
+    *
+    * CONTRACT: the log is a FLAT directory of parquet files — exactly
+    * what [[graft.streaming.EventStream.knnMaintainStream]] writes.
+    * The snapshot listing skips subdirectories, so a hive-partitioned
+    * log would silently compact nothing; the require below turns that
+    * misuse into a loud error instead. */
   def compactKnnLog(s: SparkSession, logPath: String,
       kNeighbors: Int = 5): Unit = {
     val root = new org.apache.hadoop.fs.Path(logPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    val old = fs.listStatus(root).toSeq
-      .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("_")
+    val entries = fs.listStatus(root).toSeq
+      .filter(st => !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
-      .map(_.getPath)
+    require(!entries.exists(_.isDirectory),
+      s"compactKnnLog expects a FLAT log directory (knnMaintainStream's " +
+        s"layout); $logPath contains subdirectories — a partitioned " +
+        s"store needs its own compactor")
+    val old = entries.map(_.getPath)
     if (old.isEmpty) return
     // read EXACTLY the snapshot files; cut lineage before appending to
     // the same directory (the write must not re-list the input path)

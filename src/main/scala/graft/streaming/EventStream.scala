@@ -1131,6 +1131,13 @@ object EventStream {
         // ---- pruned restart guard: the manifest is the authority ---
         val outP = new org.apache.hadoop.fs.Path(outPath)
         val fs = outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // a pre-r19 store is FLAT (no abucket partition): keep writing
+        // its layout (a partitioned append into a flat store leaves a
+        // mixed directory neither reader can parse) and skip the
+        // abucket dir prune — the anchor_id footer-box prune still
+        // applies to root-level files
+        val legacyStore = fs.exists(outP) &&
+          !s.read.parquet(outPath).schema.fieldNames.contains("abucket")
         val novel =
           if (!fs.exists(outP)) b
           else {
@@ -1144,18 +1151,34 @@ object EventStream {
             if (stats.isNullAt(1)) b.limit(0)
             else {
               val bks = stats.getSeq[Int](0)
-              val (lo, hi) = (stats.getLong(1), stats.getLong(2))
               val exact = 1L << 53
-              val seen =
-                if (lo <= -exact || hi >= exact)
-                  s.read.parquet(outPath)
-                    .filter(col("abucket").isin(bks: _*)).select("anchor_id")
+              // box-prune only when ids are Longs inside the exact
+              // double range; otherwise degrade to a bucket-filtered
+              // scan — and only filter on abucket when the store HAS
+              // it (a pre-partitioned legacy manifest doesn't)
+              val longIds = b.schema("vec_id").dataType ==
+                org.apache.spark.sql.types.LongType
+              val boxed =
+                if (!longIds) None
                 else {
-                  val keepDirs = bks.map(bk => s"abucket=$bk").toSet
+                  val (lo, hi) = (stats.getLong(1), stats.getLong(2))
+                  if (lo <= -exact || hi >= exact) None else Some((lo, hi))
+                }
+              val seen = boxed match {
+                case Some((lo, hi)) =>
+                  val keepDirs: String => Boolean =
+                    if (legacyStore) _ => true
+                    else bks.map(bk => s"abucket=$bk").toSet
                   graft.sources.Sinks.readPruned(s, outPath,
                       Seq(("anchor_id", lo.toDouble, hi.toDouble)), keepDirs)
                     .select("anchor_id")
-                }
+                case None =>
+                  val manifest = s.read.parquet(outPath)
+                  val scoped =
+                    if (legacyStore) manifest
+                    else manifest.filter(col("abucket").isin(bks: _*))
+                  scoped.select("anchor_id")
+              }
               b.join(seen, col("vec_id") === seen("anchor_id"), "left_anti")
             }
           }
@@ -1167,12 +1190,17 @@ object EventStream {
             .join(graft.operators.Similarity.hardTripletsAgainst(
               novel, s.read.parquet(indexPath), cents, requireBoth = false),
               Seq("anchor_id"), "left")
-            .withColumn("abucket",
-              pmod(hash(col("anchor_id")), lit(manifestBuckets)))
-          // repartition on the partition column FIRST (the tasks×dirs
-          // tiny-file rule): one file set per insertion batch
-          trips.repartition(col("abucket"))
-            .write.mode("append").partitionBy("abucket").parquet(outPath)
+          if (legacyStore)
+            trips.write.mode("append").parquet(outPath)
+          else {
+            // repartition on the partition column FIRST (the tasks×dirs
+            // tiny-file rule): one file set per insertion batch
+            trips
+              .withColumn("abucket",
+                pmod(hash(col("anchor_id")), lit(manifestBuckets)))
+              .repartition(col("abucket"))
+              .write.mode("append").partitionBy("abucket").parquet(outPath)
+          }
         }
         b.unpersist()
         monitor.foreach(_.record(outPath))
@@ -1230,16 +1258,25 @@ object EventStream {
     * duplicate subscription rows likewise only duplicate candidate
     * rows, which collapse. Bootstrap: stream history through an empty
     * index — pre-loaded index vectors without subscription rows would
-    * never gain retro updates. */
+    * never gain retro updates.
+    *
+    * `compactEvery` > 0 runs [[graft.operators.Similarity
+    * .compactKnnLog]] in-stream after every N-th micro-batch (keyed on
+    * batchId, so a replayed batch re-compacts — harmless: compaction
+    * is view-identity-preserving at every point). At 0 the log grows
+    * by ≤k rows per affected anchor per batch and compaction is the
+    * caller's scheduler contract — invoke compactKnnLog out-of-band;
+    * it is safe against concurrent stream appends by design. */
   def knnMaintainStream(stream: DataFrame, cents: DataFrame,
       indexPath: String, subPath: String, logPath: String,
       checkpoint: String, kNeighbors: Int = 5, multiAssign: Int = 2,
-      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None
+      monitor: Option[graft.ops.Monitoring.FreshnessMonitor] = None,
+      compactEvery: Int = 0
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     monitor.foreach(_.register(logPath))
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val Sim = graft.operators.Similarity
         val b = dedupVectors(batch.toDF()).localCheckpoint(eager = true)
@@ -1263,24 +1300,44 @@ object EventStream {
                 collect_set(col("pbucket")).as("bks"),
                 min(col("vec_id")).as("lo"), max(col("vec_id")).as("hi"))
                 .head()
-              val bks = stats.getSeq[Int](0)
-              val (lo, hi) = (stats.getLong(1), stats.getLong(2))
-              val exact = 1L << 53
-              val seen =
-                if (lo <= -exact || hi >= exact)
-                  s.read.parquet(subPath)
-                    .filter(col("pbucket").isin(bks: _*))
-                    .select("vec_id", "pbucket")
-                else
-                  graft.sources.Sinks.readPruned(s, subPath,
-                      Seq(("vec_id", lo.toDouble, hi.toDouble)),
-                      bks.map(bk => s"pbucket=$bk").toSet)
-                    .select("vec_id", "pbucket")
-              probes.join(seen, Seq("vec_id", "pbucket"), "left_anti")
+              // a non-empty batch can still probe NOTHING (all-null
+              // embeddings drop in the nearestBuckets explode) — the
+              // min/max unbox below would NPE the streaming query
+              if (stats.isNullAt(1)) probes.limit(0)
+              else {
+                val bks = stats.getSeq[Int](0)
+                val exact = 1L << 53
+                val longIds = probes.schema("vec_id").dataType ==
+                  org.apache.spark.sql.types.LongType
+                val boxed =
+                  if (!longIds) None
+                  else {
+                    val (lo, hi) = (stats.getLong(1), stats.getLong(2))
+                    if (lo <= -exact || hi >= exact) None
+                    else Some((lo, hi))
+                  }
+                val seen = boxed match {
+                  case Some((lo, hi)) =>
+                    graft.sources.Sinks.readPruned(s, subPath,
+                        Seq(("vec_id", lo.toDouble, hi.toDouble)),
+                        bks.map(bk => s"pbucket=$bk").toSet)
+                      .select("vec_id", "pbucket")
+                  case None =>
+                    s.read.parquet(subPath)
+                      .filter(col("pbucket").isin(bks: _*))
+                      .select("vec_id", "pbucket")
+                }
+                // cut: consumed by both the isEmpty probe and the write
+                // (the multi-consumed-frame rule — the anti-join's
+                // pruned read must not run twice per micro-batch)
+                probes.join(seen, Seq("vec_id", "pbucket"), "left_anti")
+                  .localCheckpoint(eager = true)
+              }
             }
           if (!subNovel.isEmpty)
             subNovel.repartition(col("pbucket"))
               .write.mode("append").partitionBy("pbucket").parquet(subPath)
+          if (!(subNovel eq probes)) subNovel.unpersist()
           // ---- insertion-time mining: batch anchors vs the post-
           // append index, restricted to their probe buckets ----------
           val pbks = probes.select("pbucket").distinct()
@@ -1322,6 +1379,8 @@ object EventStream {
                 / (nrm(col("v_a")) * nrm(col("v_b"))))
             .groupBy(col("q_id"), col("c_id").as("vec_id"))
             .agg(max(col("cos")).as("cos"))
+          // cut: consumed by both the isEmpty probe and the write —
+          // without it the whole own∪retro mining join runs twice
           val topk = contrib
             .groupBy("q_id")
             .agg(graft.functions.TopKAgg.topKByScore(
@@ -1329,11 +1388,15 @@ object EventStream {
             .select(col("q_id"), explode(col("top")).as("t"))
             .select(col("q_id"), col("t.id").as("vec_id"),
               col("t.score").as("cos"))
+            .localCheckpoint(eager = true)
           if (!topk.isEmpty)
             topk.write.mode("append").parquet(logPath)
+          topk.unpersist()
           probes.unpersist()
         }
         b.unpersist()
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Sim.compactKnnLog(s, logPath, kNeighbors)
         monitor.foreach(_.record(logPath))
       }
       .start()
