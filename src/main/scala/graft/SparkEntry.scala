@@ -365,6 +365,12 @@ object SparkEntry {
     // hashed embeddings — the hard-negative-mining / RAG shape;
     // oracle-exact (full CTE twin of both rankers + the fusion)
     "d60_hybrid_rrf"      -> (Retrieval.hybridRrf _),
+    // retrieval-quality metrics: nDCG@10 + MRR@10 for the d48 and d60
+    // rankings against deterministic term-coverage qrels (distinct
+    // query terms per doc) — the evaluation family (d74/d75) applied
+    // to the retrievers end-to-end; oracle-exact (runs + qrels + both
+    // metrics replay as one CTE over the d48/d60 fragments)
+    "d76_retrieval_metrics" -> (Retrieval.retrievalMetrics _),
     // k-means topic clustering over the SELF-DERIVED d59 embeddings:
     // cluster sizes + nearest-to-centroid exemplars (the mixture-
     // balancing / SemDeDup-prep view). Oracle-exact since r16: the
@@ -2188,6 +2194,51 @@ object SparkEntry {
        |  FROM nz JOIN nrms USING (doc_id))""".stripMargin
   }
 
+  /** The d60 fusion CTE chain (lexical slice of d48's `ranked`, the
+    * VALUES-hashed query embeddings, bucket-join cosines, row_number
+    * fusion → `fr`) — shared verbatim by the d60 oracle and d76's
+    * metrics oracle, which grades exactly the ranking d60 verifies.
+    * Expects [[D48Ctes]] and [[D59Ctes]] spliced before it. */
+  private lazy val D60Ctes: String = {
+    val dims = graft.operators.Retrieval.EmbedDims
+    val k = graft.operators.Retrieval.TopK
+    val rk = graft.operators.Retrieval.RrfK
+    val qvals = graft.operators.Retrieval.BmQueries
+      .map { case (qid, ws) => s"($qid, '${ws.mkString(" ")}')" }.mkString(", ")
+    s"""lex AS (SELECT query_id, doc_id, CAST(rnk AS INT) AS lex_rnk
+       |  FROM ranked WHERE rnk <= $k),
+       |qtok AS (SELECT query_id, UNNEST(string_split(lower(qtext), ' ')) AS w
+       |  FROM (VALUES $qvals) AS q(query_id, qtext)),
+       |qhx AS (SELECT query_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h
+       |  FROM qtok WHERE w <> ''),
+       |qraw AS (SELECT query_id, CAST(h % $dims AS INT) AS bucket,
+       |    CAST(SUM(CASE WHEN (h & $dims) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w_raw
+       |  FROM qhx GROUP BY query_id, CAST(h % $dims AS INT)),
+       |qnz AS (SELECT * FROM qraw WHERE w_raw <> 0),
+       |qnrms AS (SELECT query_id, sqrt(CAST(SUM(w_raw * w_raw) AS DOUBLE)) AS nrm
+       |  FROM qnz GROUP BY query_id),
+       |qemb AS (SELECT query_id, bucket, ROUND(w_raw / nrm, 9) AS qw
+       |  FROM qnz JOIN qnrms USING (query_id)),
+       |cos AS (SELECT query_id, d.doc_id AS doc_id,
+       |    SUM(CAST(ROUND(qw * d.w_norm, 9) AS DECIMAL(18,9))) AS cos
+       |  FROM demb d JOIN qemb USING (bucket) GROUP BY query_id, d.doc_id),
+       |semr AS (SELECT query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, doc_id) AS INT) AS sem_rnk
+       |  FROM cos),
+       |sem AS (SELECT query_id, doc_id, sem_rnk FROM semr WHERE sem_rnk <= $k),
+       |fused AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+       |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+       |    COALESCE(ROUND(CAST(1 AS DOUBLE) / ($rk + l.lex_rnk), 9), CAST(0 AS DOUBLE)) +
+       |    COALESCE(ROUND(CAST(1 AS DOUBLE) / ($rk + s.sem_rnk), 9), CAST(0 AS DOUBLE)) AS rrf
+       |  FROM lex l FULL JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+       |fr AS (SELECT query_id, doc_id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf DESC, doc_id) AS rnk
+       |  FROM fused)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -3922,50 +3973,69 @@ object SparkEntry {
     // weights + a VALUES-hashed query side + row_number fusion. The
     // rrf contributions round to 9 dp per ranker; the two-term sum is
     // one IEEE add of identical doubles, so ties and order agree.
-    "d60_hybrid_rrf" -> {
-      val dims = graft.operators.Retrieval.EmbedDims
-      val k = graft.operators.Retrieval.TopK
-      val rk = graft.operators.Retrieval.RrfK
-      val qvals = graft.operators.Retrieval.BmQueries
-        .map { case (qid, ws) => s"($qid, '${ws.mkString(" ")}')" }.mkString(", ")
+    "d60_hybrid_rrf" ->
       s"""WITH $D48Ctes,
          |$D59Ctes,
-         |lex AS (SELECT query_id, doc_id, CAST(rnk AS INT) AS lex_rnk
-         |  FROM ranked WHERE rnk <= $k),
-         |qtok AS (SELECT query_id, UNNEST(string_split(lower(qtext), ' ')) AS w
-         |  FROM (VALUES $qvals) AS q(query_id, qtext)),
-         |qhx AS (SELECT query_id, CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS h
-         |  FROM qtok WHERE w <> ''),
-         |qraw AS (SELECT query_id, CAST(h % $dims AS INT) AS bucket,
-         |    CAST(SUM(CASE WHEN (h & $dims) = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w_raw
-         |  FROM qhx GROUP BY query_id, CAST(h % $dims AS INT)),
-         |qnz AS (SELECT * FROM qraw WHERE w_raw <> 0),
-         |qnrms AS (SELECT query_id, sqrt(CAST(SUM(w_raw * w_raw) AS DOUBLE)) AS nrm
-         |  FROM qnz GROUP BY query_id),
-         |qemb AS (SELECT query_id, bucket, ROUND(w_raw / nrm, 9) AS qw
-         |  FROM qnz JOIN qnrms USING (query_id)),
-         |cos AS (SELECT query_id, d.doc_id AS doc_id,
-         |    SUM(CAST(ROUND(qw * d.w_norm, 9) AS DECIMAL(18,9))) AS cos
-         |  FROM demb d JOIN qemb USING (bucket) GROUP BY query_id, d.doc_id),
-         |semr AS (SELECT query_id, doc_id,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |                            ORDER BY cos DESC, doc_id) AS INT) AS sem_rnk
-         |  FROM cos),
-         |sem AS (SELECT query_id, doc_id, sem_rnk FROM semr WHERE sem_rnk <= $k),
-         |fused AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
-         |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
-         |    COALESCE(ROUND(CAST(1 AS DOUBLE) / ($rk + l.lex_rnk), 9), CAST(0 AS DOUBLE)) +
-         |    COALESCE(ROUND(CAST(1 AS DOUBLE) / ($rk + s.sem_rnk), 9), CAST(0 AS DOUBLE)) AS rrf
-         |  FROM lex l FULL JOIN sem s
-         |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
-         |fr AS (SELECT query_id, doc_id, rrf,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |                       ORDER BY rrf DESC, doc_id) AS rnk
-         |  FROM fused)
+         |$D60Ctes
          |SELECT CAST(query_id AS INT) AS query_id, CAST(rnk AS INT) AS rnk,
          |  doc_id, rrf
-         |FROM fr WHERE rnk <= $k
-         |ORDER BY query_id, rnk""".stripMargin
+         |FROM fr WHERE rnk <= ${graft.operators.Retrieval.TopK}
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // d76: retrieval-quality metrics — term-coverage qrels (distinct
+    // query terms per doc, from the SAME words CTE BM25 scores), both
+    // registered rankings union'd, per-rank DCG terms 9dp-rounded and
+    // decimal-summed (the d33 discipline — the round absorbs ln()
+    // ulps in the log2 discount), ideal ordering by (rel DESC,
+    // doc_id) = TopKByScore's tie-break, displayed metrics 6dp of the
+    // exact decimal's double cast (the d48 discipline).
+    "d76_retrieval_metrics" -> {
+      val k = graft.operators.Retrieval.TopK
+      def dterm(rel: String, rank: String): String =
+        s"""CAST(ROUND(CAST($rel AS DOUBLE) /
+           |      (LN(CAST(($rank) + 1 AS DOUBLE)) / LN(CAST(2 AS DOUBLE))), 9)
+           |    AS DECIMAL(18,9))""".stripMargin
+      s"""WITH $D48Ctes,
+         |$D59Ctes,
+         |$D60Ctes,
+         |runs AS (
+         |  SELECT 'bm25' AS system, query_id, doc_id, CAST(rnk AS INT) AS rnk
+         |  FROM ranked WHERE rnk <= $k
+         |  UNION ALL
+         |  SELECT 'rrf' AS system, query_id, doc_id, CAST(rnk AS INT) AS rnk
+         |  FROM fr WHERE rnk <= $k),
+         |qrel AS MATERIALIZED (
+         |  SELECT qt.query_id AS query_id, w.doc_id AS doc_id,
+         |    CAST(COUNT(DISTINCT w.w) AS INT) AS rel
+         |  FROM words w JOIN qt ON w.w = qt.qw
+         |  GROUP BY qt.query_id, w.doc_id),
+         |graded AS (
+         |  SELECT r.system, r.query_id, r.doc_id, r.rnk,
+         |    COALESCE(q.rel, 0) AS rel
+         |  FROM runs r LEFT JOIN qrel q
+         |    ON q.query_id = r.query_id AND q.doc_id = r.doc_id),
+         |persys AS (
+         |  SELECT system, query_id,
+         |    SUM(${dterm("rel", "rnk")}) AS dcg_d,
+         |    MIN(CASE WHEN rel >= 1 THEN rnk END) AS frel
+         |  FROM graded GROUP BY system, query_id),
+         |ideal AS (
+         |  SELECT query_id, rel,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, doc_id) AS irnk
+         |  FROM qrel),
+         |idcg AS (
+         |  SELECT query_id, SUM(${dterm("rel", "irnk")}) AS idcg_d
+         |  FROM ideal WHERE irnk <= $k GROUP BY query_id)
+         |SELECT CAST(p.query_id AS INT) AS query_id, p.system AS system,
+         |  COALESCE(CAST(1 AS DOUBLE) / frel, CAST(0 AS DOUBLE)) AS rr,
+         |  ROUND(CAST(dcg_d AS DOUBLE), 6) AS dcg,
+         |  COALESCE(ROUND(CAST(idcg_d AS DOUBLE), 6), CAST(0 AS DOUBLE)) AS idcg,
+         |  CASE WHEN idcg_d > 0
+         |    THEN ROUND(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6)
+         |    ELSE CAST(0 AS DOUBLE) END AS ndcg
+         |FROM persys p LEFT JOIN idcg i ON i.query_id = p.query_id
+         |ORDER BY p.query_id, p.system""".stripMargin
     },
 
     // Sequence packing: a per-(source, shard) recursive CTE replays the

@@ -335,10 +335,11 @@ object Retrieval {
   def hybridRrfOf(docs: DataFrame,
       queries: Seq[(Int, Seq[String])] = BmQueries,
       topK: Int = TopK,
-      dembOpt: Option[DataFrame] = None): DataFrame = {
+      dembOpt: Option[DataFrame] = None,
+      lexOpt: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val lex = bm25SearchOf(docs, queries)
+    val lex = lexOpt.getOrElse(bm25SearchOf(docs, queries))
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
     val qdocs = queries.map { case (qid, ws) => (qid.toLong, ws.mkString(" ")) }
       .toDF("doc_id", "text")
@@ -370,6 +371,94 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("col.id").as("doc_id"), col("col.score").as("rrf"))
       .orderBy("query_id", "rnk")
+  }
+
+  // ---- retrieval-quality metrics (d76) --------------------------------
+
+  /** d76 registered entry: [[retrievalMetricsOf]] over the corpus,
+    * reusing the memoized d59 embedding cut for the semantic side. */
+  def retrievalMetrics(s: SparkSession, d: String): DataFrame =
+    retrievalMetricsOf(Tables.documents(s, d).select("doc_id", "text"),
+      dembOpt = Some(corpusEmb(s, d)))
+
+  /** d76: retrieval-quality METRICS — nDCG@k and MRR@k for the two
+    * registered retrievers (d48 BM25, d60 hybrid RRF) against
+    * deterministic TERM-COVERAGE qrels: rel(q, d) = the number of
+    * DISTINCT query terms of q that appear in d (an integer-exact,
+    * label-free graded judgment derived relationally from the same
+    * word stream BM25 scores — the evaluation-family sibling of
+    * d74/d75, grading the retrievers end-to-end where those grade
+    * blocking). One row per (query, system): reciprocal rank of the
+    * first rel ≥ 1 hit, DCG@k = Σ rel_i / log2(i + 1) over the
+    * ranking, IDCG@k over the corpus-wide ideal ordering, and their
+    * nDCG ratio.
+    *
+    * Scale shape: qrels prune the exploded word stream by the tiny
+    * query-term dictionary BEFORE any shuffle (the d48 posting
+    * discipline — cost is the queried terms' posting lists, never the
+    * corpus); the ideal top-k rides TopKByScore; both retriever runs
+    * are the registered plans (the lexical ranking is computed once
+    * and shared with the fusion via lexOpt).
+    *
+    * Cross-engine float parity: per-rank DCG terms round to 9 dp and
+    * sum as DECIMAL(18,9) (order-free — the d33 discipline; the 9 dp
+    * round absorbs JVM-vs-libm ln() ulps in the log2 discount);
+    * emitted dcg/idcg/ndcg round to 6 dp of the exact decimal's
+    * double cast (the d48 display discipline). rank-1 discounts are
+    * EXACT (ln(2)/ln(2) = 1.0 in both engines); rr = 1/rank is one
+    * IEEE division of identical small ints. */
+  def retrievalMetricsOf(docs0: DataFrame,
+      queries: Seq[(Int, Seq[String])] = BmQueries,
+      topK: Int = TopK,
+      dembOpt: Option[DataFrame] = None): DataFrame = {
+    val spark = docs0.sparkSession
+    import spark.implicits._
+    // one cut feeds bm25, the fusion's embedding side and the qrels
+    val docs = docs0.localCheckpoint(false)
+    // the lexical ranking feeds its own run AND the fusion
+    val lex = bm25SearchOf(docs, queries).localCheckpoint(false)
+    val bmRun = lex
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        lit("bm25").as("system"))
+    val rrfRun = hybridRrfOf(docs, queries, topK, dembOpt, Some(lex))
+      .select(col("query_id"), col("doc_id"), col("rnk"),
+        lit("rrf").as("system"))
+    val qterms = queries.flatMap { case (qid, ws) => ws.map(qid -> _) }
+      .toDF("query_id", "qw")
+    // term-coverage qrels; consumed by the graded join AND the ideal
+    val qrel = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(qterms), col("w") === col("qw"))
+      .groupBy("query_id", "doc_id")
+      .agg(countDistinct(col("w")).cast("int").as("rel"))
+      .localCheckpoint(false)
+    val ln2 = log(lit(2.0))
+    def dcgTerm(rel: org.apache.spark.sql.Column,
+        rank: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(rel.cast("double") /
+        (log((rank + lit(1)).cast("double")) / ln2), 9)
+        .cast("decimal(18,9)")
+    val graded = bmRun.unionByName(rrfRun)
+      .join(qrel, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+    val perSys = graded.groupBy("query_id", "system")
+      .agg(sum(dcgTerm(col("rel"), col("rnk"))).as("dcg_d"),
+        min(when(col("rel") >= 1, col("rnk"))).as("frel"))
+    val idcg = qrel.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topKByScore(
+        struct(col("rel").cast("double"), col("doc_id")), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .groupBy("query_id")
+      .agg(sum(dcgTerm(col("col.score"), col("pos") + lit(1))).as("idcg_d"))
+    perSys.join(idcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("system"),
+        coalesce(lit(1.0) / col("frel"), lit(0.0)).as("rr"),
+        round(col("dcg_d").cast("double"), 6).as("dcg"),
+        coalesce(round(col("idcg_d").cast("double"), 6), lit(0.0)).as("idcg"),
+        when(col("idcg_d") > 0,
+          round(col("dcg_d").cast("double") / col("idcg_d").cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg"))
+      .orderBy("query_id", "system")
   }
 
   /** Streaming index maintenance: each micro-batch of (doc_id, text)
