@@ -617,6 +617,66 @@ object ScaleSmoke {
       n
     }
 
+    // knnMaintainStream operational profile (r20): 20 micro-batches of
+    // 2.5k vectors against frozen √n centroids, compactEvery=5.
+    // Measured WITHOUT compaction: per-batch wall grew 15.7 → 68.2 s
+    // (median 47.7; total 890 s) — footer scans over the ~224
+    // files/batch the subs+idx stores accrete, not pair volume. With
+    // the in-stream cadence the wall must stay flat. Also reported:
+    // log growth and the knnFromLog view-read cost (uncompacted run
+    // read 1.49 s on a 2.6 M-row log vs 0.36 s compacted).
+    // require()s: compaction preserves the view bit-for-bit and the
+    // last batch's cadence leaves the log holding exactly the view's
+    // rows; late-batch walls must not blow past the early ones.
+    time("knn maintain 20x2.5k stream") {
+      import spark.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val vecs = spark.range(50000).select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63),
+               |  i -> cast(pmod(xxhash64(id * 64 + i), 2000) / 1000.0 - 1.0 as float))""".stripMargin)
+          .as("embedding")).cache()
+      val data = vecs.as[(Long, Array[Float])].collect()
+      val cents = operators.Similarity.kmeans(
+        vecs, operators.Similarity.adaptiveK(50000), 3).localCheckpoint(true)
+      vecs.unpersist()
+      val dir = java.nio.file.Files.createTempDirectory("graft_knnm").toString
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = streaming.EventStream.knnMaintainStream(
+        in.toDF().toDF("vec_id", "embedding"), cents,
+        dir + "/idx", dir + "/subs", dir + "/log", dir + "/ck",
+        compactEvery = 5)
+      val walls = data.grouped(2500).map { bt =>
+        val t0 = System.nanoTime()
+        in.addData(bt.toSeq); q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }.toVector
+      q.stop()
+      def files(sub: String) = {
+        val d0 = new java.io.File(dir + sub)
+        d0.listFiles().filter(_.isDirectory)
+          .map(_.listFiles().count(f => f.isFile &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))).sum
+      }
+      val t0v = System.nanoTime()
+      val view = operators.Similarity
+        .knnFromLog(spark.read.parquet(dir + "/log"))
+      val nView = view.count()
+      val vWall = (System.nanoTime() - t0v) / 1e9
+      val logRows = spark.read.parquet(dir + "/log").count()
+      require(logRows == nView,
+        s"batch-20 cadence must leave log == view: $logRows vs $nView")
+      val med = walls.sorted.apply(walls.size / 2)
+      println(f"[scale]   per-batch wall first=${walls.head}%.1f " +
+        f"median=$med%.1f last=${walls.last}%.1f s (20 batches, " +
+        f"compactEvery=5; uncompacted run grew 15.7->68.2)")
+      println(f"[scale]   log $logRows%d rows, view read $vWall%.2f s; " +
+        f"files subs=${files("/subs")}%d idx=${files("/idx")}%d")
+      require(walls.last < 3 * math.max(med, walls.head),
+        s"late-batch wall ${walls.last} blew past the early profile")
+      nView
+    }
+
     // d70 contrastive triplets against a 1M-doc corpus: 50k near-dup
     // pairs → 100k anchor orientations → 3 salted md5 draws each,
     // resolved through the two-level surrogate index — the ONE

@@ -221,6 +221,52 @@ object Sinks {
     * it rewrote; untouched partitions are not listed (idempotent:
     * re-running compacts nothing).
     */
+  /** CRASH-SAFE small-file compaction for an APPEND-ONLY
+    * hive-partitioned store whose readers tolerate duplicate rows
+    * (the knnMaintainStream subscription/index contract: byte-identical
+    * re-appends collapse in every consumer). Protocol per the
+    * compactKnnLog discipline — snapshot the current data files, read
+    * EXACTLY those files, dedup (duplicates are byte-identical rows by
+    * the store contract), append one consolidated file set partitioned
+    * the same way, then delete the snapshot. At EVERY crash point the
+    * store holds (consolidated rows) ∪ (subset of snapshot rows) — a
+    * duplicates-only superset, never a loss — and a completed re-run
+    * converges to the exact single-copy store. Unlike
+    * [[compactPartitions]] (dynamic overwrite: a crash mid-commit can
+    * half-delete a partition), this is safe to run BETWEEN the appends
+    * of a live streaming sink (knnMaintainStream's compactEvery does).
+    * Returns (files before, files after). */
+  def compactAppendOnly(spark: SparkSession, path: String,
+      partitionCol: String, minFiles: Int = 8): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0, 0)
+    val old = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partitionCol + "="))
+      .flatMap(d => fs.listStatus(d.getPath).toSeq)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (old.length < minFiles) return (old.length, old.length)
+    // one job: read exactly the snapshot (partition col from dir names),
+    // cut lineage before appending into the same root (the write must
+    // not re-list the input path), one file per partition
+    val consolidated = spark.read.option("basePath", path)
+      .parquet(old.map(_.toString): _*)
+      .dropDuplicates()
+      .repartition(col(partitionCol))
+      .localCheckpoint(eager = true)
+    consolidated.write.mode(SaveMode.Append).partitionBy(partitionCol).parquet(path)
+    consolidated.unpersist()
+    old.foreach(fs.delete(_, false))
+    val after = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partitionCol + "="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))).sum
+    (old.length, after)
+  }
+
   def compactPartitions(spark: SparkSession, path: String,
       partitionCol: String, targetBytes: Long = 128L << 20): Map[String, (Int, Int)] = {
     val root = new org.apache.hadoop.fs.Path(path)

@@ -152,6 +152,56 @@ class Round20Spec extends SparkSpec {
     assert(after == before, "a null-embedding batch changed the view")
   }
 
+  test("compactAppendOnly: single file per partition after, rows exact, " +
+      "every crash point of append-then-delete is a duplicates-only superset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cao").toString
+    val path = dir + "/store"
+    // 6 appends × 4 partitions, including byte-identical replay rows
+    val base = (0 until 200).map(i => (i.toLong, i % 4, s"v$i"))
+    base.grouped(40).foreach { g =>
+      g.toDF("id", "pb", "payload").repartition(col("pb"))
+        .write.mode("append").partitionBy("pb").parquet(path)
+    }
+    base.take(40).toDF("id", "pb", "payload").repartition(col("pb"))
+      .write.mode("append").partitionBy("pb").parquet(path) // replayed batch
+    def rows() = spark.read.parquet(path)
+      .select("id", "pb", "payload").distinct()
+      .collect().map(_.toSeq).toSet
+    def fileCount() = new java.io.File(path).listFiles()
+      .filter(_.isDirectory)
+      .map(_.listFiles().count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))).sum
+    val before = rows()
+    val nFiles = fileCount()
+    assert(nFiles > 8, s"fixture should be fragmented, got $nFiles files")
+    val (was, now) = graft.sources.Sinks.compactAppendOnly(spark, path, "pb")
+    assert(was == nFiles && now == 4, s"($was, $now)")
+    assert(rows() == before, "compaction changed the store's row set")
+    assert(spark.read.parquet(path).count() == 200L,
+      "replayed duplicates must collapse in the consolidated store")
+
+    // crash point: consolidated appended but only HALF the snapshot
+    // deleted — the distinct row set must be unchanged
+    (0 until 200).map(i => (i.toLong, i % 4, s"v$i")).grouped(40)
+      .foreach { g =>
+        g.toDF("id", "pb", "payload").repartition(col("pb"))
+          .write.mode("append").partitionBy("pb").parquet(path)
+      }
+    val pre = rows()
+    val snapshot = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles().filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+    val consolidated = spark.read.option("basePath", path)
+      .parquet(snapshot.map(_.toString): _*)
+      .dropDuplicates().repartition(col("pb")).localCheckpoint(true)
+    consolidated.write.mode("append").partitionBy("pb").parquet(path)
+    snapshot.sortBy(_.getName).take(snapshot.length / 2).foreach(_.delete())
+    assert(rows() == pre, "crash-point store diverged")
+    // a completed re-run converges to the exact single-copy store
+    graft.sources.Sinks.compactAppendOnly(spark, path, "pb", minFiles = 1): Unit
+    assert(rows() == pre && spark.read.parquet(path).count() == 200L)
+  }
+
   test("compactKnnLog: refuses a partitioned (non-flat) log directory") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cmp_part").toString
     Seq((1L, 2L, 0.5)).toDF("q_id", "vec_id", "cos")
