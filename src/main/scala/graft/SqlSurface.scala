@@ -526,6 +526,20 @@ object SqlSurface {
     graftshim.analyzed(Similarity.annRecallOf(emb, knn, p, k))
   }
 
+  /** `retrieval_metrics(docs_view[, top_k])`: d76 — nDCG@k + MRR@k for
+    * the BM25 and hybrid-RRF rankings over a (doc_id, text) view
+    * against term-coverage qrels. Deferred plan work only (the
+    * rankings and qrels build lazily inside the returned plan). */
+  private def retrievalMetricsBuilder(es: Seq[Expression]): LogicalPlan = {
+    val fn = "retrieval_metrics"
+    require(es.length == 1 || es.length == 2,
+      s"$fn(docs_view[, top_k]) takes 1 or 2 args, got ${es.length}")
+    val docs = table(strArg(fn, es, 0)).select("doc_id", "text")
+    val k = if (es.length == 2) longArg(fn, es, 1).toInt
+      else graft.operators.Retrieval.TopK
+    graftshim.analyzed(Retrieval.retrievalMetricsOf(docs, topK = k))
+  }
+
   /** `mmr_select(embs_view[, k, pool])`: d66 — greedy MMR diversity
     * picks over a (vec_id, embedding) view. Builder-time driver work
     * (mean + pool pull) is bounded, the setOverlap precedent. */
@@ -602,6 +616,7 @@ object SqlSurface {
     "knn_graph" -> (knnGraphBuilder _),
     "mutual_knn" -> (mutualKnnBuilder _),
     "ann_recall" -> (annRecallBuilder _),
+    "retrieval_metrics" -> (retrievalMetricsBuilder _),
     "mmr_select" -> (mmrSelectBuilder _),
     "winnow_overlap" -> (winnowOverlapBuilder _),
     "bloom_decon" -> (bloomDeconBuilder _))

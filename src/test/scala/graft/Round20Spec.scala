@@ -152,6 +152,47 @@ class Round20Spec extends SparkSpec {
     assert(after == before, "a null-embedding batch changed the view")
   }
 
+  test("d76: retrieval_metrics TVF parity, metric bounds, determinism") {
+    Graft.install(spark)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    docs.createOrReplaceTempView("g_docs20")
+    val direct = graft.operators.Retrieval.retrievalMetricsOf(docs)
+      .collect()
+    val viaTvf = spark.sql("SELECT * FROM retrieval_metrics('g_docs20')")
+      .collect()
+    assert(viaTvf.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+    assert(direct.nonEmpty && direct.length % 2 == 0,
+      "one row per (query, system)")
+    direct.foreach { r =>
+      val (rr, dcg, idcg, ndcg) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(rr >= 0.0 && rr <= 1.0, r.toString)
+      assert(dcg >= 0.0 && idcg >= 0.0 && dcg <= idcg + 1e-9, r.toString)
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, r.toString)
+    }
+    val again = graft.operators.Retrieval.retrievalMetricsOf(docs).collect()
+    assert(again.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
+
+  test("d76: planted term-coverage corpus — BM25 finds a relevant doc " +
+      "first (rr 1.0) and near-ideal order (ndcg > 0.9)") {
+    // 3-doc corpus, one query's terms planted so relevance is 2/1/0
+    val docs = Seq(
+      (1L, "hash join merge filler filler"),
+      (2L, "hash filler filler filler filler"),
+      (3L, "filler filler filler filler filler"),
+      (4L, "hash join hash join hash"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Retrieval
+      .retrievalMetricsOf(docs, queries = Seq(1 -> Seq("hash", "join")),
+        topK = 3)
+      .collect().map(r => r.getString(1) ->
+        (r.getDouble(2), r.getDouble(5))).toMap
+    // BM25's top hits are the term-bearing docs → first hit relevant
+    val (rrB, ndcgB) = m("bm25")
+    assert(rrB == 1.0 && ndcgB > 0.9, m.toString)
+  }
+
   test("compactAppendOnly: single file per partition after, rows exact, " +
       "every crash point of append-then-delete is a duplicates-only superset") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cao").toString
