@@ -438,8 +438,17 @@ object Retrieval {
       round(rel.cast("double") /
         (log((rank + lit(1)).cast("double")) / ln2), 9)
         .cast("decimal(18,9)")
-    val graded = bmRun.unionByName(rrfRun)
-      .join(qrel, Seq("query_id", "doc_id"), "left")
+    // the runs frame is BOUNDED (≤ 2·|queries|·topK rows): semi-join
+    // qrel down to the graded pairs and broadcast both tiny sides —
+    // the full qrel never shuffles for the grading join (it feeds only
+    // the IDCG partial aggregate), so nothing here scales past the
+    // queried terms' posting lists
+    val runs = bmRun.unionByName(rrfRun).localCheckpoint(eager = false)
+    val relevant = qrel.join(
+      broadcast(runs.select("query_id", "doc_id")),
+      Seq("query_id", "doc_id"), "left_semi")
+    val graded = runs
+      .join(broadcast(relevant), Seq("query_id", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
     val perSys = graded.groupBy("query_id", "system")
       .agg(sum(dcgTerm(col("rel"), col("rnk"))).as("dcg_d"),
@@ -450,7 +459,7 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("top")))
       .groupBy("query_id")
       .agg(sum(dcgTerm(col("col.score"), col("pos") + lit(1))).as("idcg_d"))
-    perSys.join(idcg, Seq("query_id"), "left")
+    perSys.join(broadcast(idcg), Seq("query_id"), "left")
       .select(col("query_id"), col("system"),
         coalesce(lit(1.0) / col("frel"), lit(0.0)).as("rr"),
         round(col("dcg_d").cast("double"), 6).as("dcg"),
