@@ -44,7 +44,18 @@ object Retrieval {
 
   /** d48 registered entry. */
   def bm25Search(s: SparkSession, d: String): DataFrame =
-    bm25SearchOf(Tables.documents(s, d).select("doc_id", "text"))
+    lexRanking(s, d)
+
+  /** DirMemo-keyed shared cut of the d48 BM25 ranking: d48 itself,
+    * d60 (fusion's lexical side) and d76 (metrics) all slice it —
+    * each previously rebuilt the posting table + ranking per bench
+    * pass (the d4-family / knnTable lesson). Deterministic, tiny
+    * (≤ |queries|·topK rows), re-fingerprinted per dir content. */
+  private def lexRanking(s: SparkSession, d: String): DataFrame =
+    graft.ops.DirMemo.cached(s, d, "bm25Ranked") {
+      bm25SearchOf(Tables.documents(s, d).select("doc_id", "text"))
+        .localCheckpoint(eager = false)
+    }
 
   /** Core of [[bm25Search]] over an explicit (doc_id, text) frame. */
   def bm25SearchOf(docs: DataFrame,
@@ -312,7 +323,7 @@ object Retrieval {
     * the memoized d59 embedding cut for the semantic side. */
   def hybridRrf(s: SparkSession, d: String): DataFrame =
     hybridRrfOf(Tables.documents(s, d).select("doc_id", "text"),
-      dembOpt = Some(corpusEmb(s, d)))
+      dembOpt = Some(corpusEmb(s, d)), lexOpt = Some(lexRanking(s, d)))
 
   /** Hybrid retrieval — reciprocal-rank fusion (public: Cormack,
     * Clarke & Buettcher 2009) of the BM25 lexical ranking (d48) and a
@@ -379,7 +390,7 @@ object Retrieval {
     * reusing the memoized d59 embedding cut for the semantic side. */
   def retrievalMetrics(s: SparkSession, d: String): DataFrame =
     retrievalMetricsOf(Tables.documents(s, d).select("doc_id", "text"),
-      dembOpt = Some(corpusEmb(s, d)))
+      dembOpt = Some(corpusEmb(s, d)), lexOpt = Some(lexRanking(s, d)))
 
   /** d76: retrieval-quality METRICS — nDCG@k and MRR@k for the two
     * registered retrievers (d48 BM25, d60 hybrid RRF) against
@@ -410,13 +421,15 @@ object Retrieval {
   def retrievalMetricsOf(docs0: DataFrame,
       queries: Seq[(Int, Seq[String])] = BmQueries,
       topK: Int = TopK,
-      dembOpt: Option[DataFrame] = None): DataFrame = {
+      dembOpt: Option[DataFrame] = None,
+      lexOpt: Option[DataFrame] = None): DataFrame = {
     val spark = docs0.sparkSession
     import spark.implicits._
     // one cut feeds bm25, the fusion's embedding side and the qrels
     val docs = docs0.localCheckpoint(false)
     // the lexical ranking feeds its own run AND the fusion
-    val lex = bm25SearchOf(docs, queries).localCheckpoint(false)
+    val lex = lexOpt.getOrElse(
+      bm25SearchOf(docs, queries).localCheckpoint(false))
     val bmRun = lex
       .select(col("query_id"), col("doc_id"), col("rnk"),
         lit("bm25").as("system"))
