@@ -62,7 +62,11 @@ class Round11cSpec extends SparkSpec {
   }
 
   test("d48 plan: no rank window; dictionary/scalar joins broadcast") {
-    val plan = SparkEntry.queries("d48_bm25")(spark, sf)
+    // audit the builder the DirMemo cut materializes (r20): the
+    // registered entry returns the memoized frame, whose plan is a
+    // LogicalRDD scan after the lazy checkpoint swap
+    val plan = Retrieval.bm25SearchOf(
+        Tables.documents(spark, sf).select("doc_id", "text"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"rank window crept in:\n$plan")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
