@@ -27,6 +27,10 @@ EXCLUDED = {
         "recursive-CTE oracle steps one row per key per iteration; 27k "
         "events/user at 40x is depth-runaway (killed at 85 CPU-min). "
         "Verified by reference-automaton specs instead (CLAUDE.md).",
+    ("q64_cep_bounded", "40x"):
+        "same recursive-CTE one-row-per-key-per-iteration oracle class "
+        "as q57 (26.7k events/user at 40x is depth-runaway; killed "
+        "after 15 min r20). Verified by the bounded-automaton specs.",
     ("d22_dedup_pipeline", "40x"):
         "transitive-closure oracle (recursive CTE over the dense "
         "near-dup graph) runs ~10 min at 10x and superlinearly beyond; "
@@ -43,12 +47,13 @@ EXCLUDED = {
         "same xxh64 gram-chain oracle cost class as d67. Verified "
         "hash-exact on the 40x-of-sf0.01 dir instead (17,142 rows).",
     ("d72_knn_graph", "40x"):
-        "blocked pair volume is n^1.5 with adaptiveK: ~180M pivot-dot "
-        "oracle rows on the 200k-doc dir (the 10x run's ~22M already "
-        "takes ~20 min in DuckDB). Verified hash-exact on the "
-        "40x-of-sf0.01 dir instead (the d67/d68 precedent).",
+        "blocked pair volume is n^1.5 with adaptiveK (x2 since the r20 "
+        "candAssign=2 default): ~360M pivot-dot oracle rows on the "
+        "200k-doc dir (the 10x run's ~44M already takes ~1h in "
+        "DuckDB). Verified hash-exact on the 40x-of-sf0.01 dir "
+        "instead (the d67/d68 precedent).",
     ("d73_mutual_knn", "40x"):
-        "oracle embeds the full d72 CTE chain (same ~180M pivot-dot "
+        "oracle embeds the full d72 CTE chain (same ~360M pivot-dot "
         "rows on the 200k-doc dir) plus the reach closure. Verified "
         "hash-exact on the 40x-of-sf0.01 dir instead.",
     ("d74_ann_recall", "40x"):
