@@ -60,6 +60,32 @@ EXCLUDED = {
         "oracle embeds the full d72 CTE chain (same pair-volume cost "
         "class on the 200k-doc dir). Verified hash-exact on the "
         "40x-of-sf0.01 dir instead.",
+    ("d2_minhash_lsh", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d2_sigs", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d3_simhash", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d4_ngram_jaccard", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d19_jaccard_lsh", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d20_dup_clusters", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d35_split_leakage", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d63_subset_prune", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d75_lsh_recall", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d23_incremental_dedup", "40x"):
+        "minhash/gram-hash-chain oracle cost class on the 200k-doc dir (the d67/d68 ~1.3ms-per-gram precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20, 11/11 battery).",
+    ("d15_heavy_hitters", "40x"):
+        "SpaceSaving exactness requires capacity >= per-group vocab; the 200k-doc dir's tag-multiplied vocab exceeds the sized 1024. Verified hash-exact on the 40x-of-sf0.01 dir instead (r20).",
+    ("d41_exact_substr", "40x"):
+        "xxh64 gram-chain oracle cost class on the 200k-doc dir (the d67/d68 precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20).",
+    ("d42_substr_clip", "40x"):
+        "xxh64 gram-chain oracle cost class on the 200k-doc dir (the d67/d68 precedent). Verified hash-exact on the 40x-of-sf0.01 dir instead (r20).",
     ("d13_sketch_profile", "*"):
         "rows-only by design: Spark-internal HLL++/GK bias tables are "
         "not replayable SQL; error-bound spec-gated.",
