@@ -59,10 +59,19 @@ object Classifier {
 
   /** Hashed-unigram tf features for the GRADIENT side: (doc_id,
     * bucket, x) with x = count/doc_len rounded to 9 dp (the rounding
-    * is what makes the gradient's decimal sums order-independent). */
-  def postingsOf(docs: DataFrame, buckets: Int): DataFrame = {
-    val words = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    * is what makes the gradient's decimal sums order-independent).
+    * @param wordsIn optional pre-exploded (doc_id, w) word stream —
+    *   the registered entry passes the shared memoized
+    *   [[graft.Tables.tokLong]] slice (raw split, empties kept; the
+    *   empty filter below restores the exact multiset) instead of
+    *   re-exploding the corpus (r20: the tokLong rule applied to the
+    *   gradient-side posting build). */
+  def postingsOf(docs: DataFrame, buckets: Int,
+      wordsIn: Option[DataFrame] = None): DataFrame = {
+    val words = wordsIn
+      .map(_.select(col("doc_id"), col("w")))
+      .getOrElse(docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
       .filter(col("w") =!= "")
     val lens = words.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
     words
@@ -85,7 +94,8 @@ object Classifier {
     * (doc_id, y ∈ {0.0, 1.0}). Returns the model and the
     * per-iteration mean log-loss (monotone under a sane lr). */
   def trainLogistic(docs: DataFrame, labels: DataFrame, buckets: Int,
-      iters: Int = 8, lr: Double = 10.0, l2: Double = 1e-6): Model = {
+      iters: Int = 8, lr: Double = 10.0, l2: Double = 1e-6,
+      wordsIn: Option[DataFrame] = None): Model = {
     // both sides of the loop pinned once: the tokenized+labeled frame
     // for forward passes, the posting table for gradients — same
     // doc_id layout so the residual join stays co-partitioned
@@ -93,7 +103,7 @@ object Classifier {
       .select(col("doc_id"), col("y"),
         array_remove(split(col("text"), " "), "").as("ws"))
       .repartition(col("doc_id")).localCheckpoint(false)
-    val px = postingsOf(docs, buckets)
+    val px = postingsOf(docs, buckets, wordsIn)
       .repartition(col("doc_id")).localCheckpoint(false)
     val n = labels.count().toDouble
     require(n > 0, "trainLogistic needs at least one labeled doc")
@@ -223,19 +233,19 @@ object Classifier {
     * student score, and prediction. */
   def qualityClassifier(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-    // teacher tokenize rides the shared memoized corpus cut exactly
-    // like the registered d33 entry (same labels bit-for-bit) — the
-    // 10x stage probe measured the re-exploding form as the entry's
-    // single biggest stage (8.2 s of 13.2 s serial warm)
-    val nll = CorpusStats.unigramNllOf(docs, vocabCap = 1000,
-        wordsIn = Some(Tables.tokLong(s, d).select("doc_id", "w")))
-      .select("doc_id", "nll")
+    // teacher = the registered d33 frame itself, via its DirMemo cut
+    // (r20): the NLL pass runs once per (session, dir content) and
+    // both entries slice it — same labels bit-for-bit by construction
+    // (the 10x stage probe had measured the re-exploding form as this
+    // entry's single biggest stage, 8.2 s of 13.2 s serial warm)
+    val nll = CorpusStats.unigramNll(s, d).select("doc_id", "nll")
     val ranked = Silver.surrogateIds(nll, Seq("nll", "doc_id"), "rnk")
     val tot = ranked.agg(count(lit(1)).as("n"))
     val labels = ranked.crossJoin(broadcast(tot))
       .select(col("doc_id"),
         when(col("rnk") * 2 <= col("n"), 1.0).otherwise(0.0).as("y"))
-    val model = trainLogistic(docs, labels, QcBuckets, iters = 8, lr = 10.0)
+    val model = trainLogistic(docs, labels, QcBuckets, iters = 8, lr = 10.0,
+      wordsIn = Some(Tables.tokLong(s, d).select("doc_id", "w")))
     scoreOf(docs, model)
       .join(labels, "doc_id")
       .select(col("doc_id"), col("y").cast("int").as("label"),

@@ -60,8 +60,14 @@ object CorpusStats {
     * between JVM and C libm.
     */
   def unigramNll(s: SparkSession, d: String): DataFrame =
-    unigramNllOf(Tables.documents(s, d).select("doc_id", "text"), vocabCap = 1000,
-      wordsIn = Some(Tables.tokLong(s, d).select("doc_id", "w")))
+    // DirMemo shared cut (r20): d33 itself AND d56's teacher labels
+    // consume this identical frame — one NLL pass per (session, dir
+    // content) instead of two, same labels bit-for-bit by construction
+    graft.ops.DirMemo.cached(s, d, "unigramNll") {
+      unigramNllOf(Tables.documents(s, d).select("doc_id", "text"), vocabCap = 1000,
+        wordsIn = Some(Tables.tokLong(s, d).select("doc_id", "w")))
+        .localCheckpoint(eager = false)
+    }
 
   /** Core of [[unigramNll]] over an explicit (doc_id, text) frame;
     * `wordsIn` (a (doc_id, w) raw word stream, empties tolerated)

@@ -432,8 +432,15 @@ object Curation {
     * final mean rounded to 6 dp.
     */
   def bigramNll(s: SparkSession, d: String): DataFrame =
-    bigramNllWithLm(Tables.documents(s, d).select("doc_id", "text"),
-      corpusBigramCounts(s, d))
+    // DirMemo shared cut (r20): beyond the count tables (already
+    // memoized), d44 AND d52 each re-ran the per-doc NLL aggregation
+    // itself (gram explode + two count joins + groupBy); the whole
+    // registered d44 frame is now built once per (session, dir
+    // content) and d52's bucketing slices it — same nll2 bit-for-bit
+    graft.ops.DirMemo.cached(s, d, "bigramNllFrame") {
+      bigramNllWithLm(Tables.documents(s, d).select("doc_id", "text"),
+        corpusBigramCounts(s, d)).localCheckpoint(eager = false)
+    }
 
   /** Core of [[bigramNll]] over an explicit (doc_id, text) frame. Docs
     * with fewer than 2 words have no bigrams and drop out (same rows
@@ -579,10 +586,9 @@ object Curation {
     * window), one broadcast total, hash-replayable tail sample.
     */
   def ccnetBuckets(s: SparkSession, d: String): DataFrame =
-    // share the corpus's memoized count tables with d44 — the ranking
-    // input is the same NLL frame either way (inner joins, own corpus)
-    ccnetBucketsFromNll(bigramNllWithLm(
-      Tables.documents(s, d).select("doc_id", "text"), corpusBigramCounts(s, d)))
+    // slice the registered d44 frame's DirMemo cut — the ranking input
+    // is the same NLL frame either way (inner joins, own corpus)
+    ccnetBucketsFromNll(bigramNll(s, d))
 
   /** Core of [[ccnetBuckets]] over an explicit (doc_id, text) frame. */
   def ccnetBucketsOf(docs: DataFrame, tailKeep: Double = 0.1): DataFrame =

@@ -49,15 +49,34 @@ object Dedup {
     * window-free, the oracle proves run-for-run equality.
     */
   def exactSubstrRuns(s: SparkSession, d: String, minTokens: Int = 20): DataFrame =
-    exactSubstrRunsOf(Tables.documents(s, d), minTokens)
+    exactSubstrRunsOf(Tables.documents(s, d), minTokens,
+      posIn = if (minTokens == 20) Some(substrPosFrame(s, d)) else None)
 
-  /** Core of [[exactSubstrRuns]] over an explicit (doc_id, text) frame. */
-  def exactSubstrRunsOf(docs: DataFrame, minTokens: Int): DataFrame = {
+  /** DirMemo shared cut of the (doc_id, pos, h) 20-gram hash posting
+    * frame over the raw corpus — d41 AND d42 each consumed this
+    * identical explode TWICE (the count aggregate + the join probe
+    * side, un-cut), so the corpus gram-hash pass ran 4× per bench
+    * pass; one lazily checkpointed build now feeds all four consumers
+    * (r20; the d4-memo lesson at the posting level). */
+  private def substrPosFrame(s: SparkSession, d: String): DataFrame =
+    graft.ops.DirMemo.cached(s, d, "substrPos20") {
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(
+          graft.functions.VectorExprs.ngramHashes(split(col("text"), " "), 20))
+          .as(Seq("pos", "h")))
+        .localCheckpoint(eager = false)
+    }
+
+  /** Core of [[exactSubstrRuns]] over an explicit (doc_id, text) frame.
+    * `posIn` substitutes the (doc_id, pos, h) gram-hash explode (the
+    * registered entry passes the shared [[substrPosFrame]] cut). */
+  def exactSubstrRunsOf(docs: DataFrame, minTokens: Int,
+      posIn: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorExprs
-    val pos = docs
+    val pos = posIn.getOrElse(docs
       .select(col("doc_id"), posexplode(
         VectorExprs.ngramHashes(split(col("text"), " "), minTokens))
-        .as(Seq("pos", "h")))
+        .as(Seq("pos", "h"))))
     val shared = pos.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     pos.join(shared, Seq("h"))
@@ -96,16 +115,19 @@ object Dedup {
     * pairwise, no window on the Spark side.
     */
   def exactSubstrClip(s: SparkSession, d: String, minTokens: Int = 20): DataFrame =
-    exactSubstrClipOf(Tables.documents(s, d), minTokens)
+    exactSubstrClipOf(Tables.documents(s, d), minTokens,
+      posIn = if (minTokens == 20) Some(substrPosFrame(s, d)) else None)
 
-  /** Core of [[exactSubstrClip]] over an explicit (doc_id, text) frame. */
-  def exactSubstrClipOf(docs: DataFrame, minTokens: Int): DataFrame = {
+  /** Core of [[exactSubstrClip]] over an explicit (doc_id, text) frame.
+    * `posIn` as in [[exactSubstrRunsOf]]. */
+  def exactSubstrClipOf(docs: DataFrame, minTokens: Int,
+      posIn: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorExprs
     val Pack = 1L << 20 // doc_id < 2^43, pos < 2^20; ANSI throws on violation
-    val pos = docs
+    val pos = posIn.getOrElse(docs
       .select(col("doc_id"), posexplode(
         VectorExprs.ngramHashes(split(col("text"), " "), minTokens))
-        .as(Seq("pos", "h")))
+        .as(Seq("pos", "h"))))
     val stats = pos.groupBy("h")
       .agg(count(lit(1)).as("c"),
         min(col("doc_id") * Pack + col("pos")).as("first_key"))
@@ -170,7 +192,20 @@ object Dedup {
     * both dialects, so the whole pipeline is deterministic.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
-    minhashLshPairs(wordArrays(s, d, 3))
+    minhashLshFromSigs(minhashSigFrame(s, d))
+
+  /** DirMemo shared cut of the d2 (doc_id, sig) signature frame —
+    * the identical longs d2 bands and d2_sigs emits row-exploded; one
+    * tight MinHashShingleSig pass per (session, dir content) instead
+    * of one per entry (r20; the d4-memo lesson). */
+  private def minhashSigFrame(s: SparkSession, d: String): DataFrame =
+    graft.ops.DirMemo.cached(s, d, "minhashSigs") {
+      wordArrays(s, d, 3)
+        .withColumn("sig",
+          graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, 16))
+        .select("doc_id", "sig")
+        .localCheckpoint(eager = false)
+    }
 
   /** [[minhashLsh]] over any (doc_id, text) frame (the SQL-surface
     * entry point): same tokenization and params as the registered d2. */
@@ -191,21 +226,25 @@ object Dedup {
     * candidate RECALL vs the exact pair set stays probabilistic, and
     * Round4Spec gates it per jaccard bucket. */
   def minhashSigs(s: SparkSession, d: String): DataFrame =
-    wordArrays(s, d, 3)
-      .withColumn("sig",
-        graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, 16))
+    minhashSigFrame(s, d)
       .select(col("doc_id"), posexplode(col("sig")).as(Seq("perm", "sig_val")))
       .orderBy("doc_id", "perm")
 
   /** Core MinHash+LSH pipeline over any (doc_id, ws: array<string>)
     * frame — shared by the query entry and large-scale callers. */
-  def minhashLshPairs(words: DataFrame): DataFrame = {
+  def minhashLshPairs(words: DataFrame): DataFrame =
+    minhashLshFromSigs(words
+      .withColumn("sig",
+        graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, 16))
+      .select("doc_id", "sig"))
+
+  /** Banding + verification over a precomputed (doc_id, sig) frame —
+    * the tail of [[minhashLshPairs]], split out so the registered d2
+    * can slice the shared [[minhashSigFrame]] cut. */
+  private def minhashLshFromSigs(docs: DataFrame): DataFrame = {
     val perms = 16
     val bands = 4
     val rows = perms / bands
-    val docs = words
-      .withColumn("sig", graft.functions.VectorExprs.minhashShingleSig(col("ws"), 3, perms))
-      .select("doc_id", "sig")
     val banded = docs.select(col("doc_id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows)))"))
         .as(Seq("band", "band_hash")))
@@ -1164,8 +1203,12 @@ object Dedup {
     */
   def dedupPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = ngramJaccardViaLsh(docs, blockCols = Seq("lang", "source"))
-      .select("id_a", "id_b")
+    // slice the d19/d75 shared [[jaccardLsh]] memo instead of re-mining
+    // the identical blocked-LSH pair frame per invocation (r20: the
+    // d4-memo lesson applied to d22's own front end — same function,
+    // same (lang, source) blocking, same raw-documents input, so the
+    // pair set is bit-identical)
+    val pairs = jaccardLsh(s, d).select("id_a", "id_b")
     dedupedCorpus(docs, pairs)
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")

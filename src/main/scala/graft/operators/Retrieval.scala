@@ -390,7 +390,8 @@ object Retrieval {
     * reusing the memoized d59 embedding cut for the semantic side. */
   def retrievalMetrics(s: SparkSession, d: String): DataFrame =
     retrievalMetricsOf(Tables.documents(s, d).select("doc_id", "text"),
-      dembOpt = Some(corpusEmb(s, d)), lexOpt = Some(lexRanking(s, d)))
+      dembOpt = Some(corpusEmb(s, d)), lexOpt = Some(lexRanking(s, d)),
+      wordsIn = Some(Tables.tokLong(s, d).select("doc_id", "w")))
 
   /** d76: retrieval-quality METRICS — nDCG@k and MRR@k for the two
     * registered retrievers (d48 BM25, d60 hybrid RRF) against
@@ -422,7 +423,8 @@ object Retrieval {
       queries: Seq[(Int, Seq[String])] = BmQueries,
       topK: Int = TopK,
       dembOpt: Option[DataFrame] = None,
-      lexOpt: Option[DataFrame] = None): DataFrame = {
+      lexOpt: Option[DataFrame] = None,
+      wordsIn: Option[DataFrame] = None): DataFrame = {
     val spark = docs0.sparkSession
     import spark.implicits._
     // one cut feeds bm25, the fusion's embedding side and the qrels
@@ -438,9 +440,14 @@ object Retrieval {
         lit("rrf").as("system"))
     val qterms = queries.flatMap { case (qid, ws) => ws.map(qid -> _) }
       .toDF("query_id", "qw")
-    // term-coverage qrels; consumed by the graded join AND the ideal
-    val qrel = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    // term-coverage qrels; consumed by the graded join AND the ideal.
+    // wordsIn (the registered entry's shared tokLong slice) skips the
+    // corpus re-explode; empties in the raw token cut can't match a
+    // query term, so the equi-join restores the exact stream (r20)
+    val qrel = wordsIn
+      .map(_.select(col("doc_id"), col("w")))
+      .getOrElse(docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w")))
       .join(broadcast(qterms), col("w") === col("qw"))
       .groupBy("query_id", "doc_id")
       .agg(countDistinct(col("w")).cast("int").as("rel"))

@@ -150,9 +150,9 @@ object Similarity {
     */
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val k = adaptiveK(emb.count())
     val nprobe = 2
-    val cs = centroidSetOf(kmeans(emb, k, iters = 2))
+    // shared memoized quantizer (identical k, seeds, iterations)
+    val cs = CentroidSet(embQuantizer(s, d)._2)
     def assignTo(df: DataFrame, probes: Int): DataFrame =
       explodeNearest(df, cs, probes, cosine = true, Seq("vec_id", "embedding"))
         .select(col("vec_id"), col("embedding"), col("nb.bucket").as("bucket"))
@@ -300,7 +300,11 @@ object Similarity {
   def pqTopKOf(emb: DataFrame, queries: DataFrame, m: Int = 16, k: Int = 16,
       iters: Int = 4, topK: Int = 5, refine: Int = 50): DataFrame = {
     import graft.functions.VectorExprs
-    val unit = unitEmb(emb)
+    // one lazy cut feeds the iters+1 codebook-training passes, the
+    // code build AND the exact re-rank — without it every training
+    // iteration re-reads and re-normalizes the corpus (the d61
+    // un-cut-iterative-input lesson applied to PQ training; r20)
+    val unit = unitEmb(emb).localCheckpoint(false)
     val cb = trainPqCodebook(unit, m, k, iters)
     val codes = unit.select(col("vec_id"),
       VectorExprs.pqEncode(col("embedding"), cb).as("codes"))
@@ -342,6 +346,15 @@ object Similarity {
     */
   def kmeans(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = emb.sparkSession
+    import spark.implicits._
+    kmeansArrays(emb, k, iters).toSeq.toDF("c_id", "c_vec")
+  }
+
+  /** [[kmeans]] returning the driver-side centroid arrays directly —
+    * the form every plan-constant consumer ([[CentroidSet]]) wants,
+    * without a LocalTableScan round trip through a DataFrame. */
+  private[graft] def kmeansArrays(emb: DataFrame, k: Int,
+      iters: Int): Array[(Int, Array[Float])] = {
     // seed with the k smallest hash(vec_id): a deterministic
     // pseudo-random spread over the whole corpus (one distributed
     // TakeOrdered pass). First-k-by-id seeding put every seed inside
@@ -353,7 +366,6 @@ object Similarity {
       .collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1).toArray) }
-    import spark.implicits._
     for (_ <- 1 to iters) {
       // argmin inside the scan projection (NearestBuckets p=1) — each
       // iteration is ONE narrow pass + the k×dim vector-sum shuffle;
@@ -373,8 +385,29 @@ object Similarity {
         }
       if (means.nonEmpty) cents = means
     }
-    cents.toSeq.toDF("c_id", "c_vec")
+    cents
   }
+
+  /** Shared corpus quantizer over the dir's embeddings table: the
+    * corpus row count and the [[adaptiveK]] 2-iter [[kmeansArrays]]
+    * centroids, DirMemo-keyed on dir content (the tokLong/ngramJaccard
+    * discipline applied to the ANN family). d6/d11/d45/d71 each train
+    * the IDENTICAL quantizer — same deterministic hash-ordered seeds,
+    * same k = adaptiveK(n), same 2 Lloyd iterations — so building it
+    * once per (session, dir content) changes no result bit while
+    * saving three redundant k-means trainings and four corpus count
+    * jobs per bench pass (r20 optimization round, guide §1.2 "don't
+    * compute things twice"). */
+  private[graft] def embQuantizer(s: SparkSession,
+      d: String): (Long, Array[(Int, Array[Float])]) =
+    graft.ops.DirMemo.cached(s, d, "embQuantizer") {
+      // lazy cut: the count + seed pass + 2 Lloyd iterations otherwise
+      // each re-read the parquet (the un-cut-iterative-input lesson)
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .localCheckpoint(eager = false)
+      val n = emb.count()
+      (n, kmeansArrays(emb, adaptiveK(n), iters = 2))
+    }
 
   /** Assignment of every vector to its nearest centroid (squared-L2). */
   def assign(emb: DataFrame, cents: DataFrame): DataFrame =
@@ -844,7 +877,8 @@ object Similarity {
     * single assignment would split across neighboring buckets.
     */
   def nearDupCosine(s: SparkSession, d: String): DataFrame =
-    nearDupCosinePairs(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    nearDupCosinePairs(Tables.embeddings(s, d).select("vec_id", "embedding"),
+      centsIn = Some(CentroidSet(embQuantizer(s, d)._2)))
       .orderBy("id_a", "id_b")
 
   /** Core bucket-blocked near-dup pipeline over any (vec_id, embedding)
@@ -856,19 +890,24 @@ object Similarity {
     * @param threshold minimum cosine to report
     */
   def nearDupCosinePairs(emb0: DataFrame, k: Option[Int] = None,
-      multiAssign: Int = 2, threshold: Double = 0.30): DataFrame = {
+      multiAssign: Int = 2, threshold: Double = 0.30,
+      centsIn: Option[CentroidSet] = None): DataFrame = {
     // Pre-compute each vector's norm ONCE before the pairwise join —
     // inside the join it would be recomputed per pair (O(pairs·dim)
     // extra work).
     val emb = emb0.select("vec_id", "embedding")
       .withColumn("nrm", norm(col("embedding")))
-    val kk = k.getOrElse(adaptiveK(emb.count()))
+    // centsIn (the registered entry's shared [[embQuantizer]] cut)
+    // skips both the count job and the k-means training — bit-identical
+    // centroids by construction
+    lazy val kk = k.getOrElse(adaptiveK(emb.count()))
+    val cs = centsIn.getOrElse(centroidSetOf(kmeans(emb, kk, iters = 2)))
     // Inline multi-assignment carrying (embedding, nrm) straight
     // through the narrow NearestBuckets projection — no corpus-sized
     // join back (assignMulti returns only ids, and joining it to emb
     // would add a wide shuffle per self-join side), and no shuffle at
     // all before the bucket-blocked pair join.
-    val blocked = explodeNearest(emb, centroidSetOf(kmeans(emb, kk, iters = 2)),
+    val blocked = explodeNearest(emb, cs,
         multiAssign, cosine = false, Seq("vec_id", "embedding", "nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("nb.bucket").as("bucket"))
     val a = blocked.select(col("bucket"), col("vec_id").as("id_a"),
@@ -907,15 +946,18 @@ object Similarity {
     * hardest WITHIN the multi-assigned buckets — the same documented
     * trade as d11/d45, and exactly what the oracle replays. */
   def hardTriplets(s: SparkSession, d: String): DataFrame =
-    hardTripletsOf(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    hardTripletsOf(Tables.embeddings(s, d).select("vec_id", "embedding"),
+      centsIn = Some(CentroidSet(embQuantizer(s, d)._2)))
 
   /** Core of [[hardTriplets]] over any (vec_id, embedding) frame. */
   def hardTripletsOf(emb0: DataFrame, k: Option[Int] = None,
-      multiAssign: Int = 2, threshold: Double = 0.30): DataFrame = {
+      multiAssign: Int = 2, threshold: Double = 0.30,
+      centsIn: Option[CentroidSet] = None): DataFrame = {
     val emb = emb0.select("vec_id", "embedding")
       .withColumn("nrm", norm(col("embedding")))
-    val kk = k.getOrElse(adaptiveK(emb.count()))
-    val blocked = explodeNearest(emb, centroidSetOf(kmeans(emb, kk, iters = 2)),
+    lazy val kk = k.getOrElse(adaptiveK(emb.count()))
+    val blocked = explodeNearest(emb,
+        centsIn.getOrElse(centroidSetOf(kmeans(emb, kk, iters = 2))),
         multiAssign, cosine = false, Seq("vec_id", "embedding", "nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("nb.bucket").as("bucket"))
@@ -1004,7 +1046,8 @@ object Similarity {
     * structural gate.
     */
   def semDedup(s: SparkSession, d: String): DataFrame =
-    semDedupOf(Tables.embeddings(s, d).select("vec_id", "embedding"))
+    semDedupOf(Tables.embeddings(s, d).select("vec_id", "embedding"),
+      centsIn = Some(CentroidSet(embQuantizer(s, d)._2)))
       .orderBy("vec_id")
 
   /** Core of [[semDedup]] over any (vec_id, embedding) frame.
@@ -1017,11 +1060,12 @@ object Similarity {
     * no near-dup), the keep decision, and its centroid cosine.
     */
   def semDedupOf(emb0: DataFrame, threshold: Double = 0.30,
-      k: Option[Int] = None, multiAssign: Int = 2): DataFrame = {
+      k: Option[Int] = None, multiAssign: Int = 2,
+      centsIn: Option[CentroidSet] = None): DataFrame = {
     val emb = emb0.select("vec_id", "embedding")
       .withColumn("nrm", norm(col("embedding")))
-    val kk = k.getOrElse(adaptiveK(emb.count()))
-    val cs = centroidSetOf(kmeans(emb, kk, iters = 2))
+    lazy val kk = k.getOrElse(adaptiveK(emb.count()))
+    val cs = centsIn.getOrElse(centroidSetOf(kmeans(emb, kk, iters = 2)))
     // The keep-rule's centroid cosine rides the same narrow projection
     // that feeds pair blocking — one corpus scan, no assignment join.
     val withCos = emb.withColumn("cent_cos",
