@@ -133,13 +133,19 @@ object Classifier {
       // shortest-string HALF_UP and DuckDB's binary-value round
       // disagree ~half the time; a decimal-sum tie is exact arithmetic
       // both engines round away-from-zero identically.
+      // bias gradient and loss fused into ONE aggregation pass over
+      // the margins cut (r20: they were two separate global-agg
+      // branches, each its own stage per iteration), reshaped to the
+      // sentinel-bucket rows the update loop reads; sums unchanged
       val rows = px.join(margins.select("doc_id", "r"), "doc_id")
         .groupBy("bucket").agg(round(sum(
           col("r").cast("decimal(18,9)") * col("x").cast("decimal(18,9)")), 9).as("g"))
-        .unionByName(margins.agg(sum(dec(col("r"))).as("g"))
-          .select(lit(-1L).as("bucket"), col("g")))
-        .unionByName(margins.agg(sum(col("l")).as("g"))
-          .select(lit(-2L).as("bucket"), col("g")))
+        .unionByName(margins
+          .agg(sum(dec(col("r"))).as("gb"), sum(col("l")).as("gl"))
+          .select(explode(array(
+            struct(lit(-1L).as("bucket"), col("gb").as("g")),
+            struct(lit(-2L).as("bucket"), col("gl").as("g")))).as("s"))
+          .select(col("s.bucket").as("bucket"), col("s.g").as("g")))
         .collect()
       var i = 0
       while (i < w.length) { w(i) -= lr * l2 * w(i); i += 1 }
