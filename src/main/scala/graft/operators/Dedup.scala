@@ -662,6 +662,9 @@ object Dedup {
       .filter(col("w") =!= "")
       .select(col("doc_id"), lower(col("w")).as("w")).distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // consumed by BOTH join sides below — one cut, one distinct+agg
+      // pass (the multi-consumed-frame rule; r20)
+      .localCheckpoint(eager = false)
     val pairsW = ngramJaccard(s, d)
       .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
       .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
