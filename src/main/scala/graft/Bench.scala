@@ -377,8 +377,15 @@ object Bench {
         .mkString("{", ",", "}")
     val probesJson = probes.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    // `wall` (warm) is repeated as the LAST field: the driver captures
-    // the tail of long lines and the headline must survive truncation.
-    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","queries":${fmt(warm)},"errors":$errs,"probes":$probesJson,"cal":${f3(cal)},"ext_cores":${f3(ext)},"io_stall":${f3(io)},"contended":$contended,"retries":$retries,"sf":"$sfDir","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)}}""")
+    // Truncation-proof field order (r20 verdict: the r19 capture clipped
+    // the line's TAIL and lost every headline field behind the 142-entry
+    // per-query map): ALL contract fields — value/wall_cold/wall/cal/
+    // contended/... — lead the object and the bulky per-query map goes
+    // last, so a clipped capture costs per-query detail, never the
+    // headline. `wall` is ALSO repeated as the very last field (same
+    // value, duplicate JSON keys parse last-wins identically) because
+    // the r3-era driver clipped the HEAD instead — either truncation
+    // direction now keeps the headline.
+    println(s"""{"metric":"total","value":${f3(wallCold)},"unit":"sec","pass":"warm","wall_cold":${f3(wallCold)},"wall":${f3(wallWarm)},"cal":${f3(cal)},"ext_cores":${f3(ext)},"io_stall":${f3(io)},"contended":$contended,"retries":$retries,"sf":"$sfDir","errors":$errs,"probes":$probesJson,"queries":${fmt(warm)},"wall":${f3(wallWarm)}}""")
   }
 }

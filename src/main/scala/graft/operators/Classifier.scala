@@ -98,15 +98,28 @@ object Classifier {
       wordsIn: Option[DataFrame] = None): Model = {
     // both sides of the loop pinned once: the tokenized+labeled frame
     // for forward passes, the posting table for gradients — same
-    // doc_id layout so the residual join stays co-partitioned
+    // doc_id layout so the residual join stays co-partitioned.
+    // The layout is SCALE-ADAPTIVE (r21): the co-partitioned residual
+    // join never plans an exchange, so AQE has nothing to coalesce at
+    // runtime and the loop frames would otherwise inherit the session's
+    // static shuffle.partitions — at bench scale that was 8 iterations
+    // × ~4 stages × 32 near-empty partitions of pure task-launch
+    // overhead. Derive the width from the labeled-doc count (~1k docs
+    // per partition ≈ a few hundred k posting rows; measured the sweet
+    // spot at sf0.1 — 1 partition serialized the join compute and lost,
+    // 32 paid launch overhead), capped by the session's configured
+    // width so a 100 TB corpus still fans out fully.
+    val n = labels.count().toDouble
+    require(n > 0, "trainLogistic needs at least one labeled doc")
+    val parts = math.max(1, math.min(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      math.ceil(n / 1000.0).toInt))
     val docsY = docs.join(labels, "doc_id")
       .select(col("doc_id"), col("y"),
         array_remove(split(col("text"), " "), "").as("ws"))
-      .repartition(col("doc_id")).localCheckpoint(false)
+      .repartition(parts, col("doc_id")).localCheckpoint(false)
     val px = postingsOf(docs, buckets, wordsIn)
-      .repartition(col("doc_id")).localCheckpoint(false)
-    val n = labels.count().toDouble
-    require(n > 0, "trainLogistic needs at least one labeled doc")
+      .repartition(parts, col("doc_id")).localCheckpoint(false)
     val w = new Array[Double](buckets)
     var bias = 0.0
     val losses = Vector.newBuilder[Double]
@@ -161,8 +174,17 @@ object Classifier {
         else if (b == -2L) losses += v / n
         else w(b.toInt) -= lr * v / n
       }
+      // the collect above fully drained this iteration's margins cut —
+      // release it now instead of leaking 8 block sets per training run
+      margins.unpersist()
       it += 1
     }
+    // release the two loop-invariant cuts: nothing downstream reads
+    // them (scoring runs the plan-constant forward pass over the raw
+    // docs), and the bench runs this entry twice per capture — leaked
+    // blocks would accrete across the whole suite
+    docsY.unpersist()
+    px.unpersist()
     Model(w, bias, losses.result())
   }
 

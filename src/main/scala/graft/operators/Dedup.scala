@@ -539,7 +539,11 @@ object Dedup {
       maxDriverEdges: Long = 2000000L,
       checkpointDir: Option[String] = None): DataFrame = {
     val s = pairs.sparkSession
-    val cut = pairs.select("id_a", "id_b").localCheckpoint(eager = true)
+    // lazy cut + count in ONE action: an eager localCheckpoint runs its
+    // own internal count() and discards the number, so eager-then-count
+    // was two identical jobs per invocation (r21; every CC caller —
+    // d20/d22/d23/d36 — pays this once per labeling)
+    val cut = pairs.select("id_a", "id_b").localCheckpoint(eager = false)
     val n = cut.count()
     if (n == 0) {
       cut.unpersist()

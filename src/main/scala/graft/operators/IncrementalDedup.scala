@@ -370,9 +370,23 @@ object IncrementalDedup {
     }
 
     // ---- restart guard: docs/ is the membership authority ----------
-    val fresh0 = batch.dropDuplicates("doc_id")
+    // Frames to release once the batch is fully persisted. Per-cycle
+    // driver-barrier count is THE latency driver of this entry (r21:
+    // each action under the concurrent bench pays 0.1-0.5 s of
+    // scheduling/queueing) — so every cut below is LAZY and its
+    // materialization is fused with the first collect that needs it,
+    // and nothing is unpersisted until no later stage can recompute it.
+    val toRelease = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val storeExists = exists(s, docsPath(root))
+    // guard agg + tokenization both consume the batch's dedup shuffle:
+    // cut it once (the guard agg is the materializing action)
+    val fresh0 = {
+      val f0 = batch.dropDuplicates("doc_id")
+      if (storeExists) { val c = f0.localCheckpoint(eager = false); toRelease += c; c }
+      else f0
+    }
     val fresh =
-      if (!exists(s, docsPath(root))) fresh0
+      if (!storeExists) fresh0
       else {
         // ONE bounded driver action for both prune inputs (≤ `buckets`
         // ints + the id box) — separate bucket-collect and min/max
@@ -410,10 +424,24 @@ object IncrementalDedup {
       }
 
     lap("guard")
-    val toks = Dedup.lshTokens(fresh, blockCols).localCheckpoint(eager = true)
-    if (toks.isEmpty) { toks.unpersist(); return }
+    // lazy cut + count in ONE action (an eager localCheckpoint runs an
+    // internal count() and discards it; the old eager-then-isEmpty was
+    // two jobs per cycle for the same answer)
+    val toks = Dedup.lshTokens(fresh, blockCols).localCheckpoint(eager = false)
+    toRelease += toks
+    if (toks.count() == 0) { toRelease.foreach(_.unpersist()); return }
     lap("toks")
-    val banded = Dedup.lshBands(toks, blockCols).localCheckpoint(eager = true)
+    // one action materializes the banded cut AND collects both numbers
+    // the rest of the cycle needs from it: the row count (the
+    // write-guard that used to be a separate isEmpty job) and the
+    // distinct bucket ids (the partition prune that used to be a
+    // separate distinct+collect job)
+    val banded = Dedup.lshBands(toks, blockCols).localCheckpoint(eager = false)
+    toRelease += banded
+    val bandedStats = banded.agg(count(lit(1)).as("n"),
+      collect_set(bandBucket).as("bks")).head()
+    val nBanded = bandedStats.getLong(0)
+    val bks = bandedStats.getSeq[Int](1)
     lap("banded")
 
     // ---- candidates: within-batch self-join + batch-vs-index join --
@@ -432,59 +460,61 @@ object IncrementalDedup {
     // — there is no historic counterpart to verify against, and reading
     // the absent docs/ path would throw on every retry (wedged store).
     val edgesHist =
-      if (!exists(s, bandsPath(root)) || !exists(s, docsPath(root))) noEdges
+      if (!exists(s, bandsPath(root)) || !storeExists) noEdges
       else {
-        val bks = banded.select(bandBucket.as("bucket"))
-          .distinct().collect().map(_.getInt(0)).toSeq
         val hist0 =
           if (bucketedIndex)
             s.table(ensureBandTable(s, root, banded.schema, joinKey, buckets))
           else s.read.parquet(bandsPath(root))
         val hist = hist0.filter(col("bucket").isin(bks: _*))
-        // checkpoint: the candidate set feeds BOTH the bucket collect
-        // below and the verification join — un-cut, the band join
-        // against the historic index would execute twice
+        // cut: the candidate set feeds BOTH the bucket collect below
+        // and the verification join — un-cut, the band join against
+        // the historic index would execute twice. Lazy, so the dbks
+        // collect is ALSO the materializing action (one job).
         val cands = banded.withColumnRenamed("doc_id", "id_a")
           .join(hist.withColumnRenamed("doc_id", "id_b"), joinKey)
           // a retried batch may find its own prior band rows — never
           // pair a doc with itself
           .filter(col("id_a") =!= col("id_b"))
           .select("id_a", "id_b").distinct()
-          .localCheckpoint(eager = true)
+          .localCheckpoint(eager = false)
+        toRelease += cands
         // verification ws for colliding historic docs: pruned id fetch
-        val dbks = cands.select(pmod(hash(col("id_b")), lit(buckets)).as("bucket"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        val res =
-          if (dbks.isEmpty) noEdges
-          else {
-            val hdocs = withResolved(
-              s.read.parquet(docsPath(root))
-                .filter(col("bucket").isin(dbks: _*))
-                .select(col("doc_id"), col("ws"), col("sz"), col("cluster_id")),
-              "cluster_id", "h_label", mm).drop("cluster_id")
-            // star edge: new doc → the historic doc's LIVE cluster label
-            verify(cands, toks, hdocs.drop("h_label"), threshold)
-              .join(hdocs.select(col("doc_id").as("id_b"), col("h_label")), "id_b")
-              .select(col("id_a"), col("h_label").as("id_b")).distinct()
-              .localCheckpoint(eager = true)
-          }
-        cands.unpersist()
-        res
+        val dbks = cands.agg(collect_set(
+            pmod(hash(col("id_b")), lit(buckets))).as("bks"))
+          .head().getSeq[Int](0)
+        if (dbks.isEmpty) noEdges
+        else {
+          val hdocs = withResolved(
+            s.read.parquet(docsPath(root))
+              .filter(col("bucket").isin(dbks: _*))
+              .select(col("doc_id"), col("ws"), col("sz"), col("cluster_id")),
+            "cluster_id", "h_label", mm).drop("cluster_id")
+          // star edge: new doc → the historic doc's LIVE cluster label.
+          // Lazy cut (feeds the CC edge union AND newMerges below); the
+          // CC labeling's own count job materializes it.
+          verify(cands, toks, hdocs.drop("h_label"), threshold)
+            .join(hdocs.select(col("doc_id").as("id_b"), col("h_label")), "id_b")
+            .select(col("id_a"), col("h_label").as("id_b")).distinct()
+            .localCheckpoint(eager = false)
+        }
       }
+    toRelease += edgesHist
     lap("edgesHist")
 
     // ---- incremental CC: batch pairs + star edges ------------------
     // size-gated: driver union-find for micro-batch-sized edge sets
     // (the overwhelmingly common case), distributed bounded CC above
-    // the gate — shared with the batch pipeline (dedupedCorpus)
-    val allEdges = edgesNew.union(edgesHist).localCheckpoint(eager = true)
+    // the gate — shared with the batch pipeline (dedupedCorpus).
+    // No checkpoint of the union here: connectedComponentsAuto cuts its
+    // input itself (the old eager allEdges cut materialized the same
+    // union one job earlier, then CC re-persisted it — pure overhead)
+    val allEdges = edgesNew.union(edgesHist)
     lap("allEdges")
     val labels = Dedup.connectedComponentsAuto(allEdges,
       maxDriverEdges = driverMaxEdges, checkpointDir = checkpointDir)
+    toRelease += labels
     lap("labels")
-    val batchLabels = toks.select("doc_id")
-      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
 
     // historic cluster labels whose component found a smaller minimum:
     // record the merge instead of rewriting the losing cluster's rows
@@ -508,7 +538,7 @@ object IncrementalDedup {
     val fMark = fs(s, root)
     val pendingMark = new Path(bandsPendingPath(root))
     val pendingBefore = fMark.exists(pendingMark)
-    val wroteBands = !banded.isEmpty
+    val wroteBands = nBanded > 0
     if (wroteBands) {
       if (!pendingBefore) fMark.create(pendingMark, true).close()
       val rows = banded.withColumn("bucket", bandBucket).repartition(col("bucket"))
@@ -532,13 +562,18 @@ object IncrementalDedup {
     if (!newMerges.isEmpty)
       newMerges.coalesce(1).write.mode("append").parquet(mergesPath(root))
     lap("writeMerges")
-    toks.join(batchLabels.select("doc_id", "cluster_id"), "doc_id")
+    // one direct LEFT join of toks onto the labels (unlabeled docs keep
+    // their own id as the cluster label) — the old form routed through a
+    // toks-derived batchLabels frame and re-joined it onto toks, a
+    // self-join of the persisted toks with two extra exchanges (r21)
+    toks.join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("bucket", pmod(hash(col("doc_id")), lit(buckets)))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(docsPath(root))
     lap("writeDocs")
     if (wroteBands && !pendingBefore) fMark.delete(pendingMark, false)
-    Seq(toks, banded, edgesHist, allEdges, labels).foreach(_.unpersist())
+    toRelease.foreach(_.unpersist())
   }
 
   // ---- compaction: fold resolved labels into docs/, truncate merges/,
