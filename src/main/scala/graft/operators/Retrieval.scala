@@ -300,11 +300,22 @@ object Retrieval {
     collapseDense(hashedEmbedOf(docs, dims), dims)
 
   /** Dense corpus embeddings through the memoized d59 cut — what the
-    * registered self-embedding consumers (d61) ride so the corpus is
-    * tokenized+hashed once per (session, dir) no matter how many
-    * entries need vectors. */
+    * registered self-embedding consumers (d61, the d72/d73 knn chain,
+    * d74) ride so the corpus is tokenized+hashed once per (session,
+    * dir) no matter how many entries need vectors.
+    *
+    * The dense COLLAPSE is memoized too (r21): the long→dense collapse
+    * is its own corpus-shaped pass (a doc_id shuffle + collect_list +
+    * an interpreted 64-slot HOF fill) and three registered entries ran
+    * it independently, twice per bench pass each — the CLAUDE.md rule
+    * ("any corpus-shaped derived frame consumed by several registered
+    * entries belongs behind DirMemo") applied to the dense view.
+    * Values are unchanged by construction: map keys (buckets) are
+    * unique per doc, so the collapse is collect-order-independent. */
   def denseEmbed(s: SparkSession, d: String): DataFrame =
-    collapseDense(corpusEmb(s, d), EmbedDims)
+    graft.ops.DirMemo.cached(s, d, "denseEmb") {
+      collapseDense(corpusEmb(s, d), EmbedDims).localCheckpoint(false)
+    }
 
   private def collapseDense(long: DataFrame, dims: Int): DataFrame =
     long.groupBy(col("doc_id").as("vec_id"))

@@ -397,7 +397,13 @@ object Similarity {
     * once per (session, dir content) changes no result bit while
     * saving three redundant k-means trainings and four corpus count
     * jobs per bench pass (r20 optimization round, guide §1.2 "don't
-    * compute things twice"). */
+    * compute things twice").
+    *
+    * Driver-memory bound (the CentroidSet discipline): the memoized
+    * value is k ≤ adaptiveK's 4096 cap × dim float centroids — ≈1 MB
+    * at 64 dims — plus one Long; the training collects are likewise
+    * k×dim-bounded (kmeansArrays' vector-sum rows), never corpus-
+    * shaped, so the memo is safe at any corpus size. */
   private[graft] def embQuantizer(s: SparkSession,
       d: String): (Long, Array[(Int, Array[Float])]) =
     graft.ops.DirMemo.cached(s, d, "embQuantizer") {
@@ -1117,7 +1123,14 @@ object Similarity {
     * rounds over Vec64Sql pivot columns, unit-exact means);
     * Round12dSpec still gates assignment optimality (every vector sits
     * in its true nearest cluster), size conservation, exemplar
-    * minimality, and same-session determinism. */
+    * minimality, and same-session determinism.
+    *
+    * Deliberately NOT sliced from [[embQuantizer]] (r21 audit): that
+    * memo is the adaptiveK/2-iter quantizer over the EMBEDDINGS table,
+    * while this entry's semantics are k=16 topic clusters at 5 Lloyd
+    * iterations over the doc-derived denseEmbed vectors — different
+    * input, k, and iteration count, all three pinned by the DuckDB
+    * replay, so there is no shared frame to memoize. */
   def topicClusters(s: SparkSession, d: String): DataFrame =
     topicClustersOf(Retrieval.denseEmbed(s, d))
 
