@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // experiment hook: extra -D flags for the forked JVM (e.g. one-off
+  // spark.* conf A/Bs — SparkSession reads spark.* system properties).
+  // Empty by default; nothing ships depending on it.
+  sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -307,10 +307,16 @@ object Dedup {
     * because a 16-bit band splits the corpus into 65k buckets per band
     * (and real near-dup corpora cluster tightly). */
   def simhashPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // lazy cut: both sides of the band self-join consume this frame,
+    // and the rename-only alias difference defeats ReuseExchange —
+    // un-cut, the doc scan + simhash64 fingerprint pass executed TWICE
+    // (r21; the ngramJaccardViaLsh `banded` lesson applied to d3 —
+    // plan: 2 parquet scans → 1)
     val banded = fps.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
         .as(Seq("band", "bucket")))
+      .localCheckpoint(eager = false)
     val a = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("simhash").as("h_a"))
     val b = banded.select(col("band"), col("bucket"),
